@@ -1,0 +1,88 @@
+"""Versioned-upsert deduplication (reference operators O4/O5).
+
+Reference semantics (``/root/reference/src/main/scala/flink_perf/
+versionDeduplicator.scala:36-57``): records sharing an entity ``id`` are
+successive versions; only the max-``ts`` ("last-writer-wins") version
+participates downstream. ``dedupeFullOuterSeq`` keeps the latest version
+per (key, id) on both sides; the left-outer variant
+(``versionDeduplicator.scala:13-19``) keeps a single latest record per
+join *key*.
+
+Spark-first design
+------------------
+We express dedup as ``groupBy(id).agg(max_by(struct(*cols), ordering))``
+rather than the textbook ``row_number() over (partition by id order by
+ts desc) = 1``:
+
+* ``max_by`` is a declarative aggregate → Catalyst plans a hash
+  aggregate with **map-side partial aggregation**, so each input
+  partition pre-collapses its duplicates before the shuffle. At 100 TB
+  the shuffle carries ≤ one row per (partition, id) instead of every
+  version.
+* The window-function form forces a full shuffle **and sort** of all
+  versions; it only wins when you need the non-latest rows too.
+
+Determinism: ``ordering`` is a struct ``(ts, *tiebreak)`` compared
+lexicographically. Callers that may see equal ``ts`` for one id should
+pass a ``tiebreak`` that completes a total order (any unique column);
+by default all remaining columns are used, which is total unless two
+rows are fully identical (in which case the choice is immaterial).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_list(cols: str | Sequence[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def _latest_row(df: DataFrame, ts_col: str, tiebreak: Sequence[str]) -> F.Column:
+    ordering = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    return F.max_by(F.struct(*[F.col(c) for c in df.columns]), ordering)
+
+
+def dedup_latest(
+    df: DataFrame,
+    id_cols: str | Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """O4: keep the max-``ts`` row per entity id (last-writer-wins).
+
+    Equivalent converged semantics to the reference's per-(key,id)
+    window-state dedup (``versionDeduplicator.scala:36-57``) under the
+    reference's own invariant that an entity's join key is stable across
+    versions (its generators never change a key between versions —
+    ``GenJoinInput.scala:89-103``).
+
+    Oracle SQL shape::
+
+        SELECT * FROM t QUALIFY
+        row_number() OVER (PARTITION BY id ORDER BY ts DESC, tb... DESC) = 1
+    """
+    ids = _as_list(id_cols)
+    if tiebreak is None:
+        tiebreak = [c for c in df.columns if c not in ids and c != ts_col]
+    latest = _latest_row(df, ts_col, tiebreak).alias("_latest")
+    return df.groupBy(*[F.col(c) for c in ids]).agg(latest).select("_latest.*")
+
+
+def dedup_latest_by_key(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """O5: keep a single max-``ts`` row per join *key* (ignores id).
+
+    Mirrors the left-side loop of ``dedupeLeftOuterSeq``
+    (``versionDeduplicator.scala:13-19``): the reference assumes the
+    left side is unique per key and silently keeps one record; here the
+    same collapse is explicit and deterministic given a tiebreak.
+    """
+    return dedup_latest(df, key_cols, ts_col, tiebreak)

@@ -1,0 +1,61 @@
+"""Table catalog over the driver-generated parquet test data.
+
+The reference's only source is an in-memory collection
+(``/root/reference/src/test/scala/flink_perf/JoinSpec.scala:140``); this
+engine's primary source is columnar parquet — scans get predicate
+pushdown, column pruning, and partition-sized splits from Catalyst for
+free, which is the behavior that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at any realistic scale factor
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+        # default; read it as epoch-nanos LongType and expose a derived
+        # µs-precision `ts` timestamp plus the raw `ts_ns`.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer division — epoch-ns exceeds double's 53-bit mantissa,
+        # so float math here would corrupt timestamps
+        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so SQL-form queries work."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
