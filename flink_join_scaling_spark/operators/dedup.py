@@ -1,0 +1,309 @@
+"""Document deduplication operators for training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design notes (the point of each operator at 100 TB):
+- **exact**: hash-groupBy on a 256-bit digest — one shuffle keyed by
+  the digest, map-side partial agg collapses most duplicates early.
+- **minhash_lsh**: the banding trick turns O(n²) pair comparison into
+  an equi-join on (band_index, band_hash); only same-bucket pairs are
+  verified. Hash functions are simulated as ``md5(k || '#' || shingle)``
+  and signatures compared as hex strings — deterministic across
+  engines, so the whole pipeline has an exact DuckDB oracle. The
+  MLlib ``MinHashLSH`` variant (:func:`minhash_lsh_ml`) is the
+  library-accelerated path with the same shape.
+- **simhash**: 32-bit sign-random-projection over token md5 bits;
+  candidate pairs via byte-band equi-join (pigeonhole: hamming ≤ 3 →
+  at least one of 4 bytes equal), then exact hamming filter. All bit
+  math is expressed through string/arithmetic ops shared with DuckDB.
+- **ngram_jaccard**: exact pairwise Jaccard via a shingle equi-join —
+  the shuffle is keyed by shingle, so cost is Σ bucket²  over shingle
+  frequencies, not n²; stop-shingle removal (max_df) bounds the worst
+  buckets.
+- **embedding**: cosine over a pair join; the ANN path for scale is in
+  ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions.text import exploded_shingles, norm_text, tokens_ws
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by sha2-256 of normalized text.
+
+    Returns one row per distinct content hash: (text_hash, keeper_id =
+    min id, n_dups). Keep only ``n_dups`` copies via a semi-join on
+    keeper_id downstream.
+    """
+    hashed = df.select(
+        F.col(id_col), F.sha2(norm_text(F.col(text_col)), 256).alias("text_hash")
+    )
+    return hashed.groupBy("text_hash").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: column ``h{k}`` = lexicographic min of
+    ``md5('{k}#' || shingle)`` over the doc's distinct shingles.
+
+    Uniform hex strings make min() a valid uniform hash family member,
+    and keep the operator exactly reproducible in any engine with md5.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}#"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows: band_hash = md5 of the band's
+    concatenated signature slice."""
+    num_bands = num_hashes // band_size
+    parts = []
+    for b in range(num_bands):
+        cols = [f"h{k}" for k in range(b * band_size, (b + 1) * band_size)]
+        parts.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for id_a < id_b via shingle equi-join,
+    optionally restricted to an LSH candidate set (columns id_a,id_b)."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        a.join(b, on=["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → band buckets →
+    candidate pairs (bucket equi-join) → exact Jaccard verify ≥ threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    bands = minhash_bands(sigs, id_col, num_hashes, band_size)
+    left = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        left.join(right, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = shingle_jaccard_pairs(df, id_col, text_col, shingle_n, candidates=cand)
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_ml(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MLlib-accelerated variant: HashingTF(binary) over shingles →
+    MinHashLSH.approxSimilarityJoin. Not oracle-checked (MLlib's hash
+    family is engine-specific); property-tested against
+    :func:`minhash_dedup_pairs` for candidate recall instead."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from flink_join_scaling_spark.functions.text import shingles_from_tokens
+
+    toks = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__shingle_toks")
+    ).select(F.col(id_col), shingles_from_tokens("__shingle_toks", shingle_n).alias("sh"))
+    toks = toks.where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18)
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+#: bit j of an md5 hex string, via string/arithmetic ops DuckDB shares:
+#: nibble = instr(hexdigits, substr(h, j div 4 + 1, 1)) - 1
+#: bit    = (nibble div 2^(j mod 4)) mod 2
+_BIT_EXPR = (
+    "((instr('0123456789abcdef', substr(md5h, CAST(j div 4 AS INT) + 1, 1)) - 1) "
+    "div shiftleft(1, CAST(j % 4 AS INT))) % 2"
+)
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (token hash = md5 hex bits).
+
+    Plan shape: explode tokens × 32 bit positions → signed per-(doc,bit)
+    sums → majority bit → weighted sum. Declarative groupBy/agg
+    throughout, so partial aggregation keeps the shuffle at
+    |docs| × 32 rows regardless of document length.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("tok")
+    ).withColumn("md5h", F.md5("tok"))
+    bits = toks.select(
+        F.col(id_col),
+        F.col("md5h"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    ).withColumn("contrib", F.expr(f"CASE WHEN {_BIT_EXPR} = 1 THEN 1 ELSE -1 END"))
+    per_bit = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of 4 byte-bands
+    (pigeonhole-complete for hamming ≤ 3), then exact hamming filter.
+
+    The band equi-join is what makes this scale: no all-pairs product,
+    just 4 hash-partitioned self-joins on one byte each.
+    """
+    sims = simhash32(df, id_col, text_col)
+    bands = None
+    for b in range(4):
+        part = sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band_idx"),
+            ((F.col("simhash") / (1 << (8 * b))).cast("bigint") % 256).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------- embedding cosine
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (exact pair join).
+
+    The quadratic pair join is the correctness baseline; the bucketed
+    ANN path for scale is ``operators/similarity.py:ann_lsh_topk``.
+    Cosine is rounded to 6 decimals *before* the threshold compare so
+    accumulation-order noise can't flip boundary pairs across engines.
+    """
+    from flink_join_scaling_spark.functions.vectors import cosine_expr, with_l2_norm
+
+    a = with_l2_norm(df, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("l2_norm").alias("na")
+    )
+    b = with_l2_norm(df, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("l2_norm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("va", "vb", "na", "nb"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

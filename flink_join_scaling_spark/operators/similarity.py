@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns.
+
+Three tiers:
+- :func:`cosine_topk` — exact brute force: queries × corpus join with a
+  JVM-side cosine and per-query top-k window. Baseline, and fine when
+  the query side is small enough to broadcast.
+- :func:`cosine_topk_pandas` — same semantics through an Arrow-batched
+  Pandas UDF doing the dot products in NumPy (matrix multiply per
+  batch). The Python path wins when k and the corpus-per-partition are
+  large enough that per-row JVM fold overhead dominates.
+- :func:`ann_lsh_topk` — the scale path: sign-random-projection LSH
+  buckets (hyperplanes derived deterministically from md5, so the
+  operator is exactly reproducible in the DuckDB oracle), candidates
+  restricted to the query's bucket. At 100 TB this is an equi-join on
+  bucket id instead of a cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions.vectors import cosine_expr, with_l2_norm
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, vec_id, cosine, rank).
+
+    The query side is broadcast — at scale the corpus stays put and
+    streams once. cosine is rounded to 6 decimals before ranking, with
+    vec_id as tiebreak, so ranking is a deterministic total order.
+    """
+    c = with_l2_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vc"), F.col("l2_norm").alias("nc")
+    )
+    q = with_l2_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"), F.col("l2_norm").alias("nq")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Same semantics via mapInPandas: queries collected to a (small)
+    driver matrix, corpus streamed in Arrow batches, NumPy matmul per
+    batch, per-batch top-k then a global re-rank. ~vectorized BLAS vs
+    per-element JVM fold."""
+    import numpy as np
+
+    qpd = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    qm = np.stack(qpd["v"].to_numpy()).astype("float64")
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cn = np.linalg.norm(cm, axis=1)
+            cos = (cm @ qm.T) / np.outer(cn, qn)  # |batch| × |queries|
+            n_q = len(q_ids)
+            top = min(k + 1, len(pdf))  # +1: self-match removed later
+            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            out = {
+                "query_id": np.repeat(q_ids, top),
+                "vec_id": pdf[id_col].to_numpy()[idx.T.ravel()],
+                "cosine": np.round(cos[idx.T.ravel(), np.repeat(np.arange(n_q), top)], 6),
+            }
+            yield pd.DataFrame(out)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
+    )
+    return (
+        _ranked(partial.where(F.col("query_id") != F.col("vec_id")), k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------------ LSH ANN
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign of bit parity of
+    md5("{plane}_{dim}") — reproducible in any engine / language."""
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) < 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Bucket id = Σ_j (dot(v, plane_j) > 0) << j, all JVM-side."""
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket as the query,
+    then exact cosine rank within the bucket. The cross join of
+    :func:`cosine_topk` becomes an equi-join on bucket id."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(num_planes, dim)
+    c = with_l2_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    q = with_l2_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("vq"),
+        F.col("l2_norm").alias("nq"),
+        bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("bucket"),
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "vec_id", "bucket", "cosine", "rank")

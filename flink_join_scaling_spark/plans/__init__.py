@@ -4,3 +4,4 @@ from flink_join_scaling_spark.plans.registry import QUERIES, oracle_sqls, query_
 from flink_join_scaling_spark.plans import reference_joins  # noqa: F401,E402
 from flink_join_scaling_spark.plans import relational  # noqa: F401,E402
 from flink_join_scaling_spark.plans import streaming_q  # noqa: F401,E402
+from flink_join_scaling_spark.plans import llmdata  # noqa: F401,E402

@@ -1,0 +1,469 @@
+"""Training-data-pipeline queries: text analysis, document dedup
+(exact/minhash/simhash/ngram/embedding), similarity search, multimodal
+plumbing. The engine's north-star extensions beyond the reference's
+join family.
+
+Every deterministic operator carries an exact DuckDB oracle; the
+hash-dependent primitives are restricted to md5-hex-string constructs
+both engines share, so even MinHash/SimHash are oracle-checked.
+Rows-only entries (no oracle): the MLlib LSH variant, the Pandas-UDF
+ANN variants' internals, and fake-decode multimodal features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions import text as tx
+from flink_join_scaling_spark.operators import dedup as dd
+from flink_join_scaling_spark.operators import multimodal as mm
+from flink_join_scaling_spark.operators import similarity as sim
+from flink_join_scaling_spark.plans.registry import query
+from flink_join_scaling_spark.sources.catalog import load_table
+
+# ---------------------------------------------------- shared SQL bits
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+_TOKS_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+words AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM toks)
+"""
+
+_SHINGLE_CTE = f"""
+{_TOKS_CTE},
+sh AS (
+    SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+    FROM words a
+    JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+)
+"""
+
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # list_zip yields unnamed structs in DuckDB 1.0 → numeric indexing
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+# ------------------------------------------------------ text analysis
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT)
+               AS n_punct,
+           round(length(replace(t, ' ', '')) / len(string_split(t, ' ')), 4) AS avg_wlen
+    FROM norm
+    """,
+    headline=True,
+    tags=("llmdata", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    norm = tx.norm_text(t)
+    n_words = tx.n_tokens_ws(t)
+    return d.select(
+        "doc_id",
+        F.length(t).cast("bigint").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        tx.punct_count(t).alias("n_punct"),
+        F.round(F.length(F.replace(norm, F.lit(" "), F.lit(""))) / n_words, 4).alias(
+            "avg_wlen"
+        ),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS BIGINT)
+               AS n_tokens_bpe,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens_ws
+    FROM documents
+    """,
+    tags=("llmdata", "text"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.n_tokens_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        tx.n_tokens_ws(F.col("text")).alias("n_tokens_ws"),
+    )
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"CAST(len(list_filter(string_split({_NORM}, ' '), "
+        f"x -> list_contains([{lst}], x))) AS BIGINT)"
+    )
+
+
+def _lang_id_oracle() -> str:
+    scores = {lang: _lang_score_sql(m) for lang, m in tx.LANG_MARKERS.items()}
+    langs = list(tx.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "'und'"
+    for lang in reversed(langs):
+        case = f"CASE WHEN s_{lang} = best THEN '{lang}' ELSE {case} END"
+    score_cols = ", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents),
+    best AS (SELECT *, {greatest} AS best FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN best = 0 THEN 'und' ELSE {case} END AS lang_pred
+    FROM best
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle(), tags=("llmdata", "text"))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-marker language ID (deterministic heuristic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               greatest(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE), 1.0) AS n_toks,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                    AS DOUBLE) AS n_punct,
+               {_lang_score_sql(tx.LANG_MARKERS["en"])} AS s_en
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.3 * least(n_chars / 500.0, 1.0)
+               + 0.2 * (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.3 * least(CAST(s_en AS DOUBLE) / n_toks * 5.0, 1.0)
+               + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)),
+               4) AS quality
+    FROM base
+    """,
+    tags=("llmdata", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(sum((i * (length(w) * 131 + ascii(substr(w, 1, 1)))) % {tx.FP_MOD})
+                % {tx.FP_MOD} AS BIGINT) AS fp
+    FROM words
+    GROUP BY doc_id
+    """,
+    tags=("llmdata", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling document fingerprint (mod 1e9+7),
+    exact integer math in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(tx.tokens_ws(F.col("text"))).alias("pos", "tok"))
+    term = ((F.col("pos") + 1) * tx.token_value(F.col("tok"))) % tx.FP_MOD
+    return toks.groupBy("doc_id").agg((F.sum(term) % tx.FP_MOD).alias("fp"))
+
+
+# ------------------------------------------------------------- dedup
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT sha256({_NORM}) AS text_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    headline=True,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.dedup_exact(d, "doc_id", "text")
+
+
+_MINHASH_K = 8
+_MINHASH_BAND = 2
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{k}#' || shingle)) AS h{k}" for k in range(_MINHASH_K)
+    )
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    sep = " || '|' || "
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({sep.join(f'h{k}' for k in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND))})"
+        " AS band_hash FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT c.id_a, c.id_b,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle(), headline=True, tags=("llmdata", "dedup"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (md5-family hashes, banded candidate
+    join, exact Jaccard verify ≥ 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5
+    )
+
+
+@query("q_dedup_minhash_ml", oracle=None, tags=("llmdata", "dedup", "mllib"))
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant (library hash family → rows-only check;
+    consistency with q_dedup_minhash is property-tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_ml(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_TOKS_CTE},
+    h AS (SELECT doc_id, md5(w) AS md5h FROM words),
+    bits AS (SELECT doc_id, md5h, unnest(range(0, 32)) AS j FROM h),
+    contrib AS (
+        SELECT doc_id, j,
+               CASE WHEN ((strpos('0123456789abcdef',
+                               substr(md5h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                          // (1 << CAST(j % 4 AS INT))) % 2 = 1
+                    THEN 1 ELSE -1 END AS c
+        FROM bits
+    ),
+    per_bit AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY 1, 2),
+    sims AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM per_bit GROUP BY 1
+    ),
+    bands AS (
+        SELECT doc_id, simhash, k.b AS band_idx,
+               (simhash // (CAST(1 AS BIGINT) << CAST(8 * k.b AS INT))) % 256 AS band_val
+        FROM sims, (SELECT unnest([0, 1, 2, 3]) AS b) k
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llmdata", "dedup"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit sign projection, byte-band
+    candidates, hamming ≤ 3."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_dedup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT id_a, id_b, round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.5 (no LSH — the
+    shingle equi-join is the pruning)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.shingle_jaccard_pairs(d, "doc_id", "text", shingle_n=3)
+    return pairs.where(F.col("jaccard") >= 0.5)
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.45
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.45 (exact pair join baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dedup_pairs(e, "vec_id", "embedding", threshold=0.45)
+
+
+# -------------------------------------------------- similarity search
+
+
+_TOPK_ORACLE = f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """
+
+
+@query("q_sim_topk", oracle=_TOPK_ORACLE, headline=True, tags=("llmdata", "similarity"))
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@query("q_sim_topk_pandas", oracle=_TOPK_ORACLE, tags=("llmdata", "similarity", "pandas"))
+def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k through the Arrow/NumPy mapInPandas path — identical
+    results by construction (round-6 + deterministic tiebreak), checked
+    against the same oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_pandas(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+def _ann_oracle() -> str:
+    planes = sim.hyperplanes(4, 64)
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    return f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {_NORM_SQL} AS nrm, {bucket} AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.bucket AS bucket,
+               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON q.bucket = c.bucket
+         AND q.vec_id < 10 AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, vec_id, bucket, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """
+
+
+@query("q_sim_ann_lsh", oracle=_ann_oracle(), tags=("llmdata", "similarity"))
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (sign-random-projection, 4
+    deterministic md5-derived hyperplanes → 16 buckets)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, num_planes=4)
+
+
+# ---------------------------------------------------------- multimodal
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           (['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'])[
+               CAST(doc_id % 4 AS INT) + 1] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_hash
+    FROM documents
+    """,
+    tags=("llmdata", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary payload + typed metadata columns (schema layer of
+    the multimodal plumbing; decode is exercised rows-only below)."""
+    d = load_table(spark, sf_dir, "documents")
+    p = mm.attach_payload(d, "doc_id", "text")
+    return p.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.sha2(F.col("payload"), 256).alias("payload_hash"),
+    )
+
+
+@query("q_multimodal_features", oracle=None, tags=("llmdata", "multimodal", "pandas"))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode/feature-extraction over binary payloads
+    (deterministic fake decoder — real codecs are stubbed)."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.decode_media(mm.attach_payload(d, "doc_id", "text"), decoder="fake")
+
+
+@query("q_multimodal_frames", oracle=None, tags=("llmdata", "multimodal"))
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: sampled frame index rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.attach_payload(d, "doc_id", "text"))
