@@ -1,0 +1,109 @@
+"""Streaming versioned dedup (reference O4 executed continuously).
+
+Two tiers:
+
+* :func:`stream_dedup_within_watermark` — the built-in
+  ``dropDuplicatesWithinWatermark``: cheapest state (one marker per id,
+  expired by watermark), but *first*-arrival-wins, which equals the
+  reference's last-writer-wins only when versions arrive in version
+  order.
+* :func:`stream_dedup_latest` — exact reference semantics under any
+  arrival order: keep-latest state per id via
+  ``applyInPandasWithState``, emitting the key's new latest row
+  whenever it changes (update-mode changelog ≙ the reference's
+  fire-per-record re-emission, ``joins.scala:18-19``, batched per
+  micro-batch). State is one row per id — the reference's
+  ``VersioningEvictor`` (``VersioningEvictor.scala:10-29``) with
+  perfect compaction instead of every-5th-record amortization.
+
+API choice: PySpark 4.1's ``transformWithStateInPandas`` is the newer
+surface for this, but its state protocol requires the ``protobuf``
+package (absent in this environment, and we cannot install packages);
+``applyInPandasWithState`` (stable since Spark 3.4) expresses the
+identical keep-latest state machine over Arrow batches with no extra
+dependency, and is what a real cluster without protobuf would run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _native(v: Any) -> Any:
+    """numpy scalar → plain Python (GroupState tuples must be plain)."""
+    return v.item() if hasattr(v, "item") else v
+
+
+def _keep_latest_fn(cols: list[str], order_idx: list[int]):
+    """Build the per-key state function: keep the lexicographically
+    max-(ts, *tiebreak) row; emit it only when it changes."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        prev = best
+
+        def rank(row: tuple) -> tuple:
+            return tuple(row[i] for i in order_idx)
+
+        for pdf in pdfs:
+            for row in pdf[cols].itertuples(index=False, name=None):
+                row = tuple(_native(v) for v in row)
+                if best is None or rank(row) > rank(best):
+                    best = row
+        if best is not None and best != prev:
+            state.update(best)
+            yield pd.DataFrame([best], columns=cols)
+
+    return fn
+
+
+def stream_dedup_latest(
+    sdf: DataFrame,
+    id_cols: str | Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact last-writer-wins dedup over a stream; converged output
+    matches batch ``operators.versioned.dedup_latest`` on the same
+    data regardless of arrival order.
+
+    State per id is exactly one row (``VersioningEvictor`` with perfect
+    compaction); with the RocksDB state-store provider this scales to
+    state far beyond executor heap. No TTL: ids live forever, like the
+    reference's ``GlobalWindows`` — bound them with a watermark variant
+    if ids are known not to recur.
+    """
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    if tiebreak is None:
+        tiebreak = [c for c in sdf.columns if c not in ids and c != ts_col]
+    cols = list(sdf.columns)
+    order_idx = [cols.index(ts_col), *[cols.index(c) for c in tiebreak]]
+    schema = sdf.schema
+    return sdf.groupBy(*ids).applyInPandasWithState(
+        _keep_latest_fn(cols, order_idx),
+        outputStructType=schema,
+        stateStructType=schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_within_watermark(
+    sdf: DataFrame,
+    id_cols: str | Sequence[str],
+    ts_col: str = "ts",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Built-in first-wins dedup with watermark-bounded state (the
+    reference's 10 s out-of-orderness bound, ``JoinSpec.scala:19``).
+    State per id expires once the watermark passes — the right tool
+    when ids don't recur beyond the lateness bound."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    return sdf.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(ids)

@@ -1,0 +1,132 @@
+"""Continuously-maintained versioned joins (reference O6–O9 streaming).
+
+The reference's engine: both inputs are unioned into
+``TaggedUnion[X,Y]`` elements inside one keyed ``GlobalWindows``
+operator; every arriving record triggers a re-dedup + re-emit of the
+key's full join result (``/root/reference/src/main/scala/flink_perf/
+joins.scala:10-23``, ``cogroupFunctions.scala:7-30``) — O(n²) work per
+key because the whole retained window is re-scanned per record.
+
+Spark-native redesign: the same tagged union feeds
+``applyInPandasWithState`` with **per-side maps keyed by entity id
+holding only the current latest version** — so each micro-batch does
+O(touched keys × live ids) work, state is exactly compacted (the
+``VersioningEvictor``'s goal, minus its every-5th-record amortization
+and its Y-side bug, ``versionDeduplicator.scala:100``), and emission
+is the reference's changelog: the key's updated full join result
+whenever the key receives data. (``transformWithStateInPandas`` +
+MapState would shrink per-batch state I/O further, but its protocol
+needs the unavailable ``protobuf`` package — see ``dedup.py``.)
+
+Records are carried as JSON payloads so one processor serves any
+schema; callers wrap/unwrap with ``to_json``/``from_json``. At scale
+the payload column rides the one shuffle to the grouping key; state
+lives in the executor-local state store (RocksDB on a real cluster).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: tagged-union shape both inputs are normalized to before the join
+UNION_SCHEMA = "k string, side long, id string, ts long, payload string"
+
+#: changelog output: one row per (x,y) pairing of the key's current state
+OUT_SCHEMA = "k string, x_payload string, y_payload string"
+
+#: per-key state: two JSON maps  id -> [ts, payload]  (one per side)
+_STATE_SCHEMA = "xs string, ys string"
+
+
+def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
+    """Normalize one input to the tagged-union shape. ``key``/``id_``/
+    ``ts`` are column names or Column expressions — the reference's
+    extractor-function triple (``joins.scala:11-13``) as expressions."""
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    return df.select(
+        as_col(key).cast("string").alias("k"),
+        F.lit(side).cast("long").alias("side"),
+        as_col(id_).cast("string").alias("id"),
+        as_col(ts).cast("long").alias("ts"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
+    )
+
+
+def _join_fn(how: str):
+    """Per-key state function: fold arriving tagged rows into the two
+    id→latest maps (last-writer-wins on (ts, payload)), then emit the
+    key's full current join result:
+
+    - ``full_outer``  (O6): X-only → (x, null); Y-only → (null, y)
+    - ``left_outer``  (O7/O8 exploded): emit only if ≥1 X present
+    - ``inner``       (O10): emit only if both sides present
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        xs: dict[str, list] = {}
+        ys: dict[str, list] = {}
+        if state.exists:
+            sx, sy = state.get
+            xs, ys = json.loads(sx), json.loads(sy)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                m = xs if int(r.side) == 0 else ys
+                cur = m.get(r.id)
+                new = [int(r.ts), r.payload]
+                if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
+                    m[r.id] = new
+        state.update((json.dumps(xs), json.dumps(ys)))
+        k = key[0]
+        latest_x = [v[1] for v in xs.values()]
+        latest_y = [v[1] for v in ys.values()]
+        out: list[tuple] = []
+        if latest_x and latest_y:
+            out = [(k, x, y) for x in latest_x for y in latest_y]
+        elif latest_x and how != "inner":
+            out = [(k, x, None) for x in latest_x]
+        elif latest_y and how == "full_outer":
+            out = [(k, None, y) for y in latest_y]
+        if out:
+            yield pd.DataFrame(out, columns=["k", "x_payload", "y_payload"])
+
+    return fn
+
+
+def stream_join_versioned(
+    sx: DataFrame,
+    sy: DataFrame,
+    key_x,
+    key_y,
+    id_x,
+    id_y,
+    ts_x,
+    ts_y,
+    how: str = "full_outer",
+) -> DataFrame:
+    """Streaming versioned join of two tagged streams; returns the
+    changelog DataFrame (k, x_payload, y_payload). Converged semantics
+    (last emission per key) equal the batch ``operators.joins``
+    counterparts; tests assert that equivalence.
+
+    Unwrap payloads with ``F.from_json(col, schema)`` downstream.
+    """
+    if how not in ("full_outer", "left_outer", "inner"):
+        raise ValueError(f"unsupported how={how!r}")
+    union = tag_side(sx, key_x, id_x, ts_x, 0).unionByName(
+        tag_side(sy, key_y, id_y, ts_y, 1)
+    )
+    return union.groupBy("k").applyInPandasWithState(
+        _join_fn(how),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

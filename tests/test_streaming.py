@@ -1,0 +1,246 @@
+"""Structured Streaming parity with the batch operators.
+
+Mirrors the reference's test protocol (``/root/reference/src/test/
+scala/flink_perf/JoinSpec.scala:135-155``): run the continuous job on a
+bounded out-of-order input, collect every incremental emission, assert
+
+1. the changelog property — the sink saw at least as many emissions as
+   the converged result has rows (``JoinSpec.scala:153``), and
+2. the converged result (last emission per key, the O15
+   OmniscientDeduplicator reduction) equals the batch operator's answer
+   on the same data (``JoinSpec.scala:154``, strengthened from counts
+   to field-exact comparison).
+
+Inputs are reference-shaped versioned A/B records (``GenJoinInput
+.scala:32-34``) from a seeded generator: multiple versions per id,
+arrival order scrambled across micro-batches by the round-robin
+chunking in ``chunked_parquet_stream``.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators.joins import (
+    join_full_outer,
+    join_inner,
+    join_left_outer,
+)
+from flink_join_scaling_spark.operators.versioned import dedup_latest
+from flink_join_scaling_spark.streaming import (
+    chunked_parquet_stream,
+    collect_emissions,
+    converged,
+    stream_dedup_latest,
+    stream_dedup_within_watermark,
+    stream_join_versioned,
+    stream_tumbling_agg,
+)
+
+SEED = 123  # the reference's seed (JoinSpec.scala:17)
+
+
+def _gen_a(n_ids: int, n_versions: int, seed: int = SEED) -> list[tuple]:
+    """A(id, ts) with several versions per id, shuffled arrival order."""
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randrange(1_000_000), f"a{i}v{v}")
+        for i in range(n_ids)
+        for v in range(n_versions)
+    ]
+    rng.shuffle(rows)
+    return rows
+
+
+def _gen_b(n_ids: int, n_versions: int, ida_max: int, seed: int = SEED + 1) -> list[tuple]:
+    """B(id, ts, ida) — child records pointing at A ids (some dangling)."""
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randrange(1_000_000), rng.randrange(ida_max), f"b{i}v{v}")
+        for i in range(n_ids)
+        for v in range(n_versions)
+    ]
+    rng.shuffle(rows)
+    # a B entity's join key (ida) must be stable across versions: keep
+    # the first drawn ida per id (reference invariant, GenJoinInput.scala:89-95)
+    ida_of: dict[int, int] = {}
+    fixed = []
+    for bid, ts, ida, tag in rows:
+        ida_of.setdefault(bid, ida)
+        fixed.append((bid, ts, ida_of[bid], tag))
+    return fixed
+
+
+A_SCHEMA = "id long, ts long, tag string"
+B_SCHEMA = "id long, ts long, ida long, tag string"
+
+
+@pytest.fixture(scope="module")
+def streaming_spark(spark):
+    """Streaming-tuned confs on the shared session; restored after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_stream_dedup_latest_matches_batch(streaming_spark, tmp_path):
+    spark = streaming_spark
+    df = spark.createDataFrame(_gen_a(7, 4), A_SCHEMA)
+    expected = {
+        (r.id, r.ts, r.tag)
+        for r in dedup_latest(df, "id", "ts", tiebreak=["tag"]).collect()
+    }
+
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=4)
+    em = collect_emissions(stream_dedup_latest(s, "id", "ts", tiebreak=["tag"]))
+    # changelog property: every id emits at least once, possibly more
+    assert len(em) >= len(expected)
+    got = converged(em, ["id"])
+    assert {tuple(r) for r in got[["id", "ts", "tag"]].itertuples(index=False)} == expected
+
+
+def test_stream_dedup_emits_only_on_change(streaming_spark, tmp_path):
+    """A strictly version-ordered single id: each chunk carries a newer
+    version, so every batch emits exactly one improved row; replaying a
+    stale version must not re-emit."""
+    spark = streaming_spark
+    rows = [(1, t, f"v{t}") for t in range(4)] + [(1, 0, "stale")]
+    df = spark.createDataFrame(rows, A_SCHEMA)
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=5)
+    em = collect_emissions(stream_dedup_latest(s, "id", "ts", tiebreak=["tag"]))
+    got = converged(em, ["id"])
+    assert list(got[["id", "ts", "tag"]].itertuples(index=False, name=None)) == [
+        (1, 3, "v3")
+    ]
+    # the stale replay (and any not-newer chunk) emitted nothing
+    assert len(em) <= 4
+
+
+def test_stream_dedup_within_watermark_in_order(streaming_spark, tmp_path):
+    """First-wins built-in equals last-writer-wins when versions arrive
+    newest-first per id (then the first seen IS the latest)."""
+    spark = streaming_spark
+    rows = [(i, 100 - v, f"a{i}v{v}") for i in range(5) for v in range(3)]
+    df = spark.createDataFrame(rows, A_SCHEMA).withColumn(
+        "ets", F.timestamp_millis(F.col("ts") * 1000)
+    )
+    expected = {(i, 100, f"a{i}v0") for i in range(5)}
+    # round-robin chunking puts all v0 (latest) rows in micro-batch 0,
+    # so first-wins == last-writer-wins deterministically
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=3)
+    out = stream_dedup_within_watermark(s, "id", "ets", "10 seconds").drop("ets")
+    em = collect_emissions(out, output_mode="append")
+    got = {tuple(r) for r in em[["id", "ts", "tag"]].itertuples(index=False)}
+    assert got == expected
+
+
+@pytest.mark.parametrize("how", ["full_outer", "left_outer", "inner"])
+def test_stream_join_matches_batch(streaming_spark, tmp_path, how):
+    spark = streaming_spark
+    a = spark.createDataFrame(_gen_a(6, 3), A_SCHEMA)
+    b = spark.createDataFrame(_gen_b(10, 3, ida_max=9), B_SCHEMA)
+
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=3)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=3)
+    out = stream_join_versioned(sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how)
+    em = collect_emissions(out)
+    got = converged(em, ["k"])
+    # decode converged pairs (x_tag, y_tag); None = outer null padding
+    got_pairs = set()
+    for r in got.itertuples(index=False):
+        x = json.loads(r.x_payload)["tag"] if r.x_payload else None
+        y = json.loads(r.y_payload)["tag"] if r.y_payload else None
+        got_pairs.add((x, y))
+
+    if how == "full_outer":
+        batch = join_full_outer(a, b, "id", "ida", "id", "id", "ts", "ts")
+    elif how == "left_outer":
+        # batch O7 collapses left per *key*; here A ids are unique per key
+        # (id IS the key), so dedup-per-id == dedup-per-key
+        batch = join_left_outer(a, b, "id", "ida", "id", "ts", "ts")
+    else:
+        batch = join_inner(a, b, "id", "ida", "id", "id", "ts", "ts")
+    exp_pairs = {(r.x_tag, r.y_tag) for r in batch.collect()}
+    assert got_pairs == exp_pairs
+    assert len(em) >= len(got)  # changelog re-emission property
+
+
+def test_stream_join_changelog_reemits_on_update(streaming_spark, tmp_path):
+    """A new version of an A record must re-emit its key's join result
+    with the updated payload (the reference's continuous-maintenance
+    property, joins.scala:18-19)."""
+    spark = streaming_spark
+    a = spark.createDataFrame([(1, 10, "old"), (1, 20, "new")], A_SCHEMA)
+    b = spark.createDataFrame([(5, 10, 1, "b5")], B_SCHEMA)
+    # chunk 0 carries (old, b5), chunk 1 carries (new): round-robin split
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=2)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=1)
+    out = stream_join_versioned(sa, sb, "id", "ida", "id", "id", "ts", "ts")
+    em = collect_emissions(out)
+    tags = [json.loads(p)["tag"] for p in em["x_payload"] if p]
+    assert "new" in tags  # final state reflects the update
+    final = converged(em, ["k"])
+    assert [json.loads(p)["tag"] for p in final["x_payload"] if p] == ["new"]
+
+
+def test_stream_tumbling_agg_matches_batch(streaming_spark, tmp_path):
+    """Windowed streaming agg in update mode over chunked events equals
+    the batch groupBy(window(...)) on the same data."""
+    spark = streaming_spark
+    rng = random.Random(SEED)
+    rows = [
+        (i, rng.randrange(0, 4 * 3600) * 1000, "t" + str(i % 2), float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, event_type string, value double"
+    ).withColumn("ets", F.timestamp_millis("ts_ms"))
+    batch = (
+        df.groupBy(F.window("ets", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    # round-robin chunks put near-max timestamps into batch 0, so the
+    # lateness bound must cover the whole span or later batches would be
+    # dropped as late — the watermark-semantics test below pins that.
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=3)
+    out = stream_tumbling_agg(
+        s, ts_col="ets", size="1 hour", delay="10 days", keys=["event_type"]
+    )
+    em = collect_emissions(out, output_mode="update")
+    got = converged(em, ["window_start", "event_type"])
+    assert {tuple(r) for r in got.itertuples(index=False)} == expected
+
+
+def test_stream_watermark_drops_late_rows(streaming_spark, tmp_path):
+    """O2 semantics: a row older than watermark - delay is discarded.
+    Batch 0 carries ts=2h, so the watermark advances to 2h - 10s; batch
+    1 re-confirms it (Spark applies the late-row filter with the
+    watermark finalized one batch earlier, so the drop takes effect from
+    batch 2); batch 2's ts=0h row is then far below the watermark and
+    hour 0 never emits."""
+    spark = streaming_spark
+    rows = [
+        (0, 2 * 3600 * 1000, "t0", 1.0),
+        (1, 2 * 3600 * 1000 + 1000, "t0", 1.0),
+        (2, 0, "t0", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, event_type string, value double"
+    ).withColumn("ets", F.timestamp_millis("ts_ms"))
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=3)
+    out = stream_tumbling_agg(
+        s, ts_col="ets", size="1 hour", delay="10 seconds", keys=["event_type"]
+    )
+    em = collect_emissions(out, output_mode="update")
+    starts = set(em["window_start"])
+    assert pd.Timestamp("1970-01-01 02:00:00") in starts
+    assert pd.Timestamp("1970-01-01 00:00:00") not in starts
