@@ -98,21 +98,43 @@ def shingle_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for id_a < id_b via shingle equi-join,
-    optionally restricted to an LSH candidate set (columns id_a,id_b)."""
+    optionally restricted to an LSH candidate set (columns id_a,id_b).
+
+    With ``candidates``, intersections are computed by joining the
+    candidate pairs *to* the shingle sets (candidate-first), never by
+    the all-pairs shingle self-join: LSH exists precisely because the
+    self-join blows up on common shingles (at sf0.1 it yields ~1.1M
+    shingle-sharing pairs for ~250 real candidates; at 100 TB it's the
+    difference between a feasible job and an O(Σ bucket²) shuffle).
+
+    ``sizes`` (id_col, n_sh) can be supplied when the caller already
+    aggregated per-doc shingle counts (e.g. alongside MinHash
+    signatures), saving one pass over the shingle explosion.
+    """
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        a.join(b, on=["shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        sa_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sb_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.join(sa_sh, on="id_a")
+            .join(sb_sh, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+        inter = (
+            a.join(b, on=["shingle"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -138,8 +160,19 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → band buckets →
-    candidate pairs (bucket equi-join) → exact Jaccard verify ≥ threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    candidate pairs (bucket equi-join) → exact Jaccard verify ≥ threshold.
+
+    Signatures and per-doc shingle counts come out of ONE aggregation
+    over the shingle explosion (the corpus-sized pass happens once for
+    the signature side; the verify stage re-reads only candidate docs'
+    shingles)."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}#"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*sig_aggs, F.count("*").alias("n_sh"))
+    sizes = sigs.select(id_col, "n_sh")
     bands = minhash_bands(sigs, id_col, num_hashes, band_size)
     left = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
@@ -153,7 +186,9 @@ def minhash_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    pairs = shingle_jaccard_pairs(df, id_col, text_col, shingle_n, candidates=cand)
+    pairs = shingle_jaccard_pairs(
+        df, id_col, text_col, shingle_n, candidates=cand, sizes=sizes
+    )
     return pairs.where(F.col("jaccard") >= threshold)
 
 

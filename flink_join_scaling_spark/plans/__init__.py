@@ -1,4 +1,9 @@
-from flink_join_scaling_spark.plans.registry import QUERIES, oracle_sqls, query_fns  # noqa: F401
+from flink_join_scaling_spark.plans.registry import (  # noqa: F401
+    QUERIES,
+    headline_queries,
+    oracle_sqls,
+    query_fns,
+)
 
 # importing the modules populates the registry
 from flink_join_scaling_spark.plans import reference_joins  # noqa: F401,E402
