@@ -1,0 +1,158 @@
+"""Relational surface extensions: semi/anti joins, pivot/unpivot,
+exact percentiles, scalar subquery. All built-in Catalyst operators
+(SURVEY §2.2 — absent from the reference, part of the engine's
+declared surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.plans.registry import query
+from flink_join_scaling_spark.sources.catalog import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+    tags=("relational", "join"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one large order. One
+    shuffle, no row duplication — the join stops at first match."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("relational", "join"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent order (the unfiltered
+    "never ordered" form is empty in this synthetic data — every
+    customer has orders — so the predicate keeps the test non-trivial)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def _pivot_oracle() -> str:
+    cells = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS cohort, {cells}
+    FROM events GROUP BY 1
+    """
+
+
+@query("q_pivot", oracle=_pivot_oracle(), tags=("relational", "pivot"))
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per user cohort, one column per event type.
+    The explicit value list keeps it a single-pass hash aggregation (no
+    distinct-values pre-query)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return out.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+    """,
+    tags=("relational", "pivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) part metrics to long form — built-in ``unpivot``,
+    a zero-shuffle narrow transform."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS median,
+           round(quantile_cont(l_quantity, 0.90), 4) AS p90,
+           round(avg(l_quantity), 4) AS mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). The approx_percentile sketch is the
+    scale path when exactness isn't required (see q_approx_distinct)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(q, F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile(q, F.lit(0.50)), 4).alias("median"),
+        F.round(F.percentile(q, F.lit(0.90)), 4).alias("p90"),
+        F.round(F.avg(q), 4).alias("mean"),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    tags=("relational", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced above 1.8x the global average (uniform price dist
+    caps out just below 2x avg, so 1.8 keeps the result non-empty at
+    every sf). The 1-row aggregate
+    is broadcast-joined (a scalar subquery's physical plan), so the big
+    side streams through with no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.join(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > 1.8 * F.col("__avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )

@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions: the scale properties the engine
+promises (SURVEY §4) must be visible in `explain` output — pushdown
+reaching the parquet reader, broadcast for dims, no nested-loop joins,
+map-side partial aggregation before exchanges.
+
+These guard against regressions that stay correct at test scale but
+break the 100 TB story (a filter that silently stops pushing down, a
+dimension join that reverts to sort-merge, a range join that degrades
+to a cartesian product).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_join_scaling_spark import plans
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = plans.QUERIES[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "q_scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+    # projection pruned to the 5 selected + 3 filtered columns, not all 16
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_tax" not in read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "q_join_inner")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_full_outer_join_is_shuffle_join(spark):
+    plan = _plan(spark, "q_join_full_outer")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_agg_has_partial_aggregation(spark):
+    plan = _plan(spark, "q_agg_group")
+    assert "partial" in plan  # map-side combine before the exchange
+
+
+def test_no_nested_loop_anywhere():
+    """Whole registry sweep: no CartesianProduct / BroadcastNestedLoop
+    in any registered query plan except explicitly-quadratic baselines
+    (brute-force similarity + embedding pair joins)."""
+    # evaluated in test_no_nested_loop_per_query via parametrize
+    pass
+
+
+_QUADRATIC_OK = {
+    # intentionally exact/quadratic baselines over the small embeddings
+    # table; their scale path is q_sim_ann_lsh (bucketed)
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_sim_topk_pandas",
+    # broadcast of a 1-row aggregate (scalar subquery) is a nested-loop
+    # join by name, but over exactly one build row
+    "q_scalar_subquery",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in plans.QUERIES if n not in _QUADRATIC_OK)
+)
+def test_no_nested_loop_per_query(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name

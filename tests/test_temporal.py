@@ -1,0 +1,107 @@
+"""Unit tests for the temporal operators (as-of join, range join)."""
+
+from __future__ import annotations
+
+import random
+
+from flink_join_scaling_spark.operators.temporal import asof_join, range_join
+
+L_SCHEMA = "k long, ts long, ltag string"
+R_SCHEMA = "k long, ts long, rtag string"
+
+
+def _py_asof(left, right, tolerance=None):
+    out = []
+    for lk, lts, ltag in left:
+        cands = [r for r in right if r[0] == lk and r[1] <= lts]
+        if tolerance is not None:
+            cands = [r for r in cands if r[1] >= lts - tolerance]
+        best = max(cands, key=lambda r: r[1], default=None)
+        out.append((lk, lts, ltag, best[1] if best else None, best[2] if best else None))
+    return sorted(out)
+
+
+def _py_range(left, right, lower, upper):
+    return sorted(
+        (lk, lts, rk, rts)
+        for lk, lts, _ in left
+        for rk, rts, _ in right
+        if lk == rk and lts + lower <= rts <= lts + upper
+    )
+
+
+def _gen(seed, n, keys=4, tmax=100):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(keys), rng.randrange(tmax), f"x{i}") for i in range(n)
+    ]
+
+
+def test_asof_join_matches_python_oracle(spark):
+    left, right = _gen(1, 40), _gen(2, 40)
+    # drop duplicate (k, ts) on the right: with ties the argmax row is
+    # implementation-defined; determinism under ties is tested separately
+    seen, r2 = set(), []
+    for r in right:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            r2.append(r)
+    dfl = spark.createDataFrame(left, L_SCHEMA)
+    dfr = spark.createDataFrame(r2, R_SCHEMA)
+    got = sorted(
+        (r.k, r.ts, r.ltag, r.r_ts, r.r_rtag)
+        for r in asof_join(dfl, dfr, "k", "ts", "ts").collect()
+    )
+    assert got == _py_asof(left, r2)
+
+
+def test_asof_join_tolerance(spark):
+    left = [(1, 100, "L")]
+    right = [(1, 10, "OLD"), (1, 95, "NEAR")]
+    dfl = spark.createDataFrame(left, L_SCHEMA)
+    dfr = spark.createDataFrame(right, R_SCHEMA)
+    strict = asof_join(dfl, dfr, "k", "ts", "ts", tolerance=3).collect()[0]
+    assert strict.r_rtag is None  # 95 is 5 away > 3
+    loose = asof_join(dfl, dfr, "k", "ts", "ts", tolerance=10).collect()[0]
+    assert loose.r_rtag == "NEAR"
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    dfl = spark.createDataFrame([(1, 50, "L")], L_SCHEMA)
+    dfr = spark.createDataFrame([(1, 50, "EQ"), (1, 49, "BEFORE")], R_SCHEMA)
+    row = asof_join(dfl, dfr, "k", "ts", "ts").collect()[0]
+    assert row.r_rtag == "EQ"
+
+
+def test_range_join_matches_python_oracle(spark):
+    left, right = _gen(3, 50), _gen(4, 50)
+    dfl = spark.createDataFrame(left, L_SCHEMA)
+    dfr = spark.createDataFrame(right, R_SCHEMA)
+    for lower, upper in [(-10, 10), (0, 25), (-7, -1)]:
+        got = sorted(
+            (r.l_k, r.l_ts, r.r_k, r.r_ts)
+            for r in range_join(
+                dfl, dfr, "k", "k", "ts", "ts", lower=lower, upper=upper
+            ).collect()
+        )
+        assert got == _py_range(left, right, lower, upper), (lower, upper)
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    """A pair whose left window spans multiple buckets must appear once."""
+    dfl = spark.createDataFrame([(1, 0, "L")] * 1, L_SCHEMA)
+    dfr = spark.createDataFrame([(1, t, f"R{t}") for t in range(-30, 31, 5)], R_SCHEMA)
+    rows = range_join(dfl, dfr, "k", "k", "ts", "ts", lower=-20, upper=20).collect()
+    pairs = [(r.l_ts, r.r_ts) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert sorted(p[1] for p in pairs) == list(range(-20, 21, 5))
+
+
+def test_range_join_shuffle_not_nested_loop(spark):
+    """The physical plan must be an equi-join (hash/sort-merge), never
+    BroadcastNestedLoopJoin / CartesianProduct — the whole point of the
+    bucketing at scale."""
+    dfl = spark.createDataFrame(_gen(5, 30), L_SCHEMA)
+    dfr = spark.createDataFrame(_gen(6, 30), R_SCHEMA)
+    plan = range_join(dfl, dfr, "k", "k", "ts", "ts", lower=-5, upper=5)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
