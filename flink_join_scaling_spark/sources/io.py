@@ -1,0 +1,125 @@
+"""File-format sources and sinks beyond the primary parquet catalog.
+
+The reference reads only in-memory collections and writes only to a
+test sink (``/root/reference/src/main/scala/flink_perf/sinks.scala:9-27``,
+``JoinSpec.scala:140``); a real engine needs durable columnar I/O.
+Everything here wraps Spark's native readers/writers — the point of
+these helpers is to encode the *scale discipline*, not to reimplement
+I/O:
+
+* reads take an explicit schema (no ``inferSchema`` full-file
+  pre-scan — at 100 TB schema inference is a second job);
+* writes default to snappy parquet, the only format the engine
+  considers a system of record; CSV/JSON exist for interchange;
+* `write_partitioned` hash-lays-out by key columns so downstream
+  key-equi-joins and partition-pruned scans skip data;
+* `write_bucketed` persists a bucketed table: two datasets bucketed
+  the same way join WITHOUT a shuffle (Catalyst sees the bucket spec)
+  — the batch analogue of the reference's ``keyBy`` co-location
+  (``joins.scala:15-17``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with an explicit schema (never inferSchema — that is a full
+    extra pass over the data before the real job starts)."""
+    return spark.read.options(header=str(header).lower(), **options).schema(
+        schema
+    ).csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str, **options: str
+) -> DataFrame:
+    """JSON-lines with an explicit schema (same inference rule as CSV)."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — schema from footers, pushdown/pruning native."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+) -> None:
+    df.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet: scans filtered on the partition
+    columns prune whole directories (visible as PartitionFilters in the
+    plan). Keep partition cardinality moderate (≤ ~10k dirs); high-
+    cardinality keys belong in bucketing instead."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | Sequence[str],
+    num_buckets: int = 32,
+    sort_by: str | Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (``saveAsTable`` — bucket
+    metadata lives in the catalog, so joins/aggs on the bucket keys of
+    two co-bucketed tables skip the shuffle entirely)."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_by is not None:
+        s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*s)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def stream_write_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming parquet sink with exactly-once file commit via the
+    checkpoint log (the durable replacement for the reference's
+    synchronized in-memory TestSink1)."""
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

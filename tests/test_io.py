@@ -1,0 +1,76 @@
+"""Round-trip and plan tests for the I/O layer (sources/io.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.sources import io
+from flink_join_scaling_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    n = load_table(spark, SF_SMALL, "nation")
+    want = sorted(tuple(r) for r in n.collect())
+    schema = n.schema
+
+    io.write_csv(n, str(tmp_path / "csv"))
+    got_csv = io.read_csv(spark, str(tmp_path / "csv"), schema)
+    assert sorted(tuple(r) for r in got_csv.collect()) == want
+
+    io.write_json(n, str(tmp_path / "json"))
+    got_json = io.read_json(spark, str(tmp_path / "json"), schema)
+    assert sorted(tuple(r) for r in got_json.collect()) == want
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    c = load_table(spark, SF_SMALL, "customer")
+    io.write_partitioned(c, str(tmp_path / "p"), "c_mktsegment")
+    back = io.read_parquet(spark, str(tmp_path / "p"))
+    assert back.count() == c.count()
+    filtered = back.where(F.col("c_mktsegment") == "BUILDING")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # the segment predicate must be a partition filter (directory
+    # pruning), not a data filter
+    assert "PartitionFilters" in plan and "c_mktsegment" in plan.split("PartitionFilters")[1].split("]")[0]
+    exp = c.where(F.col("c_mktsegment") == "BUILDING").count()
+    assert filtered.count() == exp
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange on either side — the co-located join the reference gets
+    from keyBy co-partitioning."""
+    c = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    io.write_bucketed(c, "t_cust_b", "c_custkey", 8, path=str(tmp_path / "c"))
+    io.write_bucketed(o, "t_ord_b", "o_custkey", 8, path=str(tmp_path / "o"))
+    tc, to = spark.table("t_cust_b"), spark.table("t_ord_b")
+    joined = tc.join(to, tc["c_custkey"] == to["o_custkey"])
+    # disable broadcast so the co-location is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_stream_parquet_sink(spark, tmp_path):
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, v long"
+    )
+    s = chunked_parquet_stream(spark, df, str(tmp_path / "in"), n_chunks=2)
+    q = io.stream_write_parquet(
+        s, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    back = io.read_parquet(spark, str(tmp_path / "out"))
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (i, i * 10) for i in range(20)
+    ]
