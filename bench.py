@@ -32,7 +32,15 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
-    spark = get_spark(app_name="fjss-bench", cpus=cpus, shuffle_partitions=cpus)
+    # split file scans small: bench data is a few MB/table, so Spark's
+    # default 128m split turns every scan into one task on 32 cores
+    # (on a real cluster at real scale the default is correct)
+    spark = get_spark(
+        app_name="fjss-bench",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        max_partition_bytes="8m",
+    )
 
     names = plans.headline_queries()
     # warmup: JVM JIT + parquet footers (cheapest headline query)

@@ -19,16 +19,24 @@ def get_spark(
     app_name: str = "flink_join_scaling_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores.
+    ``max_partition_bytes`` sizes file-scan splits: leave None (Spark's
+    128m) on a real cluster reading TB-scale tables; set small (e.g.
+    "8m") when the inputs are tiny relative to cores, else every scan
+    collapses to one task and the cluster idles (a 10 MB file at the
+    default split size is a single-task scan on 32 cores).
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
+    if max_partition_bytes is None:
+        max_partition_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -42,6 +50,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     )
+    if max_partition_bytes is not None:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", max_partition_bytes
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
