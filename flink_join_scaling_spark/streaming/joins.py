@@ -100,6 +100,38 @@ def _join_fn(how: str):
     return fn
 
 
+def stream_stream_join_within(
+    sx: DataFrame,
+    sy: DataFrame,
+    on,
+    x_ts: str,
+    y_ts: str,
+    within: str = "10 minutes",
+    delay: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Spark's *built-in* watermarked stream-stream join: pairs whose
+    event times fall within ``within`` of each other. State on both
+    sides is bounded by the watermark + time constraint, which is what
+    lets it run forever.
+
+    This is the built-in alternative to :func:`stream_join_versioned`
+    for the common case where matches are temporally local. It is NOT
+    the reference's semantics — the reference retains *all* current
+    versions indefinitely (GlobalWindows, ``joins.scala:18``) and
+    re-emits per record, while this emits each qualifying pair once.
+    Use it when the join key recurs only within a bounded lateness
+    horizon; use the keyed-state join for true versioned upserts.
+    """
+    xw = sx.withWatermark(x_ts, delay)
+    yw = sy.withWatermark(y_ts, delay)
+    cond = on if not isinstance(on, str) else (xw[on] == yw[on])
+    time_cond = (yw[y_ts] >= xw[x_ts] - F.expr(f"INTERVAL {within}")) & (
+        yw[y_ts] <= xw[x_ts] + F.expr(f"INTERVAL {within}")
+    )
+    return xw.join(yw, cond & time_cond, how)
+
+
 def stream_join_versioned(
     sx: DataFrame,
     sy: DataFrame,

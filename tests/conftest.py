@@ -15,3 +15,12 @@ def spark():
         extra_conf={"spark.driver.memory": "8g"},
     )
     yield s
+
+
+@pytest.fixture()
+def streaming_spark(spark):
+    """Streaming-tuned confs on the shared session; restored after."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", old)

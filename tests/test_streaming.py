@@ -80,15 +80,6 @@ A_SCHEMA = "id long, ts long, tag string"
 B_SCHEMA = "id long, ts long, ida long, tag string"
 
 
-@pytest.fixture(scope="module")
-def streaming_spark(spark):
-    """Streaming-tuned confs on the shared session; restored after."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    yield spark
-    spark.conf.set("spark.sql.shuffle.partitions", old)
-
-
 def test_stream_dedup_latest_matches_batch(streaming_spark, tmp_path):
     spark = streaming_spark
     df = spark.createDataFrame(_gen_a(7, 4), A_SCHEMA)
