@@ -1,0 +1,175 @@
+"""Planted-ground-truth tests for the dedup / similarity family.
+
+Oracle parity (test_oracle_parity.py) proves Spark == DuckDB on the
+same formula; these tests prove the operators find what they claim to
+find: planted exact copies, planted near-duplicates, planted nearest
+neighbors. Also the MLlib-vs-md5 MinHash consistency check promised in
+``operators/dedup.py:minhash_lsh_ml``.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators import dedup as dd
+from flink_join_scaling_spark.operators import similarity as sim
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+).split()
+
+
+def _doc(rng: random.Random, n=40) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _edit(rng: random.Random, text: str, n_edits=2) -> str:
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """60 base docs + planted: exact copy of doc0, 2-edit near-dup of
+    doc1, unrelated tail."""
+    rng = random.Random(99)
+    base = [_doc(rng) for _ in range(60)]
+    docs = list(base)
+    docs.append(base[0])            # id 60: exact dup of 0
+    docs.append(_edit(rng, base[1]))  # id 61: near-dup of 1
+    rows = [(i, t) for i, t in enumerate(docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_planted_copy(planted_docs):
+    groups = dd.dedup_exact(planted_docs, "doc_id", "text")
+    dup_groups = {r.keeper_id: r.n_dups for r in groups.collect() if r.n_dups > 1}
+    assert dup_groups == {0: 2}  # only the planted copy, kept under min id
+
+
+def test_minhash_finds_planted_near_dup(planted_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_dedup_pairs(
+            planted_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (0, 60) in pairs and pairs[(0, 60)] == 1.0  # exact copy
+    assert (1, 61) in pairs and 0.5 <= pairs[(1, 61)] < 1.0  # 2-edit near-dup
+
+
+def test_ngram_jaccard_agrees_with_minhash_verified(planted_docs):
+    """MinHash+LSH verified pairs are a subset of the exact all-pairs
+    n-gram Jaccard at the same threshold (LSH can only lose candidates,
+    never invent pairs — the verify stage recomputes exact Jaccard)."""
+    mh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.minhash_dedup_pairs(planted_docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.shingle_jaccard_pairs(planted_docs, "doc_id", "text")
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert mh <= exact
+
+
+def test_minhash_ml_consistent_with_md5_pipeline(planted_docs):
+    """The MLlib MinHashLSH variant must surface every high-similarity
+    pair the exact pipeline verifies (hash-family differences may add
+    or drop borderline pairs; jaccard >= 0.8 pairs must agree)."""
+    exact_high = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_dedup_pairs(planted_docs, "doc_id", "text", threshold=0.5).collect()
+        if r.jaccard >= 0.8
+    }
+    ml = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.minhash_lsh_ml(planted_docs, "doc_id", "text").collect()
+    }
+    assert exact_high <= set(ml)
+    # HashingTF collisions can only merge shingles → ML jaccard >= exact
+    for pair in exact_high:
+        assert ml[pair] >= 0.8
+
+
+def test_simhash_hamming_ordering(planted_docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_dedup_pairs(planted_docs, "doc_id", "text", max_hamming=16).collect()
+    }
+    assert pairs.get((0, 60)) == 0  # identical text → identical simhash
+    near = pairs.get((1, 61))
+    assert near is not None and near <= 8  # 2-edit doc stays close
+
+
+@pytest.fixture(scope="module")
+def planted_vecs(spark):
+    """Orthogonal-ish base vectors + a planted near-neighbor of vec 0."""
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    for i in range(30):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+    base = rows[0][1]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    rows.append((30, near))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_finds_planted_neighbor(planted_vecs):
+    q = planted_vecs.where(F.col("vec_id") == 0)
+    top = sim.cosine_topk(planted_vecs, q, k=1).collect()
+    assert len(top) == 1
+    assert top[0].vec_id == 30 and top[0].cosine > 0.99
+
+
+def test_cosine_topk_pandas_equals_jvm(planted_vecs):
+    q = planted_vecs.where(F.col("vec_id") < 3)
+    jvm = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in sim.cosine_topk(planted_vecs, q, k=5).collect()}
+    pnd = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in sim.cosine_topk_pandas(planted_vecs, q, k=5).collect()}
+    assert jvm == pnd
+
+
+def test_embedding_dedup_finds_planted_pair(planted_vecs):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_dedup_pairs(planted_vecs, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    assert (0, 30) in pairs and pairs[(0, 30)] > 0.99
+    # gaussian vectors in 16-d are near-orthogonal: no false positives at 0.9
+    assert set(pairs) == {(0, 30)}
+
+
+def test_ann_lsh_recalls_planted_neighbor(planted_vecs):
+    """Sign-LSH buckets: a 0.99-cosine pair lands in the same bucket
+    with overwhelming probability (angle ~0.1 rad, 4 planes)."""
+    q = planted_vecs.where(F.col("vec_id") == 0)
+    top = sim.ann_lsh_topk(planted_vecs, q, k=1, num_planes=4).collect()
+    assert len(top) == 1 and top[0].vec_id == 30
+
+
+def test_fingerprint_position_sensitivity(spark):
+    """The rolling fingerprint must distinguish token order (same bag
+    of words, different sequence → different fp)."""
+    from flink_join_scaling_spark.functions.text import FP_MOD, token_value, tokens_ws
+
+    d = spark.createDataFrame(
+        [(0, "alpha bravo charlie"), (1, "charlie bravo alpha")],
+        "doc_id long, text string",
+    )
+    toks = d.select("doc_id", F.posexplode(tokens_ws(F.col("text"))).alias("pos", "tok"))
+    term = ((F.col("pos") + 1) * token_value(F.col("tok"))) % FP_MOD
+    fps = {
+        r.doc_id: r.fp
+        for r in toks.groupBy("doc_id").agg((F.sum(term) % FP_MOD).alias("fp")).collect()
+    }
+    assert fps[0] != fps[1]
