@@ -37,6 +37,11 @@ Known reference divergences, intentional:
   B⋈C test, ``JoinSpec.scala:289-312``). We keep the drop-right-only
   semantics (it is what "left outer" means) but make the left collapse
   deterministic via ``dedup_latest_by_key`` with an explicit tiebreak.
+- Null keys: the reference's ``keyFromX`` string coercion would NPE
+  (``joins.scala:11``); here SQL semantics apply — null keys never
+  match but null-keyed rows are preserved on their outer side, and
+  null ids form one dedup group (tests/test_versioned_properties.py::
+  test_null_key_semantics).
 """
 
 from __future__ import annotations

@@ -22,6 +22,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
     """,
+    headline=True,
     tags=("relational", "join"),
 )
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,6 +117,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(l_quantity), 4) AS mean
     FROM lineitem GROUP BY l_returnflag
     """,
+    headline=True,
     tags=("relational", "agg"),
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,7 @@ def _typed_events(spark: SparkSession, sf_dir: str, event_type: str) -> DataFram
     FROM p ASOF LEFT JOIN c
       ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
     """,
+    headline=True,
     tags=("temporal", "asof"),
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +73,7 @@ _RANGE_US = 10 * 60 * 1_000_000  # 10 minutes in micros
      AND v.ts_us <= e.ts_us
     GROUP BY e.event_id
     """,
+    headline=True,
     tags=("temporal", "range"),
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:

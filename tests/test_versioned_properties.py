@@ -165,6 +165,32 @@ def test_cogroup_equals_composed_full_outer(spark, cfg):
     assert as_set(composed) == as_set(cogrouped)
 
 
+def test_null_key_semantics(spark):
+    """Defined null handling (the reference's ``keyFromX`` string
+    coercion would NPE on nulls — ``joins.scala:11``): null join keys
+    never match anything (SQL equi-join semantics), but null-keyed rows
+    are PRESERVED on their outer side; null ids form one dedup group.
+    """
+    a = [(1, 10, "a1"), (None, 20, "anull"), (None, 30, "anull2")]
+    b = [(1, 10, None, "bnull-key"), (2, 10, 1, "b2")]
+    dfa = spark.createDataFrame(a, "id long, ts long, tag string")
+    dfb = spark.createDataFrame(b, "id long, ts long, ida long, tag string")
+
+    # dedup: the two null-id rows are one entity; max-ts wins
+    from flink_join_scaling_spark.operators.versioned import dedup_latest
+
+    kept = {r.tag for r in dedup_latest(dfa, "id", "ts").collect()}
+    assert kept == {"a1", "anull2"}
+
+    res = join_full_outer(dfa, dfb, "id", "ida", "id", "id", "ts", "ts")
+    rows = {(r.x_tag, r.y_tag) for r in res.collect()}
+    assert rows == {
+        ("a1", "b2"),            # real match
+        ("anull2", None),        # null-key left row preserved, unmatched
+        (None, "bnull-key"),     # null-key right row preserved, unmatched
+    }
+
+
 @pytest.mark.parametrize("cfg", CONFIGS)
 def test_grouped_variants_conserve_elements(spark, cfg):
     """The reference's count-conservation invariants for Seq variants
