@@ -29,6 +29,10 @@ from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
 from flink_join_scaling_spark.streaming.joins import (  # noqa: F401
     stream_join_versioned,
 )
+from flink_join_scaling_spark.streaming.sinks import (  # noqa: F401
+    read_upsert_snapshot,
+    upsert_sink,
+)
 from flink_join_scaling_spark.streaming.windows import (  # noqa: F401
     stream_session_agg,
     stream_sliding_agg,
