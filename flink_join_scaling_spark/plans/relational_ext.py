@@ -135,6 +135,79 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+           coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-segment,
+    per-nation, and grand-total aggregates in one pass — Catalyst
+    expands to a single Expand + hash aggregate, one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("__gs_customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nat,
+               count(*) AS n,
+               round(sum(c_acctbal), 2) AS bal
+        FROM __gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS od_ms,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+               RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_30d,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+               RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day order count and
+    spend (value-based frame, not row-based — the sliding aggregate a
+    feature pipeline computes per entity timeline)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("od_ms"),
+    )
+    day30 = 30 * 24 * 3600 * 1000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_ms")
+        .rangeBetween(-day30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "od_ms",
+        F.count("*").over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@query(
     "q_scalar_subquery",
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
