@@ -211,6 +211,83 @@ def test_stream_tumbling_agg_matches_batch(streaming_spark, tmp_path):
     assert {tuple(r) for r in got.itertuples(index=False)} == expected
 
 
+def test_stream_session_agg_matches_batch(streaming_spark, tmp_path):
+    """Session windows (6 h gap) in append mode: sessions emit once the
+    watermark passes their end, so batch 0 carries the real events and
+    batch 1 a far-future sentinel that flushes them. Emitted sessions
+    (minus the sentinel's own) equal the batch session_window result.
+    Update mode is rejected by Spark for session aggregations — append
+    is the only unbounded-safe mode here."""
+    import os
+
+    spark = streaming_spark
+    rng = random.Random(SEED + 7)
+    rows = [
+        (i, rng.randrange(2), rng.randrange(0, 48 * 3600) * 1000)
+        for i in range(50)
+    ]
+    schema = "event_id long, user_id long, ts_ms long"
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "ets", F.timestamp_millis("ts_ms")
+    )
+    batch = (
+        df.groupBy(F.session_window("ets", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    sentinel_ms = 60 * 24 * 3600 * 1000  # day 60, far past all sessions
+    sent = spark.createDataFrame([(999, 0, sentinel_ms)], schema).withColumn(
+        "ets", F.timestamp_millis("ts_ms")
+    )
+    root = str(tmp_path / "sess")
+    os.makedirs(root)
+    df.coalesce(1).write.parquet(root + "/chunk-000")
+    sent.coalesce(1).write.parquet(root + "/chunk-001")
+    s = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/chunk-*")
+    )
+
+    from flink_join_scaling_spark.streaming import stream_session_agg
+
+    out = stream_session_agg(s, ts_col="ets", gap="6 hours", delay="10 seconds", keys=["user_id"])
+    em = collect_emissions(out, output_mode="append")
+    got = {
+        tuple(r)
+        for r in em.drop(columns=["_batch_id"]).itertuples(index=False)
+        if r.session_start < pd.Timestamp("1970-02-15")  # drop sentinel session
+    }
+    assert got == expected
+
+
+def test_stream_sliding_agg_matches_batch(streaming_spark, tmp_path):
+    spark = streaming_spark
+    rng = random.Random(SEED + 8)
+    rows = [(i, rng.randrange(0, 4 * 3600) * 1000, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id long, ts_ms long, value double").withColumn(
+        "ets", F.timestamp_millis("ts_ms")
+    )
+    batch = (
+        df.groupBy(F.window("ets", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    from flink_join_scaling_spark.streaming import stream_sliding_agg
+
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=2)
+    out = stream_sliding_agg(
+        s, ts_col="ets", size="1 hour", slide="30 minutes", delay="10 days"
+    )
+    em = collect_emissions(out, output_mode="update")
+    got = converged(em, ["window_start"])
+    assert {tuple(r) for r in got.itertuples(index=False)} == expected
+
+
 def test_stream_watermark_drops_late_rows(streaming_spark, tmp_path):
     """O2 semantics: a row older than watermark - delay is discarded.
     Batch 0 carries ts=2h, so the watermark advances to 2h - 10s; batch
