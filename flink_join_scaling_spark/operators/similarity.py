@@ -13,6 +13,10 @@ Three tiers:
   operator is exactly reproducible in the DuckDB oracle), candidates
   restricted to the query's bucket. At 100 TB this is an equi-join on
   bucket id instead of a cross join.
+- :func:`ann_ivf_topk` — the other scale path: IVF coarse quantization
+  (cells from deterministic seed centroids; nprobe cells searched per
+  query). Same equi-join shape, data-dependent partitioning instead of
+  data-independent hyperplanes.
 """
 
 from __future__ import annotations
@@ -176,3 +180,87 @@ def ann_lsh_topk(
         )
     )
     return _ranked(pairs, k).select("query_id", "vec_id", "bucket", "cosine", "rank")
+
+
+# ------------------------------------------------------------ IVF ANN
+
+
+def ivf_cells(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its ``nprobe``
+    nearest of ``num_cells`` centroid cells (rank by cosine).
+
+    Centroids are the vectors with the ``num_cells`` smallest ids — a
+    deterministic seeding that keeps the whole index reproducible (and
+    DuckDB-oracle-expressible); a production build would k-means them,
+    which changes only this DataFrame. Assignment is a broadcast join
+    against the tiny centroid table + a per-id rank — no shuffle of the
+    corpus beyond the final partition-by-id ranking.
+    """
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(num_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    )
+    cents = with_l2_norm(cents, "cvec", out_col="cnorm")
+    v = with_l2_norm(vectors, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("l2_norm")
+    )
+    scored = v.join(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "l2_norm",
+        "cell",
+        F.round(cosine_expr(vec_col, "cvec", "l2_norm", "cnorm"), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .where(F.col("crank") <= nprobe)
+        .drop("crank", "csim")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is indexed into its
+    single nearest cell; each query probes its ``nprobe`` nearest
+    cells and brute-forces only those cells' members. The
+    :func:`cosine_topk` cross join becomes an equi-join on cell id —
+    cost ∝ corpus/num_cells per query instead of corpus."""
+    idx = ivf_cells(corpus, id_col, vec_col, num_cells, nprobe=1).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        "cell",
+    )
+    probes = ivf_cells(queries, id_col, vec_col, num_cells, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("vq"),
+        F.col("l2_norm").alias("nq"),
+        "cell",
+    )
+    # each corpus vector lives in exactly one cell (nprobe=1 index), so
+    # every (query, vec) pair meets at most once — no dedup shuffle
+    pairs = (
+        idx.join(F.broadcast(probes), on="cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")

@@ -426,6 +426,55 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, num_planes=4)
 
 
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    cos = f"round({_dot_sql('v.embedding', 'c.embedding')} / (v.nrm * c.nrm), 6)"
+    return f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    cents AS (SELECT vec_id AS cell, embedding, nrm FROM n
+              ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    assign AS (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cell ASC
+               ) AS crank
+        FROM n v, cents c
+    ),
+    idx AS (SELECT vec_id, embedding, nrm, cell FROM assign WHERE crank = 1),
+    probes AS (SELECT vec_id AS query_id, embedding, nrm, cell FROM assign
+               WHERE crank <= {_IVF_NPROBE} AND vec_id < 10),
+    pairs AS (
+        SELECT p.query_id, i.vec_id,
+               round({_dot_sql('p.embedding', 'i.embedding')} / (p.nrm * i.nrm), 6)
+                   AS cosine
+        FROM idx i JOIN probes p ON i.cell = p.cell AND p.query_id != i.vec_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """
+
+
+@query("q_sim_ann_ivf", oracle=_ivf_oracle(), tags=("llmdata", "similarity"))
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: corpus quantized to its nearest
+    of 8 deterministic seed cells, queries probe their 2 nearest cells
+    (the coarse-quantization scale path next to the LSH one)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_topk(
+        e,
+        e.where(F.col("vec_id") < 10),
+        k=5,
+        num_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+    )
+
+
 # ---------------------------------------------------------- multimodal
 
 

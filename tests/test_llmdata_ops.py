@@ -149,6 +149,14 @@ def test_embedding_dedup_finds_planted_pair(planted_vecs):
     assert set(pairs) == {(0, 30)}
 
 
+def test_ann_ivf_recalls_planted_neighbor(planted_vecs):
+    """IVF cells: a 0.99-cosine pair quantizes to the same cell, so the
+    probe finds it."""
+    q = planted_vecs.where(F.col("vec_id") == 0)
+    top = sim.ann_ivf_topk(planted_vecs, q, k=1, num_cells=4, nprobe=2).collect()
+    assert len(top) == 1 and top[0].vec_id == 30
+
+
 def test_ann_lsh_recalls_planted_neighbor(planted_vecs):
     """Sign-LSH buckets: a 0.99-cosine pair lands in the same bucket
     with overwhelming probability (angle ~0.1 rad, 4 planes)."""
