@@ -131,3 +131,41 @@ def token_value(tok: Column) -> Column:
     """Deterministic small int per token, computable identically in
     DuckDB: length * 131 + ascii(first char)."""
     return (F.length(tok) * 131 + F.ascii(F.substring(tok, 1, 1))).cast("bigint")
+
+
+def chunk_spans(tok_col: str | Column, size: int, stride: int) -> Column:
+    """Array of [start, len] spans covering the token array with
+    windows of ``size`` every ``stride`` tokens (the canonical
+    training-data chunking op). Pure JVM array expressions — no UDF.
+
+    Spans start at 0, stride apart, while start < n_tokens; the last
+    span is truncated (never empty)."""
+    toks = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.filter(
+        F.transform(
+            starts, lambda s: F.array(s, F.least(F.lit(size), n - s))
+        ),
+        lambda span: span[1] > 0,
+    )
+
+
+def chunk_text(df, id_col: str, text_col: str, size: int = 64, stride: int = 48):
+    """Explode documents into overlapping token-window chunks:
+    (id, chunk_idx, n_chunk_tokens, chunk_text). ``stride < size``
+    gives overlap; narrow transform + explode, no shuffle."""
+    toks = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__toks")
+    ).withColumn("__spans", chunk_spans("__toks", size, stride))
+    ex = toks.select(
+        id_col, "__toks", F.posexplode("__spans").alias("chunk_idx", "span")
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("span")[1].cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("span")[0] + 1, F.col("span")[1]), " "
+        ).alias("chunk_text"),
+    )

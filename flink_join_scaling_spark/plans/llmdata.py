@@ -190,6 +190,42 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id").agg((F.sum(term) % tx.FP_MOD).alias("fp"))
 
 
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, ws,
+               unnest(range(0, greatest(len(ws), 1), {_STRIDE})) AS s,
+               generate_subscripts(range(0, greatest(len(ws), 1), {_STRIDE}), 1) - 1
+                   AS chunk_idx
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK}, len(ws) - s) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(ws, s + 1, s + least({_CHUNK}, len(ws) - s)), ' ')
+               AS chunk_text
+    FROM spans
+    WHERE least({_CHUNK}, len(ws) - s) > 0
+    """,
+    headline=True,
+    tags=("llmdata", "text"),
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — the canonical LLM training-data preprocessing op, as a pure
+    narrow transform (sequence/transform/slice/explode, no shuffle,
+    no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.chunk_text(d, "doc_id", "text", size=_CHUNK, stride=_STRIDE)
+
+
 # ------------------------------------------------------------- dedup
 
 

@@ -165,6 +165,28 @@ def test_ann_lsh_recalls_planted_neighbor(planted_vecs):
     assert len(top) == 1 and top[0].vec_id == 30
 
 
+def test_chunk_text_spans(spark):
+    """Chunk edges: short doc → one truncated chunk; stride overlap
+    reconstructs the prefix of each window; every token covered."""
+    from flink_join_scaling_spark.functions.text import chunk_text
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_text(docs, "doc_id", "text", size=4, stride=3).collect()
+    )
+    assert rows == [
+        (0, 0, 3, "a b c"),
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),      # 1-token overlap (stride 3 < size 4)
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),               # truncated tail
+    ]
+
+
 def test_fingerprint_position_sensitivity(spark):
     """The rolling fingerprint must distinguish token order (same bag
     of words, different sequence → different fp)."""
