@@ -40,6 +40,10 @@ UNION_SCHEMA = "k string, side long, id string, ts long, payload string"
 #: changelog output: one row per (x,y) pairing of the key's current state
 OUT_SCHEMA = "k string, x_payload string, y_payload string"
 
+#: grouped changelog output (O8/O9): one row per key, JSON arrays of
+#: the current latest versions per side
+GROUPED_OUT_SCHEMA = "k string, xs_json string, ys_json string"
+
 #: per-key state: two JSON maps  id -> [ts, payload]  (one per side)
 _STATE_SCHEMA = "xs string, ys string"
 
@@ -98,6 +102,78 @@ def _join_fn(how: str):
             yield pd.DataFrame(out, columns=["k", "x_payload", "y_payload"])
 
     return fn
+
+
+def _grouped_join_fn(how: str):
+    """Per-key state fn for the grouped ("Seq") variants: same two
+    id→latest maps, but emission is ONE row per key carrying JSON
+    arrays of the current latest versions — the reference's
+    ``(X, Seq[Y])`` / ``(Seq[X], Seq[Y])`` shapes
+    (``cogroupFunctions.scala:50-73``) as a keyed changelog.
+
+    - ``full_outer_seq`` (O9): emit every touched key, either side
+      possibly empty.
+    - ``left_outer_seq`` (O8 grouped): emit only keys with ≥1 X.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        xs: dict[str, list] = {}
+        ys: dict[str, list] = {}
+        if state.exists:
+            sx, sy = state.get
+            xs, ys = json.loads(sx), json.loads(sy)
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                m = xs if int(r.side) == 0 else ys
+                cur = m.get(r.id)
+                new = [int(r.ts), r.payload]
+                if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
+                    m[r.id] = new
+        state.update((json.dumps(xs), json.dumps(ys)))
+        if how == "left_outer_seq" and not xs:
+            return
+        # deterministic order: by entity id
+        latest_x = [xs[i][1] for i in sorted(xs)]
+        latest_y = [ys[i][1] for i in sorted(ys)]
+        yield pd.DataFrame(
+            [(key[0], json.dumps(latest_x), json.dumps(latest_y))],
+            columns=["k", "xs_json", "ys_json"],
+        )
+
+    return fn
+
+
+def stream_join_versioned_grouped(
+    sx: DataFrame,
+    sy: DataFrame,
+    key_x,
+    key_y,
+    id_x,
+    id_y,
+    ts_x,
+    ts_y,
+    how: str = "full_outer_seq",
+) -> DataFrame:
+    """Streaming grouped versioned join (reference O8/O9 continuous):
+    changelog of (k, xs_json, ys_json) — per touched key, the JSON
+    arrays of current latest versions per side. Converged semantics
+    (last emission per key) equal batch ``join_full_outer_seq`` /
+    ``join_left_outer_seq``; one output row per key per micro-batch
+    instead of the exploded variant's cross product."""
+    if how not in ("full_outer_seq", "left_outer_seq"):
+        raise ValueError(f"unsupported how={how!r}")
+    union = tag_side(sx, key_x, id_x, ts_x, 0).unionByName(
+        tag_side(sy, key_y, id_y, ts_y, 1)
+    )
+    return union.groupBy("k").applyInPandasWithState(
+        _grouped_join_fn(how),
+        outputStructType=GROUPED_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def stream_stream_join_within(

@@ -162,6 +162,53 @@ def test_stream_join_matches_batch(streaming_spark, tmp_path, how):
     assert len(em) >= len(got)  # changelog re-emission property
 
 
+@pytest.mark.parametrize("how", ["full_outer_seq", "left_outer_seq"])
+def test_stream_join_grouped_matches_batch(streaming_spark, tmp_path, how):
+    """O8/O9 streaming: converged grouped changelog equals the batch
+    Seq-variant joins (element sets per key, both sides)."""
+    from flink_join_scaling_spark.operators.joins import (
+        join_full_outer_seq,
+        join_left_outer_seq,
+    )
+    from flink_join_scaling_spark.streaming import stream_join_versioned_grouped
+
+    spark = streaming_spark
+    a = spark.createDataFrame(_gen_a(6, 3), A_SCHEMA)
+    b = spark.createDataFrame(_gen_b(10, 3, ida_max=9), B_SCHEMA)
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=3)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=3)
+    em = collect_emissions(
+        stream_join_versioned_grouped(sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how)
+    )
+    def tags(arr_json: str) -> tuple:
+        return tuple(sorted(json.loads(p)["tag"] for p in json.loads(arr_json)))
+
+    got = {
+        str(r.k): (tags(r.xs_json), tags(r.ys_json))
+        for r in converged(em, ["k"]).itertuples(index=False)
+    }
+
+    if how == "full_outer_seq":
+        batch = join_full_outer_seq(a, b, "id", "ida", "id", "id", "ts", "ts")
+        exp = {
+            str(r.key): (
+                tuple(sorted(x.tag for x in r.xs)),
+                tuple(sorted(y.tag for y in r.ys)),
+            )
+            for r in batch.collect()
+        }
+    else:
+        batch = join_left_outer_seq(a, b, "id", "ida", "id", "ts", "ts")
+        exp = {
+            str(r.id): (
+                (r.tag,),
+                tuple(sorted(y.tag for y in r.ys)),
+            )
+            for r in batch.collect()
+        }
+    assert got == exp
+
+
 def test_stream_join_changelog_reemits_on_update(streaming_spark, tmp_path):
     """A new version of an A record must re-emit its key's join result
     with the updated payload (the reference's continuous-maintenance
