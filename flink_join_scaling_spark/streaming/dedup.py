@@ -39,13 +39,18 @@ def _native(v: Any) -> Any:
     return v.item() if hasattr(v, "item") else v
 
 
-def _keep_latest_fn(cols: list[str], order_idx: list[int]):
+def _keep_latest_fn(cols: list[str], order_idx: list[int], ttl_ms: int | None):
     """Build the per-key state function: keep the lexicographically
-    max-(ts, *tiebreak) row; emit it only when it changes."""
+    max-(ts, *tiebreak) row; emit it only when it changes. With
+    ``ttl_ms``, idle keys' state is dropped on processing-time timeout
+    (emitting nothing) — bounded state for non-recurring ids."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         best = tuple(state.get) if state.exists else None
         prev = best
 
@@ -59,7 +64,12 @@ def _keep_latest_fn(cols: list[str], order_idx: list[int]):
                     best = row
         if best is not None and best != prev:
             state.update(best)
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame([best], columns=cols)
+        elif best is not None and ttl_ms is not None:
+            state.update(best)  # refresh the clock on any activity
+            state.setTimeoutDuration(ttl_ms)
 
     return fn
 
@@ -69,6 +79,7 @@ def stream_dedup_latest(
     id_cols: str | Sequence[str],
     ts_col: str,
     tiebreak: Sequence[str] | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Exact last-writer-wins dedup over a stream; converged output
     matches batch ``operators.versioned.dedup_latest`` on the same
@@ -76,9 +87,12 @@ def stream_dedup_latest(
 
     State per id is exactly one row (``VersioningEvictor`` with perfect
     compaction); with the RocksDB state-store provider this scales to
-    state far beyond executor heap. No TTL: ids live forever, like the
-    reference's ``GlobalWindows`` — bound them with a watermark variant
-    if ids are known not to recur.
+    state far beyond executor heap. Default matches the reference's
+    ``GlobalWindows``: ids live forever. ``ttl_ms`` bounds state for
+    non-recurring ids instead — a key idle longer than the TTL is
+    evicted on processing-time timeout (a later stale replay would
+    then re-emit as new: choose the TTL beyond the recurrence horizon,
+    exactly the trade the reference's evictor never got to make).
     """
     ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
     if tiebreak is None:
@@ -87,11 +101,15 @@ def stream_dedup_latest(
     order_idx = [cols.index(ts_col), *[cols.index(c) for c in tiebreak]]
     schema = sdf.schema
     return sdf.groupBy(*ids).applyInPandasWithState(
-        _keep_latest_fn(cols, order_idx),
+        _keep_latest_fn(cols, order_idx, ttl_ms),
         outputStructType=schema,
         stateStructType=schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

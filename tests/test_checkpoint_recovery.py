@@ -85,3 +85,50 @@ def test_restart_resumes_without_reprocessing(streaming_spark, tmp_path):
     # version emitted nothing (state survived the restart), and chunk 0
     # was not reprocessed (no duplicate (1,10)/(2,5) rows)
     assert sorted(zip(em2["id"], em2["ts"])) == [(1, 10), (1, 20), (2, 5)]
+
+
+def test_state_ttl_evicts_idle_keys(streaming_spark, tmp_path):
+    """With ttl_ms, a key idle past the TTL is evicted when a later
+    batch fires its timeout, so a subsequent stale replay re-emits as
+    new — bounded state, the trade the reference's evictor could not
+    express. Eviction is lazy: it happens in a batch where the key
+    receives no data (a key with fresh data in the timeout batch keeps
+    its state — tested via the keep path in run 1→3).
+
+    ProcessingTimeTimeout + noDataMicroBatches would keep an
+    availableNow query alive firing empty timeout batches, so that
+    conf is disabled for the runs here.
+    """
+    import time
+
+    spark = streaming_spark
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        os.makedirs(src), os.makedirs(sink)
+        schema = spark.createDataFrame([], A_SCHEMA).schema
+
+        def run(df, chunk):
+            _write_chunk(spark, df, src, chunk)
+            out = stream_dedup_latest(
+                _read_stream(spark, src, schema), "id", "ts",
+                tiebreak=["tag"], ttl_ms=500,
+            )
+            _run_once(out, sink, ckpt)
+
+        run(spark.createDataFrame([(1, 100, "new")], A_SCHEMA), "chunk-000")
+        time.sleep(1.5)  # TTL lapses while the query is down
+        # run 2: only key 2 → fires key 1's timeout, evicting its state
+        run(spark.createDataFrame([(2, 1, "other")], A_SCHEMA), "chunk-001")
+        # run 3: stale replay of key 1 — state is gone, so it re-emits
+        run(spark.createDataFrame([(1, 50, "stale")], A_SCHEMA), "chunk-002")
+
+        em = _emissions(sink)
+        rows = sorted(zip(em["id"], em["ts"], em["tag"]))
+        assert (1, 50, "stale") in rows  # proof the TTL evicted key 1
+        assert (1, 100, "new") in rows and (2, 1, "other") in rows
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
