@@ -62,7 +62,7 @@ def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
     )
 
 
-def _join_fn(how: str):
+def _join_fn(how: str, ttl_ms: int | None = None):
     """Per-key state function: fold arriving tagged rows into the two
     id→latest maps (last-writer-wins on (ts, payload)), then emit the
     key's full current join result:
@@ -70,11 +70,17 @@ def _join_fn(how: str):
     - ``full_outer``  (O6): X-only → (x, null); Y-only → (null, y)
     - ``left_outer``  (O7/O8 exploded): emit only if ≥1 X present
     - ``inner``       (O10): emit only if both sides present
+
+    With ``ttl_ms``, a key idle past the TTL is evicted (lazy, on the
+    batch that fires its timeout) — see ``dedup.stream_dedup_latest``.
     """
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         xs: dict[str, list] = {}
         ys: dict[str, list] = {}
         if state.exists:
@@ -88,6 +94,8 @@ def _join_fn(how: str):
                 if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
                     m[r.id] = new
         state.update((json.dumps(xs), json.dumps(ys)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         k = key[0]
         latest_x = [v[1] for v in xs.values()]
         latest_y = [v[1] for v in ys.values()]
@@ -218,11 +226,16 @@ def stream_join_versioned(
     ts_x,
     ts_y,
     how: str = "full_outer",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming versioned join of two tagged streams; returns the
     changelog DataFrame (k, x_payload, y_payload). Converged semantics
     (last emission per key) equal the batch ``operators.joins``
     counterparts; tests assert that equivalence.
+
+    ``ttl_ms`` bounds join state by evicting keys idle past the TTL —
+    this is where state actually grows (the repo's namesake concern);
+    default keeps reference-faithful forever-state.
 
     Unwrap payloads with ``F.from_json(col, schema)`` downstream.
     """
@@ -232,9 +245,13 @@ def stream_join_versioned(
         tag_side(sy, key_y, id_y, ts_y, 1)
     )
     return union.groupBy("k").applyInPandasWithState(
-        _join_fn(how),
+        _join_fn(how, ttl_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

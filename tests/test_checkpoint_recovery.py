@@ -132,3 +132,54 @@ def test_state_ttl_evicts_idle_keys(streaming_spark, tmp_path):
         assert (1, 100, "new") in rows and (2, 1, "other") in rows
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
+
+
+def test_join_state_ttl_evicts_idle_keys(streaming_spark, tmp_path):
+    """Same TTL contract on the versioned join: an idle key's two-side
+    state is evicted, so a later right-side arrival emits as a
+    right-only row instead of pairing with the forgotten left."""
+    import json
+    import time
+
+    from flink_join_scaling_spark.streaming.joins import stream_join_versioned
+
+    spark = streaming_spark
+    old = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        src_a = str(tmp_path / "a")
+        src_b = str(tmp_path / "b")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+        for d in (src_a, src_b, sink):
+            os.makedirs(d)
+        a_schema = spark.createDataFrame([], A_SCHEMA).schema
+        b_schema = spark.createDataFrame([], "id long, ts long, ida long, tag string").schema
+
+        def run(chunk_a, chunk_b, name_a, name_b):
+            if chunk_a is not None:
+                _write_chunk(spark, chunk_a, src_a, name_a)
+            if chunk_b is not None:
+                _write_chunk(spark, chunk_b, src_b, name_b)
+            out = stream_join_versioned(
+                _read_stream(spark, src_a, a_schema),
+                _read_stream(spark, src_b, b_schema),
+                "id", "ida", "id", "id", "ts", "ts",
+                how="full_outer", ttl_ms=500,
+            )
+            _run_once(out, sink, ckpt)
+
+        # run 1: left row for key 1 → (x, null)
+        run(spark.createDataFrame([(1, 10, "a1")], A_SCHEMA), None, "chunk-000", None)
+        time.sleep(1.5)
+        # run 2: unrelated key 9 fires key 1's timeout → state evicted
+        run(spark.createDataFrame([(9, 1, "a9")], A_SCHEMA), None, "chunk-001", None)
+        # run 3: right row for key 1 — left side forgotten → (null, y)
+        run(None, spark.createDataFrame([(5, 1, 1, "b5")], b_schema), None, "chunk-000")
+
+        em = _emissions(sink)
+        last_k1 = em[em["k"].astype(str) == "1"].iloc[-1]
+        assert pd.isna(last_k1["x_payload"])  # left side forgotten
+        assert json.loads(last_k1["y_payload"])["tag"] == "b5"
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
