@@ -11,7 +11,6 @@ or a per-batch emission log (≙ ``TestSink1``'s synchronized buffer).
 
 from __future__ import annotations
 
-import math
 import os
 import uuid
 
@@ -36,9 +35,7 @@ def chunked_parquet_stream(
     live directory / Kafka topic instead.
     """
     path = os.path.join(tmpdir, f"stream-{uuid.uuid4().hex[:8]}")
-    n_rows = df.count()
-    per = max(1, math.ceil(n_rows / n_chunks))
-    pdf = df.toPandas()
+    pdf = df.toPandas()  # test-scale inputs only; ordering must be stable
     os.makedirs(path, exist_ok=True)
     for i in range(n_chunks):
         chunk = pdf.iloc[i::n_chunks]
@@ -46,7 +43,6 @@ def chunked_parquet_stream(
             spark.createDataFrame(chunk, schema=df.schema).coalesce(1).write.parquet(
                 os.path.join(path, f"chunk-{i:03d}"), mode="overwrite"
             )
-    del per
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", files_per_trigger)
