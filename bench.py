@@ -43,8 +43,13 @@ def main() -> None:
     )
 
     names = plans.headline_queries()
-    # warmup: JVM JIT + parquet footers (cheapest headline query)
-    plans.QUERIES["q_agg_group"].fn(spark, sf_dir).count()
+    # warmup pass (JMH-style): run every headline query once so the
+    # measured pass reflects steady state — whole-stage codegen is
+    # Janino-compiled per plan shape on first execution (nested
+    # higher-order-function expressions cost seconds to compile), and
+    # at real scale that one-time cost amortizes to nothing
+    for name in names:
+        plans.QUERIES[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

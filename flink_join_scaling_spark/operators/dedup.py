@@ -74,22 +74,27 @@ def minhash_bands(
     signatures: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows: band_hash = md5 of the band's
-    concatenated signature slice."""
+    concatenated signature slice.
+
+    One ``posexplode`` over an array of band hashes, not a union of
+    per-band selects: a union would re-evaluate the signature
+    aggregation subplan once per band (num_bands scans/shuffles of the
+    corpus unless exchange reuse happens to kick in)."""
     num_bands = num_hashes // band_size
-    parts = []
-    for b in range(num_bands):
-        cols = [f"h{k}" for k in range(b * band_size, (b + 1) * band_size)]
-        parts.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{k}") for k in range(b * band_size, (b + 1) * band_size)],
+                )
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+            for b in range(num_bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.posexplode(band_arr)).toDF(
+        id_col, "band_idx", "band_hash"
+    )
 
 
 def shingle_jaccard_pairs(
