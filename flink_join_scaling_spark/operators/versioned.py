@@ -41,9 +41,11 @@ def _as_list(cols: str | Sequence[str]) -> list[str]:
     return [cols] if isinstance(cols, str) else list(cols)
 
 
-def _latest_row(df: DataFrame, ts_col: str, tiebreak: Sequence[str]) -> F.Column:
+def _latest_row(
+    df: DataFrame, ts_col: str, tiebreak: Sequence[str], payload: Sequence[str]
+) -> F.Column:
     ordering = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
-    return F.max_by(F.struct(*[F.col(c) for c in df.columns]), ordering)
+    return F.max_by(F.struct(*[F.col(c) for c in payload]), ordering)
 
 
 def dedup_latest(
@@ -68,8 +70,20 @@ def dedup_latest(
     ids = _as_list(id_cols)
     if tiebreak is None:
         tiebreak = [c for c in df.columns if c not in ids and c != ts_col]
-    latest = _latest_row(df, ts_col, tiebreak).alias("_latest")
-    return df.groupBy(*[F.col(c) for c in ids]).agg(latest).select("_latest.*")
+    # The id columns stay as the grouping attributes and only the other
+    # columns ride inside the max_by struct: the output's id attributes
+    # are then the ones the aggregation hash-partitioned on, so a
+    # downstream join/agg on the same columns reuses that exchange
+    # (re-projecting ids out of the struct would mint new attributes and
+    # force a second shuffle); the struct is also narrower on the wire.
+    payload = [c for c in df.columns if c not in ids]
+    if not payload:  # ids cover every column: latest row ≡ distinct ids
+        return df.distinct()
+    latest = _latest_row(df, ts_col, tiebreak, payload).alias("_latest")
+    agged = df.groupBy(*[F.col(c) for c in ids]).agg(latest)
+    return agged.select(
+        *[F.col(c) if c in ids else F.col(f"_latest.{c}") for c in df.columns]
+    )
 
 
 def dedup_latest_by_key(
