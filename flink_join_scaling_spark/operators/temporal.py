@@ -84,34 +84,31 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Propagate the latest right row as ONE struct so every output column
+    # comes from the SAME matched row — per-column last(ignorenulls) would
+    # stitch null payload columns from older right rows, emitting composite
+    # rows that never existed.
+    m_struct = F.struct(
+        *[F.col(f"__r_{c}").alias(c) for c in rcols],
+        F.col("__ts").alias("__mts"),
+    )
     filled = u.select(
         *keys,
         "__ts",
         "__side",
         *[F.col(f"__l_{c}") for c in lcols],
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(f"__m_{c}")
-            for c in rcols
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+        F.last(F.when(F.col("__side") == 0, m_struct), ignorenulls=True)
         .over(w)
-        .alias("__asof_mts"),
+        .alias("__m"),
     ).where(F.col("__side") == 1)
 
     if tolerance is not None:
-        in_tol = F.col("__asof_mts") >= F.col("__ts") - F.lit(tolerance)
-        matched = [
-            F.when(in_tol, F.col(f"__m_{c}")).alias(f"__m_{c}") for c in rcols
-        ]
-        filled = filled.select(
-            *keys, "__ts", *[F.col(f"__l_{c}") for c in lcols], *matched
-        )
+        in_tol = F.col("__m").getField("__mts") >= F.col("__ts") - F.lit(tolerance)
+        filled = filled.withColumn("__m", F.when(in_tol, F.col("__m")))
 
     out_cols = (
         [F.col(f"__l_{c}").alias(c) for c in lcols]
-        + [F.col(f"__m_{c}").alias(f"{right_prefix}{c}") for c in rcols]
+        + [F.col("__m").getField(c).alias(f"{right_prefix}{c}") for c in rcols]
     )
     return filled.select(*out_cols)
 

@@ -73,6 +73,26 @@ def test_asof_join_inclusive_at_equal_ts(spark):
     assert row.r_rtag == "EQ"
 
 
+def test_asof_join_no_cross_row_stitching(spark):
+    """All matched right columns must come from the SAME right row: when the
+    latest right row has a null payload column, that null must NOT be
+    back-filled from an older right row (regression for per-column
+    last(ignorenulls) stitching)."""
+    wide = "k long, ts long, rtag string, rextra string"
+    dfl = spark.createDataFrame([(1, 100, "L")], L_SCHEMA)
+    dfr = spark.createDataFrame(
+        [(1, 10, "A", None), (1, 20, None, "B")], wide
+    )
+    row = asof_join(dfl, dfr, "k", "ts", "ts").collect()[0]
+    # latest right row is (ts=20, rtag=None, rextra='B') — take it verbatim
+    assert (row.r_ts, row.r_rtag, row.r_rextra) == (20, None, "B")
+    # tolerance window keyed off the matched row's ts, not a stitched one
+    tol = asof_join(dfl, dfr, "k", "ts", "ts", tolerance=80).collect()[0]
+    assert (tol.r_ts, tol.r_rtag, tol.r_rextra) == (20, None, "B")
+    none = asof_join(dfl, dfr, "k", "ts", "ts", tolerance=50).collect()[0]
+    assert (none.r_ts, none.r_rtag, none.r_rextra) == (None, None, None)
+
+
 def test_range_join_matches_python_oracle(spark):
     left, right = _gen(3, 50), _gen(4, 50)
     dfl = spark.createDataFrame(left, L_SCHEMA)
