@@ -217,7 +217,11 @@ def minhash_lsh_ml(
         F.col(id_col), tokens_ws(F.col(text_col)).alias("__shingle_toks")
     ).select(F.col(id_col), shingles_from_tokens("__shingle_toks", shingle_n).alias("sh"))
     toks = toks.where(F.size("sh") > 0)
-    tf = HashingTF(inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18)
+    # 2^16 bins: collision odds stay negligible for realistic per-doc
+    # shingle counts while keeping the hash domain (and MLlib's per-row
+    # work) small — 2^18 measurably slowed approxSimilarityJoin for no
+    # recall gain at these densities.
+    tf = HashingTF(inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 16)
     feats = tf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(feats)
@@ -282,18 +286,23 @@ def simhash_dedup_pairs(
     (pigeonhole-complete for hamming ≤ 3), then exact hamming filter.
 
     The band equi-join is what makes this scale: no all-pairs product,
-    just 4 hash-partitioned self-joins on one byte each.
+    just 4 hash-partitioned self-joins on one byte each. Bands come from
+    ONE ``posexplode`` over an array of the 4 byte values (like
+    :func:`minhash_bands`) — a union of per-band selects would
+    re-evaluate the simhash aggregation subplan once per band.
     """
     sims = simhash32(df, id_col, text_col)
-    bands = None
-    for b in range(4):
-        part = sims.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.lit(b).alias("band_idx"),
-            ((F.col("simhash") / (1 << (8 * b))).cast("bigint") % 256).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    band_arr = F.array(
+        *[
+            ((F.col("simhash") / (1 << (8 * b))).cast("bigint") % 256)
+            for b in range(4)
+        ]
+    )
+    bands = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
     left = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band_idx", "band_val"
     )
