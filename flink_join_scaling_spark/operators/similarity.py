@@ -198,31 +198,51 @@ def ivf_cells(
     Centroids are the vectors with the ``num_cells`` smallest ids — a
     deterministic seeding that keeps the whole index reproducible (and
     DuckDB-oracle-expressible); a production build would k-means them,
-    which changes only this DataFrame. Assignment is a broadcast join
-    against the tiny centroid table + a per-id rank — no shuffle of the
-    corpus beyond the final partition-by-id ranking.
+    which changes only the centroid list. Assignment is a NARROW per-row
+    argmax over the collected centroids (one array expression sorted by
+    (csim desc, cell asc), sliced to ``nprobe``): the corpus is never
+    shuffled — the earlier broadcast-join + Window.partitionBy(id)
+    version shuffled corpus × num_cells rows just to rank 8 candidates
+    per row. Centroid count must stay modest (≲ a few hundred: they
+    become expression literals); beyond that, chunk the centroid list
+    or swap in a Pandas-UDF argmax — the narrow, shuffle-free shape is
+    the part to keep.
     """
+    import math
+
     cents = (
         vectors.orderBy(id_col)
         .limit(num_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        .collect()
     )
-    cents = with_l2_norm(cents, "cvec", out_col="cnorm")
-    v = with_l2_norm(vectors, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("l2_norm")
-    )
-    scored = v.join(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "l2_norm",
-        "cell",
-        F.round(cosine_expr(vec_col, "cvec", "l2_norm", "cnorm"), 6).alias("csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .where(F.col("crank") <= nprobe)
-        .drop("crank", "csim")
+    v = with_l2_norm(vectors, vec_col)
+    cands = []
+    for row in cents:
+        cvec = [float(x) for x in row["cvec"]]
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_vec, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        csim = F.round(dot / (F.col("l2_norm") * F.lit(cnorm)), 6)
+        # sort key = -csim, with ±0.0 collapsed so csim = 0.0 and -0.0
+        # tie (and fall through to cell asc) exactly as in SQL DESC order
+        negsim = F.when(csim == 0.0, F.lit(0.0)).otherwise(-csim)
+        cands.append(
+            F.struct(
+                negsim.alias("negsim"),
+                F.lit(int(row["cell"])).cast("bigint").alias("cell"),
+            )
+        )
+    best = F.slice(F.array_sort(F.array(*cands)), 1, nprobe)
+    return v.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("l2_norm"),
+        F.explode(best.getField("cell")).alias("cell"),
     )
 
 
