@@ -32,14 +32,35 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
-def _native(v: Any) -> Any:
-    """numpy scalar → plain Python (GroupState tuples must be plain)."""
-    return v.item() if hasattr(v, "item") else v
+def _native(v: Any, is_int: bool = False) -> Any:
+    """Arrow-batch cell → plain Python, SQL-null-faithful.
+
+    pandas renders null ints as float NaN — NaN ``is not None`` and
+    compares False with everything (breaking the rank), and the float
+    it drags the whole column to (5 → 5.0) corrupts ``state.update``
+    for integral state fields. Map NaN/NaT → None and integral floats
+    back to int; numpy scalars → plain Python (GroupState needs plain).
+    """
+    if v is None or v != v:  # NaN / NaT
+        return None
+    if hasattr(v, "item"):
+        v = v.item()
+    if is_int and isinstance(v, float):
+        return int(v)
+    return v
 
 
-def _keep_latest_fn(cols: list[str], order_idx: list[int], ttl_ms: int | None):
+def _keep_latest_fn(
+    cols: list[str],
+    order_idx: list[int],
+    ttl_ms: int | None,
+    int_flags: list[bool],
+):
     """Build the per-key state function: keep the lexicographically
     max-(ts, *tiebreak) row; emit it only when it changes. With
     ``ttl_ms``, idle keys' state is dropped on processing-time timeout
@@ -55,11 +76,14 @@ def _keep_latest_fn(cols: list[str], order_idx: list[int], ttl_ms: int | None):
         prev = best
 
         def rank(row: tuple) -> tuple:
-            return tuple(row[i] for i in order_idx)
+            # null-safe: None sorts below any value (as in the batch
+            # max_by), and None never meets a non-None in a raw compare
+            # (Python tuple comparison would TypeError on None vs int)
+            return tuple((row[i] is not None, row[i]) for i in order_idx)
 
         for pdf in pdfs:
             for row in pdf[cols].itertuples(index=False, name=None):
-                row = tuple(_native(v) for v in row)
+                row = tuple(_native(v, f) for v, f in zip(row, int_flags))
                 if best is None or rank(row) > rank(best):
                     best = row
         if best is not None and best != prev:
@@ -100,8 +124,9 @@ def stream_dedup_latest(
     cols = list(sdf.columns)
     order_idx = [cols.index(ts_col), *[cols.index(c) for c in tiebreak]]
     schema = sdf.schema
+    int_flags = [isinstance(f.dataType, _INT_TYPES) for f in schema.fields]
     return sdf.groupBy(*ids).applyInPandasWithState(
-        _keep_latest_fn(cols, order_idx, ttl_ms),
+        _keep_latest_fn(cols, order_idx, ttl_ms, int_flags),
         outputStructType=schema,
         stateStructType=schema,
         outputMode="update",

@@ -56,10 +56,40 @@ def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
     return df.select(
         as_col(key).cast("string").alias("k"),
         F.lit(side).cast("long").alias("side"),
-        as_col(id_).cast("string").alias("id"),
+        # null ids form ONE dedup group (batch dedup_latest semantics);
+        # a NUL sentinel keeps the state-map key non-null — pandas
+        # groupby and JSON map keys both mishandle real nulls
+        F.coalesce(as_col(id_).cast("string"), F.lit("\u0000")).alias("id"),
         as_col(ts).cast("long").alias("ts"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
     )
+
+
+def _fold_latest(
+    xs: dict[str, list], ys: dict[str, list], pdfs: Iterator[pd.DataFrame]
+) -> None:
+    """Fold a micro-batch of tagged rows into the two id→[ts, payload]
+    maps, last-writer-wins on (ts, payload). Vectorized: the batch is
+    reduced to one row per (side, id) with pandas sort + groupby-tail
+    (mirroring the batch cogroup), so Python-level work is O(touched
+    ids), not O(rows)."""
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return
+    allp = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    latest = (
+        allp.sort_values(["ts", "payload"], kind="stable")
+        .groupby(["side", "id"], sort=False)
+        .tail(1)
+    )
+    for side, id_, ts, payload in latest[["side", "id", "ts", "payload"]].itertuples(
+        index=False, name=None
+    ):
+        m = xs if int(side) == 0 else ys
+        cur = m.get(id_)
+        new = [int(ts), payload]
+        if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
+            m[id_] = new
 
 
 def _join_fn(how: str, ttl_ms: int | None = None):
@@ -86,13 +116,7 @@ def _join_fn(how: str, ttl_ms: int | None = None):
         if state.exists:
             sx, sy = state.get
             xs, ys = json.loads(sx), json.loads(sy)
-        for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                m = xs if int(r.side) == 0 else ys
-                cur = m.get(r.id)
-                new = [int(r.ts), r.payload]
-                if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
-                    m[r.id] = new
+        _fold_latest(xs, ys, pdfs)
         state.update((json.dumps(xs), json.dumps(ys)))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -132,13 +156,7 @@ def _grouped_join_fn(how: str):
         if state.exists:
             sx, sy = state.get
             xs, ys = json.loads(sx), json.loads(sy)
-        for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                m = xs if int(r.side) == 0 else ys
-                cur = m.get(r.id)
-                new = [int(r.ts), r.payload]
-                if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
-                    m[r.id] = new
+        _fold_latest(xs, ys, pdfs)
         state.update((json.dumps(xs), json.dumps(ys)))
         if how == "left_outer_seq" and not xs:
             return
@@ -151,6 +169,36 @@ def _grouped_join_fn(how: str):
         )
 
     return fn
+
+
+def _with_null_subkey(union: DataFrame, how: str, grouped: bool) -> DataFrame:
+    """Null-key handling, pinned to the batch family's SQL semantics:
+    null join keys never match anything, but null-keyed rows are
+    preserved outer-padded (dropped entirely where their side can't
+    reach the output: inner, and the Y side of left joins).
+
+    Implemented *inside* the single stateful operator (Spark rejects two
+    ``applyInPandasWithState`` ops in one streaming query): rows are
+    grouped by ``(k, __sub)`` where ``__sub`` is '' for real keys and a
+    per-(side, id) (exploded) or per-side (grouped) discriminator for
+    null keys. Each null-key state group then holds exactly one side, so
+    the ordinary emission logic produces the outer-padded rows — the
+    sides' null groups can never cross-join each other."""
+    if how == "inner":
+        return union.where(F.col("k").isNotNull()).withColumn("__sub", F.lit(""))
+    u = union
+    if how in ("left_outer", "left_outer_seq"):
+        u = u.where(F.col("k").isNotNull() | (F.col("side") == 0))
+    sub_null = (
+        F.col("side").cast("string")
+        if grouped
+        # concat_ws skips null ids: side 0 + null id → "0" (≠ "0:x" for
+        # any real id, and ≠ "0:" for the empty-string id)
+        else F.concat_ws(":", F.col("side"), F.col("id"))
+    )
+    return u.withColumn(
+        "__sub", F.when(F.col("k").isNotNull(), F.lit("")).otherwise(sub_null)
+    )
 
 
 def stream_join_versioned_grouped(
@@ -175,7 +223,9 @@ def stream_join_versioned_grouped(
     union = tag_side(sx, key_x, id_x, ts_x, 0).unionByName(
         tag_side(sy, key_y, id_y, ts_y, 1)
     )
-    return union.groupBy("k").applyInPandasWithState(
+    return _with_null_subkey(union, how, grouped=True).groupBy(
+        "k", "__sub"
+    ).applyInPandasWithState(
         _grouped_join_fn(how),
         outputStructType=GROUPED_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
@@ -244,7 +294,9 @@ def stream_join_versioned(
     union = tag_side(sx, key_x, id_x, ts_x, 0).unionByName(
         tag_side(sy, key_y, id_y, ts_y, 1)
     )
-    return union.groupBy("k").applyInPandasWithState(
+    return _with_null_subkey(union, how, grouped=False).groupBy(
+        "k", "__sub"
+    ).applyInPandasWithState(
         _join_fn(how, ttl_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -209,6 +209,127 @@ def test_stream_join_grouped_matches_batch(streaming_spark, tmp_path, how):
     assert got == exp
 
 
+def test_stream_join_null_keys_match_batch(streaming_spark, tmp_path):
+    """Null join keys never match (batch SQL semantics) but null-keyed
+    rows are preserved outer-padded, with keep-latest dedup per id —
+    regression for the version where all null-keyed rows of both sides
+    landed in one state group and cross-joined each other."""
+    spark = streaming_spark
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (None, 20, "anull"), (None, 30, "anull2")], A_SCHEMA
+    )
+    b = spark.createDataFrame(
+        [(1, 10, None, "bnull-key"), (2, 10, 1, "b2")], B_SCHEMA
+    )
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=2)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=2)
+    out = stream_join_versioned(sa, sb, "id", "ida", "id", "id", "ts", "ts")
+    em = collect_emissions(out)
+
+    keyed = converged(em[em["k"].notna()], ["k"])
+    pairs = set()
+    for r in keyed.itertuples(index=False):
+        x = json.loads(r.x_payload)["tag"] if r.x_payload else None
+        y = json.loads(r.y_payload)["tag"] if r.y_payload else None
+        pairs.add((x, y))
+    # null-key branch: last emission per (side, id)
+    nulls = em[em["k"].isna()].copy()
+    nulls["side"] = nulls["x_payload"].isna().astype(int)  # 0=X row, 1=Y row
+    nulls["nid"] = [
+        str(json.loads(r.x_payload or r.y_payload).get("id"))
+        for r in nulls.itertuples(index=False)
+    ]
+    last = nulls.groupby(["side", "nid"])["_batch_id"].transform("max")
+    for r in nulls[nulls["_batch_id"] == last].itertuples(index=False):
+        x = json.loads(r.x_payload)["tag"] if isinstance(r.x_payload, str) else None
+        y = json.loads(r.y_payload)["tag"] if isinstance(r.y_payload, str) else None
+        pairs.add((x, y))
+
+    # same expectation as the batch null-key test (test_versioned_properties)
+    assert pairs == {("a1", "b2"), ("anull2", None), (None, "bnull-key")}
+
+
+def test_stream_join_null_keys_inner_and_left(streaming_spark, tmp_path):
+    """inner: null-keyed rows of both sides vanish; left_outer: only the
+    X side's null-keyed rows survive (outer-padded)."""
+    spark = streaming_spark
+    a = spark.createDataFrame([(1, 10, "a1"), (None, 20, "anull")], A_SCHEMA)
+    b = spark.createDataFrame([(1, 10, None, "bnull"), (2, 10, 1, "b2")], B_SCHEMA)
+
+    def run(how, sub):
+        sa = chunked_parquet_stream(spark, a, str(tmp_path / f"a{sub}"), n_chunks=1)
+        sb = chunked_parquet_stream(spark, b, str(tmp_path / f"b{sub}"), n_chunks=1)
+        em = collect_emissions(
+            stream_join_versioned(sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how)
+        )
+        pairs = set()
+        for r in em.itertuples(index=False):
+            x = json.loads(r.x_payload)["tag"] if isinstance(r.x_payload, str) else None
+            y = json.loads(r.y_payload)["tag"] if isinstance(r.y_payload, str) else None
+            pairs.add((x, y))
+        return pairs
+
+    assert run("inner", "i") == {("a1", "b2")}
+    assert run("left_outer", "l") == {("a1", "b2"), ("anull", None)}
+
+
+def test_stream_join_grouped_null_keys(streaming_spark, tmp_path):
+    """Grouped variants: the two sides' null-key groups emit as separate
+    per-side rows (matching the batch full-outer join of grouped sides,
+    where null keys never meet)."""
+    from flink_join_scaling_spark.streaming import stream_join_versioned_grouped
+
+    spark = streaming_spark
+    a = spark.createDataFrame(
+        [(1, 10, "a1"), (None, 20, "anull"), (None, 30, "anull2")], A_SCHEMA
+    )
+    b = spark.createDataFrame([(1, 10, None, "bnull"), (2, 10, 1, "b2")], B_SCHEMA)
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=2)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=1)
+    em = collect_emissions(
+        stream_join_versioned_grouped(
+            sa, sb, "id", "ida", "id", "id", "ts", "ts", how="full_outer_seq"
+        )
+    )
+    def tags(arr_json):
+        return tuple(sorted(json.loads(p)["tag"] for p in json.loads(arr_json)))
+
+    nulls = em[em["k"].isna()].copy()
+    nulls["side"] = (nulls["xs_json"] == "[]").astype(int)
+    last = nulls.groupby("side")["_batch_id"].transform("max")
+    got = {
+        (tags(r.xs_json), tags(r.ys_json))
+        for r in nulls[nulls["_batch_id"] == last].itertuples(index=False)
+    }
+    # null-key X rows dedup per id (both anull rows share id NULL → one
+    # survivor, the newer), emitted separately from the null-key Y row
+    assert got == {(("anull2",), ()), ((), ("bnull",))}
+    keyed = converged(em[em["k"].notna()], ["k"])
+    got_keyed = {
+        str(r.k): (tags(r.xs_json), tags(r.ys_json))
+        for r in keyed.itertuples(index=False)
+    }
+    assert got_keyed == {"1": (("a1",), ("b2",))}
+
+
+def test_stream_dedup_null_ordering_columns(streaming_spark, tmp_path):
+    """Null ts / tiebreak values must not crash the keep-latest rank
+    (Python would TypeError comparing None with int) and must sort below
+    any non-null, matching batch max_by semantics."""
+    spark = streaming_spark
+    rows = [(1, None, "nullts"), (1, 5, None), (1, 5, "tagged"), (2, None, "only")]
+    df = spark.createDataFrame(rows, A_SCHEMA)
+    expected = {
+        (r.id, r.ts, r.tag)
+        for r in dedup_latest(df, "id", "ts", tiebreak=["tag"]).collect()
+    }
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=2)
+    em = collect_emissions(stream_dedup_latest(s, "id", "ts", tiebreak=["tag"]))
+    got = converged(em, ["id"])[["id", "ts", "tag"]].astype(object)
+    got = got.where(got.notna(), None)  # pandas NaN → SQL null
+    assert {tuple(r) for r in got.itertuples(index=False)} == expected
+
+
 def test_stream_join_changelog_reemits_on_update(streaming_spark, tmp_path):
     """A new version of an A record must re-emit its key's join result
     with the updated payload (the reference's continuous-maintenance
