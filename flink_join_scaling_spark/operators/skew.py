@@ -38,9 +38,18 @@ def salted_join(
     key over ``num_salts`` reducers.
 
     Costs ``num_salts``× the small side's shuffle volume; use only when
-    AQE's runtime skew splitting doesn't apply. Join result equals the
-    unsalted join (the salt is dropped).
+    AQE's runtime skew splitting doesn't apply. For ``inner``/``left``
+    the result equals the unsalted join (the salt is dropped). Right/
+    full outer joins are rejected: the replicated ``other`` side would
+    emit every unmatched other row once per salt value (its salt never
+    meets a nothing-side row), so the unsalted equivalence breaks.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicating the other side breaks right/full-outer "
+            "semantics (unmatched other rows would emit num_salts times)"
+        )
     salted = skewed.withColumn(
         "__salt", (F.rand(seed=42) * num_salts).cast("int")
     )

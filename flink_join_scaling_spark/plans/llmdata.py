@@ -339,7 +339,7 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llmdata", "dedup"))
+@query("q_dedup_simhash", oracle=_simhash_oracle(), headline=True, tags=("llmdata", "dedup"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit sign projection, byte-band
     candidates, hamming ≤ 3."""
@@ -454,7 +454,7 @@ def _ann_oracle() -> str:
     """
 
 
-@query("q_sim_ann_lsh", oracle=_ann_oracle(), tags=("llmdata", "similarity"))
+@query("q_sim_ann_lsh", oracle=_ann_oracle(), headline=True, tags=("llmdata", "similarity"))
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (sign-random-projection, 4
     deterministic md5-derived hyperplanes → 16 buckets)."""
@@ -496,7 +496,7 @@ def _ivf_oracle() -> str:
     """
 
 
-@query("q_sim_ann_ivf", oracle=_ivf_oracle(), tags=("llmdata", "similarity"))
+@query("q_sim_ann_ivf", oracle=_ivf_oracle(), headline=True, tags=("llmdata", "similarity"))
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5: corpus quantized to its nearest
     of 8 deterministic seed cells, queries probe their 2 nearest cells

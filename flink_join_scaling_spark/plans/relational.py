@@ -569,7 +569,10 @@ def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch",),
 )
 def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way star join; dims broadcast, facts shuffle on join keys."""
+    """6-way star join; bounded dims (nation, region) are explicitly
+    broadcast; supplier — which grows with SF — is left to AQE's
+    runtime size threshold, so the plan stays safe when supplier no
+    longer fits in an executor at 100 TB scale."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -583,7 +586,7 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -29,6 +29,7 @@ from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
 from flink_join_scaling_spark.streaming.joins import (  # noqa: F401
     stream_join_versioned,
     stream_join_versioned_grouped,
+    stream_join_versioned_typed,
     stream_stream_join_within,
 )
 from flink_join_scaling_spark.streaming.sinks import (  # noqa: F401

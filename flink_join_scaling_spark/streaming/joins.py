@@ -307,3 +307,36 @@ def stream_join_versioned(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_join_versioned_typed(
+    sx: DataFrame,
+    sy: DataFrame,
+    key_x,
+    key_y,
+    id_x,
+    id_y,
+    ts_x,
+    ts_y,
+    how: str = "full_outer",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Typed façade over :func:`stream_join_versioned`: the changelog
+    as (k, x struct, y struct) — the reference's ``(Option[X],
+    Option[Y])`` pair shape (``cogroupFunctions.scala:7-30``) with each
+    side's full input schema restored, nulls marking the absent side.
+
+    The JSON payload is an implementation detail of the schema-generic
+    state processor; this wrapper re-applies the inputs' own schemas
+    with ``from_json`` at the output boundary, so callers never touch
+    JSON. The extra cost is one narrow projection per emitted row —
+    no additional shuffle or state.
+    """
+    out = stream_join_versioned(
+        sx, sy, key_x, key_y, id_x, id_y, ts_x, ts_y, how=how, ttl_ms=ttl_ms
+    )
+    return out.select(
+        F.col("k"),
+        F.from_json("x_payload", sx.schema).alias("x"),
+        F.from_json("y_payload", sy.schema).alias("y"),
+    )

@@ -162,6 +162,39 @@ def test_stream_join_matches_batch(streaming_spark, tmp_path, how):
     assert len(em) >= len(got)  # changelog re-emission property
 
 
+def test_stream_join_typed_structs_end_to_end(streaming_spark, tmp_path):
+    """Typed façade: callers get (k, x struct, y struct) with the
+    inputs' own schemas — field access (`x.tag`) works directly on the
+    changelog, no manual from_json — and the converged result still
+    equals the batch full-outer join."""
+    from flink_join_scaling_spark.streaming import stream_join_versioned_typed
+
+    spark = streaming_spark
+    a = spark.createDataFrame(_gen_a(6, 3), A_SCHEMA)
+    b = spark.createDataFrame(_gen_b(10, 3, ida_max=9), B_SCHEMA)
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=3)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=3)
+    out = stream_join_versioned_typed(sa, sb, "id", "ida", "id", "id", "ts", "ts")
+    # downstream consumes struct fields natively — this projection is a
+    # plain typed expression over the changelog
+    proj = out.select(
+        "k",
+        F.col("x.tag").alias("x_tag"),
+        F.col("x.ts").alias("x_ts"),
+        F.col("y.tag").alias("y_tag"),
+    )
+    em = collect_emissions(proj)
+    got = converged(em, ["k"])
+    got_pairs = {
+        (r.x_tag if isinstance(r.x_tag, str) else None,
+         r.y_tag if isinstance(r.y_tag, str) else None)
+        for r in got.itertuples(index=False)
+    }
+    batch = join_full_outer(a, b, "id", "ida", "id", "id", "ts", "ts")
+    exp_pairs = {(r.x_tag, r.y_tag) for r in batch.collect()}
+    assert got_pairs == exp_pairs
+
+
 @pytest.mark.parametrize("how", ["full_outer_seq", "left_outer_seq"])
 def test_stream_join_grouped_matches_batch(streaming_spark, tmp_path, how):
     """O8/O9 streaming: converged grouped changelog equals the batch
