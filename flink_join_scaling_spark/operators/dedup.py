@@ -356,3 +356,88 @@ def embedding_dedup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------- duplicate-group formation
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    (node, component_id) with component_id = min node id in the
+    component. This is the grouping stage every production dedup
+    pipeline runs after pair generation — near-dup similarity is not
+    transitive, so A~B and B~C must collapse into one group {A,B,C}
+    before a representative can be chosen.
+
+    Distributed min-label propagation: each round joins current labels
+    to the (bidirectional) edge list and takes the per-node min over
+    itself and its neighbours; converged when no label changed. Rounds
+    = component diameter (near-dup clusters are shallow — chains longer
+    than a few hops are rare at any scale), and each round is one
+    shuffle keyed by node over the PAIR set only, which is orders of
+    magnitude smaller than the corpus at 100 TB. ``localCheckpoint``
+    truncates the growing lineage so the plan doesn't deepen per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.src == labels.v).select(
+            F.col("dst").alias("v"), "label"
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("node"), F.col("label").alias("component_id"))
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Representative selection over duplicate groups: per connected
+    component of ``pairs``, keep the member with the highest
+    ``score_col`` (ties → lowest id). Returns one row per component:
+    (component_id, keeper_id, n_members, best_score).
+
+    ``score_col`` is a column name or expression evaluated against
+    ``docs``. The component set is pair-sized, so the score join
+    touches only documents that have at least one near-duplicate; the
+    rest of the corpus never shuffles."""
+    comp = connected_components(pairs, id_a, id_b)
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    members = comp.join(
+        docs.select(F.col(id_col).alias("node"), score.alias("__score")), "node"
+    )
+    return members.groupBy("component_id").agg(
+        F.expr("max_by(node, struct(__score, -node))").alias("keeper_id"),
+        F.count("*").alias("n_members"),
+        F.round(F.max("__score"), 4).alias("best_score"),
+    )

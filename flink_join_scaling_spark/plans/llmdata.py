@@ -141,10 +141,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
 
 
-@query(
-    "q_quality_score",
-    oracle=f"""
-    WITH base AS (
+def _quality_cte() -> str:
+    """The heuristic quality score as a reusable CTE chain ending in
+    ``qual(doc_id, quality)`` — shared by the score query, the filter
+    pipeline, and duplicate-representative selection."""
+    return f"""
+    qbase AS (
         SELECT doc_id,
                CAST(length(text) AS DOUBLE) AS n_chars,
                greatest(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE), 1.0) AS n_toks,
@@ -152,16 +154,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) AS n_punct,
                {_lang_score_sql(tx.LANG_MARKERS["en"])} AS s_en
         FROM documents
+    ),
+    qual AS (
+        SELECT doc_id,
+               round(0.3 * least(n_chars / 500.0, 1.0)
+                   + 0.2 * (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
+                                 THEN 1.0 ELSE 0.5 END)
+                   + 0.3 * least(CAST(s_en AS DOUBLE) / n_toks * 5.0, 1.0)
+                   + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)),
+                   4) AS quality
+        FROM qbase
     )
-    SELECT doc_id,
-           round(0.3 * least(n_chars / 500.0, 1.0)
-               + 0.2 * (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
-                             THEN 1.0 ELSE 0.5 END)
-               + 0.3 * least(CAST(s_en AS DOUBLE) / n_toks * 5.0, 1.0)
-               + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)),
-               4) AS quality
-    FROM base
-    """,
+    """
+
+
+@query(
+    "q_quality_score",
+    oracle=f"WITH {_quality_cte()} SELECT doc_id, quality FROM qual",
     tags=("llmdata", "text"),
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +259,10 @@ _MINHASH_K = 8
 _MINHASH_BAND = 2
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash+LSH pipeline as a reusable CTE chain ending in
+    ``mh_pairs(id_a, id_b, jaccard)`` — shared by the pair query and
+    the component/representative queries built on top of it."""
     sig_cols = ", ".join(
         f"min(md5('{k}#' || shingle)) AS h{k}" for k in range(_MINHASH_K)
     )
@@ -263,7 +275,7 @@ def _minhash_oracle() -> str:
         for b in range(n_bands)
     )
     return f"""
-    WITH {_SHINGLE_CTE},
+    {_SHINGLE_CTE},
     sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
     cand AS (
@@ -277,15 +289,21 @@ def _minhash_oracle() -> str:
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
-    SELECT c.id_a, c.id_b,
-           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
-    FROM cand c
-    JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-    JOIN sizes sa ON c.id_a = sa.doc_id
-    JOIN sizes sb ON c.id_b = sb.doc_id
-    WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    mh_pairs AS (
+        SELECT c.id_a, c.id_b,
+               round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        JOIN sizes sa ON c.id_a = sa.doc_id
+        JOIN sizes sb ON c.id_b = sb.doc_id
+        WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+    )
     """
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()} SELECT id_a, id_b, jaccard FROM mh_pairs"
 
 
 @query("q_dedup_minhash", oracle=_minhash_oracle(), headline=True, tags=("llmdata", "dedup"))
@@ -304,6 +322,84 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistency with q_dedup_minhash is property-tested)."""
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_ml(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+_EDGES_REACH_CTES = """
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION
+        SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.src, t.r FROM edges e JOIN reach t ON t.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_EDGES_REACH_CTES}
+    SELECT node AS doc_id, component_id FROM comp
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group formation: connected components over the MinHash
+    near-dup pairs (near-dup similarity is not transitive — A~B, B~C
+    must collapse into one group). Distributed min-label propagation
+    over the pair set only; oracle is DuckDB's recursive transitive
+    closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5
+    )
+    comp = dd.connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component_id")
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_quality_cte()},
+    {_EDGES_REACH_CTES},
+    members AS (
+        SELECT c.component_id, c.node, q.quality
+        FROM comp c JOIN qual q ON q.doc_id = c.node
+    ),
+    ranked AS (
+        SELECT component_id, node, quality,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY quality DESC, node ASC) AS rn
+        FROM members
+    ),
+    stats AS (
+        SELECT component_id, CAST(count(*) AS BIGINT) AS n_members,
+               round(max(quality), 4) AS best_score
+        FROM members GROUP BY component_id
+    )
+    SELECT r.component_id, r.node AS keeper_id, s.n_members, s.best_score
+    FROM ranked r JOIN stats s ON s.component_id = r.component_id
+    WHERE r.rn = 1
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: per duplicate group, keep
+    the highest-quality member (ties → lowest doc_id). The full
+    dedup pipeline a training corpus actually runs: pairs → groups →
+    one survivor per group."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5
+    )
+    docs = d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    return dd.dedup_keep_best(docs, pairs, "doc_id", "quality")
 
 
 def _simhash_oracle() -> str:

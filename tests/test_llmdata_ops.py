@@ -203,3 +203,31 @@ def test_fingerprint_position_sensitivity(spark):
         for r in toks.groupBy("doc_id").agg((F.sum(term) % FP_MOD).alias("fp")).collect()
     }
     assert fps[0] != fps[1]
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagates down a 5-node chain (multiple iterations),
+    disjoint components stay separate, duplicate/reversed edges are
+    harmless."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component_id for r in dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_best_picks_highest_quality(spark):
+    """Per component: highest score wins; exact ties break to the
+    lowest id; n_members counts the whole group."""
+    docs = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5), (99, 0.1)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {
+        r.component_id: (r.keeper_id, r.n_members, r.best_score)
+        for r in dd.dedup_keep_best(docs, pairs, "doc_id", "q").collect()
+    }
+    # comp 1 = {1,2,3}: 2 and 3 tie at 0.9 -> keeper 2; comp 10 = {10,11} tie -> 10
+    assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.5)}
