@@ -169,3 +169,37 @@ def range_join(
         f"{right_prefix}{c}" for c in right.columns
     ]
     return joined.select(*keep)
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-based sessionization: assign a 1-based ``session_idx`` per
+    ``key_col``, starting a new session when the time since the
+    previous event exceeds ``gap`` (same units as ``ts_col`` — pass
+    integer timestamps for exact arithmetic).
+
+    The batch sibling of ``F.session_window`` (used by the streaming
+    surface): one shuffle keyed by ``key_col`` plus an in-partition
+    sort, all built-in expressions — the canonical distributed
+    sessionization, linear in events per key. ``tiebreak`` columns pin
+    a total order for equal timestamps so the plan is deterministic.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    flagged = df.withColumn(
+        "__new_session",
+        F.when(
+            F.lag(F.col(ts_col)).over(w).isNull()
+            | ((F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) > F.lit(gap)),
+            1,
+        ).otherwise(0),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.withColumn(
+        "session_idx", F.sum("__new_session").over(wcum).cast("long")
+    ).drop("__new_session")

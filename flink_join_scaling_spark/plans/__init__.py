@@ -12,3 +12,4 @@ from flink_join_scaling_spark.plans import relational_ext  # noqa: F401,E402
 from flink_join_scaling_spark.plans import temporal_q  # noqa: F401,E402
 from flink_join_scaling_spark.plans import streaming_q  # noqa: F401,E402
 from flink_join_scaling_spark.plans import llmdata  # noqa: F401,E402
+from flink_join_scaling_spark.plans import corpus  # noqa: F401,E402

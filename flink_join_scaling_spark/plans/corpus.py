@@ -1,0 +1,251 @@
+"""Corpus-management queries: vocabulary statistics, inverted index,
+deterministic sampling, quality filtering, per-source profiling, and
+embedding centroids — the bookkeeping operations a training-data
+pipeline runs around the dedup/similarity core in ``llmdata.py``.
+
+Scale notes (per-operator, for the 100 TB target):
+- vocabulary / inverted index: one shuffle keyed by token with
+  map-side partial aggregation; the distinct-(doc, token) reduction
+  happens before the global agg so hot tokens collapse early.
+- hash sampling: a narrow per-row predicate — no shuffle, fully
+  pushdown-friendly, and deterministic across runs/engines (md5-based,
+  no RNG state), so samples are reproducible and joinable.
+- quality filter: narrow projection + filter; at scale this is the
+  map-only stage in front of every downstream shuffle.
+- centroids: dimension explosion shuffles (label, dim) — num_labels ×
+  dim grouped rows regardless of corpus size, i.e. output-sized, tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions import text as tx
+from flink_join_scaling_spark.plans.llmdata import (
+    _SHINGLE_CTE,
+    _TOKS_CTE,
+    _quality_cte,
+)
+from flink_join_scaling_spark.plans.registry import query
+from flink_join_scaling_spark.sources.catalog import load_table
+
+# --------------------------------------------------------- vocabulary
+
+
+@query(
+    "q_vocab_df",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT w AS token,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM words
+    GROUP BY w
+    ORDER BY df DESC, token ASC
+    LIMIT 100
+    """,
+    tags=("corpus", "text"),
+)
+def q_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: term frequency + document frequency per
+    whitespace token, top 100 by df (token as tiebreak → total order).
+    One token-keyed shuffle; exact distinct-doc counts via partial
+    (doc, token) dedup that collapses hot tokens map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT shingle,
+           CAST(count(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM sh
+    GROUP BY shingle
+    HAVING count(*) BETWEEN 2 AND 20
+    ORDER BY df DESC, shingle ASC
+    LIMIT 100
+    """,
+    tags=("corpus", "text"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase (3-gram shingle) inverted index for mid-frequency
+    shingles (2 ≤ df ≤ 20): posting lists for exact-phrase retrieval
+    and duplicate forensics. The df ceiling bounds posting-list
+    length, so no reducer ever materializes a stop phrase's full
+    posting list — the guard that keeps this shape viable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = tx.exploded_shingles(d, "doc_id", "text", 3)
+    return (
+        sh.groupBy("shingle")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("postings"),
+        )
+        .where(F.col("df").between(2, 20))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------- sampling
+
+def _bucket_spark() -> F.Column:
+    """First 4 hex nibbles of md5(doc_id) → integer in [0, 65536).
+    (Built lazily: Column construction needs an active session.)"""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+
+_HEX = "0123456789abcdef"
+_BUCKET_DUCK = (
+    "((instr('{hx}', substr(h, 1, 1)) - 1) * 4096"
+    " + (instr('{hx}', substr(h, 2, 1)) - 1) * 256"
+    " + (instr('{hx}', substr(h, 3, 1)) - 1) * 16"
+    " + (instr('{hx}', substr(h, 4, 1)) - 1))"
+).format(hx=_HEX)
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST({_BUCKET_DUCK} % 20 AS BIGINT) AS sample_bucket
+    FROM h
+    WHERE {_BUCKET_DUCK} % 20 = 0
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample: md5(doc_id) bucket ≡ 0 (mod 20).
+    Hash sampling (vs ``rand()``) is reproducible across runs and
+    engines, stable under repartitioning, and consistent per key — the
+    only sampling discipline that composes with incremental reruns of
+    a 100 TB pipeline. Narrow per-row predicate, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (_bucket_spark() % 20).alias("sample_bucket")
+    return d.select("doc_id", "lang", "n_chars", bucket).where(
+        F.col("sample_bucket") == 0
+    )
+
+
+# ---------------------------------------------------- quality filter
+
+
+@query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH {_quality_cte()}
+    SELECT d.doc_id, q.quality, d.n_chars
+    FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    WHERE q.quality >= 0.55 AND d.n_chars BETWEEN 100 AND 5000
+    """,
+    tags=("corpus", "quality"),
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection stage of a corpus pipeline: quality ≥ 0.55 and
+    length in [100, 5000]. Pure narrow projection + filter (the
+    quality score is a built-in-expression composite) — map-only, no
+    shuffle, sits in front of every downstream stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality"), "n_chars"
+    ).where((F.col("quality") >= 0.55) & F.col("n_chars").between(100, 5000))
+
+
+@query(
+    "q_source_stats",
+    oracle=f"""
+    WITH {_quality_cte()}
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           round(avg(q.quality), 4) AS avg_quality,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+    FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("corpus", "quality"),
+)
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (doc count, volume, mean quality,
+    language spread) — the monitoring/reporting aggregate over the
+    crawl. One shuffle keyed by source with map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    withq = d.select(
+        "source", "n_chars", "lang", tx.quality_score(F.col("text")).alias("quality")
+    )
+    return withq.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --------------------------------------------------------- embeddings
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c, CAST(count(*) AS BIGINT) AS n
+        FROM ex GROUP BY label, pos
+    )
+    SELECT label,
+           max(n) AS n_vecs,
+           string_agg(CAST(CAST(round(c * 10000) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY pos) AS centroid_csv
+    FROM dims GROUP BY label
+    """,
+    tags=("corpus", "embeddings"),
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the training step of IVF coarse
+    quantization / per-cluster semantics). Dimension explosion keyed
+    by (label, dim): the grouped row count is labels × dim — output-
+    sized, independent of corpus size. Centroid serialized as
+    fixed-point (×10⁴) integer CSV so float-formatting differences
+    can't break the cross-engine hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"), F.count("*").alias("n"))
+    )
+    return dims.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s.c * 10000).cast("bigint").cast("string"),
+            ),
+        ).alias("centroid_csv"),
+    )

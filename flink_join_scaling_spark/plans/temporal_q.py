@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_join_scaling_spark.operators.temporal import asof_join, range_join
+from flink_join_scaling_spark.operators.temporal import asof_join, range_join, sessionize
 from flink_join_scaling_spark.plans.registry import query
 from flink_join_scaling_spark.sources.catalog import load_table
 
@@ -88,4 +88,52 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
         F.count("*").alias("n_views"), F.max("r_ts_us").alias("last_view_us")
+    )
+
+
+_SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+    lagd AS (
+        SELECT *, lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev
+        FROM e
+    ),
+    flags AS (
+        SELECT *, CASE WHEN prev IS NULL OR tns - prev > {_SESSION_GAP_NS}
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagd
+    ),
+    sess AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags
+    )
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS session_idx,
+           CAST(min(tns) // 1000000 AS BIGINT) AS session_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("temporal", "session"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-minute inactivity gap) with
+    per-session aggregates — the behavioural-analytics sibling of the
+    streaming ``session_window`` query, on exact ns-integer
+    timestamps. One shuffle by user + in-partition sort, then a
+    session-keyed aggregation that reuses the same partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_ns"), "value"
+    )
+    s = sessionize(ev, "user_id", "ts_ns", _SESSION_GAP_NS, tiebreak=["event_id"])
+    return s.groupBy("user_id", "session_idx").agg(
+        F.expr("CAST(min(ts_ns) div 1000000 AS BIGINT)").alias("session_start_ms"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )

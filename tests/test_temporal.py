@@ -125,3 +125,23 @@ def test_range_join_shuffle_not_nested_loop(spark):
     dfr = spark.createDataFrame(_gen(6, 30), R_SCHEMA)
     plan = range_join(dfl, dfr, "k", "k", "ts", "ts", lower=-5, upper=5)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_sessionize_gap_boundary_and_ties(spark):
+    """Gap exactly equal to the threshold continues the session (only
+    strictly-greater starts a new one); first event per key starts
+    session 1; tiebreak pins equal timestamps."""
+    from flink_join_scaling_spark.operators.temporal import sessionize
+
+    rows = [
+        # user 1: ts 0, 100 (gap=100 == gap -> same session), 201 (gap=101 -> new)
+        (1, 10, 0), (1, 11, 100), (1, 12, 201),
+        # user 2: single event
+        (2, 20, 50),
+        # user 1: tie at ts 201 -> ordered by event_id, same session
+        (1, 13, 201),
+    ]
+    df = spark.createDataFrame(rows, "user long, eid long, ts long")
+    out = sessionize(df, "user", "ts", gap=100, tiebreak=["eid"])
+    got = {(r.user, r.eid): r.session_idx for r in out.collect()}
+    assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 2, (1, 13): 2, (2, 20): 1}
