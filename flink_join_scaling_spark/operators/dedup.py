@@ -240,40 +240,33 @@ def minhash_lsh_ml(
 
 # ------------------------------------------------------------- SimHash
 
-#: bit j of an md5 hex string, via string/arithmetic ops DuckDB shares:
-#: nibble = instr(hexdigits, substr(h, j div 4 + 1, 1)) - 1
-#: bit    = (nibble div 2^(j mod 4)) mod 2
-_BIT_EXPR = (
-    "((instr('0123456789abcdef', substr(md5h, CAST(j div 4 AS INT) + 1, 1)) - 1) "
-    "div shiftleft(1, CAST(j % 4 AS INT))) % 2"
-)
-
-
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash over whitespace tokens (token hash = md5 hex bits).
+    """32-bit SimHash over whitespace tokens. Token hash = the first
+    8 hex chars of md5 as a 32-bit integer (``conv(..., 16, 10)``;
+    reproducible in any engine via nibble arithmetic).
 
-    Plan shape: explode tokens × 32 bit positions → signed per-(doc,bit)
-    sums → majority bit → weighted sum. Declarative groupBy/agg
-    throughout, so partial aggregation keeps the shuffle at
-    |docs| × 32 rows regardless of document length.
+    Plan shape: explode tokens → ONE aggregation carrying 32 bit-count
+    sums (``sum((v >> j) & 1)``) plus the token count, then the
+    majority vote and weighted bit sum as a single projection. No
+    per-bit row explosion: the earlier tokens×32 formulation pushed
+    32× the token count through the first aggregation with per-row
+    hex-string ops — this shape's shuffle is |docs| rows of 33 longs,
+    and every expression is integer arithmetic inside whole-stage
+    codegen.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("tok")
-    ).withColumn("md5h", F.md5("tok"))
-    bits = toks.select(
-        F.col(id_col),
-        F.col("md5h"),
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
-    ).withColumn("contrib", F.expr(f"CASE WHEN {_BIT_EXPR} = 1 THEN 1 ELSE -1 END"))
-    per_bit = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) AS BIGINT) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
     )
+    tokv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    t = toks.select(F.col(id_col), tokv.alias("v"))
+    cnts = [F.sum(F.shiftright(F.col("v"), j) % 2).alias(f"c{j}") for j in range(32)]
+    agg = t.groupBy(id_col).agg(F.count("*").alias("n"), *cnts)
+    total = F.lit(0).cast("bigint")
+    for j in range(32):
+        total = total + F.when(
+            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select(F.col(id_col), total.alias("simhash"))
 
 
 def simhash_dedup_pairs(

@@ -403,25 +403,24 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    # token hash: first 8 hex nibbles of md5 as a 32-bit int (Horner)
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    v_expr = nib(1)
+    for i in range(2, 9):
+        v_expr = f"({v_expr} * 16 + {nib(i)})"
+    c_cols = ", ".join(f"sum((v // {1 << j}) % 2) AS c{j}" for j in range(32))
+    bit_sum = " + ".join(
+        f"(CASE WHEN 2 * c{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
     return f"""
     WITH {_TOKS_CTE},
-    h AS (SELECT doc_id, md5(w) AS md5h FROM words),
-    bits AS (SELECT doc_id, md5h, unnest(range(0, 32)) AS j FROM h),
-    contrib AS (
-        SELECT doc_id, j,
-               CASE WHEN ((strpos('0123456789abcdef',
-                               substr(md5h, CAST(j // 4 AS INT) + 1, 1)) - 1)
-                          // (1 << CAST(j % 4 AS INT))) % 2 = 1
-                    THEN 1 ELSE -1 END AS c
-        FROM bits
-    ),
-    per_bit AS (SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY 1, 2),
-    sims AS (
-        SELECT doc_id,
-               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-                             ELSE 0 END) AS BIGINT) AS simhash
-        FROM per_bit GROUP BY 1
-    ),
+    tokh AS (SELECT doc_id, md5(w) AS h FROM words),
+    tokv AS (SELECT doc_id, {v_expr} AS v FROM tokh),
+    cnts AS (SELECT doc_id, count(*) AS n, {c_cols} FROM tokv GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM cnts),
     bands AS (
         SELECT doc_id, simhash, k.b AS band_idx,
                (simhash // (CAST(1 AS BIGINT) << CAST(8 * k.b AS INT))) % 256 AS band_val
