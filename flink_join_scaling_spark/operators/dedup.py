@@ -434,3 +434,58 @@ def dedup_keep_best(
         F.count("*").alias("n_members"),
         F.round(F.max("__score"), 4).alias("best_score"),
     )
+
+
+def embedding_dedup_pairs_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    num_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed embedding near-dup pairs — the scale path next to
+    the quadratic :func:`embedding_dedup_pairs` baseline.
+
+    Every vector is indexed to its single nearest cell and probes its
+    ``nprobe`` nearest cells; candidates are (probe, index) meetings in
+    a cell, so the pair product is Σ_cell |probers| × |members| instead
+    of n². A pair split across neighbouring cells is still found when
+    either member probes the other's home cell (probe set ⊇ home cell).
+    Cosine is computed once per candidate and the (least, greatest)
+    canonicalization + distinct collapses the two orientations after
+    the threshold filter has already shrunk the set.
+    """
+    from flink_join_scaling_spark.functions.vectors import cosine_expr
+    from flink_join_scaling_spark.operators.similarity import ivf_cells
+
+    # ONE assignment pass serves both sides (crank 0 = home cell); the
+    # index is materialized before the self-join — exactly what a
+    # production build does by writing the IVF index to storage — so
+    # the centroid-scoring subtree isn't evaluated once per join side.
+    assigned = ivf_cells(
+        df, id_col, vec_col, num_cells, nprobe=nprobe
+    ).localCheckpoint(eager=True)
+    idx = assigned.where(F.col("crank") == 0).select(
+        F.col(id_col).alias("idx_id"),
+        F.col(vec_col).alias("vb"),
+        F.col("l2_norm").alias("nb"),
+        "cell",
+    )
+    probes = assigned.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("va"),
+        F.col("l2_norm").alias("na"),
+        "cell",
+    )
+    return (
+        probes.join(idx, on="cell")
+        .where(F.col("probe_id") != F.col("idx_id"))
+        .select(
+            F.least("probe_id", "idx_id").alias("id_a"),
+            F.greatest("probe_id", "idx_id").alias("id_b"),
+            F.round(cosine_expr("va", "vb", "na", "nb"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

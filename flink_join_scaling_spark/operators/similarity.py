@@ -193,7 +193,10 @@ def ivf_cells(
     nprobe: int = 1,
 ) -> DataFrame:
     """Coarse quantization: assign each vector to its ``nprobe``
-    nearest of ``num_cells`` centroid cells (rank by cosine).
+    nearest of ``num_cells`` centroid cells (rank by cosine). Output
+    carries ``crank`` (0-based nearness rank: 0 = home cell), so one
+    assignment pass can serve both as the index (``crank == 0``) and
+    as the probe set.
 
     Centroids are the vectors with the ``num_cells`` smallest ids — a
     deterministic seeding that keeps the whole index reproducible (and
@@ -221,7 +224,10 @@ def ivf_cells(
     for row in cents:
         cvec = [float(x) for x in row["cvec"]]
         cnorm = math.sqrt(sum(x * x for x in cvec))
-        lit_vec = F.array(*[F.lit(x) for x in cvec])
+        # one ArrayType Literal node, not dim× Literal + CreateArray —
+        # keeps the 8-centroid expression tree small enough that
+        # analysis/codegen doesn't dominate the cold run
+        lit_vec = F.lit(cvec)
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), lit_vec, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -242,7 +248,7 @@ def ivf_cells(
         F.col(id_col),
         F.col(vec_col),
         F.col("l2_norm"),
-        F.explode(best.getField("cell")).alias("cell"),
+        F.posexplode(best.getField("cell")).alias("crank", "cell"),
     )
 
 

@@ -249,3 +249,89 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("centroid_csv"),
     )
+
+
+# ---------------------------------------------------- sequence packing
+
+_PACK_BUDGET = 1024  # tokens per training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split({{norm}}, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM toks
+    )
+    SELECT source,
+           CAST((cum_tok - n_tok) // {_PACK_BUDGET} AS BIGINT) AS bin_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY source, bin_idx
+    """.replace("{norm}", "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"),
+    tags=("corpus", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training: within each source shard,
+    documents (in doc_id order) are packed into ~1024-token bins by
+    prefix-sum bucketing — a document starts the bin its starting
+    offset falls in. One shuffle keyed by source + an in-partition
+    sort; per-source packing (not a global order) is what keeps the
+    window parallel at 100 TB — a global pack would serialize on one
+    partition."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tx.n_tokens_ws(F.col("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.withColumn(
+            "bin_idx",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / _PACK_BUDGET).cast("bigint"),
+        )
+        .groupBy("source", "bin_idx")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------- stratified sampling
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents)
+    SELECT doc_id, lang, source
+    FROM h
+    WHERE {_BUCKET_DUCK} % 100 <
+          (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates
+    (en 50%, others 10%) via the same md5 bucket as q_sample_hash —
+    up/down-weighting strata is how training mixes are actually built.
+    Still a narrow per-row predicate: rate lookup is a CASE expression,
+    no shuffle, reproducible across engines and reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
+    return d.select("doc_id", "lang", "source").where(
+        (_bucket_spark() % 100) < rate
+    )

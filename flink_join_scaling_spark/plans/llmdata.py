@@ -47,6 +47,10 @@ _NORM_SQL = (
 )
 
 
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
 def _dot_sql(a: str, b: str) -> str:
     # list_zip yields unnamed structs in DuckDB 1.0 → numeric indexing
     return (
@@ -485,6 +489,47 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_dedup_pairs(e, "vec_id", "embedding", threshold=0.45)
 
 
+def _embedding_ivf_oracle() -> str:
+    cos = f"round({_dot_sql('v.embedding', 'c.embedding')} / (v.nrm * c.nrm), 6)"
+    pcos = f"round({_dot_sql('p.embedding', 'i.embedding')} / (p.nrm * i.nrm), 6)"
+    return f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    cents AS (SELECT vec_id AS cell, embedding, nrm FROM n
+              ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    assign AS (
+        SELECT v.vec_id, v.embedding, v.nrm, c.cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cell ASC
+               ) AS crank
+        FROM n v, cents c
+    ),
+    idx AS (SELECT vec_id, embedding, nrm, cell FROM assign WHERE crank = 1),
+    probes AS (SELECT vec_id, embedding, nrm, cell FROM assign
+               WHERE crank <= {_IVF_NPROBE})
+    SELECT DISTINCT least(p.vec_id, i.vec_id) AS id_a,
+           greatest(p.vec_id, i.vec_id) AS id_b,
+           {pcos} AS cosine
+    FROM probes p JOIN idx i ON p.cell = i.cell AND p.vec_id != i.vec_id
+    WHERE {pcos} >= 0.45
+    """
+
+
+@query(
+    "q_dedup_embedding_ivf",
+    oracle=_embedding_ivf_oracle(),
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup pairs ≥ 0.45 — the scale path
+    for semantic dedup: pair products are cell-local (Σ probers ×
+    members per cell, never n²)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_dedup_pairs_ivf(
+        e, "vec_id", "embedding", threshold=0.45,
+        num_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+    )
+
+
 # -------------------------------------------------- similarity search
 
 
@@ -555,10 +600,6 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-derived hyperplanes → 16 buckets)."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.ann_lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, num_planes=4)
-
-
-_IVF_CELLS = 8
-_IVF_NPROBE = 2
 
 
 def _ivf_oracle() -> str:

@@ -231,3 +231,17 @@ def test_dedup_keep_best_picks_highest_quality(spark):
     }
     # comp 1 = {1,2,3}: 2 and 3 tie at 0.9 -> keeper 2; comp 10 = {10,11} tie -> 10
     assert got == {1: (2, 3, 0.9), 10: (10, 2, 0.5)}
+
+
+def test_embedding_dedup_ivf_recalls_planted_pair(planted_vecs):
+    """The IVF-bucketed dedup path finds the planted near-identical
+    pair (vec 30 is a tiny perturbation of vec 0, so both land in —
+    or probe — the same cell) and, like the exact baseline, reports
+    no false positives at 0.9."""
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_dedup_pairs_ivf(
+            planted_vecs, "vec_id", "embedding", threshold=0.9, num_cells=4, nprobe=2
+        ).collect()
+    }
+    assert set(pairs) == {(0, 30)} and pairs[(0, 30)] > 0.99
