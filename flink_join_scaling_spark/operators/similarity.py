@@ -290,3 +290,68 @@ def ann_ivf_topk(
         )
     )
     return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+
+
+def ivf_cells_pandas(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The many-cells variant of :func:`ivf_cells`: same assignment
+    semantics (rank cells by cosine rounded to 6, ties → lower cell
+    id), but the scoring is an Arrow-batched ``mapInPandas`` NumPy
+    matmul against the closure-captured centroid matrix instead of a
+    per-centroid Catalyst expression.
+
+    Use this past ~hundreds of cells, where the expression-literal
+    tree of :func:`ivf_cells` stops being reasonable: a [batch × dim] @
+    [dim × cells] matmul scores every cell in one vectorized pass, so
+    cells can scale with the corpus (bounded cell occupancy at 100 TB)
+    while the operator stays narrow — still no shuffle, and still one
+    pass over the corpus.
+    """
+    import math
+
+    import numpy as np
+
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(num_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    cell_ids = np.array([int(r["cell"]) for r in cents], dtype=np.int64)
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cents])
+    cnorm = np.sqrt((C * C).sum(axis=1))
+
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    vec_t = vectors.schema[vec_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_t}, {vec_col} {vec_t}, l2_norm double, crank int, cell long"
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            sims = np.round((V @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            # stable sort on -sim: ties keep ascending centroid order
+            # (cell_ids is ascending by construction) = the expression
+            # version's (negsim, cell) rank
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n, p = order.shape
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    "l2_norm": np.repeat(vnorm, p),
+                    "crank": np.tile(np.arange(p, dtype=np.int32), n),
+                    "cell": cell_ids[order].ravel(),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, out_schema)

@@ -335,3 +335,53 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source").where(
         (_bucket_spark() % 100) < rate
     )
+
+
+# ----------------------------------------------------- repetition score
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, ws,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+        FROM toks WHERE len(ws) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           round(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 4)
+               AS rep_unigram,
+           round(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 4)
+               AS rep_bigram
+    FROM big
+    """,
+    tags=("corpus", "quality"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    gate against looping/boilerplate text): duplicate-unigram and
+    duplicate-bigram fractions. Entirely array expressions on the
+    token list — a narrow map-only stage, no explosion, no shuffle;
+    composes with q_quality_filter as another per-row predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tx.tokens_ws(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    bg = F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")
+    t = t.withColumn("bg", bg)
+    return t.select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n_bigrams"),
+        F.round(
+            1.0 - F.size(F.array_distinct("ws")) / F.size("ws").cast("double"), 4
+        ).alias("rep_unigram"),
+        F.round(
+            1.0 - F.size(F.array_distinct("bg")) / F.size("bg").cast("double"), 4
+        ).alias("rep_bigram"),
+    )

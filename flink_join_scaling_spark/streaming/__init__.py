@@ -29,6 +29,7 @@ from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
 from flink_join_scaling_spark.streaming.joins import (  # noqa: F401
     stream_join_versioned,
     stream_join_versioned_grouped,
+    stream_join_versioned_grouped_typed,
     stream_join_versioned_typed,
     stream_stream_join_within,
 )

@@ -340,3 +340,34 @@ def stream_join_versioned_typed(
         F.from_json("x_payload", sx.schema).alias("x"),
         F.from_json("y_payload", sy.schema).alias("y"),
     )
+
+
+def stream_join_versioned_grouped_typed(
+    sx: DataFrame,
+    sy: DataFrame,
+    key_x,
+    key_y,
+    id_x,
+    id_y,
+    ts_x,
+    ts_y,
+    how: str = "full_outer_seq",
+) -> DataFrame:
+    """Typed façade over :func:`stream_join_versioned_grouped`: the
+    changelog as (k, xs array<struct>, ys array<struct>) — the
+    reference's ``(Seq[X], Seq[Y])`` shape (``cogroupFunctions.scala:
+    50-73``) with each side's input schema restored, so callers index
+    and project struct fields natively. Same narrow projection cost as
+    the exploded typed façade: no extra shuffle or state."""
+    out = stream_join_versioned_grouped(
+        sx, sy, key_x, key_y, id_x, id_y, ts_x, ts_y, how=how
+    )
+    def typed(col: str, schema) -> F.Column:
+        return F.transform(
+            F.from_json(col, "array<string>"), lambda s: F.from_json(s, schema)
+        )
+    return out.select(
+        F.col("k"),
+        typed("xs_json", sx.schema).alias("xs"),
+        typed("ys_json", sy.schema).alias("ys"),
+    )

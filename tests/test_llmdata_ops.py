@@ -245,3 +245,18 @@ def test_embedding_dedup_ivf_recalls_planted_pair(planted_vecs):
         ).collect()
     }
     assert set(pairs) == {(0, 30)} and pairs[(0, 30)] > 0.99
+
+
+def test_ivf_cells_pandas_agrees_with_expression(planted_vecs):
+    """The NumPy-matmul assignment (the many-cells scale path) must
+    produce exactly the expression version's (id, crank, cell)
+    assignment — same cosine rounding, same tie order."""
+    expr = {
+        (r.vec_id, r.crank, r.cell)
+        for r in sim.ivf_cells(planted_vecs, num_cells=4, nprobe=2).collect()
+    }
+    pnd = {
+        (r.vec_id, r.crank, r.cell)
+        for r in sim.ivf_cells_pandas(planted_vecs, num_cells=4, nprobe=2).collect()
+    }
+    assert expr == pnd

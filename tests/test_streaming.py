@@ -513,3 +513,42 @@ def test_stream_watermark_drops_late_rows(streaming_spark, tmp_path):
     starts = set(em["window_start"])
     assert pd.Timestamp("1970-01-01 02:00:00") in starts
     assert pd.Timestamp("1970-01-01 00:00:00") not in starts
+
+
+def test_stream_join_grouped_typed_structs(streaming_spark, tmp_path):
+    """Grouped typed façade: (k, xs array<struct>, ys array<struct>)
+    with native field access, converged result equal to the batch
+    grouped join's member sets."""
+    from flink_join_scaling_spark.streaming import (
+        stream_join_versioned_grouped_typed,
+    )
+
+    spark = streaming_spark
+    a = spark.createDataFrame(_gen_a(4, 2), A_SCHEMA)
+    b = spark.createDataFrame(_gen_b(6, 2, ida_max=6), B_SCHEMA)
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=2)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=2)
+    out = stream_join_versioned_grouped_typed(
+        sa, sb, "id", "ida", "id", "id", "ts", "ts"
+    )
+    proj = out.select(
+        "k",
+        F.expr("transform(xs, s -> s.tag)").alias("x_tags"),
+        F.expr("transform(ys, s -> s.tag)").alias("y_tags"),
+    )
+    em = collect_emissions(proj)
+    got = {
+        str(r.k): (tuple(sorted(r.x_tags)), tuple(sorted(r.y_tags)))
+        for r in converged(em, ["k"]).itertuples(index=False)
+    }
+    from flink_join_scaling_spark.operators.joins import join_full_outer_seq
+
+    batch = join_full_outer_seq(a, b, "id", "ida", "id", "id", "ts", "ts")
+    exp = {
+        str(r.key): (
+            tuple(sorted(x.tag for x in r.xs)),
+            tuple(sorted(y.tag for y in r.ys)),
+        )
+        for r in batch.collect()
+    }
+    assert got == exp
