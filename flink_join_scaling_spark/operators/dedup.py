@@ -49,6 +49,19 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------------------- MinHash
 
 
+def _sig_hash(k: int) -> F.Column:
+    """Hash k of the MinHash family: an 8-hex-char (32-bit) slice of
+    md5(shingle) / md5('#'+shingle). Two md5 evaluations yield 8
+    independent 32-bit uniform hashes — 4× less hashing per shingle row
+    than one full md5 per hash, and the dominant cost of the signature
+    aggregation is exactly these per-row hashes. Fixed-width hex keeps
+    lexicographic min() ≡ numeric min; 32-bit collisions are ~|doc
+    shingles|²/2³² — negligible. Exactly reproducible in any engine
+    with md5 + substr."""
+    src = F.md5(F.col("shingle")) if k < 4 else F.md5(F.concat(F.lit("#"), F.col("shingle")))
+    return F.substring(src, 1 + 8 * (k % 4), 8)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -57,16 +70,11 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc MinHash signature: column ``h{k}`` = lexicographic min of
-    ``md5('{k}#' || shingle)`` over the doc's distinct shingles.
-
-    Uniform hex strings make min() a valid uniform hash family member,
-    and keep the operator exactly reproducible in any engine with md5.
-    """
+    hash k (see :func:`_sig_hash`) over the doc's distinct shingles."""
+    if num_hashes > 8:
+        raise ValueError("hash family provides 8 members (two md5 × four slices)")
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}#"), F.col("shingle")))).alias(f"h{k}")
-        for k in range(num_hashes)
-    ]
+    aggs = [F.min(_sig_hash(k)).alias(f"h{k}") for k in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -172,10 +180,7 @@ def minhash_dedup_pairs(
     the signature side; the verify stage re-reads only candidate docs'
     shingles)."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
-    sig_aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}#"), F.col("shingle")))).alias(f"h{k}")
-        for k in range(num_hashes)
-    ]
+    sig_aggs = [F.min(_sig_hash(k)).alias(f"h{k}") for k in range(num_hashes)]
     sigs = sh.groupBy(id_col).agg(*sig_aggs, F.count("*").alias("n_sh"))
     sizes = sigs.select(id_col, "n_sh")
     bands = minhash_bands(sigs, id_col, num_hashes, band_size)
@@ -382,8 +387,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
-        "label", F.col("v")
+    # round 0 for free: label(v) = min(v, neighbours(v)) is exactly the
+    # first propagation round, computable by aggregation alone (initial
+    # labels are the identity, so no label join is needed yet). A
+    # two-node component — the overwhelmingly common near-dup case —
+    # is already converged here.
+    labels = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("label"))
+        .union(edges.select(F.col("src").alias("v"), F.col("src").alias("label")))
+        .groupBy("v")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         msgs = edges.join(labels, edges.src == labels.v).select(

@@ -267,8 +267,15 @@ def _minhash_ctes() -> str:
     """The MinHash+LSH pipeline as a reusable CTE chain ending in
     ``mh_pairs(id_a, id_b, jaccard)`` — shared by the pair query and
     the component/representative queries built on top of it."""
+    # hash k = 8-hex slice of md5(shingle) / md5('#'||shingle) — mirrors
+    # operators/dedup._sig_hash exactly
     sig_cols = ", ".join(
-        f"min(md5('{k}#' || shingle)) AS h{k}" for k in range(_MINHASH_K)
+        "min(substr(md5({src}), {off}, 8)) AS h{k}".format(
+            src="shingle" if k < 4 else "'#' || shingle",
+            off=1 + 8 * (k % 4),
+            k=k,
+        )
+        for k in range(_MINHASH_K)
     )
     n_bands = _MINHASH_K // _MINHASH_BAND
     sep = " || '|' || "
