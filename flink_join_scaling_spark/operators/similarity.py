@@ -185,12 +185,31 @@ def ann_lsh_topk(
 # ------------------------------------------------------------ IVF ANN
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+) -> list:
+    """Deterministic centroid seeding: the ``num_cells`` vectors with
+    the smallest ids (reproducible and DuckDB-oracle-expressible; a
+    production build would k-means them, which changes only this
+    list). Returns collected Rows with fields ``cell``/``cvec``."""
+    return (
+        vectors.orderBy(id_col)
+        .limit(num_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+
+
 def ivf_cells(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_cells: int = 8,
     nprobe: int = 1,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Coarse quantization: assign each vector to its ``nprobe``
     nearest of ``num_cells`` centroid cells (rank by cosine). Output
@@ -198,26 +217,22 @@ def ivf_cells(
     assignment pass can serve both as the index (``crank == 0``) and
     as the probe set.
 
-    Centroids are the vectors with the ``num_cells`` smallest ids — a
-    deterministic seeding that keeps the whole index reproducible (and
-    DuckDB-oracle-expressible); a production build would k-means them,
-    which changes only the centroid list. Assignment is a NARROW per-row
-    argmax over the collected centroids (one array expression sorted by
-    (csim desc, cell asc), sliced to ``nprobe``): the corpus is never
-    shuffled — the earlier broadcast-join + Window.partitionBy(id)
-    version shuffled corpus × num_cells rows just to rank 8 candidates
-    per row. Centroid count must stay modest (≲ a few hundred: they
-    become expression literals); beyond that, chunk the centroid list
-    or swap in a Pandas-UDF argmax — the narrow, shuffle-free shape is
-    the part to keep.
+    ``centroids`` (from :func:`ivf_centroids`) lets callers assign a
+    second dataset — e.g. a query set — against the INDEX's cell
+    space; when omitted, centroids are seeded from ``vectors`` itself.
+    Assignment is a NARROW per-row argmax over the collected centroids
+    (one array expression sorted by (csim desc, cell asc), sliced to
+    ``nprobe``): the corpus is never shuffled — the earlier
+    broadcast-join + Window.partitionBy(id) version shuffled corpus ×
+    num_cells rows just to rank 8 candidates per row. Centroid count
+    must stay modest (≲ a few hundred: they become expression
+    literals); beyond that, :func:`ivf_cells_pandas` is the same shape
+    with vectorized scoring.
     """
     import math
 
-    cents = (
-        vectors.orderBy(id_col)
-        .limit(num_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
-        .collect()
+    cents = centroids if centroids is not None else ivf_centroids(
+        vectors, id_col, vec_col, num_cells
     )
     v = with_l2_norm(vectors, vec_col)
     cands = []
@@ -266,13 +281,21 @@ def ann_ivf_topk(
     cells and brute-forces only those cells' members. The
     :func:`cosine_topk` cross join becomes an equi-join on cell id —
     cost ∝ corpus/num_cells per query instead of corpus."""
-    idx = ivf_cells(corpus, id_col, vec_col, num_cells, nprobe=1).select(
+    # centroids come from the CORPUS only: queries are assigned into
+    # the index's cell space (seeding them from the query set would
+    # probe a different — wrong — partition of the corpus)
+    cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
+    idx = ivf_cells(
+        corpus, id_col, vec_col, num_cells, nprobe=1, centroids=cents
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vc"),
         F.col("l2_norm").alias("nc"),
         "cell",
     )
-    probes = ivf_cells(queries, id_col, vec_col, num_cells, nprobe=nprobe).select(
+    probes = ivf_cells(
+        queries, id_col, vec_col, num_cells, nprobe=nprobe, centroids=cents
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("vq"),
         F.col("l2_norm").alias("nq"),
@@ -298,6 +321,7 @@ def ivf_cells_pandas(
     vec_col: str = "embedding",
     num_cells: int = 8,
     nprobe: int = 1,
+    centroids: list | None = None,
 ) -> DataFrame:
     """The many-cells variant of :func:`ivf_cells`: same assignment
     semantics (rank cells by cosine rounded to 6, ties → lower cell
@@ -316,11 +340,8 @@ def ivf_cells_pandas(
 
     import numpy as np
 
-    cents = (
-        vectors.orderBy(id_col)
-        .limit(num_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
-        .collect()
+    cents = centroids if centroids is not None else ivf_centroids(
+        vectors, id_col, vec_col, num_cells
     )
     cell_ids = np.array([int(r["cell"]) for r in cents], dtype=np.int64)
     C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cents])

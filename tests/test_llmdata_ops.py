@@ -260,3 +260,15 @@ def test_ivf_cells_pandas_agrees_with_expression(planted_vecs):
         for r in sim.ivf_cells_pandas(planted_vecs, num_cells=4, nprobe=2).collect()
     }
     assert expr == pnd
+
+
+def test_ann_ivf_queries_use_corpus_cell_space(planted_vecs):
+    """Queries must be assigned against the CORPUS's centroids, not
+    their own: a query set disjoint from the centroid seed ids (vec 30
+    only) still probes the right cells and recalls its planted
+    neighbor (vec 0) — regression for the version that seeded centroids
+    from each input independently."""
+    q = planted_vecs.where(F.col("vec_id") == 30)
+    top = sim.ann_ivf_topk(planted_vecs, q, k=3, num_cells=4, nprobe=2).collect()
+    assert top and top[0].query_id == 30
+    assert top[0].vec_id == 0 and top[0].cosine > 0.99
