@@ -74,3 +74,73 @@ def test_inner_property(spark, a, b):
     cols = ["x_id", "x_ts", "x_tag", "y_id", "y_ts", "ida", "y_tag"]
     got = _pairs([tuple(r[c] for c in cols) for r in res.collect()], a_cols=3)
     assert got == py_join(a, b, "inner")
+
+
+# ------------------------------------------- round-2 operator properties
+
+edge = st.tuples(st.integers(0, 12), st.integers(0, 12))
+
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find oracle: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(st.lists(edge, min_size=1, max_size=25))
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    from flink_join_scaling_spark.operators.dedup import connected_components
+
+    # self-loops are legal input (a pair list never has them, but the
+    # operator shouldn't care); drop them from the pair frame only if
+    # the whole list is self-loops (empty edges -> nothing to assert)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component_id for r in connected_components(df).collect()
+    }
+    assert got == _py_components(edges)
+
+
+event = st.tuples(st.integers(0, 3), st.integers(0, 100))
+
+
+def _py_sessions(rows: list[tuple[int, int, int]], gap: int) -> dict[tuple, int]:
+    """Fold oracle: (user, eid) -> 1-based session index."""
+    out: dict[tuple, int] = {}
+    by_user: dict[int, list] = {}
+    for u, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid in evs:
+            if prev is None or ts - prev > gap:
+                sid += 1
+            out[(u, eid)] = sid
+            prev = ts
+    return out
+
+
+@given(st.lists(event, min_size=1, max_size=30), st.integers(1, 20))
+@SET
+def test_sessionize_matches_fold(spark, evs, gap):
+    from flink_join_scaling_spark.operators.temporal import sessionize
+
+    rows = [(u, ts, i) for i, (u, ts) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "user long, ts long, eid long")
+    out = sessionize(df, "user", "ts", gap=gap, tiebreak=["eid"])
+    got = {(r.user, r.eid): r.session_idx for r in out.collect()}
+    assert got == _py_sessions(rows, gap)

@@ -1,0 +1,41 @@
+"""The corpus text pipeline composed on a STREAM: the quality/filter
+expressions are stateless Catalyst expressions, so the exact same
+columns run under readStream unchanged — this pins that property (no
+batch-only construct has crept into the text stack) and checks the
+streamed result equals the batch pipeline on the same documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions import text as tx
+from flink_join_scaling_spark.sources.catalog import load_table
+from flink_join_scaling_spark.streaming import (
+    chunked_parquet_stream,
+    collect_emissions,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _pipeline(df):
+    """quality + repetition gates, then token count — all narrow."""
+    t = df.select(
+        "doc_id",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.n_tokens_ws(F.col("text")).alias("n_tok"),
+    )
+    return t.where((F.col("quality") >= 0.5) & (F.col("n_tok") >= 10))
+
+
+def test_text_pipeline_streams_unchanged(streaming_spark, tmp_path):
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    expected = {
+        (r.doc_id, r.quality, r.n_tok) for r in _pipeline(docs).collect()
+    }
+    s = chunked_parquet_stream(spark, docs, str(tmp_path), n_chunks=3)
+    em = collect_emissions(_pipeline(s), output_mode="append")
+    got = {tuple(r) for r in em[["doc_id", "quality", "n_tok"]].itertuples(index=False)}
+    assert got == expected and len(expected) > 0
