@@ -56,12 +56,17 @@ def _real_decode(payload: bytes, media_type: str):
 def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
     """Deterministic pseudo-decode from raw bytes: stands in for
     (width, height, channels, mean pixel/sample)."""
+    import math
+
     n = len(payload)
     width = 16 + (n % 640)
     height = 16 + ((n * 7) % 480)
     channels = 1 + (n % 3)
     mean_byte = (sum(payload[:64]) / max(min(n, 64), 1)) if n else 0.0
-    return width, height, channels, round(mean_byte, 4)
+    # half-UP rounding (SQL round), not Python's banker's rounding —
+    # sums divided by 64 land on exact dyadic halves constantly, and
+    # the value-level oracle compares against SQL round()
+    return width, height, channels, math.floor(mean_byte * 10000 + 0.5) / 10000
 
 
 def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:

@@ -6,8 +6,10 @@ join family.
 Every deterministic operator carries an exact DuckDB oracle; the
 hash-dependent primitives are restricted to md5-hex-string constructs
 both engines share, so even MinHash/SimHash are oracle-checked.
-Rows-only entries (no oracle): the MLlib LSH variant, the Pandas-UDF
-ANN variants' internals, and fake-decode multimodal features.
+Rows-only entries (no oracle): only the MLlib LSH variant (library
+hash family) and approx-distinct (estimator) — even the Pandas-UDF
+paths and the fake-decode multimodal features carry value-level
+oracles.
 """
 
 from __future__ import annotations
@@ -682,16 +684,65 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features", oracle=None, tags=("llmdata", "multimodal", "pandas"))
+#: documents.text is pure printable ASCII (verified across all SFs), so
+#: payload bytes == ascii codes and the deterministic fake decoder is
+#: exactly reproducible in SQL — the Python mapInPandas path gets a
+#: real value-level oracle, not just a rows-only check.
+_MM_N = "octet_length(encode(text))"
+_MM_BYTESUM = (
+    f"coalesce(list_sum(list_transform(range(1, least({_MM_N}, 64) + 1), "
+    "i -> ascii(substr(text, CAST(i AS INT), 1)))), 0)"
+)
+
+
+@query(
+    "q_multimodal_features",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, text, {_MM_N} AS n FROM documents)
+    SELECT doc_id,
+           (['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'])[
+               CAST(doc_id % 4 AS INT) + 1] AS media_type,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n >= 2
+                     THEN ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))
+                     ELSE 0 END AS INT) AS payload_sha,
+           CAST(16 + n % 640 AS INT) AS width,
+           CAST(16 + (n * 7) % 480 AS INT) AS height,
+           CAST(1 + n % 3 AS INT) AS n_channels,
+           round(CASE WHEN n = 0 THEN 0.0
+                      ELSE {_MM_BYTESUM} / CAST(greatest(least(n, 64), 1) AS DOUBLE)
+                 END, 4) AS mean_byte
+    FROM m
+    """,
+    tags=("llmdata", "multimodal", "pandas"),
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode/feature-extraction over binary payloads
-    (deterministic fake decoder — real codecs are stubbed)."""
+    (deterministic fake decoder — real codecs are stubbed). The fake
+    decoder is byte arithmetic, so even this Python path is
+    value-checked against a SQL oracle (payload bytes ≡ ascii codes
+    on the all-ASCII fixture corpus)."""
     d = load_table(spark, sf_dir, "documents")
     return mm.decode_media(mm.attach_payload(d, "doc_id", "text"), decoder="fake")
 
 
-@query("q_multimodal_frames", oracle=None, tags=("llmdata", "multimodal"))
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_MM_N} AS n FROM documents
+               WHERE CAST(doc_id % 4 AS INT) = 3)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(unnest(range(0, least(greatest(n // 1024, 1), 8))) AS INT)
+               AS frame_idx,
+           CAST(unnest(range(0, least(greatest(n // 1024, 1), 8))) * 1024 AS BIGINT)
+               AS byte_offset
+    FROM m
+    """,
+    tags=("llmdata", "multimodal"),
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: sampled frame index rows."""
+    """Video frame-sampling plumbing: sampled frame index rows (frame
+    positions are declarative Spark expressions — oracle-checked)."""
     d = load_table(spark, sf_dir, "documents")
     return mm.frame_sample(mm.attach_payload(d, "doc_id", "text"))
