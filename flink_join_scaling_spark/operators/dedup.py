@@ -503,3 +503,40 @@ def embedding_dedup_pairs_ivf(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def dedup_apply(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Materialize the deduplicated corpus: every document except the
+    non-keeper members of duplicate groups (keeper = highest
+    ``score_col``, ties → lowest id — :func:`dedup_keep_best`'s
+    election). This is the operator a user actually ends a dedup
+    pipeline with.
+
+    The component labels are computed once (checkpointed inside
+    :func:`connected_components`) and reused for both the election and
+    the loser list; the final step is a LEFT ANTI join of the corpus
+    against the (pair-sized) loser set — the corpus shuffles once, and
+    only on its id."""
+    comp = connected_components(pairs, id_a, id_b)
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    members = comp.join(
+        docs.select(F.col(id_col).alias("node"), score.alias("__score")), "node"
+    )
+    best = members.groupBy("component_id").agg(
+        F.expr("max_by(node, struct(__score, -node))").alias("keeper_id")
+    )
+    losers = (
+        members.join(best, "component_id")
+        .where(F.col("node") != F.col("keeper_id"))
+        .select("node")
+    )
+    return docs.join(
+        losers, docs[id_col] == losers["node"], "left_anti"
+    )

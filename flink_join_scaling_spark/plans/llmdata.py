@@ -416,6 +416,44 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_keep_best(docs, pairs, "doc_id", "quality")
 
 
+@query(
+    "q_dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_quality_cte()},
+    {_EDGES_REACH_CTES},
+    members AS (
+        SELECT c.component_id, c.node, q.quality
+        FROM comp c JOIN qual q ON q.doc_id = c.node
+    ),
+    ranked AS (
+        SELECT component_id, node,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY quality DESC, node ASC) AS rn
+        FROM members
+    ),
+    losers AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself — every document except the
+    non-keeper members of near-dup groups (a LEFT ANTI join against
+    the pair-sized loser set; the corpus shuffles once, on its id)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text", num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5
+    )
+    docs = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        tx.quality_score(F.col("text")).alias("__q"),
+    )
+    return dd.dedup_apply(docs, pairs, "doc_id", "__q").drop("__q")
+
+
 def _simhash_oracle() -> str:
     # token hash: first 8 hex nibbles of md5 as a 32-bit int (Horner)
     def nib(i: int) -> str:
