@@ -261,6 +261,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_exact(d, "doc_id", "text")
 
 
+@query(
+    "q_dedup_exact_apply",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang, source, n_chars, sha256({_NORM}) AS th
+               FROM documents),
+    keep AS (SELECT min(doc_id) AS keeper FROM h GROUP BY th)
+    SELECT doc_id, lang, source, n_chars
+    FROM h WHERE doc_id IN (SELECT keeper FROM keep)
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_exact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-deduplicated corpus: one survivor (min id) per
+    distinct normalized-content hash. A per-hash min window — one
+    shuffle keyed by the digest, then a narrow keeper filter; no join
+    back to the corpus at all."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.sha2(tx.norm_text(F.col("text")), 256).alias("th"),
+    )
+    w = Window.partitionBy("th")
+    return (
+        h.withColumn("keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 _MINHASH_K = 8
 _MINHASH_BAND = 2
 

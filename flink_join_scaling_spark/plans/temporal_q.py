@@ -137,3 +137,93 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "q_value_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE abs((e.value - s.mu) / s.sd) > 2.5
+    """,
+    tags=("temporal", "quality"),
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5). Deliberately NOT a
+    window over event_type: with a handful of hot types, a window
+    funnels the whole table through a few partitions; the two-pass
+    shape — map-side-partial groupBy stats, then a broadcast join back
+    — keeps the big side embarrassingly parallel at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t2
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS users_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS users_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS users_purchase
+    """,
+    tags=("temporal", "funnel"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users whose
+    first click follows their first view, and first purchase follows
+    that click. Three user-keyed aggregations chained by equi-joins —
+    each stage reuses the user partitioning, and the stage frontiers
+    only shrink."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_ns")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts_ns").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_ns") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_ns") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts_ns").alias("t3"))
+    )
+    # one declarative plan, no driver-side counts and no cross join:
+    # left-join the shrinking stage frontiers on user_id and count
+    # non-nulls in a single aggregation
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("users_view"),
+            F.count("t2").cast("bigint").alias("users_click"),
+            F.count("t3").cast("bigint").alias("users_purchase"),
+        )
+    )
