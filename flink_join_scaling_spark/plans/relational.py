@@ -623,3 +623,136 @@ def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+@query(
+    "q_tpch_q10_returns",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("tpch",),
+)
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: top customers by returned-item revenue in a
+    year. Facts shuffle on join keys (date filter pushed to the orders
+    scan, returnflag to the lineitem scan); customer rides to the
+    aggregate; top-k is TakeOrdered with a key tiebreak."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q14_promo",
+    oracle="""
+    WITH sums AS (
+        SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END), 2) AS promo,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    )
+    SELECT round(100.0 * promo / total, 4) AS promo_pct FROM sums
+    """,
+    tags=("tpch",),
+)
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: promo revenue share for a month. part is
+    left to AQE's broadcast threshold (grows with SF); conditional and
+    total sums come out of ONE aggregation; both are rounded before
+    the ratio so accumulation-order noise can't move the quotient."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
+            ).alias("promo"),
+            F.round(F.sum(rev), 2).alias("total"),
+        )
+    )
+    return sums.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 4).alias("promo_pct")
+    )
+
+
+@query(
+    "q_tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_custkey, c.c_name, b.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           CAST(b.total_qty AS BIGINT) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, b.l_orderkey ASC
+    LIMIT 50
+    """,
+    tags=("tpch",),
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: customers behind the largest orders. The
+    HAVING aggregate shrinks lineitem to a small frontier before any
+    join — the join input is |big orders|, not |lineitem| — then
+    orders/customer attach by equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("total_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("l_orderkey").asc())
+        .limit(50)
+    )
