@@ -23,6 +23,7 @@ from flink_join_scaling_spark.streaming.harness import (  # noqa: F401
     run_to_memory,
 )
 from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
+    stream_dedup_exact,
     stream_dedup_latest,
     stream_dedup_within_watermark,
 )

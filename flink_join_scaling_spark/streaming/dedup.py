@@ -31,6 +31,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -150,3 +151,32 @@ def stream_dedup_within_watermark(
     when ids don't recur beyond the lateness bound."""
     ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
     return sdf.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(ids)
+
+
+def stream_dedup_exact(
+    sdf: DataFrame,
+    text_col: str,
+    ts_col: str | None = None,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming ingestion dedup by content: first document per
+    normalized-text sha2-256 wins, duplicates arriving in any later
+    micro-batch are dropped. The streaming face of
+    ``operators.dedup.dedup_exact`` for a live crawl feed.
+
+    With ``ts_col``, state is watermark-bounded (a duplicate arriving
+    later than ``delay`` after its original slips through — size the
+    delay to the feed's replay horizon); without it, Spark keeps hash
+    state forever (exact, unbounded). State per hash is one marker row
+    either way — at 100 TB of *arrived* data the state is one row per
+    DISTINCT document, executor-sharded by the hash."""
+    from flink_join_scaling_spark.functions.text import norm_text
+
+    hashed = sdf.withColumn(
+        "text_hash", F.sha2(norm_text(F.col(text_col)), 256)
+    )
+    if ts_col is None:
+        return hashed.dropDuplicates(["text_hash"])
+    return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )

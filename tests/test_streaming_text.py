@@ -39,3 +39,24 @@ def test_text_pipeline_streams_unchanged(streaming_spark, tmp_path):
     em = collect_emissions(_pipeline(s), output_mode="append")
     got = {tuple(r) for r in em[["doc_id", "quality", "n_tok"]].itertuples(index=False)}
     assert got == expected and len(expected) > 0
+
+
+def test_stream_dedup_exact_first_wins(streaming_spark, tmp_path):
+    """Content-hash ingestion dedup: exactly one survivor per distinct
+    normalized text, across micro-batches, first arrival wins."""
+    from flink_join_scaling_spark.streaming import stream_dedup_exact
+
+    spark = streaming_spark
+    rows = [
+        (1, "alpha beta"), (2, "ALPHA   beta"),   # dup after normalization
+        (3, "gamma"), (4, "gamma"), (5, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=3)
+    em = collect_emissions(stream_dedup_exact(s, "text"), output_mode="append")
+    # one survivor per content hash; survivor ids are the first-seen
+    # (round-robin chunking: batch order follows row order per chunk)
+    assert len(em) == 3
+    assert set(em["doc_id"]) <= {1, 2, 3, 4, 5}
+    texts = {t.lower().split()[0] for t in em["text"]}
+    assert texts == {"alpha", "gamma", "delta"}
