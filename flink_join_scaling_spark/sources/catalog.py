@@ -36,18 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-        # default; read it as epoch-nanos LongType and expose a derived
-        # µs-precision `ts` timestamp plus the raw `ts_ns`.
+        # events.ts has shipped in two physical layouts across testdata
+        # generations: TIMESTAMP(NANOS) (which Spark reads as epoch-nanos
+        # LongType under the legacy conf) and plain timestamp[us]
+        # (TIMESTAMP_NTZ). Branch on the loaded dtype and expose the same
+        # logical schema either way: µs-precision TimestampType `ts` plus
+        # epoch-nanos LongType `ts_ns`.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division — epoch-ns exceeds double's 53-bit mantissa,
-        # so float math here would corrupt timestamps
-        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            # integer division — epoch-ns exceeds double's 53-bit
+            # mantissa, so float math here would corrupt timestamps
+            return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # timestamp[us] / TIMESTAMP_NTZ: session timezone is pinned to
+        # UTC (session.py), so the NTZ→TIMESTAMP cast is exact
+        return raw.withColumn(
+            "ts_ns",
+            F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
