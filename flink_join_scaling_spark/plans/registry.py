@@ -56,11 +56,11 @@ def query(
     return deco
 
 
-# Queries with a driver-green CORRECTNESS row in round 1 or round 2
-# (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json). The driver replays
-# ~50 entries of query_fns() per round under a time budget; ordering
-# never-recorded oracle queries first rotates the window onto them so
-# every query eventually holds a driver-green row in some round.
+# Queries with a driver-green CORRECTNESS row in rounds 1–3
+# (CORRECTNESS_r01.json ∪ r02 ∪ r03). The driver replays ~50 entries of
+# query_fns() per round under a time budget; ordering queries that need
+# a fresh row first rotates the window onto them so every query
+# eventually holds a driver-green row in some round.
 _DRIVER_GREEN: frozenset[str] = frozenset(
     {
         "q_agg_cube", "q_agg_distinct", "q_agg_group", "q_agg_grouping_sets",
@@ -80,23 +80,49 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
         "q_tpch_q5_local_supplier", "q_tpch_q6_forecast", "q_unpivot",
         "q_value_outliers", "q_window_analytic", "q_window_range_frame",
         "q_window_rank",
+        # round-3 rotation greens
+        "q_dedup_exact_apply", "q_dedup_components", "q_dedup_keep_best",
+        "q_dedup_apply", "q_dedup_simhash", "q_dedup_ngram",
+        "q_dedup_embedding", "q_dedup_embedding_ivf", "q_sim_topk",
+        "q_sim_topk_pandas", "q_sim_ann_lsh", "q_sim_ann_ivf",
+        "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
+        "q_vocab_df", "q_inverted_index", "q_sample_hash",
+        "q_quality_filter", "q_source_stats", "q_embed_centroids",
+        "q_pack_sequences", "q_sample_stratified", "q_repetition",
+    }
+)
+
+# Queries whose latest driver row is stale or missing and must land in
+# the round-4 window first: the 13 events-reading queries crashed by
+# the r3 loader regression (r1/r2 greens now stale), plus
+# q_dedup_minhash_ml, which has never held any driver row.
+_NEEDS_FRESH_ROW: frozenset[str] = frozenset(
+    {
+        "q_dedup_latest", "q_dedup_latest_by_key", "q_window_analytic",
+        "q_pivot", "q_join_asof", "q_join_range", "q_sessionize",
+        "q_value_outliers", "q_funnel", "q_stream_tumbling",
+        "q_stream_sliding", "q_stream_session", "q_stream_dedup",
+        "q_dedup_minhash_ml",
     }
 )
 
 
 def query_fns() -> dict[str, QueryFn]:
-    """Driver iteration order. Three groups, stable registration order
-    within each: (1) oracle-bearing queries with no driver-green
-    CORRECTNESS row yet — the driver's ~50-entry window must land on
-    these; (2) oracle-bearing queries already green in a prior round
-    (their rows stand); (3) rows-only queries last — a cutoff shadowing
-    them loses nothing, they can never hash-match anyway."""
+    """Driver iteration order. Four groups, stable registration order
+    within each: (1) queries needing a fresh CORRECTNESS row this round
+    (stale or never recorded) — the driver's ~50-entry window must land
+    on these, oracle-bearing before rows-only; (2) oracle-bearing
+    queries with no green row yet; (3) oracle-bearing queries already
+    green in a prior round (their rows stand); (4) remaining rows-only
+    queries last — a cutoff shadowing them loses nothing, they can
+    never hash-match anyway."""
     order = list(QUERIES)
 
-    def rank(s: QuerySpec) -> tuple[int, int, int]:
+    def rank(s: QuerySpec) -> tuple[int, int, int, int]:
         return (
-            s.oracle is None,  # rows-only always last
-            s.name in _DRIVER_GREEN,  # never-recorded first
+            s.name not in _NEEDS_FRESH_ROW,  # stale/missing rows first
+            s.oracle is None,  # rows-only after oracle-bearing
+            s.name in _DRIVER_GREEN,  # never-recorded before re-verified
             order.index(s.name),
         )
 
