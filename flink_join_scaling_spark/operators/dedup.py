@@ -112,6 +112,7 @@ def shingle_jaccard_pairs(
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
     sizes: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for id_a < id_b via shingle equi-join,
     optionally restricted to an LSH candidate set (columns id_a,id_b).
@@ -123,11 +124,32 @@ def shingle_jaccard_pairs(
     shingle-sharing pairs for ~250 real candidates; at 100 TB it's the
     difference between a feasible job and an O(Σ bucket²) shuffle).
 
+    ``max_df`` removes stop-shingles — shingles appearing in more than
+    ``max_df`` documents — from the shingle universe before any join
+    (Jaccard is then exact over the reduced universe, in sizes and
+    intersections alike). This bounds the self-join's worst bucket at
+    max_df²: without it, one boilerplate trigram shared by 1% of a
+    100 TB corpus makes Σ bucket² explode. The heavy-hitter set is tiny
+    by construction, so the removal is a broadcast anti-join — no extra
+    corpus shuffle.
+
     ``sizes`` (id_col, n_sh) can be supplied when the caller already
     aggregated per-doc shingle counts (e.g. alongside MinHash
-    signatures), saving one pass over the shingle explosion.
+    signatures), saving one pass over the shingle explosion; it must
+    already reflect any stop-shingle policy, so it is mutually
+    exclusive with ``max_df``.
     """
+    if sizes is not None and max_df is not None:
+        raise ValueError("pass either precomputed sizes or max_df, not both")
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if sizes is None:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
@@ -372,14 +394,16 @@ def connected_components(
     transitive, so A~B and B~C must collapse into one group {A,B,C}
     before a representative can be chosen.
 
-    Distributed min-label propagation: each round joins current labels
-    to the (bidirectional) edge list and takes the per-node min over
-    itself and its neighbours; converged when no label changed. Rounds
-    = component diameter (near-dup clusters are shallow — chains longer
-    than a few hops are rare at any scale), and each round is one
-    shuffle keyed by node over the PAIR set only, which is orders of
-    magnitude smaller than the corpus at 100 TB. ``localCheckpoint``
-    truncates the growing lineage so the plan doesn't deepen per round.
+    Distributed min-label propagation with pointer jumping: each round
+    a node takes the min over its own label, its neighbours' labels,
+    and its label's label (the jump — label chains halve every round,
+    so convergence is O(log diameter), not O(diameter)); converged when
+    no label changed. Each round shuffles the PAIR set only, which is
+    orders of magnitude smaller than the corpus at 100 TB.
+    ``localCheckpoint`` truncates the growing lineage so the plan
+    doesn't deepen per round. If labels still change after ``max_iter``
+    rounds the result would be silently split components, so it raises
+    instead — with jumping, max_iter=50 covers diameters up to ~2^50.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -403,8 +427,18 @@ def connected_components(
         msgs = edges.join(labels, edges.src == labels.v).select(
             F.col("dst").alias("v"), "label"
         )
+        # pointer jump: v adopts label(label(v)) — every label value is
+        # itself a node key (labels are min-of-member ids), so the
+        # inner self-join is total
+        lref = labels.select(
+            F.col("v").alias("mid"), F.col("label").alias("jlabel")
+        )
+        jumps = labels.join(lref, labels.label == lref.mid).select(
+            "v", F.col("jlabel").alias("label")
+        )
         new_labels = (
-            msgs.union(labels)
+            msgs.union(jumps)
+            .union(labels)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
@@ -418,6 +452,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "returning would silently split components"
+        )
     return labels.select(F.col("v").alias("node"), F.col("label").alias("component_id"))
 
 
@@ -438,15 +477,29 @@ def dedup_keep_best(
     ``docs``. The component set is pair-sized, so the score join
     touches only documents that have at least one near-duplicate; the
     rest of the corpus never shuffles."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, id_a, id_b)
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     members = comp.join(
         docs.select(F.col(id_col).alias("node"), score.alias("__score")), "node"
     )
-    return members.groupBy("component_id").agg(
-        F.expr("max_by(node, struct(__score, -node))").alias("keeper_id"),
-        F.count("*").alias("n_members"),
-        F.round(F.max("__score"), 4).alias("best_score"),
+    # row_number over (score desc, node asc) — valid for any orderable
+    # id type (the earlier max_by(-node) trick required numeric ids);
+    # the rank and the unbounded aggregates share one component_id
+    # exchange + sort
+    wcomp = Window.partitionBy("component_id")
+    worder = wcomp.orderBy(F.col("__score").desc(), F.col("node").asc())
+    return (
+        members.select(
+            "component_id",
+            F.row_number().over(worder).alias("__rn"),
+            F.col("node").alias("keeper_id"),
+            F.count("*").over(wcomp).alias("n_members"),
+            F.round(F.max("__score").over(wcomp), 4).alias("best_score"),
+        )
+        .where(F.col("__rn") == 1)
+        .select("component_id", "keeper_id", "n_members", "best_score")
     )
 
 
@@ -524,17 +577,21 @@ def dedup_apply(
     the loser list; the final step is a LEFT ANTI join of the corpus
     against the (pair-sized) loser set — the corpus shuffles once, and
     only on its id."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, id_a, id_b)
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     members = comp.join(
         docs.select(F.col(id_col).alias("node"), score.alias("__score")), "node"
     )
-    best = members.groupBy("component_id").agg(
-        F.expr("max_by(node, struct(__score, -node))").alias("keeper_id")
+    # losers = everything ranked past 1 per component; row_number over
+    # (score desc, node asc) is deterministic for string ids too
+    worder = Window.partitionBy("component_id").orderBy(
+        F.col("__score").desc(), F.col("node").asc()
     )
     losers = (
-        members.join(best, "component_id")
-        .where(F.col("node") != F.col("keeper_id"))
+        members.withColumn("__rn", F.row_number().over(worder))
+        .where(F.col("__rn") > 1)
         .select("node")
     )
     return docs.join(

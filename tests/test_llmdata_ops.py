@@ -272,3 +272,79 @@ def test_ann_ivf_queries_use_corpus_cell_space(planted_vecs):
     top = sim.ann_ivf_topk(planted_vecs, q, k=3, num_cells=4, nprobe=2).collect()
     assert top and top[0].query_id == 30
     assert top[0].vec_id == 0 and top[0].cosine > 0.99
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a chain far longer than the round budget still
+    converges (label chains halve per round → O(log diameter) rounds),
+    where plain min-label propagation would need diameter rounds."""
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component_id
+        for r in dd.connected_components(pairs, max_iter=12).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """An exhausted round budget raises instead of silently returning
+    split components (regression: unconverged labels used to fall
+    through as if correct)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iter=1)
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """Keeper election is deterministic for STRING ids too (regression:
+    the max_by(struct(score, -node)) tie-break double-cast the id
+    through a numeric negation, which is invalid for strings): ties
+    break to the lexicographically lowest id."""
+    docs = spark.createDataFrame(
+        [("doc-a", 0.9), ("doc-b", 0.9), ("doc-c", 0.1), ("x", 0.5), ("y", 0.7)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r.component_id: (r.keeper_id, r.n_members, r.best_score)
+        for r in dd.dedup_keep_best(docs, pairs, "doc_id", "q").collect()
+    }
+    assert got == {"doc-a": ("doc-a", 3, 0.9), "x": ("y", 2, 0.7)}
+    kept = sorted(
+        r.doc_id for r in dd.dedup_apply(docs, pairs, "doc_id", "q").collect()
+    )
+    assert kept == ["doc-a", "y"]
+
+
+def test_ivf_cells_zero_norm_vector(spark):
+    """Zero-norm vectors assign identically in the expression and
+    pandas paths (regression: expression NULL vs NumPy NaN diverged):
+    cosine to every centroid is defined as 0.0, so assignment falls
+    through to ascending cell id."""
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero CENTROID (smallest id seeds)
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero member vector
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = {
+        (r.vec_id, r.crank, r.cell)
+        for r in sim.ivf_cells(vecs, num_cells=3, nprobe=2).collect()
+    }
+    pnd = {
+        (r.vec_id, r.crank, r.cell)
+        for r in sim.ivf_cells_pandas(vecs, num_cells=3, nprobe=2).collect()
+    }
+    assert expr == pnd
+    # the all-zero vector ties every cell at 0.0 → probes cells 0,1
+    assert {(c, r) for v, r, c in expr if v == 3} == {(0, 0), (1, 1)}
