@@ -151,11 +151,18 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket as the query,
     then exact cosine rank within the bucket. The cross join of
-    :func:`cosine_topk` becomes an equi-join on bucket id."""
-    dim = len(corpus.select(vec_col).first()[0])
+    :func:`cosine_topk` becomes an equi-join on bucket id.
+
+    Pass ``dim`` (the embedding width) explicitly: ArrayType carries no
+    length, and the fallback probe below submits a corpus-scan job just
+    to measure one row before the real plan runs.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(num_planes, dim)
     c = with_l2_norm(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"),
@@ -248,7 +255,15 @@ def ivf_cells(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        csim = F.round(dot / (F.col("l2_norm") * F.lit(cnorm)), 6)
+        # zero-norm guard: a zero vector (or zero centroid) has cosine
+        # 0.0 to everything, so assignment falls through to cell asc —
+        # identical to ivf_cells_pandas' np.where guard
+        if cnorm == 0.0:
+            csim = F.lit(0.0)
+        else:
+            csim = F.when(F.col("l2_norm") == 0.0, F.lit(0.0)).otherwise(
+                F.round(dot / (F.col("l2_norm") * F.lit(cnorm)), 6)
+            )
         # sort key = -csim, with ±0.0 collapsed so csim = 0.0 and -0.0
         # tie (and fall through to cell asc) exactly as in SQL DESC order
         negsim = F.when(csim == 0.0, F.lit(0.0)).otherwise(-csim)
@@ -359,7 +374,12 @@ def ivf_cells_pandas(
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             vnorm = np.sqrt((V * V).sum(axis=1))
-            sims = np.round((V @ C.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            # zero-norm guard: cosine 0.0 instead of NaN, matching the
+            # expression version — NaN would argsort last NON-tied with
+            # real scores, silently diverging from ivf_cells
+            denom = vnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.round(np.where(denom == 0.0, 0.0, (V @ C.T) / denom), 6)
             # stable sort on -sim: ties keep ascending centroid order
             # (cell_ids is ascending by construction) = the expression
             # version's (negsim, cell) rank

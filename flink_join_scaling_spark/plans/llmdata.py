@@ -51,6 +51,10 @@ _NORM_SQL = (
 
 _IVF_CELLS = 8
 _IVF_NPROBE = 2
+#: embeddings.embedding width (fixed by the generator; ArrayType
+#: carries no length, so the ANN plans take it as a literal instead of
+#: probing a row at plan-build time)
+_EMB_DIM = 64
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -525,16 +529,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_dedup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+#: stop-shingle cap for the exact n-gram path: shingles in more than
+#: this many documents are dropped from the Jaccard universe, bounding
+#: the self-join's worst shuffle bucket at max_df² rows
+_NGRAM_MAX_DF = 50
+
+
 @query(
     "q_dedup_ngram",
     oracle=f"""
     WITH {_SHINGLE_CTE},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) > {_NGRAM_MAX_DF}),
+    shf AS (SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
     SELECT id_a, id_b, round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
     FROM inter
     JOIN sizes sa ON id_a = sa.doc_id
@@ -544,10 +558,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "dedup"),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.5 (no LSH — the
-    shingle equi-join is the pruning)."""
+    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.5 with a stop-
+    shingle cap (df > max_df shingles removed from the universe) — the
+    equi-join prunes pairs, the cap bounds its worst bucket."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.shingle_jaccard_pairs(d, "doc_id", "text", shingle_n=3)
+    pairs = dd.shingle_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=_NGRAM_MAX_DF
+    )
     return pairs.where(F.col("jaccard") >= 0.5)
 
 
@@ -644,7 +661,7 @@ def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_oracle() -> str:
-    planes = sim.hyperplanes(4, 64)
+    planes = sim.hyperplanes(4, _EMB_DIM)
     terms = []
     for j, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{w:.1f}" for w in plane) + "]"
@@ -678,7 +695,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (sign-random-projection, 4
     deterministic md5-derived hyperplanes → 16 buckets)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.ann_lsh_topk(e, e.where(F.col("vec_id") < 10), k=5, num_planes=4)
+    return sim.ann_lsh_topk(
+        e, e.where(F.col("vec_id") < 10), k=5, num_planes=4, dim=_EMB_DIM
+    )
 
 
 def _ivf_oracle() -> str:
