@@ -47,6 +47,10 @@ GROUPED_OUT_SCHEMA = "k string, xs_json string, ys_json string"
 #: per-key state: two JSON maps  id -> [ts, payload]  (one per side)
 _STATE_SCHEMA = "xs string, ys string"
 
+#: null event time ranks below every real timestamp — Arrow hands a
+#: null long to pandas as float NaN, and int(NaN) would kill the query
+_TS_NULL_SENTINEL = -(1 << 63)
+
 
 def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
     """Normalize one input to the tagged-union shape. ``key``/``id_``/
@@ -77,6 +81,11 @@ def _fold_latest(
     if not frames:
         return
     allp = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    if allp["ts"].isna().any():
+        # mirror streaming/dedup.py's _native NaN handling: a null ts
+        # loses to any real version (and the fillna keeps int(ts) from
+        # raising ValueError on NaN)
+        allp = allp.assign(ts=allp["ts"].fillna(_TS_NULL_SENTINEL).astype("int64"))
     latest = (
         allp.sort_values(["ts", "payload"], kind="stable")
         .groupby(["side", "id"], sort=False)

@@ -63,9 +63,6 @@ _QUADRATIC_OK = {
     # broadcast of a 1-row aggregate (scalar subquery) is a nested-loop
     # join by name, but over exactly one build row
     "q_scalar_subquery",
-    # IVF assignment broadcasts the 8-row centroid table against every
-    # vector — a deliberate tiny-build-side nested loop
-    "q_sim_ann_ivf",
 }
 
 

@@ -552,3 +552,27 @@ def test_stream_join_grouped_typed_structs(streaming_spark, tmp_path):
         for r in batch.collect()
     }
     assert got == exp
+
+
+def test_stream_join_null_event_time(streaming_spark, tmp_path):
+    """A null event time must not kill the stateful join (regression:
+    Arrow hands null longs to pandas as NaN, and int(NaN) raised
+    ValueError inside the state fn). Semantics: a null-ts version loses
+    to any real version; a key whose only version has null ts is still
+    kept and outer-padded."""
+    spark = streaming_spark
+    a = spark.createDataFrame(
+        [(1, None, "a1-null-ts"), (1, 10, "a1"), (2, None, "a2-null-ts")],
+        A_SCHEMA,
+    )
+    b = spark.createDataFrame([(1, 5, 1, "b1")], B_SCHEMA)
+    sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=2)
+    sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=2)
+    out = stream_join_versioned(sa, sb, "id", "ida", "id", "id", "ts", "ts")
+    em = collect_emissions(out)
+    pairs = set()
+    for r in converged(em, ["k"]).itertuples(index=False):
+        x = json.loads(r.x_payload)["tag"] if r.x_payload else None
+        y = json.loads(r.y_payload)["tag"] if r.y_payload else None
+        pairs.add((x, y))
+    assert pairs == {("a1", "b1"), ("a2-null-ts", None)}
