@@ -35,3 +35,42 @@ def cosine_expr(a: str | Column, b: str | Column, norm_a: str | Column, norm_b: 
     na = F.col(norm_a) if isinstance(norm_a, str) else norm_a
     nb = F.col(norm_b) if isinstance(norm_b, str) else norm_b
     return dot_expr(a, b) / (na * nb)
+
+
+def cosine6_pandas(a, b, norm_a, norm_b) -> Column:
+    """round(cosine, 6) as an Arrow-batched pandas UDF — the vectorized
+    twin of ``F.round(cosine_expr(...), 6)`` for pair-heavy plans.
+
+    Catalyst's higher-order functions are interpreted per element, so a
+    candidate join evaluating millions of dim-wide dot products spends
+    its whole runtime in the fold; here each Arrow batch is two NumPy
+    matrices and one row-wise multiply-sum. float64 math and round-6
+    keep it value-identical to the expression/oracle form (pairwise vs
+    sequential summation differs by ulps, far inside the rounding).
+    Zero-norm inputs define cosine as 0.0 (same guard as the IVF
+    assignment paths).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in (a, b, norm_a, norm_b)]
+    return _cosine6_udf()(*cols)
+
+
+def _cosine6_udf():
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(va, vb, na, nb):
+        if not len(va):
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        denom = na.to_numpy() * nb.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(denom == 0.0, 0.0, (A * B).sum(axis=1) / denom)
+        return pd.Series(np.round(c, 6))
+
+    _cos.__annotations__ = {
+        "va": pd.Series, "vb": pd.Series, "na": pd.Series, "nb": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf("double")(_cos)

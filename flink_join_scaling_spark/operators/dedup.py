@@ -356,9 +356,13 @@ def embedding_dedup_pairs(
     The quadratic pair join is the correctness baseline; the bucketed
     ANN path for scale is ``operators/similarity.py:ann_lsh_topk``.
     Cosine is rounded to 6 decimals *before* the threshold compare so
-    accumulation-order noise can't flip boundary pairs across engines.
+    accumulation-order noise can't flip boundary pairs across engines;
+    the per-pair dot product runs through the Arrow-vectorized
+    ``cosine6_pandas`` (value-identical to the expression form, but a
+    NumPy multiply-sum per batch instead of an interpreted HOF fold
+    per pair — on n² pairs that's the whole runtime).
     """
-    from flink_join_scaling_spark.functions.vectors import cosine_expr, with_l2_norm
+    from flink_join_scaling_spark.functions.vectors import cosine6_pandas, with_l2_norm
 
     a = with_l2_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("l2_norm").alias("na")
@@ -372,7 +376,7 @@ def embedding_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr("va", "vb", "na", "nb"), 6).alias("cosine"),
+            cosine6_pandas("va", "vb", "na", "nb").alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -510,6 +514,7 @@ def embedding_dedup_pairs_ivf(
     threshold: float = 0.45,
     num_cells: int = 8,
     nprobe: int = 2,
+    assign: str = "pandas",
 ) -> DataFrame:
     """IVF-bucketed embedding near-dup pairs — the scale path next to
     the quadratic :func:`embedding_dedup_pairs` baseline.
@@ -523,14 +528,18 @@ def embedding_dedup_pairs_ivf(
     canonicalization + distinct collapses the two orientations after
     the threshold filter has already shrunk the set.
     """
-    from flink_join_scaling_spark.functions.vectors import cosine_expr
-    from flink_join_scaling_spark.operators.similarity import ivf_cells
+    from flink_join_scaling_spark.functions.vectors import cosine6_pandas
+    from flink_join_scaling_spark.operators.similarity import (
+        ivf_cells,
+        ivf_cells_pandas,
+    )
 
+    cells_fn = ivf_cells_pandas if assign == "pandas" else ivf_cells
     # ONE assignment pass serves both sides (crank 0 = home cell); the
     # index is materialized before the self-join — exactly what a
     # production build does by writing the IVF index to storage — so
     # the centroid-scoring subtree isn't evaluated once per join side.
-    assigned = ivf_cells(
+    assigned = cells_fn(
         df, id_col, vec_col, num_cells, nprobe=nprobe
     ).localCheckpoint(eager=True)
     idx = assigned.where(F.col("crank") == 0).select(
@@ -551,7 +560,7 @@ def embedding_dedup_pairs_ivf(
         .select(
             F.least("probe_id", "idx_id").alias("id_a"),
             F.greatest("probe_id", "idx_id").alias("id_b"),
-            F.round(cosine_expr("va", "vb", "na", "nb"), 6).alias("cosine"),
+            cosine6_pandas("va", "vb", "na", "nb").alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .distinct()

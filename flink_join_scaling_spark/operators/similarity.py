@@ -144,6 +144,45 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def lsh_buckets_pandas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+) -> DataFrame:
+    """(id, vec, l2_norm, bucket) via an Arrow-batched NumPy matmul
+    against the plane matrix — the vectorized twin of
+    :func:`bucket_expr` + ``with_l2_norm``. Same sign rule (dot > 0 on
+    float64 math), so buckets agree with the expression/oracle path up
+    to last-ulp accumulation order. Catalyst's higher-order functions
+    (``aggregate``/``zip_with``) are interpreted per element — at
+    num_planes × dim ops per row they dominate the whole query, and a
+    [batch × dim] @ [dim × planes] matmul replaces all of it."""
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # planes × dim
+    weights = 1 << np.arange(len(planes), dtype=np.int64)
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, {vec_col} {vec_t}, l2_norm double, bucket long"
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "l2_norm": np.sqrt((V * V).sum(axis=1)),
+                    "bucket": ((V @ P.T) > 0).astype(np.int64) @ weights,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(go, out_schema)
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,6 +191,7 @@ def ann_lsh_topk(
     k: int = 5,
     num_planes: int = 4,
     dim: int | None = None,
+    assign: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket as the query,
     then exact cosine rank within the bucket. The cross join of
@@ -160,22 +200,41 @@ def ann_lsh_topk(
     Pass ``dim`` (the embedding width) explicitly: ArrayType carries no
     length, and the fallback probe below submits a corpus-scan job just
     to measure one row before the real plan runs.
+
+    ``assign="pandas"`` (default) computes buckets + norms through the
+    vectorized :func:`lsh_buckets_pandas`; ``"expr"`` keeps the pure-
+    Catalyst :func:`bucket_expr` form (the oracle-documented formula —
+    identical output, interpreted HOF evaluation per row).
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = hyperplanes(num_planes, dim)
-    c = with_l2_norm(corpus, vec_col).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vc"),
-        F.col("l2_norm").alias("nc"),
-        bucket_expr(vec_col, planes).alias("bucket"),
-    )
-    q = with_l2_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("vq"),
-        F.col("l2_norm").alias("nq"),
-        bucket_expr(vec_col, planes).alias("bucket"),
-    )
+    if assign == "pandas":
+        c = lsh_buckets_pandas(corpus, id_col, vec_col, planes).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vc"),
+            F.col("l2_norm").alias("nc"),
+            "bucket",
+        )
+        q = lsh_buckets_pandas(queries, id_col, vec_col, planes).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("vq"),
+            F.col("l2_norm").alias("nq"),
+            "bucket",
+        )
+    else:
+        c = with_l2_norm(corpus, vec_col).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vc"),
+            F.col("l2_norm").alias("nc"),
+            bucket_expr(vec_col, planes).alias("bucket"),
+        )
+        q = with_l2_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("vq"),
+            F.col("l2_norm").alias("nq"),
+            bucket_expr(vec_col, planes).alias("bucket"),
+        )
     pairs = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("vec_id"))
@@ -290,17 +349,25 @@ def ann_ivf_topk(
     k: int = 5,
     num_cells: int = 8,
     nprobe: int = 2,
+    assign: str = "pandas",
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is indexed into its
     single nearest cell; each query probes its ``nprobe`` nearest
     cells and brute-forces only those cells' members. The
     :func:`cosine_topk` cross join becomes an equi-join on cell id —
-    cost ∝ corpus/num_cells per query instead of corpus."""
+    cost ∝ corpus/num_cells per query instead of corpus.
+
+    ``assign="pandas"`` (default) scores cells with the vectorized
+    NumPy matmul (:func:`ivf_cells_pandas`); ``"expr"`` keeps the
+    pure-Catalyst per-centroid expression (identical assignments —
+    property-tested — but interpreted HOF evaluation per row, which
+    dominates the query)."""
+    cells_fn = ivf_cells_pandas if assign == "pandas" else ivf_cells
     # centroids come from the CORPUS only: queries are assigned into
     # the index's cell space (seeding them from the query set would
     # probe a different — wrong — partition of the corpus)
     cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
-    idx = ivf_cells(
+    idx = cells_fn(
         corpus, id_col, vec_col, num_cells, nprobe=1, centroids=cents
     ).select(
         F.col(id_col).alias("vec_id"),
@@ -308,7 +375,7 @@ def ann_ivf_topk(
         F.col("l2_norm").alias("nc"),
         "cell",
     )
-    probes = ivf_cells(
+    probes = cells_fn(
         queries, id_col, vec_col, num_cells, nprobe=nprobe, centroids=cents
     ).select(
         F.col(id_col).alias("query_id"),

@@ -348,3 +348,23 @@ def test_ivf_cells_zero_norm_vector(spark):
     assert expr == pnd
     # the all-zero vector ties every cell at 0.0 → probes cells 0,1
     assert {(c, r) for v, r, c in expr if v == 3} == {(0, 0), (1, 1)}
+
+
+def test_lsh_buckets_pandas_agrees_with_expression(planted_vecs):
+    """The vectorized bucket assignment (NumPy matmul, the default ANN
+    path) must produce exactly the expression version's (id, bucket) —
+    same sign rule on the same float64 math."""
+    planes = sim.hyperplanes(4, 16)
+    expr = {
+        (r.vec_id, r.b)
+        for r in planted_vecs.select(
+            "vec_id", sim.bucket_expr("embedding", planes).alias("b")
+        ).collect()
+    }
+    pnd = {
+        (r.vec_id, r.bucket)
+        for r in sim.lsh_buckets_pandas(
+            planted_vecs, "vec_id", "embedding", planes
+        ).collect()
+    }
+    assert expr == pnd
