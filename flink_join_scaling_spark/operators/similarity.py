@@ -269,6 +269,61 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_kmeans(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    iters: int = 10,
+    sample_cap: int = 65536,
+) -> list:
+    """Trained centroids: spherical k-means (Lloyd's iterations on
+    cosine, i.e. argmax dot after L2 normalization) over a
+    deterministic sample, initialized from :func:`ivf_centroids`'s
+    seeds so training can only improve the partition it starts from.
+
+    The sample is the ``sample_cap`` rows with the smallest
+    ``md5(id)`` — a pseudo-random but run/engine-stable choice computed
+    with a narrow TakeOrdered, no shuffle. Only the sample is collected
+    (bounded by ``sample_cap``, not the corpus); training runs in NumPy
+    on the driver. At 100 TB this is the right shape: centroid training
+    is sample-sized by construction, and the corpus-sized pass is the
+    cell *assignment* (:func:`ivf_cells_pandas`), which stays
+    distributed. Fixed ``iters`` keeps the result deterministic.
+
+    Returns ``{"cell": 0.., "cvec": [...]}`` dicts compatible with the
+    ``centroids=`` parameter of the assignment functions; trained cells
+    are numbered 0..num_cells-1. No SQL oracle exists for the trained
+    list — consumers are rows-only checked and property-tested.
+    """
+    import numpy as np
+
+    seeds = ivf_centroids(vectors, id_col, vec_col, num_cells)
+    rows = (
+        vectors.select(F.col(id_col).cast("string").alias("__sid"), F.col(vec_col))
+        .orderBy(F.md5("__sid"), "__sid")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    xn = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = np.divide(X, xn, out=np.zeros_like(X), where=xn != 0)
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in seeds])
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    C = np.divide(C, cn, out=np.zeros_like(C), where=cn != 0)
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)  # ties → lower cell
+        for j in range(num_cells):
+            members = Xn[assign == j]
+            if not len(members):
+                continue  # empty cell keeps its previous centroid
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                C[j] = m / n
+    return [{"cell": j, "cvec": [float(x) for x in C[j]]} for j in range(num_cells)]
+
+
 def ivf_cells(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -350,6 +405,7 @@ def ann_ivf_topk(
     num_cells: int = 8,
     nprobe: int = 2,
     assign: str = "pandas",
+    train: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is indexed into its
     single nearest cell; each query probes its ``nprobe`` nearest
@@ -361,12 +417,17 @@ def ann_ivf_topk(
     NumPy matmul (:func:`ivf_cells_pandas`); ``"expr"`` keeps the
     pure-Catalyst per-centroid expression (identical assignments —
     property-tested — but interpreted HOF evaluation per row, which
-    dominates the query)."""
+    dominates the query).
+
+    ``train=True`` replaces the deterministic seed centroids with
+    k-means-trained ones (:func:`ivf_centroids_kmeans`) — better cell
+    balance / recall, but no SQL oracle for the centroid list."""
     cells_fn = ivf_cells_pandas if assign == "pandas" else ivf_cells
     # centroids come from the CORPUS only: queries are assigned into
     # the index's cell space (seeding them from the query set would
     # probe a different — wrong — partition of the corpus)
-    cents = ivf_centroids(corpus, id_col, vec_col, num_cells)
+    cents_fn = ivf_centroids_kmeans if train else ivf_centroids
+    cents = cents_fn(corpus, id_col, vec_col, num_cells)
     idx = cells_fn(
         corpus, id_col, vec_col, num_cells, nprobe=1, centroids=cents
     ).select(

@@ -745,6 +745,25 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_sim_ann_ivf_trained", oracle=None, tags=("llmdata", "similarity"))
+def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with k-means-TRAINED centroids: spherical Lloyd's
+    iterations on a deterministic md5-ordered sample, seeded from the
+    same smallest-id centroids as q_sim_ann_ivf. Rows-only by design —
+    the trained centroid list is not practically SQL-expressible;
+    determinism and recall-vs-seeded are property-tested instead
+    (tests/test_llmdata_ops.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_ivf_topk(
+        e,
+        e.where(F.col("vec_id") < 10),
+        k=5,
+        num_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        train=True,
+    )
+
+
 # ---------------------------------------------------------- multimodal
 
 

@@ -102,7 +102,7 @@ _NEEDS_FRESH_ROW: frozenset[str] = frozenset(
         "q_pivot", "q_join_asof", "q_join_range", "q_sessionize",
         "q_value_outliers", "q_funnel", "q_stream_tumbling",
         "q_stream_sliding", "q_stream_session", "q_stream_dedup",
-        "q_dedup_minhash_ml",
+        "q_dedup_minhash_ml", "q_sim_ann_ivf_trained",
     }
 )
 

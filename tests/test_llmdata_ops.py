@@ -368,3 +368,44 @@ def test_lsh_buckets_pandas_agrees_with_expression(planted_vecs):
         ).collect()
     }
     assert expr == pnd
+
+
+def test_ivf_kmeans_deterministic_and_improves_objective(planted_vecs):
+    """Trained centroids are run-to-run deterministic (fixed sample
+    order, fixed iterations) and Lloyd's iterations never worsen the
+    spherical k-means objective (mean max-cosine of the sample to its
+    centroid) versus the seed initialization they start from."""
+    import numpy as np
+
+    c1 = sim.ivf_centroids_kmeans(planted_vecs, num_cells=4, iters=5)
+    c2 = sim.ivf_centroids_kmeans(planted_vecs, num_cells=4, iters=5)
+    assert c1 == c2
+
+    rows = planted_vecs.collect()
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def objective(cents):
+        C = np.stack([np.asarray(c["cvec"], dtype=np.float64) for c in cents])
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return (Xn @ C.T).max(axis=1).mean()
+
+    seeds = sim.ivf_centroids(planted_vecs, num_cells=4)
+    seed_objective = objective(
+        [{"cell": r["cell"], "cvec": r["cvec"]} for r in seeds]
+    )
+    assert objective(c1) >= seed_objective - 1e-12
+
+
+def test_ann_ivf_trained_recalls_planted_neighbor(planted_vecs):
+    """The trained-centroid ANN still recalls the planted near-identical
+    neighbor (vec 30 ≈ vec 0) at rank 1."""
+    top = sim.ann_ivf_topk(
+        planted_vecs,
+        planted_vecs.where(F.col("vec_id") == 0),
+        k=1,
+        num_cells=4,
+        nprobe=2,
+        train=True,
+    ).collect()
+    assert [(r.query_id, r.vec_id) for r in top] == [(0, 30)]
