@@ -286,14 +286,17 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     tokv = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     t = toks.select(F.col(id_col), tokv.alias("v"))
-    cnts = [F.sum(F.shiftright(F.col("v"), j) % 2).alias(f"c{j}") for j in range(32)]
+    # expressions built as parsed SQL strings, one Py4J call each — the
+    # Column-algebra form cost ~4 driver↔JVM round trips per bit and
+    # plan construction dominated the whole query at bench scale
+    cnts = [F.expr(f"sum(shiftright(v, {j}) % 2) AS c{j}") for j in range(32)]
     agg = t.groupBy(id_col).agg(F.count("*").alias("n"), *cnts)
-    total = F.lit(0).cast("bigint")
-    for j in range(32):
-        total = total + F.when(
-            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return agg.select(F.col(id_col), total.alias("simhash"))
+    total = " + ".join(
+        f"(CASE WHEN c{j} * 2 > n THEN CAST({1 << j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return agg.select(F.col(id_col), F.expr(f"({total}) AS simhash"))
 
 
 def simhash_dedup_pairs(

@@ -31,10 +31,27 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (applicationId, sf_dir, table) → DataFrame. A DataFrame is an
+#: immutable lazy plan, so handing the same one to every query is
+#: safe — and skips the per-call parquet footer read + relation
+#: analysis that otherwise taxes every plan build (a real metastore
+#: caches table schemas for exactly this reason).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _DF_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped in two physical layouts across testdata
         # generations: TIMESTAMP(NANOS) (which Spark reads as epoch-nanos
