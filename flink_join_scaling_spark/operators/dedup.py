@@ -141,6 +141,26 @@ def shingle_jaccard_pairs(
     """
     if sizes is not None and max_df is not None:
         raise ValueError("pass either precomputed sizes or max_df, not both")
+    if candidates is not None and max_df is not None:
+        raise ValueError(
+            "max_df needs corpus-wide document frequencies; the candidate "
+            "path explodes candidate docs only"
+        )
+    if candidates is not None:
+        # explode ONLY documents that appear in a candidate pair — the
+        # verify stage's shingle volume is candidate-sized, not
+        # corpus-sized (the corpus-sized pass already happened on the
+        # signature side). The candidate set is referenced three times
+        # below (both semi-join sides + the intersection join), so the
+        # pair-sized frame is materialized once instead of re-running
+        # its banded self-join subtree per reference.
+        candidates = candidates.localCheckpoint(eager=True)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        df = df.join(cand_ids, id_col, "left_semi")
     sh = exploded_shingles(df, id_col, text_col, shingle_n)
     if max_df is not None:
         hot = (
@@ -388,11 +408,43 @@ def embedding_dedup_pairs(
 # ------------------------------------------- duplicate-group formation
 
 
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (already materialized) edge
+    set: one collect, zero iterative jobs. Produces exactly the
+    distributed path's answer — (node, component_id = min member id)."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            # union by label order keeps the root the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    id_type = edges.schema["src"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", id_type), StructField("component_id", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     (node, component_id) with component_id = min node id in the
@@ -411,6 +463,15 @@ def connected_components(
     doesn't deepen per round. If labels still change after ``max_iter``
     rounds the result would be silently split components, so it raises
     instead — with jumping, max_iter=50 covers diameters up to ~2^50.
+
+    Size-adaptive: the deduped edge set is materialized first (it is
+    needed either way), and when it holds at most ``driver_threshold``
+    edges the components come from a driver-side union-find — one small
+    collect instead of several iterative jobs, the same runtime
+    size-based call AQE makes for broadcast joins. Near-dup pair sets
+    are pair-sized, not corpus-sized, so this is the common case; the
+    distributed propagation handles the large one (force it with
+    ``driver_threshold=0``).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -418,6 +479,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= driver_threshold:
+        return _cc_driver(edges)
     # round 0 for free: label(v) = min(v, neighbours(v)) is exactly the
     # first propagation round, computable by aggregation alone (initial
     # labels are the identity, so no label join is needed yet). A

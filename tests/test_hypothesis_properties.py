@@ -109,7 +109,8 @@ def test_connected_components_matches_union_find(spark, edges):
     # the whole list is self-loops (empty edges -> nothing to assert)
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
-        r.node: r.component_id for r in connected_components(df).collect()
+        r.node: r.component_id
+        for r in connected_components(df, driver_threshold=0).collect()
     }
     assert got == _py_components(edges)
 

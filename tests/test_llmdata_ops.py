@@ -213,7 +213,10 @@ def test_connected_components_chain(spark):
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (20, 21)],
         "id_a long, id_b long",
     )
-    comp = {r.node: r.component_id for r in dd.connected_components(pairs).collect()}
+    comp = {
+        r.node: r.component_id
+        for r in dd.connected_components(pairs, driver_threshold=0).collect()
+    }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
@@ -284,7 +287,7 @@ def test_connected_components_long_chain_converges(spark):
     )
     comp = {
         r.node: r.component_id
-        for r in dd.connected_components(pairs, max_iter=12).collect()
+        for r in dd.connected_components(pairs, max_iter=12, driver_threshold=0).collect()
     }
     assert comp == {i: 0 for i in range(n + 1)}
 
@@ -297,7 +300,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(pairs, max_iter=1)
+        dd.connected_components(pairs, max_iter=1, driver_threshold=0)
 
 
 def test_dedup_keep_best_string_ids(spark):
@@ -409,3 +412,20 @@ def test_ann_ivf_trained_recalls_planted_neighbor(planted_vecs):
         train=True,
     ).collect()
     assert [(r.query_id, r.vec_id) for r in top] == [(0, 30)]
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The size-adaptive driver union-find (default for small edge
+    sets) and the distributed propagation produce identical labels."""
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {
+        r.node: r.component_id
+        for r in dd.connected_components(pairs).collect()
+    }
+    dist = {
+        r.node: r.component_id
+        for r in dd.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert drv == dist
