@@ -74,3 +74,45 @@ def test_stream_parquet_sink(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == [
         (i, i * 10) for i in range(20)
     ]
+
+
+def test_events_loader_handles_both_timestamp_layouts(spark, tmp_path):
+    """The testdata generator has shipped events.ts both as parquet
+    TIMESTAMP(NANOS) and as plain timestamp[us] across regenerations
+    (the round-3 incident): load_table must expose the same logical
+    schema — µs TimestampType `ts` + epoch-nanos LongType `ts_ns` —
+    for either physical layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, TimestampType
+
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    us = [1704067200_000000, 1704067260_500000]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    d_us = tmp_path / "us"
+    d_ns = tmp_path / "ns"
+    d_us.mkdir()
+    d_ns.mkdir()
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array(us, pa.timestamp("us"))}),
+        str(d_us / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({**cols, "ts": pa.array([u * 1000 for u in us], pa.timestamp("ns"))}),
+        str(d_ns / "events.parquet"),
+        version="2.6",
+    )
+
+    for sf_dir in (str(d_us), str(d_ns)):
+        ev = load_table(spark, sf_dir, "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType), sf_dir
+        assert isinstance(ev.schema["ts_ns"].dataType, LongType), sf_dir
+        rows = {r.event_id: r.ts_ns for r in ev.collect()}
+        assert rows == {1: us[0] * 1000, 2: us[1] * 1000}, sf_dir
