@@ -352,6 +352,9 @@ def simhash_dedup_pairs(
     right = bands.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band_idx", "band_val"
     )
+    # hamming filter BEFORE the dedup exchange: hamming is a function
+    # of the pair, so filtering first shrinks what distinct() shuffles
+    # without changing the result
     return (
         left.join(right, on=["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -360,8 +363,8 @@ def simhash_dedup_pairs(
             "id_b",
             F.bit_count(F.expr("sim_a ^ sim_b")).cast("bigint").alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

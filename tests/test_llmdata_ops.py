@@ -429,3 +429,36 @@ def test_connected_components_driver_path_matches_distributed(spark):
         for r in dd.connected_components(pairs, driver_threshold=0).collect()
     }
     assert drv == dist
+
+
+def test_ngram_max_df_drops_hot_shingles(spark):
+    """Stop-shingle cap: a boilerplate trigram shared by every document
+    must not produce pairs by itself (it is removed from the Jaccard
+    universe — both intersections and sizes), while a genuine
+    near-duplicate pair still scores on its remaining shingles."""
+    boiler = "terms of service"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(8)]
+    # doc 9 is identical to doc 7 apart from sharing the boilerplate
+    rows.append((9, rows[-1][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.shingle_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, max_df=4
+        ).collect()
+    }
+    # docs sharing ONLY the boilerplate trigram produce no pair;
+    # the planted identical pair scores 1.0 on its non-hot shingles
+    assert capped == {(7, 9): 1.0}
+
+    uncapped = dd.shingle_jaccard_pairs(docs, "doc_id", "text", shingle_n=3)
+    # without the cap the boilerplate alone pairs every document
+    assert uncapped.count() == 9 * 8 / 2
+
+    with pytest.raises(ValueError):
+        dd.shingle_jaccard_pairs(
+            docs, "doc_id", "text",
+            candidates=docs.limit(0).selectExpr("doc_id id_a", "doc_id id_b"),
+            max_df=4,
+        )
