@@ -73,3 +73,17 @@ def test_no_nested_loop_per_query(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_registry_rotation_sets_name_real_queries():
+    """The driver-ordering sets must only name registered queries — a
+    typo here silently drops a query from the rotation."""
+    from flink_join_scaling_spark.plans.registry import (
+        _DRIVER_GREEN,
+        _NEEDS_FRESH_ROW,
+    )
+
+    assert _DRIVER_GREEN <= set(plans.QUERIES)
+    assert _NEEDS_FRESH_ROW <= set(plans.QUERIES)
+    # and every registered query appears exactly once in driver order
+    assert list(plans.query_fns()) and set(plans.query_fns()) == set(plans.QUERIES)
