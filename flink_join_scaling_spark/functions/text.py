@@ -169,3 +169,32 @@ def chunk_text(df, id_col: str, text_col: str, size: int = 64, stride: int = 48)
             F.slice(F.col("__toks"), F.col("span")[0] + 1, F.col("span")[1]), " "
         ).alias("chunk_text"),
     )
+
+
+#: PII patterns for redaction — restricted to constructs valid and
+#: identical in Java regex (Spark) and RE2 (DuckDB): character
+#: classes, bounded repetition, word boundaries. Ordered dict → the
+#: redaction pass applies them in this order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(col: Column) -> Column:
+    """Total PII matches across all patterns (bigint)."""
+    total = F.lit(0).cast("bigint")
+    for pat in PII_PATTERNS.values():
+        total = total + F.regexp_count(col, F.lit(pat)).cast("bigint")
+    return total
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with ``<PII:kind>``. Patterns apply in
+    ``PII_PATTERNS`` order (email first, so the ipv4 rule can't eat a
+    dotted mail host remnant)."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<PII:{kind}>")
+    return out

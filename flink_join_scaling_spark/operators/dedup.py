@@ -285,6 +285,45 @@ def minhash_lsh_ml(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least one word ``shingle_n``-gram with a benchmark/eval set —
+    the overlap check every serious training pipeline runs before
+    training (GPT-3/Pile-style n-gram decontamination). Returns
+    (id, n_hits = number of distinct contaminated shingles); anti-join
+    the corpus against these ids to materialize the clean set.
+
+    Scale shape: the benchmark shingle set is benchmark-sized (eval
+    suites are MBs against a multi-TB corpus), so it broadcasts and
+    the corpus-sized side streams through a broadcast hash join with no
+    shuffle; the only exchange is the per-doc hit count, output-sized.
+    Set ``broadcast_benchmark=False`` for an oversized benchmark to
+    fall back to a shuffle equi-join on the shingle.
+    """
+    bsh = (
+        exploded_shingles(benchmark, id_col, text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    csh = exploded_shingles(corpus, id_col, text_col, shingle_n)
+    # shingles are distinct per doc, so count(*) after the join counts
+    # distinct contaminated shingles
+    return (
+        csh.join(bsh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -854,3 +854,60 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions are declarative Spark expressions — oracle-checked)."""
     d = load_table(spark, sf_dir, "documents")
     return mm.frame_sample(mm.attach_payload(d, "doc_id", "text"))
+
+
+# ----------------------------------------- decontamination + PII
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM corp c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY 1
+    """,
+    tags=("llmdata", "decontam"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word
+    trigram with the held-out 'benchmark' slice (doc_id % 50 == 0),
+    with the count of distinct contaminated shingles. The benchmark
+    shingle set broadcasts; the corpus never shuffles until the
+    output-sized hit count."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corp = d.where(F.col("doc_id") % 50 != 0)
+    return dd.ngram_contamination(corp, bench, "doc_id", "text", shingle_n=3)
+
+
+def _pii_oracle() -> str:
+    # generated from the SAME pattern table as the Spark expressions —
+    # the two engines cannot drift
+    cnt = " + ".join(
+        f"length(regexp_extract_all(text, '{p}'))"
+        for p in tx.PII_PATTERNS.values()
+    )
+    red = "text"
+    for kind, p in tx.PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<PII:{kind}>', 'g')"
+    return f"""
+    SELECT doc_id, CAST({cnt} AS BIGINT) AS n_pii, {red} AS text_redacted
+    FROM documents
+    """
+
+
+@query("q_pii_redact", oracle=_pii_oracle(), tags=("llmdata", "pii"))
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone/IPv4 matches per
+    document (patterns restricted to the Java-regex ∩ RE2 subset so
+    the DuckDB oracle applies the identical rules). Narrow map-only
+    plan — regexp runs inside whole-stage codegen, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.pii_count(F.col("text")).alias("n_pii"),
+        tx.redact_pii(F.col("text")).alias("text_redacted"),
+    )

@@ -462,3 +462,51 @@ def test_ngram_max_df_drops_hot_shingles(spark):
             candidates=docs.limit(0).selectExpr("doc_id id_a", "doc_id id_b"),
             max_df=4,
         )
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    """A corpus doc sharing a benchmark trigram is flagged with the
+    distinct-overlap count; clean docs are absent."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # 2 shared trigrams
+            (2, "completely unrelated words entirely here"),
+            (3, "quick brown fox jumps high"),  # 2 shared trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_hits
+        for r in dd.ngram_contamination(corpus, bench, "doc_id", "text").collect()
+    }
+    assert got == {1: 2, 3: 2}
+
+
+def test_pii_redaction_planted(spark):
+    """Planted email/phone/IP are counted and replaced; clean text is
+    untouched."""
+    from flink_join_scaling_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 555-123-4567 at 10.0.0.1 ok"),
+            (2, "no personal data here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n, r.red)
+        for r in df.select(
+            "doc_id",
+            pii_count(F.col("text")).alias("n"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1] == (
+        3,
+        "contact <PII:email> or <PII:phone> at <PII:ipv4> ok",
+    )
+    assert out[2] == (0, "no personal data here")
