@@ -911,3 +911,75 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.pii_count(F.col("text")).alias("n_pii"),
         tx.redact_pii(F.col("text")).alias("text_redacted"),
     )
+
+
+@query(
+    "q_decontaminate_apply",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b
+             ON s.shingle = b.shingle WHERE s.doc_id % 50 != 0)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 50 != 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    tags=("llmdata", "decontam"),
+)
+def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated corpus itself: every non-benchmark document
+    with zero benchmark-shingle overlap (LEFT ANTI against the
+    hit-sized flagged set — the corpus shuffles once, on its id)."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corp = d.where(F.col("doc_id") % 50 != 0)
+    hits = dd.ngram_contamination(corp, bench, "doc_id", "text", shingle_n=3)
+    return corp.select("doc_id", "lang", "source", "n_chars").join(
+        hits.select("doc_id"), "doc_id", "left_anti"
+    )
+
+
+_MIX_BUDGET_TOKENS = 600
+
+
+@query(
+    "q_mixture_budget",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM tok
+    )
+    SELECT doc_id, source, n_tok, cum_tok FROM cum
+    WHERE cum_tok <= {_MIX_BUDGET_TOKENS}
+    """,
+    tags=("llmdata", "corpus"),
+)
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture curation: per source, keep documents (in stable
+    doc_id order) until a per-source token budget is filled — the
+    mixture-weighting stage that caps each source's contribution.
+    One window partitioned by source (sources parallelize; the prefix
+    sum is per-partition), no global sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = d.select(
+        "doc_id", "source", tx.n_tokens_ws(F.col("text")).alias("n_tok")
+    )
+    return (
+        tok.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .where(F.col("cum_tok") <= _MIX_BUDGET_TOKENS)
+    )
