@@ -7,9 +7,10 @@ Every deterministic operator carries an exact DuckDB oracle; the
 hash-dependent primitives are restricted to md5-hex-string constructs
 both engines share, so even MinHash/SimHash are oracle-checked.
 Rows-only entries (no oracle): only the MLlib LSH variant (library
-hash family) and approx-distinct (estimator) — even the Pandas-UDF
-paths and the fake-decode multimodal features carry value-level
-oracles.
+hash family), approx-distinct (estimator), and the k-means-trained
+IVF (trained centroid list not practically SQL-expressible) — even
+the Pandas-UDF paths and the fake-decode multimodal features carry
+value-level oracles.
 """
 
 from __future__ import annotations
