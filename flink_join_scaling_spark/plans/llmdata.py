@@ -862,6 +862,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_decontaminate",
+    headline=True,
     oracle=f"""
     WITH {_SHINGLE_CTE},
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
@@ -900,7 +901,7 @@ def _pii_oracle() -> str:
     """
 
 
-@query("q_pii_redact", oracle=_pii_oracle(), tags=("llmdata", "pii"))
+@query("q_pii_redact", oracle=_pii_oracle(), headline=True, tags=("llmdata", "pii"))
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: count and redact email/phone/IPv4 matches per
     document (patterns restricted to the Java-regex ∩ RE2 subset so
