@@ -510,3 +510,18 @@ def test_pii_redaction_planted(spark):
         "contact <PII:email> or <PII:phone> at <PII:ipv4> ok",
     )
     assert out[2] == (0, "no personal data here")
+
+
+def test_pii_redaction_idempotent(spark):
+    """Redaction is idempotent: the replacement tokens contain no
+    characters that re-match any PII pattern, so a second pass is a
+    no-op (safe to re-run the scrub stage)."""
+    from flink_join_scaling_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co 555-123-4567 10.0.0.1 and plain text")],
+        "doc_id long, text string",
+    )
+    once = df.select(redact_pii(F.col("text")).alias("t"))
+    twice = once.select(redact_pii(F.col("t")).alias("t"))
+    assert once.collect() == twice.collect()

@@ -87,3 +87,9 @@ def test_registry_rotation_sets_name_real_queries():
     assert _NEEDS_FRESH_ROW <= set(plans.QUERIES)
     # and every registered query appears exactly once in driver order
     assert list(plans.query_fns()) and set(plans.query_fns()) == set(plans.QUERIES)
+
+
+def test_oracle_keys_subset_of_queries():
+    """Every oracle key must name a registered query (the driver pairs
+    them by name; an orphan oracle would silently never be checked)."""
+    assert set(plans.oracle_sqls()) <= set(plans.QUERIES)
