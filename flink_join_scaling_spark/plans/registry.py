@@ -56,11 +56,11 @@ def query(
     return deco
 
 
-# Queries with a driver-green CORRECTNESS row in rounds 1–3
-# (CORRECTNESS_r01.json ∪ r02 ∪ r03). The driver replays ~50 entries of
-# query_fns() per round under a time budget; ordering queries that need
-# a fresh row first rotates the window onto them so every query
-# eventually holds a driver-green row in some round.
+# Queries with a driver-green CORRECTNESS row in rounds 1–4
+# (CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04). The driver replays ~50
+# entries of query_fns() per round under a time budget; ordering queries
+# that need a fresh row first rotates the window onto them so every
+# query eventually holds a driver-green row in some round.
 _DRIVER_GREEN: frozenset[str] = frozenset(
     {
         "q_agg_cube", "q_agg_distinct", "q_agg_group", "q_agg_grouping_sets",
@@ -89,20 +89,25 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
         "q_vocab_df", "q_inverted_index", "q_sample_hash",
         "q_quality_filter", "q_source_stats", "q_embed_centroids",
         "q_pack_sequences", "q_sample_stratified", "q_repetition",
+        # round-4 rotation greens (first rows for the r4-new operators;
+        # fresh re-attestations for the 13 events-reading queries)
+        "q_decontaminate", "q_decontaminate_apply", "q_mixture_budget",
+        "q_pii_redact",
     }
 )
 
 # Queries whose latest driver row is stale or missing and must land in
-# the round-4 window first: the 13 events-reading queries crashed by
-# the r3 loader regression (r1/r2 greens now stale), plus
-# q_dedup_minhash_ml, which has never held any driver row.
+# the round-5 window first: the 11 oracle-bearing queries whose latest
+# hash-green predates the r3 testdata regeneration (r1/r2 rows — the
+# driver hash has not re-attested them on current data). When editing
+# this set, also include any newly registered rows-only query that has
+# never held a driver row (none outstanding: q_dedup_minhash_ml and
+# q_sim_ann_ivf_trained got their first rows in r4).
 _NEEDS_FRESH_ROW: frozenset[str] = frozenset(
     {
-        "q_dedup_latest", "q_dedup_latest_by_key", "q_window_analytic",
-        "q_pivot", "q_join_asof", "q_join_range", "q_sessionize",
-        "q_value_outliers", "q_funnel", "q_stream_tumbling",
-        "q_stream_sliding", "q_stream_session", "q_stream_dedup",
-        "q_dedup_minhash_ml", "q_sim_ann_ivf_trained",
+        "q_agg_grouping_sets", "q_window_range_frame", "q_scalar_subquery",
+        "q_text_stats", "q_token_count", "q_lang_id", "q_quality_score",
+        "q_fingerprint", "q_text_chunks", "q_dedup_exact", "q_dedup_minhash",
     }
 )
 

@@ -142,19 +142,60 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Declared relative-error tolerance for the HLL++ estimate vs the exact
+#: count. approx_count_distinct runs at rsd=0.01 (1% standard deviation);
+#: 5% is a ≥5-sigma acceptance band, so a hash mismatch here means the
+#: estimator is broken, not unlucky.
+_APPROX_DISTINCT_TOL = 0.05
+
+
 @query(
     "q_approx_distinct",
-    oracle=None,  # approximate result → rows-only check by design
+    oracle="""
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey)  AS exact_parts,
+           count(DISTINCT l_suppkey)  AS exact_supps,
+           TRUE AS orders_within_tol,
+           TRUE AS parts_within_tol,
+           TRUE AS supps_within_tol
+    FROM lineitem
+    """,
     tags=("relational", "agg", "approx"),
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts — the scale path for cardinality
-    estimation (exact countDistinct is a full shuffle of the keys)."""
+    estimation (exact countDistinct is a full shuffle of the keys).
+
+    Driver-checkable by construction: emits the *exact* counts plus a
+    boolean ``*_within_tol`` per column asserting the HLL++ estimate is
+    within ``_APPROX_DISTINCT_TOL`` relative error of the exact value.
+    The DuckDB oracle computes the same exact counts and literal TRUE,
+    so the value hash matches iff every estimate lands in tolerance.
+    The exact side exists only to attest the estimator at test scale;
+    the 100 TB path is approx-only (one pass, fixed-size sketch)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("_as"),
+    )
+
+    def _ok(approx: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(_APPROX_DISTINCT_TOL) * F.col(exact)
+        )
+
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_supps",
+        _ok("_ao", "exact_orders").alias("orders_within_tol"),
+        _ok("_ap", "exact_parts").alias("parts_within_tol"),
+        _ok("_as", "exact_supps").alias("supps_within_tol"),
     )
 
 
