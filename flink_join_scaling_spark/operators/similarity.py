@@ -70,20 +70,42 @@ def cosine_topk(
     return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
 
 
+#: cosine_topk_pandas collects the query side into a driver NumPy
+#: matrix; past this bound, an unbounded collect is a silent driver OOM
+#: at scale, so the operator refuses loudly instead.
+_MAX_COLLECTED_QUERIES = 65536
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = _MAX_COLLECTED_QUERIES,
 ) -> DataFrame:
     """Same semantics via mapInPandas: queries collected to a (small)
     driver matrix, corpus streamed in Arrow batches, NumPy matmul per
     batch, per-batch top-k then a global re-rank. ~vectorized BLAS vs
-    per-element JVM fold."""
+    per-element JVM fold.
+
+    The collect is bounded: more than ``max_queries`` query rows raises
+    instead of OOMing the driver — use :func:`cosine_topk` (broadcast
+    join, no driver materialization) for large query sets."""
     import numpy as np
 
-    qpd = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).toPandas()
+    qpd = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v"))
+        .limit(max_queries + 1)  # bound the fetch itself, not just the check
+        .toPandas()
+    )
+    if len(qpd) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas collects the query side to the driver and "
+            f"got more than max_queries={max_queries} rows; use cosine_topk "
+            f"(broadcast-join form) for large query sets, or raise "
+            f"max_queries explicitly if the driver can hold them."
+        )
     q_ids = qpd["qid"].to_numpy()
     qm = np.stack(qpd["v"].to_numpy()).astype("float64")
     qn = np.linalg.norm(qm, axis=1)
@@ -197,9 +219,9 @@ def ann_lsh_topk(
     then exact cosine rank within the bucket. The cross join of
     :func:`cosine_topk` becomes an equi-join on bucket id.
 
-    Pass ``dim`` (the embedding width) explicitly: ArrayType carries no
-    length, and the fallback probe below submits a corpus-scan job just
-    to measure one row before the real plan runs.
+    ``dim`` (the embedding width) is required: ArrayType carries no
+    length, and probing a row for it would submit a corpus-scan job at
+    plan-build time — a driver-side stall before the real plan runs.
 
     ``assign="pandas"`` (default) computes buckets + norms through the
     vectorized :func:`lsh_buckets_pandas`; ``"expr"`` keeps the pure-
@@ -207,7 +229,11 @@ def ann_lsh_topk(
     identical output, interpreted HOF evaluation per row).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise TypeError(
+            "ann_lsh_topk requires dim= (the embedding width): ArrayType "
+            "carries no length, and inferring it would scan the corpus at "
+            "plan-build time."
+        )
     planes = hyperplanes(num_planes, dim)
     if assign == "pandas":
         c = lsh_buckets_pandas(corpus, id_col, vec_col, planes).select(

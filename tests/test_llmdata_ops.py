@@ -161,8 +161,23 @@ def test_ann_lsh_recalls_planted_neighbor(planted_vecs):
     """Sign-LSH buckets: a 0.99-cosine pair lands in the same bucket
     with overwhelming probability (angle ~0.1 rad, 4 planes)."""
     q = planted_vecs.where(F.col("vec_id") == 0)
-    top = sim.ann_lsh_topk(planted_vecs, q, k=1, num_planes=4).collect()
+    top = sim.ann_lsh_topk(planted_vecs, q, k=1, num_planes=4, dim=16).collect()
     assert len(top) == 1 and top[0].vec_id == 30
+
+
+def test_ann_lsh_requires_dim(planted_vecs):
+    """No corpus-scan probe at plan-build: omitting dim raises instead
+    of silently submitting a .first() job."""
+    q = planted_vecs.where(F.col("vec_id") == 0)
+    with pytest.raises(TypeError, match="requires dim"):
+        sim.ann_lsh_topk(planted_vecs, q, k=1, num_planes=4)
+
+
+def test_cosine_topk_pandas_bounds_query_collect(planted_vecs):
+    """A query set past the collect bound fails loudly instead of
+    OOMing the driver."""
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.cosine_topk_pandas(planted_vecs, planted_vecs, k=1, max_queries=5)
 
 
 def test_chunk_text_spans(spark):
