@@ -429,6 +429,60 @@ def test_ann_ivf_trained_recalls_planted_neighbor(planted_vecs):
     assert [(r.query_id, r.vec_id) for r in top] == [(0, 30)]
 
 
+def test_ann_ivf_trained_recall_at_k_gate(planted_vecs):
+    """Quantified recall gate for the rows-only trained-IVF path:
+    recall@3 over 10 queries vs exact cosine_topk must hold a fixed
+    numeric bound (measured 0.967 on this seeded fixture; the k-means
+    training and the fixture are both deterministic)."""
+    q = planted_vecs.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(planted_vecs, q, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in sim.ann_ivf_topk(
+            planted_vecs, q, k=3, num_cells=4, nprobe=2, train=True
+        ).collect()
+    }
+    assert len(exact) == 30
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"trained-IVF recall@3 {recall:.3f} < 0.9"
+
+
+@pytest.fixture(scope="module")
+def recall_docs(spark):
+    """40 base docs + a planted 1-or-2-edit near-dup of each of the
+    first 12 — enough planted pairs that a 0.9 recall bound is a real
+    fraction, not an all-or-nothing check."""
+    rng = random.Random(7)
+    base = [_doc(rng) for _ in range(40)]
+    docs = list(base)
+    for i in range(12):
+        docs.append(_edit(rng, base[i], n_edits=1 + (i % 2)))
+    rows = [(i, t) for i, t in enumerate(docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_ml_candidate_recall_gate(recall_docs):
+    """Quantified candidate-recall gate for the rows-only MLlib
+    MinHashLSH path: of the pairs the oracled md5-MinHash pipeline
+    verifies at jaccard >= 0.5, the MLlib variant must surface >= 0.9."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_dedup_pairs(
+            recall_docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert len(exact) >= 10  # the planted near-dups actually verify
+    ml = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_ml(recall_docs, "doc_id", "text").collect()
+    }
+    recall = len(exact & ml) / len(exact)
+    assert recall >= 0.9, f"MLlib MinHashLSH candidate recall {recall:.3f} < 0.9"
+
+
 def test_connected_components_driver_path_matches_distributed(spark):
     """The size-adaptive driver union-find (default for small edge
     sets) and the distributed propagation produce identical labels."""
