@@ -81,13 +81,17 @@ def main() -> None:
     }
     out = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
+        # a partial sum is not comparable round-over-round (a crashed
+        # query would read as a speedup), so value is null when any
+        # headline query errored; per-query medians still carry signal
+        "value": round(sum(timings.values()), 3) if not errors else None,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = round(sum(timings.values()), 3)
     print(json.dumps(out))
 
 

@@ -31,23 +31,42 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: (applicationId, sf_dir, table) → DataFrame. A DataFrame is an
-#: immutable lazy plan, so handing the same one to every query is
+#: (applicationId, sf_dir, table) → (mtime_ns, DataFrame). A DataFrame
+#: is an immutable lazy plan, so handing the same one to every query is
 #: safe — and skips the per-call parquet footer read + relation
 #: analysis that otherwise taxes every plan build (a real metastore
-#: caches table schemas for exactly this reason).
-_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: caches table schemas for exactly this reason). The stored mtime
+#: invalidates the entry when the parquet file is regenerated in place
+#: (the documented between-rounds testdata refresh): a cached plan
+#: snapshots the file listing (InMemoryFileIndex), so serving it across
+#: a regeneration would read deleted or stale files.
+_DF_CACHE: dict[tuple[str, str, str], tuple[int, DataFrame]] = {}
+
+
+def invalidate_cache() -> None:
+    """Drop every cached table plan — for callers that replace testdata
+    without touching file mtimes (the mtime check below covers the
+    normal regeneration path automatically)."""
+    _DF_CACHE.clear()
+
+
+def _mtime_ns(path: str) -> int:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return -1  # let the parquet reader raise the real error
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     key = (spark.sparkContext.applicationId, sf_dir, name)
+    mtime = _mtime_ns(f"{sf_dir}/{name}.parquet")
     cached = _DF_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
     df = _load_table_uncached(spark, sf_dir, name)
-    _DF_CACHE[key] = df
+    _DF_CACHE[key] = (mtime, df)
     return df
 
 

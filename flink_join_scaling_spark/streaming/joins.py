@@ -64,7 +64,13 @@ def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
         # a NUL sentinel keeps the state-map key non-null — pandas
         # groupby and JSON map keys both mishandle real nulls
         F.coalesce(as_col(id_).cast("string"), F.lit("\u0000")).alias("id"),
-        as_col(ts).cast("long").alias("ts"),
+        # null event time → sentinel JVM-side, BEFORE Arrow: a nullable
+        # long column reaches pandas as float64, and timestamps above
+        # 2^53 (epoch-nanos scale, e.g. ts_ns) would silently lose
+        # precision for the real rows, flipping last-writer-wins within
+        # ~hundreds of ns. Sentinel = int64 min, so a null ts still
+        # loses to any real version.
+        F.coalesce(as_col(ts).cast("long"), F.lit(_TS_NULL_SENTINEL)).alias("ts"),
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("payload"),
     )
 
@@ -82,10 +88,14 @@ def _fold_latest(
         return
     allp = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     if allp["ts"].isna().any():
-        # mirror streaming/dedup.py's _native NaN handling: a null ts
-        # loses to any real version (and the fillna keeps int(ts) from
-        # raising ValueError on NaN)
-        allp = allp.assign(ts=allp["ts"].fillna(_TS_NULL_SENTINEL).astype("int64"))
+        # defense for callers that bypass tag_side (which maps null ts
+        # to the sentinel JVM-side, so this branch is normally dead):
+        # round-trip through pandas nullable Int64 so the non-null rows
+        # keep full 64-bit precision if the column arrived integral —
+        # a plain float fillna would re-cast everything through float64
+        allp = allp.assign(
+            ts=allp["ts"].astype("Int64").fillna(_TS_NULL_SENTINEL).astype("int64")
+        )
     latest = (
         allp.sort_values(["ts", "payload"], kind="stable")
         .groupby(["side", "id"], sort=False)

@@ -116,3 +116,30 @@ def test_events_loader_handles_both_timestamp_layouts(spark, tmp_path):
         assert isinstance(ev.schema["ts_ns"].dataType, LongType), sf_dir
         rows = {r.event_id: r.ts_ns for r in ev.collect()}
         assert rows == {1: us[0] * 1000, 2: us[1] * 1000}, sf_dir
+
+
+def test_table_cache_invalidates_on_regeneration(spark, tmp_path):
+    """The _DF_CACHE plan memo must not outlive an in-place testdata
+    regeneration within one Spark application: a cached plan snapshots
+    the parquet file listing, so serving it after the file is replaced
+    reads deleted/stale data. The cache keys on file mtime to detect
+    the rewrite."""
+    import os
+    import time
+
+    path = tmp_path / "region.parquet"
+    spark.createDataFrame([(1, "AAA", "x")], "r_regionkey long, r_name string, r_comment string").write.parquet(str(path))
+    first = load_table(spark, str(tmp_path), "region")
+    assert first.count() == 1
+    # same Spark app, same path: returns the identical cached plan
+    assert load_table(spark, str(tmp_path), "region") is first
+
+    time.sleep(0.01)  # ensure a distinct mtime even on coarse clocks
+    spark.createDataFrame(
+        [(1, "AAA", "x"), (2, "BBB", "y")],
+        "r_regionkey long, r_name string, r_comment string",
+    ).write.mode("overwrite").parquet(str(path))
+    os.utime(path)  # directory mtime, the regeneration signal
+    fresh = load_table(spark, str(tmp_path), "region")
+    assert fresh is not first
+    assert fresh.count() == 2
