@@ -231,3 +231,38 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
         )
     )
+
+
+@query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+    tags=("relational", "join", "skew"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join over the naturally skewed key: events
+    concentrates on ~150 hot user_ids (at 100 TB a handful of bot-like
+    users own most of the fact side), so the probe side is salted over
+    8 shards and the dim side replicated per salt —
+    ``operators/skew.py:salted_join``, the manual fallback for the
+    shapes AQE's runtime skew splitting can't rewrite. The salt is
+    semantics-free for inner joins, so the plain unsalted SQL join is
+    the exact oracle."""
+    from flink_join_scaling_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(ev, c, "user_id", "c_custkey", num_salts=8, how="inner")
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
