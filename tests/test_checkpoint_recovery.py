@@ -87,6 +87,84 @@ def test_restart_resumes_without_reprocessing(streaming_spark, tmp_path):
     assert sorted(zip(em2["id"], em2["ts"])) == [(1, 10), (1, 20), (2, 5)]
 
 
+def test_grouped_join_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the grouped (Seq) versioned join: the
+    two-side id→latest maps rehydrate from the checkpoint, so a
+    micro-batch arriving after restart emits the key's FULL current
+    (Seq[X], Seq[Y]) — including X entities seen only before the kill —
+    and the converged (O15-reduced: last emission per key) result
+    equals processing all chunks in one run. This is the reference's
+    whole subject — join state durability under continuous updates
+    (``VersioningEvictor.scala:10-29``) — on the cogrouped O8/O9 shape.
+    """
+    import json
+
+    from flink_join_scaling_spark.streaming.joins import (
+        stream_join_versioned_grouped,
+    )
+
+    spark = streaming_spark
+    src_x = str(tmp_path / "x")
+    src_y = str(tmp_path / "y")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    for d in (src_x, src_y, sink):
+        os.makedirs(d)
+    x_schema = spark.createDataFrame([], "id long, ts long, ka long, tag string").schema
+    y_schema = spark.createDataFrame([], "id long, ts long, kb long, tag string").schema
+
+    def run():
+        out = stream_join_versioned_grouped(
+            _read_stream(spark, src_x, x_schema),
+            _read_stream(spark, src_y, y_schema),
+            "ka", "kb", "id", "id", "ts", "ts",
+            how="full_outer_seq",
+        )
+        _run_once(out, sink, ckpt)
+
+    # run 1: key 1 holds two X entities and one Y version
+    _write_chunk(
+        spark,
+        spark.createDataFrame(
+            [(101, 10, 1, "x101"), (102, 10, 1, "x102")], x_schema
+        ),
+        src_x,
+        "chunk-000",
+    )
+    _write_chunk(
+        spark,
+        spark.createDataFrame([(201, 5, 1, "y201v5")], y_schema),
+        src_y,
+        "chunk-000",
+    )
+    run()
+
+    # query is DOWN; a newer version of y201 and a new y202 land
+    _write_chunk(
+        spark,
+        spark.createDataFrame(
+            [(201, 20, 1, "y201v20"), (202, 3, 1, "y202")], y_schema
+        ),
+        src_y,
+        "chunk-001",
+    )
+    run()  # restart from the same checkpoint
+
+    em = _emissions(sink)
+    k1 = em[em["k"].astype(str) == "1"]
+    # chunk 0 was not reprocessed: one emission per run for key 1
+    assert len(k1) == 2
+
+    def tags(cell):
+        return [json.loads(p)["tag"] for p in json.loads(cell)]
+
+    last = k1.iloc[-1]
+    # X state seen only BEFORE the kill is present in the post-restart
+    # emission, and the newer y201 version replaced the pre-kill one
+    assert tags(last["xs_json"]) == ["x101", "x102"]
+    assert tags(last["ys_json"]) == ["y201v20", "y202"]
+
+
 def test_state_ttl_evicts_idle_keys(streaming_spark, tmp_path):
     """With ttl_ms, a key idle past the TTL is evicted when a later
     batch fires its timeout, so a subsequent stale replay re-emits as
