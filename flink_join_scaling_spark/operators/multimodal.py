@@ -7,12 +7,15 @@ columnar batches of payloads, never one row at a time. This is the
 shape that holds at 100 TB: payload bytes stay in the executor, only
 fixed-width features come back.
 
-The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container,
-so ``decode_media`` is gated: ``decoder="real"`` raises
+Image/video codecs (PIL/ffmpeg) are NOT in this container, so
+``decode_media`` is gated: for those types ``decoder="real"`` raises
 NotImplementedError at the decode step; ``decoder="fake"`` (default in
-tests) derives deterministic pseudo-features from the raw bytes so the
-Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is fully real and testable.
+tests, and the DuckDB-oracle path) derives deterministic
+pseudo-features from the raw bytes so the Spark-side plumbing —
+schema, batching, partitioning, UDF signature — is fully real and
+testable. ``audio/wav`` has a REAL dependency-free decoder
+(:func:`_parse_wav`: RIFF chunk walk + PCM statistics in pure
+Python/NumPy), value-checked in tests against hand-built WAV bytes.
 """
 
 from __future__ import annotations
@@ -46,10 +49,76 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _real_decode(payload: bytes, media_type: str):
+def _parse_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Dependency-free WAV decode: walk the RIFF chunk list, read the
+    ``fmt `` chunk (PCM format/channels/rate/bits) and the ``data``
+    chunk (interleaved samples), and reduce the samples to one
+    deterministic statistic. Returns the audio projection of
+    FEATURE_SCHEMA's generic fields:
+
+    - width      → sample rate in Hz
+    - height     → frame count (samples per channel)
+    - n_channels → channel count
+    - mean_byte  → mean |amplitude| normalized to [0, 1], SQL-style
+      half-up rounded to 4 decimals (same rounding as the fake path)
+
+    Supports PCM (format 1) at 8-bit unsigned and 16-bit signed
+    little-endian — the formats a header-only parser can decode without
+    a codec. Anything else raises ValueError (loudly, not a guess).
+    """
+    import math
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, channels={channels}, "
+            f"bits={bits}); only PCM 8/16-bit is decoded here"
+        )
+    bytes_per_frame = channels * (bits // 8)
+    usable = len(data) - (len(data) % bytes_per_frame)
+    n_frames = usable // bytes_per_frame
+    if n_frames == 0:
+        return sample_rate, 0, channels, 0.0
+    if bits == 16:
+        samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+        mean_abs = float(np.abs(samples).mean()) / 32768.0
+    else:
+        samples = np.frombuffer(data[:usable], dtype="u1").astype(np.float64)
+        mean_abs = float(np.abs(samples - 128.0).mean()) / 128.0
+    return (
+        sample_rate,
+        n_frames,
+        channels,
+        math.floor(mean_abs * 10000 + 0.5) / 10000,
+    )
+
+
+def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    if media_type == "audio/wav":
+        return _parse_wav(payload)
     raise NotImplementedError(
-        "media codecs (PIL/libsndfile/ffmpeg) are not available in this "
-        "environment; plug a decoder in here"
+        f"no codec for {media_type!r}: image/video decoders (PIL/ffmpeg) "
+        "are not available in this environment; plug a decoder in here"
     )
 
 

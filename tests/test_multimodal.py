@@ -40,9 +40,89 @@ def test_fake_decode_deterministic_and_batched(media):
     assert all(r.mean_byte == float(ord("x")) for r in one.values())
 
 
-def test_real_decoder_is_gated(media):
+def test_real_decoder_rejects_non_wav_payload(media):
+    """decoder="real" fails loudly on the fixture: its audio/wav rows
+    carry text bytes (not RIFF), and image/video have no codec — either
+    way the decode step raises instead of fabricating features. (Real
+    WAV decode is value-checked in test_real_wav_decode_values; the
+    image/video NotImplementedError gate in
+    test_real_decoder_still_gated_for_images.)"""
     with pytest.raises(Exception) as exc_info:
         mm.decode_media(media, decoder="real").collect()
+    msg = str(exc_info.value)
+    assert "NotImplementedError" in msg or "RIFF" in msg
+
+
+def _wav_bytes(
+    samples: list[int],
+    channels: int = 2,
+    rate: int = 8000,
+    bits: int = 16,
+    extra_chunk: bytes = b"",
+) -> bytes:
+    """Hand-assemble a minimal RIFF/WAVE file: fmt + optional extra
+    chunk + data, so the decoder is checked against known PCM."""
+    if bits == 16:
+        data = b"".join(
+            int(s).to_bytes(2, "little", signed=True) for s in samples
+        )
+    else:
+        data = bytes(samples)
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += extra_chunk
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_real_wav_decode_values(spark):
+    """decoder="real" on audio/wav: the RIFF/PCM parse returns exact
+    (rate, frames, channels, mean|amplitude|) for hand-built bytes,
+    through the full Spark mapInPandas path."""
+    samples = [0, 16384, -16384, 32767, -32768, 0, 8192, -8192]
+    wav = _wav_bytes(samples, channels=2, rate=8000, bits=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", len(wav))],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    [r] = mm.decode_media(df, decoder="real").collect()
+    assert (r.width, r.height, r.n_channels) == (8000, 4, 2)
+    # mean(|s|)/32768 = 14335.875/32768, half-up rounded to 4 decimals
+    assert r.mean_byte == 0.4375
+
+
+def test_parse_wav_8bit_and_chunk_walk():
+    """8-bit unsigned branch + word-aligned skip of an odd-sized
+    non-data chunk between fmt and data."""
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad byte
+    wav = _wav_bytes([128, 0, 255, 128], channels=1, rate=44100, bits=8, extra_chunk=odd)
+    rate, frames, ch, mean_abs = mm._parse_wav(wav)
+    assert (rate, frames, ch) == (44100, 4, 1)
+    # |128-128|+|0-128|+|255-128|+|128-128| = 255; /4/128 = 0.498046875
+    assert mean_abs == 0.498
+
+
+def test_parse_wav_rejects_non_pcm():
+    wav = bytearray(_wav_bytes([0, 0], channels=1, rate=8000, bits=16))
+    wav[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(ValueError, match="only PCM"):
+        mm._parse_wav(bytes(wav))
+
+
+def test_real_decoder_still_gated_for_images(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"notanimage"), "image/png", 10)],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_media(df, decoder="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
