@@ -614,6 +614,7 @@ def _embedding_ivf_oracle() -> str:
 @query(
     "q_dedup_embedding_ivf",
     oracle=_embedding_ivf_oracle(),
+    headline=True,
     tags=("llmdata", "dedup"),
 )
 def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,6 +963,7 @@ _MIX_BUDGET_TOKENS = 600
     SELECT doc_id, source, n_tok, cum_tok FROM cum
     WHERE cum_tok <= {_MIX_BUDGET_TOKENS}
     """,
+    headline=True,
     tags=("llmdata", "corpus"),
 )
 def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:

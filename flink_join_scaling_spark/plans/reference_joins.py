@@ -183,6 +183,7 @@ def q_join_left_outer_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier GROUP BY s_nationkey
     ) sg ON cg.c_nationkey = sg.s_nationkey
     """,
+    headline=True,
     tags=("reference", "O9"),
 )
 def q_join_full_outer_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
