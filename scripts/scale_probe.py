@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""10x scale probe for the documents-table operators (SCALING.md).
+
+Inflates sf0.1 documents 10x with shifted doc_ids (cardinality scales
+with volume; text is IDENTICAL across copies, so the inflated corpus is
+a worst-case near-duplicate workload for the dedup family), then times
+each probed operator at 1x vs 10x on the same warm session. The
+connected-components probe runs with driver_threshold=0, forcing the
+distributed pointer-jumping path so its constant factors are measured,
+not the driver union-find shortcut's.
+
+Writes nothing outside the repo: inflated parquet lands in
+.scale_probe/ (gitignored). Prints one markdown table row per probe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_join_scaling_spark import plans  # noqa: E402
+from flink_join_scaling_spark.operators import dedup as dd  # noqa: E402
+from flink_join_scaling_spark.session import get_spark  # noqa: E402
+from flink_join_scaling_spark.sources.catalog import load_table  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe")
+INFLATED = os.path.join(ROOT, f"x{COPIES}")
+
+
+def inflate(spark) -> None:
+    if os.path.exists(os.path.join(INFLATED, "documents.parquet")):
+        return
+    os.makedirs(INFLATED, exist_ok=True)
+    d = load_table(spark, BASE, "documents")
+    shift = d.agg(F.max("doc_id")).first()[0] + 1
+    copies = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        for i in range(COPIES)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(INFLATED, "documents.parquet")
+    )
+
+
+def timed(fn, warmup: int = 1, passes: int = 3) -> float:
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def components_forced(spark, sf_dir: str) -> None:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    dd.connected_components(pairs, driver_threshold=0).count()
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="fjss-scale-probe", cpus=32, shuffle_partitions=32,
+        max_partition_bytes="8m",
+    )
+    inflate(spark)
+
+    def plan_probe(name):
+        def run(sf_dir):
+            plans.QUERIES[name].fn(spark, sf_dir).count()
+        return run
+
+    probes = {
+        "q_decontaminate": plan_probe("q_decontaminate"),
+        "q_pii_redact": plan_probe("q_pii_redact"),
+        "q_mixture_budget": plan_probe("q_mixture_budget"),
+        "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
+    }
+    print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
+    print("|---|---|---|---|")
+    for label, fn in probes.items():
+        t1 = timed(lambda: fn(BASE))
+        tn = timed(lambda: fn(INFLATED))
+        print(f"| {label} | {t1:.2f} s | {tn:.2f} s | {tn / t1:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
