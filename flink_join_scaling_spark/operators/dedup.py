@@ -632,11 +632,22 @@ def embedding_dedup_pairs_ivf(
     a cell, so the pair product is Σ_cell |probers| × |members| instead
     of n². A pair split across neighbouring cells is still found when
     either member probes the other's home cell (probe set ⊇ home cell).
-    Cosine is computed once per candidate and the (least, greatest)
-    canonicalization + distinct collapses the two orientations after
-    the threshold filter has already shrunk the set.
+
+    Scoring is a per-cell COGROUP matmul (``applyInPandas`` over the
+    cell id): each task receives one cell's probe and member matrices
+    and emits only the above-threshold pairs. The earlier equi-join +
+    per-pair pandas UDF materialized every candidate row WITH both
+    embeddings — Arrow traffic ∝ candidates × dim (gigabytes at n=2k,
+    dim 64); the cogroup ships each vector once per probed cell
+    (∝ corpus × nprobe × dim) and the exchange after it carries only
+    the output-sized thresholded pair list. Parallelism = cells, which
+    scales with the corpus (bounded cell occupancy — same argument as
+    ``ivf_cells_pandas``). The (least, greatest) canonicalization +
+    distinct collapses the two orientations of each surviving pair.
     """
-    from flink_join_scaling_spark.functions.vectors import cosine6_pandas
+    import numpy as np
+    import pandas as pd
+
     from flink_join_scaling_spark.operators.similarity import (
         ivf_cells,
         ivf_cells_pandas,
@@ -662,15 +673,40 @@ def embedding_dedup_pairs_ivf(
         F.col("l2_norm").alias("na"),
         "cell",
     )
-    return (
-        probes.join(idx, on="cell")
-        .where(F.col("probe_id") != F.col("idx_id"))
-        .select(
-            F.least("probe_id", "idx_id").alias("id_a"),
-            F.greatest("probe_id", "idx_id").alias("id_b"),
-            cosine6_pandas("va", "vb", "na", "nb").alias("cosine"),
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def score_cell(
+        _key: tuple, ppdf: pd.DataFrame, ipdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        if not len(ppdf) or not len(ipdf):
+            return empty
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in ppdf["va"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in ipdf["vb"]])
+        # same float64 math + zero-norm guard + round-6 as
+        # functions.vectors.cosine6_pandas / the DuckDB oracle
+        denom = np.outer(ppdf["na"].to_numpy(), ipdf["nb"].to_numpy())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.round(np.where(denom == 0.0, 0.0, (A @ B.T) / denom), 6)
+        pi, ii = np.nonzero(cos >= threshold)
+        if not len(pi):
+            return empty
+        pid = ppdf["probe_id"].to_numpy()[pi]
+        iid = ipdf["idx_id"].to_numpy()[ii]
+        keep = pid != iid
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(pid[keep], iid[keep]),
+                "id_b": np.maximum(pid[keep], iid[keep]),
+                "cosine": cos[pi[keep], ii[keep]],
+            }
         )
-        .where(F.col("cosine") >= threshold)
+
+    return (
+        probes.groupby("cell")
+        .cogroup(idx.groupby("cell"))
+        .applyInPandas(score_cell, schema=out_schema)
         .distinct()
     )
 
