@@ -385,3 +385,188 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct("bg")) / F.size("bg").cast("double"), 4
         ).alias("rep_bigram"),
     )
+
+
+# ----------------------------------------------------- retrieval scores
+
+
+@query(
+    "q_tfidf",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tf AS (SELECT doc_id, w AS token, count(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+    FROM (
+        SELECT t.doc_id, t.token, t.tf, d.df, n.n_docs,
+               row_number() OVER (PARTITION BY t.doc_id
+                                  ORDER BY t.tf DESC, d.df ASC, t.token ASC
+                                 ) AS rn
+        FROM tf t JOIN df d USING (token) CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+    tags=("corpus", "text", "retrieval"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive tokens per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1). Ranking uses only INTEGER keys
+    (tf desc, df asc, token asc), so the order is engine-exact; the
+    transcendental tfidf value rides along rounded to 6 (ln of a
+    rational never lands on a decimal boundary, so the rounding can't
+    flip between engines). Shape: one (doc, token) shuffle for tf, a
+    token-keyed agg for df joined back on token, and the corpus size
+    broadcast as a 1-row aggregate — every stage input shrinks."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+#: Fixed retrieval query for q_bm25 — tokens chosen from the synthetic
+#: vocabulary at different frequencies.
+_BM25_QUERY = ("join", "stream", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_sql(tok: str) -> str:
+    idf = f"ln((c.n_docs - c.df_{tok} + 0.5) / (c.df_{tok} + 0.5) + 1.0)"
+    denom = f"(t.tf_{tok} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * l.dl / c.avgdl))"
+    return f"{idf} * t.tf_{tok} * {1 + _BM25_K1} / {denom}"
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+    tfs AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE w = 'join') AS tf_join,
+               count(*) FILTER (WHERE w = 'stream') AS tf_stream,
+               count(*) FILTER (WHERE w = 'vector') AS tf_vector
+        FROM words WHERE w IN ('join', 'stream', 'vector') GROUP BY 1
+    ),
+    c AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT avg(dl) FROM dl) AS avgdl,
+               (SELECT count(*) FILTER (WHERE tf_join > 0) FROM tfs) AS df_join,
+               (SELECT count(*) FILTER (WHERE tf_stream > 0) FROM tfs) AS df_stream,
+               (SELECT count(*) FILTER (WHERE tf_vector > 0) FROM tfs) AS df_vector
+    )
+    SELECT doc_id,
+           CAST(tf_join AS BIGINT) AS tf_join,
+           CAST(tf_stream AS BIGINT) AS tf_stream,
+           CAST(tf_vector AS BIGINT) AS tf_vector,
+           score, rank
+    FROM (
+        SELECT t.doc_id, t.tf_join, t.tf_stream, t.tf_vector,
+               round({_bm25_term_sql('join')}
+                     + {_bm25_term_sql('stream')}
+                     + {_bm25_term_sql('vector')}, 6) AS score,
+               CAST(row_number() OVER (
+                   ORDER BY round({_bm25_term_sql('join')}
+                                  + {_bm25_term_sql('stream')}
+                                  + {_bm25_term_sql('vector')}, 6) DESC,
+                            t.doc_id ASC) AS BIGINT) AS rank
+        FROM tfs t JOIN dl l USING (doc_id) CROSS JOIN c
+    ) WHERE rank <= 20
+    """,
+    tags=("corpus", "text", "retrieval"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed query ("join stream vector"):
+    Okapi scoring (k1=1.2, b=0.75) over per-doc term frequencies,
+    document length, and corpus stats — the relevance-scoring stage a
+    training-data curation pipeline uses for targeted subset selection.
+
+    Determinism across engines: per-token tfs are pivoted to COLUMNS
+    (conditional counts), so the score is one fixed-order arithmetic
+    expression — no float sum over an unordered group — and ranking
+    compares the round-6 score (ties broken by doc_id). Shape: the
+    (doc, token) explode is filtered to the 3 query tokens before its
+    only shuffle; corpus stats ride a broadcast 1-row aggregate; only
+    docs containing ≥1 query token survive to the top-k sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tfs = (
+        toks.where(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("token") == t, 1)).alias(f"tf_{t}")
+                for t in _BM25_QUERY
+            ]
+        )
+    )
+    consts = (
+        tfs.agg(
+            *[
+                F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+                for t in _BM25_QUERY
+            ]
+        )
+        .crossJoin(F.broadcast(d.agg(F.count("*").alias("n_docs"))))
+        .crossJoin(F.broadcast(dl.agg(F.avg("dl").alias("avgdl"))))
+    )
+
+    def term(t: str) -> F.Column:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        denom = F.col(f"tf_{t}") + _BM25_K1 * (
+            1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        return idf * F.col(f"tf_{t}") * (1 + _BM25_K1) / denom
+
+    scored = (
+        tfs.join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "score",
+            F.round(term("join") + term("stream") + term("vector"), 6),
+        )
+    )
+    # top-k FIRST (TakeOrdered — no single-partition global sort of the
+    # match set), then rank the 20 survivors with a window
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            *[F.col(f"tf_{t}").cast("bigint").alias(f"tf_{t}") for t in _BM25_QUERY],
+            "score",
+            "rank",
+        )
+    )
