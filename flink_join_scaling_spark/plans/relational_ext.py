@@ -299,3 +299,37 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+    tags=("relational", "json"),
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface over events.props: schema-on-read parse
+    (``from_json`` drives the filter) plus path extraction
+    (``get_json_object`` feeds the aggregates) — both evaluated in the
+    JVM, no Python. At scale this is the map-only stage in front of the
+    type-keyed agg; the JSON never reaches a shuffle (only the
+    extracted integers do)."""
+    from flink_join_scaling_spark.sources.catalog import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "__p", F.from_json(F.col("props"), "k BIGINT")
+    ).where(F.col("__p.k") >= 50)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
