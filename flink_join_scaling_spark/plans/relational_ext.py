@@ -333,3 +333,86 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("sum_k"),
         F.max(k).cast("bigint").alias("max_k"),
     )
+
+
+@query(
+    "q_higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_sum(list_transform(embedding, x -> x * x)), 6) AS sumsq,
+           len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS has_big
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("relational", "array", "hof"),
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / exists /
+    aggregate over the embedding column. Both engines fold the array
+    left-to-right, so the float sum-of-squares is order-identical
+    (round-6 belt-and-braces). Coverage query for the lambda surface —
+    for vector math in the hot path the engine uses Arrow/NumPy instead
+    (Catalyst HOFs are interpreted per element; see SURVEY §4.3)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sumsq"),
+        F.exists("embedding", lambda x: F.abs(x) > 2).alias("has_big"),
+    )
+
+
+@query(
+    "q_agg_skew_salted",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "agg", "skew"),
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5 hot event-type groups
+    (``operators/skew.py:salted_agg``): phase 1 aggregates on
+    (event_type, salt) spreading each hot group over 16 partial
+    groups, phase 2 merges partials — the explicit fallback when a
+    post-shuffle group is still too hot for one reducer. Sum runs in
+    exact integer cents, so the two-phase re-association cannot differ
+    from the oracle's single-phase float-free sum."""
+    from flink_join_scaling_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = salted_agg(
+        ev,
+        "event_type",
+        {
+            "n": "event_type:count",
+            "sum_cents": "cents:sum",
+            "min_user": "user_id:min",
+            "max_user": "user_id:max",
+        },
+        num_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("min_user").cast("bigint").alias("min_user"),
+        F.col("max_user").cast("bigint").alias("max_user"),
+    )
