@@ -227,3 +227,117 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t3").cast("bigint").alias("users_purchase"),
         )
     )
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour, et.event_type
+        FROM bounds, (SELECT DISTINCT event_type FROM events) et
+    ),
+    counts AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour, g.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN counts c
+      ON c.hour = g.hour AND c.event_type = g.event_type
+    """,
+    tags=("temporal", "timeseries"),
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly (hour x event_type) grid
+    over the observed range, zero-filled where no events landed — the
+    resample step every monitoring/feature pipeline needs before
+    window math (a sparse groupBy silently skips empty buckets).
+    The grid is GENERATED (sequence + explode from a broadcast 1-row
+    min/max aggregate crossed with the distinct types), output-sized,
+    never a scan; observed counts left-join onto it."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+            "event_type",
+        )
+    )
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+#: Relative value tolerance for the approximate-quantile attestation.
+#: percentile_approx at accuracy=10000 bounds RANK error at n/10000
+#: (~6 rows at sf0.01); on these smooth synthetic distributions that
+#: is far inside 5% of the value.
+_APPROX_Q_TOL = 0.05
+
+
+@query(
+    "q_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol,
+           TRUE AS p99_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "approx"),
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantile sketch, driver-checkable like
+    q_approx_distinct: emits the exact interpolated percentiles plus a
+    boolean per quantile asserting the percentile_approx estimate is
+    within 5% relative error; the oracle computes the same exact values
+    and literal TRUE. The sketch (one pass, bounded memory, mergeable
+    partials) is the 100 TB path — the exact side exists to attest it
+    at test scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", qs).alias("ex"),
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
+    )
+
+    def ok(i: int) -> F.Column:
+        return (
+            F.abs(F.element_at("ap", i + 1) - F.element_at("ex", i + 1))
+            <= F.lit(_APPROX_Q_TOL) * F.abs(F.element_at("ex", i + 1))
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("ex", 1), 2).alias("exact_p50"),
+        F.round(F.element_at("ex", 2), 2).alias("exact_p90"),
+        F.round(F.element_at("ex", 3), 2).alias("exact_p99"),
+        ok(0).alias("p50_within_tol"),
+        ok(1).alias("p90_within_tol"),
+        ok(2).alias("p99_within_tol"),
+    )

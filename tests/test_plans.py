@@ -65,6 +65,7 @@ _QUADRATIC_OK = {
     "q_scalar_subquery",
     "q_tfidf",  # corpus-size N rides a broadcast 1-row aggregate
     "q_bm25",  # corpus stats (N, avgdl, dfs) ride broadcast 1-row aggregates
+    "q_gapfill",  # grid generation: 1-row min/max bounds broadcast to types
 }
 
 
