@@ -133,9 +133,15 @@ def shingle_jaccard_pairs(
     candidates: DataFrame | None = None,
     sizes: DataFrame | None = None,
     max_df: int | None = None,
+    measure: str = "jaccard",
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for id_a < id_b via shingle equi-join,
     optionally restricted to an LSH candidate set (columns id_a,id_b).
+
+    ``measure="containment"`` scores n_inter / min(|A|, |B|) instead
+    (output column ``containment``): the asymmetric detector for a
+    small document embedded inside a larger one, which Jaccard dilutes
+    toward 0 as the size ratio grows. Same joins, same max_df cap.
 
     With ``candidates``, intersections are computed by joining the
     candidate pairs *to* the shingle sets (candidate-first), never by
@@ -212,16 +218,18 @@ def shingle_jaccard_pairs(
         )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    if measure == "containment":
+        score = F.col("n_inter") / F.least("n_a", "n_b")
+        out_col = "containment"
+    elif measure == "jaccard":
+        score = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        out_col = "jaccard"
+    else:
+        raise ValueError(f"unknown measure {measure!r}")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", F.round(score, 6).alias(out_col))
     )
 
 

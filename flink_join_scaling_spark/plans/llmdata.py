@@ -570,6 +570,42 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) > {_NGRAM_MAX_DF}),
+    shf AS (SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1)
+    SELECT id_a, id_b, round(n_inter / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(n_inter / least(sa.n, sb.n), 6) >= 0.8
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs >= 0.8: n_inter / min(|A|, |B|) — the
+    asymmetric near-dup detector for a small document embedded inside
+    a larger one (quote inclusion, boilerplate wrapping), which
+    symmetric Jaccard dilutes toward 0 as the size ratio grows. Same
+    equi-join + stop-shingle cap as q_dedup_ngram."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.shingle_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, max_df=_NGRAM_MAX_DF,
+        measure="containment",
+    )
+    return pairs.where(F.col("containment") >= 0.8)
+
+
+@query(
     "q_dedup_embedding",
     oracle=f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings)
