@@ -594,3 +594,41 @@ def test_pii_redaction_idempotent(spark):
     once = df.select(redact_pii(F.col("text")).alias("t"))
     twice = once.select(redact_pii(F.col("t")).alias("t"))
     assert once.collect() == twice.collect()
+
+
+def test_containment_dominates_jaccard(planted_docs):
+    """Mathematical invariant: containment = n_inter/min(|A|,|B|) >=
+    jaccard = n_inter/|A∪B| for every pair (union >= min size), and
+    both measures agree on exact copies (1.0)."""
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.shingle_jaccard_pairs(planted_docs, "doc_id", "text").collect()
+    }
+    con = {
+        (r.id_a, r.id_b): r.containment
+        for r in dd.shingle_jaccard_pairs(
+            planted_docs, "doc_id", "text", measure="containment"
+        ).collect()
+    }
+    assert set(jac) == set(con)  # same candidate pairs, same joins
+    for pair, j in jac.items():
+        assert con[pair] >= j - 1e-9, pair
+    assert con[(0, 60)] == 1.0 and jac[(0, 60)] == 1.0  # exact copy
+
+
+def test_containment_finds_embedded_doc(spark):
+    """A short doc fully embedded in a long one: Jaccard dilutes far
+    below threshold while containment reads 1.0 — the case the
+    asymmetric measure exists for."""
+    rng = random.Random(11)
+    long_doc = _doc(rng, n=120)
+    short_doc = " ".join(long_doc.split()[30:45])  # 15-token excerpt
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc)], "doc_id long, text string"
+    )
+    [row] = dd.shingle_jaccard_pairs(
+        docs, "doc_id", "text", measure="containment"
+    ).collect()
+    assert (row.id_a, row.id_b) == (0, 1) and row.containment == 1.0
+    [jrow] = dd.shingle_jaccard_pairs(docs, "doc_id", "text").collect()
+    assert jrow.jaccard < 0.2  # symmetric measure misses it

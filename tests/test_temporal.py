@@ -145,3 +145,33 @@ def test_sessionize_gap_boundary_and_ties(spark):
     out = sessionize(df, "user", "ts", gap=100, tiebreak=["eid"])
     got = {(r.user, r.eid): r.session_idx for r in out.collect()}
     assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 2, (1, 13): 2, (2, 20): 1}
+
+
+def test_gapfill_grid_and_zero_rows(spark):
+    """q_gapfill invariants at sf0.001: the grid is exactly
+    hours_in_range x distinct_types rows; the non-zero rows equal the
+    sparse groupBy; every remaining row is an explicit zero."""
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark import plans
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = plans.QUERIES["q_gapfill"].fn(spark, sf).toPandas()
+    ev = load_table(spark, sf, "events")
+    sparse = {
+        (r.hour, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_types = ev.select("event_type").distinct().count()
+    hours = sorted(out["hour"].unique())
+    assert len(out) == len(hours) * n_types  # dense grid
+    got = {(r.hour, r.event_type): r.n for r in out.itertuples()}
+    for k, v in sparse.items():
+        assert got[k] == v  # observed buckets preserved
+    assert sum(1 for v in got.values() if v == 0) == len(got) - len(sparse)
