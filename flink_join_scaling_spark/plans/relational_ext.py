@@ -416,3 +416,44 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_user").cast("bigint").alias("min_user"),
         F.col("max_user").cast("bigint").alias("max_user"),
     )
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+        SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("relational", "fuzzy", "dedup"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): candidate part-name
+    pairs with edit distance <= 4, blocked on the first token so the
+    pair product is Σ block² over the name VOCABULARY, never all-pairs
+    over the table — the same blocking discipline as the LSH dedup
+    family, with levenshtein as the verify stage (both in whole-stage
+    codegen). Names are deduplicated before blocking: the fuzzy-join
+    cost depends on distinct entities, not row count."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.withColumn(
+        "blk", F.split(F.col("p_name"), " ").getItem(0)
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "blk")
+    b = blocked.select(F.col("p_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .where(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
