@@ -57,7 +57,13 @@ def _sig_hash(k: int) -> F.Column:
     aggregation is exactly these per-row hashes. Fixed-width hex keeps
     lexicographic min() ≡ numeric min; 32-bit collisions are ~|doc
     shingles|²/2³² — negligible. Exactly reproducible in any engine
-    with md5 + substr."""
+    with md5 + substr.
+
+    This is the REFERENCE form of the hash family — the formula the
+    DuckDB oracle SQL mirrors (plans/llmdata.py _minhash_ctes). The
+    execution paths evaluate the identical value via
+    :func:`_md5_pair_projected` + :func:`_sig_slice` (one digest pair
+    per row instead of one md5 per aggregate expression)."""
     src = F.md5(F.col("shingle")) if k < 4 else F.md5(F.concat(F.lit("#"), F.col("shingle")))
     return F.substring(src, 1 + 8 * (k % 4), 8)
 
