@@ -143,3 +143,18 @@ def test_table_cache_invalidates_on_regeneration(spark, tmp_path):
     fresh = load_table(spark, str(tmp_path), "region")
     assert fresh is not first
     assert fresh.count() == 2
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink parity with parquet: same rows, schema, and
+    pushdown-capable columnar format — the second lakehouse format the
+    engine reads natively (no extra packages)."""
+    n = load_table(spark, SF_SMALL, "nation")
+    path = str(tmp_path / "nation_orc")
+    n.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == n.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = back.where(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "n_nationkey" in plan
