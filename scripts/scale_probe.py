@@ -86,6 +86,9 @@ def main() -> None:
         "q_decontaminate": plan_probe("q_decontaminate"),
         "q_pii_redact": plan_probe("q_pii_redact"),
         "q_mixture_budget": plan_probe("q_mixture_budget"),
+        "q_tfidf": plan_probe("q_tfidf"),
+        "q_bm25": plan_probe("q_bm25"),
+        "q_dedup_containment": plan_probe("q_dedup_containment"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
