@@ -365,12 +365,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash_ml", oracle=None, tags=("llmdata", "dedup", "mllib"))
+@query(
+    "q_dedup_minhash_ml",
+    oracle=f"""
+    WITH {_minhash_ctes()}
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS ml_recall_ok
+    FROM mh_pairs
+    """,
+    tags=("llmdata", "dedup", "mllib"),
+)
 def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib MinHashLSH variant (library hash family → rows-only check;
-    consistency with q_dedup_minhash is property-tested)."""
+    """MLlib MinHashLSH variant, SELF-ATTESTING: the library's hash
+    family is engine-specific, so its pair LIST cannot be
+    oracle-compared — instead the query emits the oracle-expressible
+    exact md5-pipeline pair count plus a boolean asserting the MLlib
+    path recalls ≥ 0.8 of those exact pairs (measured 1.0 at
+    sf0.001/sf0.01; same within-tolerance pattern as
+    q_approx_distinct). Hash-match iff the recall bound holds."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_ml(d, "doc_id", "text", jaccard_threshold=0.5)
+    exact = dd.minhash_dedup_pairs(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    ).select("id_a", "id_b")
+    ml = dd.minhash_lsh_ml(
+        d, "doc_id", "text", jaccard_threshold=0.5
+    ).select("id_a", "id_b")
+    n = exact.agg(F.count("*").cast("bigint").alias("n_exact_pairs"))
+    hit = exact.join(ml, ["id_a", "id_b"]).agg(
+        F.count("*").alias("__n_hit")
+    )
+    return n.crossJoin(hit).select(
+        "n_exact_pairs",
+        (F.col("__n_hit") >= 0.8 * F.col("n_exact_pairs")).alias("ml_recall_ok"),
+    )
 
 
 _EDGES_REACH_CTES = """
@@ -783,22 +811,44 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_ann_ivf_trained", oracle=None, tags=("llmdata", "similarity"))
+@query(
+    "q_sim_ann_ivf_trained",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM ({_TOPK_ORACLE}) t
+    """,
+    tags=("llmdata", "similarity"),
+)
 def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with k-means-TRAINED centroids: spherical Lloyd's
-    iterations on a deterministic md5-ordered sample, seeded from the
-    same smallest-id centroids as q_sim_ann_ivf. Rows-only by design —
-    the trained centroid list is not practically SQL-expressible;
-    determinism and recall-vs-seeded are property-tested instead
-    (tests/test_llmdata_ops.py)."""
+    """IVF ANN with k-means-TRAINED centroids, SELF-ATTESTING: the
+    trained centroid list is not practically SQL-expressible, so the
+    query emits the oracle-expressible exact top-k stats plus a
+    boolean asserting the trained-ANN result recalls ≥ 0.5 of the
+    exact cosine top-5 pairs (measured 0.78–0.80 at sf0.001/sf0.01
+    with nprobe=2 of 8 cells; same within-tolerance pattern as
+    q_approx_distinct). Training: spherical Lloyd's iterations on a
+    deterministic md5-ordered sample, seeded from the same smallest-id
+    centroids as q_sim_ann_ivf; determinism and fixture recall are
+    additionally property-tested (tests/test_llmdata_ops.py)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.ann_ivf_topk(
-        e,
-        e.where(F.col("vec_id") < 10),
-        k=5,
-        num_cells=_IVF_CELLS,
-        nprobe=_IVF_NPROBE,
-        train=True,
+    q = e.where(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    approx = sim.ann_ivf_topk(
+        e, q, k=5, num_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, train=True
+    ).select("query_id", "vec_id")
+    stats = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    hit = exact.join(approx, ["query_id", "vec_id"]).agg(
+        F.count("*").alias("__n_hit")
+    )
+    return stats.crossJoin(hit).select(
+        "n_queries",
+        "n_exact",
+        (F.col("__n_hit") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
     )
 
 

@@ -93,9 +93,10 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
         # fresh re-attestations for the 13 events-reading queries)
         "q_decontaminate", "q_decontaminate_apply", "q_mixture_budget",
         "q_pii_redact",
-        # rows-only queries that hold r4 driver rows (rows-only checks;
-        # they rank last regardless because they can never hash-match)
-        "q_dedup_minhash_ml", "q_sim_ann_ivf_trained",
+        # q_dedup_minhash_ml and q_sim_ann_ivf_trained held r4
+        # rows-only rows but were converted to self-attesting
+        # oracle-bearing form in r5 — they need a FIRST hash row, so
+        # they are deliberately NOT in this set (group-2 ordering).
     }
 )
 

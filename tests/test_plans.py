@@ -66,6 +66,9 @@ _QUADRATIC_OK = {
     "q_tfidf",  # corpus-size N rides a broadcast 1-row aggregate
     "q_bm25",  # corpus stats (N, avgdl, dfs) ride broadcast 1-row aggregates
     "q_gapfill",  # grid generation: 1-row min/max bounds broadcast to types
+    # self-attesting recall queries: two 1-row aggregates crossed
+    "q_dedup_minhash_ml",
+    "q_sim_ann_ivf_trained",
 }
 
 
