@@ -9,6 +9,7 @@ from flink_join_scaling_spark.plans.registry import (  # noqa: F401
 from flink_join_scaling_spark.plans import reference_joins  # noqa: F401,E402
 from flink_join_scaling_spark.plans import relational  # noqa: F401,E402
 from flink_join_scaling_spark.plans import relational_ext  # noqa: F401,E402
+from flink_join_scaling_spark.plans import tpch_full  # noqa: F401,E402
 from flink_join_scaling_spark.plans import temporal_q  # noqa: F401,E402
 from flink_join_scaling_spark.plans import streaming_q  # noqa: F401,E402
 from flink_join_scaling_spark.plans import llmdata  # noqa: F401,E402

@@ -63,6 +63,8 @@ _QUADRATIC_OK = {
     # broadcast of a 1-row aggregate (scalar subquery) is a nested-loop
     # join by name, but over exactly one build row
     "q_scalar_subquery",
+    "q_tpch_q11_important_stock",  # 1-row global total vs per-part value
+    "q_tpch_q22_dormant_customers",  # 1-row avg-balance cutoff
     "q_tfidf",  # corpus-size N rides a broadcast 1-row aggregate
     "q_bm25",  # corpus stats (N, avgdl, dfs) ride broadcast 1-row aggregates
     "q_gapfill",  # grid generation: 1-row min/max bounds broadcast to types
