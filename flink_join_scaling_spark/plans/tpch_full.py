@@ -674,7 +674,9 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(p.bal_c) AS BIGINT) AS total_bal_c
     FROM pool p, cutoff
     WHERE p.bal_c > cutoff.cut_c
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY 1
     """,
     tags=("tpch",),
@@ -682,7 +684,8 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): well-funded customers
     from a nation list (country-code prefixes have no phone column —
-    nation keys stand in) who never placed an order. Three shapes in
+    nation keys stand in) with no RECENT order (the original's "no
+    orders for 7 years"; here: none since 1999). Three shapes in
     one query: a scalar AVG cutoff subquery (computed over exact
     integer cents, divided identically in both engines → boundary-free
     compare), a NOT EXISTS anti-join against orders on the customer
@@ -699,7 +702,11 @@ def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = pool.where(F.col("bal_c") > 0).agg(
         (F.sum("bal_c").cast("double") / F.count("*")).alias("cut_c")
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
     return (
         pool.join(F.broadcast(cutoff))
         .where(F.col("bal_c") > F.col("cut_c"))
