@@ -570,3 +570,85 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ------------------------------------------- unigram LM quality score
+
+
+@query(
+    "q_lm_score",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+    j AS (
+        SELECT d.doc_id, f.tf
+        FROM words d JOIN tf f USING (w)
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(tf) AS BIGINT) AS tf_sum,
+               list_sort(list(CAST(tf AS DOUBLE))) AS tfs
+        FROM j GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, tf_sum,
+           round((list_reduce(list_transform(tfs, x -> ln(x)),
+                              (a, b) -> a + b)
+                  - n_tokens * ln(t)) / n_tokens, 6) AS lm_logprob
+    FROM per, tot
+    """,
+    tags=("corpus", "text"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score: the corpus IS
+    the model (token frequencies over the whole corpus), each document
+    scored by its mean token log-probability — low scorers are
+    gibberish / boilerplate candidates for the quality gate.
+
+    Comparability: the two exact-integer columns (n_tokens, tf_sum)
+    attest the tokenization and model join; the transcendental score
+    rides along with a FIXED summation order — per-doc tf values are
+    sorted ascending, ln applied, then folded strictly left-to-right
+    (Spark ``aggregate`` and DuckDB ``list_reduce`` are both
+    sequential folds), so the round-6 double is bit-identical by
+    construction, not by luck (same discipline as q_tfidf/q_bm25).
+
+    Scale shape: the tf model is ONE vocabulary-keyed aggregation with
+    map-side partials (never collected — it joins back by token key);
+    the corpus-total rides a broadcast 1-row aggregate; the per-doc
+    fold state is bounded by document length. At 100 TB the tf join is
+    the only big-big exchange, co-partitioned with the tf build.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    tf = words.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("t"))
+    per = (
+        words.join(tf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tf").alias("tf_sum"),
+            F.array_sort(F.collect_list(F.col("tf").cast("double"))).alias("tfs"),
+        )
+    )
+    return per.join(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "tf_sum",
+        F.round(
+            (
+                F.aggregate(
+                    F.transform(F.col("tfs"), lambda x: F.log(x)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                - F.col("n_tokens") * F.log(F.col("t"))
+            )
+            / F.col("n_tokens"),
+            6,
+        ).alias("lm_logprob"),
+    )

@@ -1073,3 +1073,99 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.withColumn("cum_tok", F.sum("n_tok").over(w))
         .where(F.col("cum_tok") <= _MIX_BUDGET_TOKENS)
     )
+
+
+# --------------------------------------------- C4-style line-level dedup
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    segs0 AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i,
+               ws
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(ws, i * 3 + 1, i * 3 + 3), ' ') AS seg
+        FROM segs0
+    ),
+    segdf AS (
+        SELECT seg, CAST(count(DISTINCT doc_id) AS BIGINT) AS seg_df
+        FROM segs GROUP BY seg
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg_idx, s.seg, d.seg_df
+        FROM segs s JOIN segdf d USING (seg)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(CASE WHEN seg_df < 2 THEN seg END,
+                               ' ' ORDER BY seg_idx), '') AS clean_text
+    FROM kept
+    GROUP BY doc_id
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line deduplication: drop any "line"
+    occurring in >= 2 distinct documents, keeping per-doc counts and
+    the reassembled clean text. (C4 removed any three-sentence-window
+    line that appeared more than once in the corpus; this synthetic
+    corpus has no newlines, so the line unit is a non-overlapping
+    3-token segment — the removal rule is C4's verbatim.)
+
+    Scale shape (the 100 TB path): three linear shuffles, all keyed —
+    (1) segment-keyed distinct-doc count with map-side partial dedup
+    (hot segments collapse early, exactly the vocab_df shape); (2) the
+    segment->df join back onto the exploded segments (big-big equi-join
+    on the segment key — co-partitioned with (1), AQE reuses the
+    exchange); (3) doc-keyed reassembly whose state is bounded by
+    document length, never corpus size. No driver-side text ever
+    materializes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    segs = (
+        d.select("doc_id", tx.tokens_ws(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(toks) / 3.0) as int) - 1),"
+                    " i -> struct(cast(i as bigint) as seg_idx,"
+                    " concat_ws(' ', slice(toks, i * 3 + 1, 3)) as seg))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.seg_idx", "s.seg")
+    )
+    segdf = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("seg_df"))
+    kept = segs.join(segdf, "seg")
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("seg_df") >= 2, one).otherwise(zero)).alias("n_removed"),
+        F.coalesce(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("seg_df") < 2,
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

@@ -154,3 +154,56 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return dedup_latest(ev, ["user_id", "event_type"], "ts_ms", tiebreak=["event_id"])
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    WITH ck AS (
+        SELECT user_id, event_id AS click_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS click_ms
+        FROM events WHERE event_type = 'click'
+    ), pu AS (
+        SELECT user_id, event_id AS purchase_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS purchase_ms
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT ck.user_id, ck.click_id, pu.purchase_id,
+           ck.click_ms, pu.purchase_ms
+    FROM ck JOIN pu ON pu.user_id = ck.user_id
+    WHERE pu.purchase_ms >= ck.click_ms
+      AND pu.purchase_ms <= ck.click_ms + 1800000
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click -> purchase attribution
+    within 30 minutes, same user): the batch-equivalent form of
+    Spark's watermarked stream-stream join. The streaming execution of
+    this exact shape is ``streaming.joins.stream_stream_join_within``
+    (watermarks on both sides + the time-range condition bound the
+    join state), exercised end-to-end with a memory sink in
+    ``tests/test_skew_and_streamjoin.py``; this registered form pins
+    the pairing semantics against the SQL oracle.
+
+    Plan shape: one user_id-keyed equi-shuffle with the time window as
+    a post-join residual — never a nested loop; the residual keeps
+    per-key pair state temporally local, which is exactly what lets
+    the streaming variant expire state by watermark at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.expr("ts_ns div 1000000")
+    ck = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), ms.alias("click_ms")
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("purchase_id"),
+        ms.alias("purchase_ms"),
+    )
+    return (
+        ck.join(
+            pu,
+            (ck["user_id"] == pu["p_uid"])
+            & (pu["purchase_ms"] >= ck["click_ms"])
+            & (pu["purchase_ms"] <= ck["click_ms"] + 1800000),
+        )
+        .select("user_id", "click_id", "purchase_id", "click_ms", "purchase_ms")
+    )
