@@ -89,6 +89,12 @@ def main() -> None:
         "q_tfidf": plan_probe("q_tfidf"),
         "q_bm25": plan_probe("q_bm25"),
         "q_dedup_containment": plan_probe("q_dedup_containment"),
+        # r5b additions: at 10x the identical-copy corpus every 3-token
+        # segment recurs in >=10 docs, so line dedup removes everything
+        # — the worst case for its segment-df join; the LM model's
+        # vocabulary is FIXED while tf rows grow 10x.
+        "q_dedup_lines": plan_probe("q_dedup_lines"),
+        "q_lm_score": plan_probe("q_lm_score"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
