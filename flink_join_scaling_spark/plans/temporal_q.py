@@ -341,3 +341,75 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(1).alias("p90_within_tol"),
         ok(2).alias("p99_within_tol"),
     )
+
+
+@query(
+    "q_rollup_multires",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS ve4
+        FROM events
+        GROUP BY 1, 2
+    ), daily AS (
+        SELECT date_trunc('day', h) AS d, event_type,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(ve4) AS BIGINT) AS ve4
+        FROM hourly
+        GROUP BY 1, 2
+    )
+    SELECT 'hour' AS resolution, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, n, ve4
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution, strftime(d, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, n, ve4
+    FROM daily
+    """,
+    tags=("temporal", "rollup"),
+)
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    shape): hourly per-type counts/sums, with the DAILY tier
+    re-aggregated FROM the hourly tier — never a second scan of the
+    raw events. This is the TimescaleDB/Druid rollup idiom: at 100 TB
+    the fine tier is the materialized summary (output-sized: buckets ×
+    types), and every coarser resolution is a cheap re-aggregation of
+    it, so adding resolutions costs O(summary), not O(corpus). Sums
+    are exact integer e4 units, so the two-stage re-aggregation is
+    associative and engine-exact by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("ve4"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("ve4").alias("ve4"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        hourly.select(
+            F.lit("hour").alias("resolution"),
+            F.date_format("h", fmt).alias("bucket_start"),
+            "event_type",
+            "n",
+            "ve4",
+        )
+        .unionByName(
+            daily.select(
+                F.lit("day").alias("resolution"),
+                F.date_format("d", fmt).alias("bucket_start"),
+                "event_type",
+                "n",
+                "ve4",
+            )
+        )
+    )
