@@ -261,3 +261,78 @@ def test_join_state_ttl_evicts_idle_keys(streaming_spark, tmp_path):
         assert json.loads(last_k1["y_payload"])["tag"] == "b5"
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old)
+
+
+def test_interval_join_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the BUILT-IN watermarked stream-stream
+    interval join (the state Spark manages itself, vs the keyed-state
+    joins above): a click buffered before the kill must pair with a
+    purchase arriving after the restart — the buffered side rehydrates
+    from the checkpoint, and the watermark (still inside the `within`
+    horizon) has not evicted it. Stream-stream joins are append-mode,
+    so this uses its own runner."""
+    import datetime as dt
+
+    from flink_join_scaling_spark.streaming.joins import stream_stream_join_within
+
+    spark = streaming_spark
+    src_x = str(tmp_path / "x")
+    src_y = str(tmp_path / "y")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    for d in (src_x, src_y, sink):
+        os.makedirs(d)
+    x_schema = spark.createDataFrame(
+        [], "user_id long, click_id long, cts timestamp"
+    ).schema
+    y_schema = spark.createDataFrame(
+        [], "user_id long, purchase_id long, pts timestamp"
+    ).schema
+
+    def run():
+        out = stream_stream_join_within(
+            _read_stream(spark, src_x, x_schema),
+            _read_stream(spark, src_y, y_schema),
+            on="user_id",
+            x_ts="cts",
+            y_ts="pts",
+            within="30 minutes",
+            delay="10 seconds",
+        ).select("click_id", "purchase_id")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, i: b.toPandas().to_json(
+                    os.path.join(sink, f"b{i:04d}.json"), orient="records"
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = dt.datetime(2026, 1, 1, 10, 0, 0)
+    # run 1: a click, no purchase yet -> no pairs, click buffered
+    _write_chunk(
+        spark,
+        spark.createDataFrame([(1, 100, t)], x_schema),
+        src_x,
+        "chunk-000",
+    )
+    run()
+    # query DOWN; a purchase 5 min after the click lands
+    _write_chunk(
+        spark,
+        spark.createDataFrame(
+            [(1, 200, t + dt.timedelta(minutes=5))], y_schema
+        ),
+        src_y,
+        "chunk-000",
+    )
+    run()  # restart from the same checkpoint
+
+    em = _emissions(sink)
+    pairs = sorted(zip(em["click_id"], em["purchase_id"]))
+    # the pre-kill click paired with the post-restart purchase exactly once
+    assert pairs == [(100, 200)]
