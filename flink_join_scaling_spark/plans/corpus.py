@@ -652,3 +652,76 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lm_logprob"),
     )
+
+
+# --------------------------------------- mixture reweighting (DoReMi-lite)
+
+
+@query(
+    "q_mixture_weights",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    doc_tok AS (
+        SELECT d.doc_id, d.source, count(*) AS n_tok
+        FROM words w JOIN documents d USING (doc_id)
+        GROUP BY d.doc_id, d.source
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tok
+        FROM doc_tok GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(tok) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM per_source
+    )
+    SELECT source, n_docs, tok,
+           round(CAST(t AS DOUBLE)
+                 / (CAST(n_sources AS BIGINT) * CAST(tok AS DOUBLE)), 6)
+               AS weight
+    FROM per_source, tot
+    """,
+    tags=("corpus", "mixture"),
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting (DoReMi-lite): per-source sampling weight
+    that equalizes each source's EFFECTIVE token contribution against
+    a uniform target — weight = target_share / actual_share where
+    actual_share = tok_source / tok_total. A weight > 1 means the
+    source is under-represented and should be upsampled; the
+    downstream sampler (q_sample_stratified) consumes exactly this
+    shape. Complements q_mixture_budget (hard per-source caps) with
+    the soft-reweighting alternative.
+
+    Comparability: token counts are exact integers; the weight divides
+    the same exact integers in both engines (one shared float
+    division), so round-6 is identical by construction.
+
+    Scale shape: per-doc token counts are a doc-keyed aggregation of
+    the exploded words (map-side partials); per-source rollup is
+    output-sized (sources); the 1-row total broadcasts back. At 100 TB
+    nothing but the word explode touches corpus-scale data.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = d.select(
+        "doc_id", "source", F.size(tx.tokens_ws(F.col("text"))).alias("n_tok")
+    )
+    per_source = doc_tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok"),
+    )
+    tot = per_source.agg(
+        F.sum("tok").alias("t"), F.count("*").alias("n_sources")
+    )
+    return per_source.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok",
+        F.round(
+            F.col("t").cast("double")
+            / (F.col("n_sources") * F.col("tok").cast("double")),
+            6,
+        ).alias("weight"),
+    )

@@ -1169,3 +1169,105 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+# ------------------------------------------ int8 embedding quantization
+
+
+@query(
+    "q_quantize_embeddings",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    ), qq AS (
+        SELECT vec_id, v, amax,
+               CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(round(x * 127 / amax) AS BIGINT))
+               END AS qv
+        FROM q
+    )
+    SELECT vec_id,
+           round(amax, 6) AS amax,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2,
+           CAST(round(list_reduce(
+                     list_transform(list_zip(v, qv),
+                         p -> (CAST(p[1] AS DOUBLE)
+                               - CAST(p[2] AS DOUBLE) * amax / 127)
+                              * (CAST(p[1] AS DOUBLE)
+                                 - CAST(p[2] AS DOUBLE) * amax / 127)),
+                     (a, b) -> a + b) * 1e9) AS BIGINT) AS recon_err2_e9
+    FROM qq
+    """,
+    tags=("llmdata", "similarity"),
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column — the
+    storage/bandwidth path for ANN at scale (a 64-dim float32 vector
+    becomes 64 bytes + one scale; 4x smaller, SIMD-friendly). Per
+    vector: scale = amax/127, q_i = round(x_i * 127 / amax) ∈
+    [-127, 127], plus the reconstruction error the recall budget needs.
+
+    Comparability: qsum/qnorm2 are EXACT integer attestations of every
+    quantized element (associative sums of bigints). The
+    reconstruction error is transcendental-free but accumulation-order
+    sensitive, so both engines fold the squared residuals strictly
+    left-to-right in ARRAY order (Spark ``aggregate`` ≡ DuckDB
+    ``list_reduce``) — bit-identical doubles — then emit
+    ``round(err * 1e9)`` as a BIGINT: decimal ``round(x, 9)`` itself
+    diverges between engines (Spark's exact BigDecimal HALF_UP vs
+    DuckDB's float-path rounding flip adjacent 1e-9 steps on ~1e-5
+    magnitudes — measured, 272/500 rows), while scale-then-round of
+    the same double is one shared float product.
+
+    Scale shape: map-only (zero shuffles) — the quantizer runs where
+    the vectors live, which is the point at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    qv = F.when(
+        F.col("amax") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * 127 / F.col("amax")).cast("bigint"),
+        )
+    )
+    def _sq_resid(x, q):
+        d = x - q.cast("double") * F.col("amax") / 127
+        return d * d
+
+    err = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), _sq_resid),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        e.select("vec_id", v.alias("v"), amax.alias("amax"))
+        .withColumn("qv", qv)
+        # the error column materializes BEFORE the projection that
+        # re-aliases round(amax, 6) to "amax": Spark's implicit lateral
+        # column alias resolution would otherwise bind the err
+        # expression's amax reference to the ROUNDED alias in the same
+        # select list, skewing residuals by ~1e-9 (found the hard way)
+        .withColumn("recon_err2_e9", F.round(err * 1e9).cast("bigint"))
+        .select(
+            "vec_id",
+            F.round(F.col("amax"), 6).alias("amax"),
+            F.aggregate(
+                F.col("qv"), F.lit(0).cast("bigint"), lambda a, b: a + b
+            ).alias("qsum"),
+            F.aggregate(
+                F.transform(F.col("qv"), lambda x: x * x),
+                F.lit(0).cast("bigint"),
+                lambda a, b: a + b,
+            ).alias("qnorm2"),
+            "recon_err2_e9",
+        )
+    )
