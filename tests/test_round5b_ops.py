@@ -198,3 +198,32 @@ def test_tpch_q21_sole_failing_supplier(spark):
     # at sf0.001 the result may legitimately be empty; the invariant
     # is that counts are positive when present
     assert out.where(F.col("numwait") <= 0).count() == 0
+
+
+# ------------------------------------------- quantization + mixture
+
+
+def test_quantize_error_within_theoretical_bound(spark):
+    """Symmetric int8 quantization error per element is at most half a
+    step (scale/2 = amax/254), so err2 <= dim * (amax/254)^2 — with the
+    e9 scaling, plus 1 for the final rounding."""
+    out = plans.QUERIES["q_quantize_embeddings"].fn(spark, SF_ORACLE)
+    dim = 64
+    bad = out.where(
+        F.col("recon_err2_e9")
+        > F.lit(dim) * (F.col("amax") / 254) * (F.col("amax") / 254) * 1e9 + 1
+    ).count()
+    assert bad == 0
+    # quantized levels are attested within [-127, 127]: qnorm2 <= dim*127^2
+    assert out.where(F.col("qnorm2") > dim * 127 * 127).count() == 0
+
+
+def test_mixture_weights_equalize(spark):
+    """share x weight = 1/n_sources for every source (the defining
+    property of the uniform-target reweighting)."""
+    rows = plans.QUERIES["q_mixture_weights"].fn(spark, SF_ORACLE).collect()
+    total = sum(r["tok"] for r in rows)
+    n = len(rows)
+    for r in rows:
+        share = r["tok"] / total
+        assert abs(share * r["weight"] - 1.0 / n) < 1e-6
