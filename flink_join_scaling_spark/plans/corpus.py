@@ -577,6 +577,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_lm_score",
+    headline=True,
     oracle=f"""
     WITH {_TOKS_CTE},
     tf AS (
@@ -724,4 +725,109 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_sources") * F.col("tok").cast("double")),
             6,
         ).alias("weight"),
+    )
+
+
+# ------------------------------------------- end-to-end curation pipeline
+
+
+@query(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_quality_cte()},
+    corpq AS (
+        SELECT d.doc_id, d.source, q.quality
+        FROM documents d JOIN qual q USING (doc_id)
+        WHERE d.doc_id % 50 != 0 AND q.quality >= 0.55
+    ),
+    keeper AS (
+        SELECT c.doc_id, c.source
+        FROM corpq c JOIN norm n USING (doc_id)
+        QUALIFY row_number() OVER (PARTITION BY n.t ORDER BY c.doc_id) = 1
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+    ),
+    clean AS (
+        SELECT k.doc_id, k.source FROM keeper k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    toks2 AS (
+        SELECT c.doc_id, c.source,
+               CAST(len(string_split(n.t, ' ')) AS BIGINT) AS n_tok
+        FROM clean c JOIN norm n USING (doc_id)
+    ),
+    cum AS (
+        SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM toks2
+    )
+    SELECT source,
+           CAST((cum_tok - n_tok) // 1024 AS BIGINT) AS bin_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY 1, 2
+    """,
+    tags=("corpus", "pipeline"),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline, end to end in ONE plan: quality
+    gate (score >= 0.55) → exact dedup (min-id keeper per normalized
+    text) → benchmark decontamination (drop any doc sharing a trigram
+    with the held-out doc_id%50 slice) → greedy 1024-token sequence
+    packing of the survivors, reported as per-(source, bin) stats.
+    This is the proof the operator library COMPOSES: each stage is the
+    registered operator's exact algebra, chained without
+    materialization, and Catalyst plans the whole chain together
+    (filters reach the scan once; the benchmark shingle set still
+    broadcasts; the only corpus-sized shuffles are the dedup hash and
+    the per-source packing window).
+
+    Stage order matters and is pinned by the oracle: dedup before
+    decontamination (a contaminated duplicate must not resurrect via
+    its keeper), packing over the final survivor set in stable doc_id
+    order."""
+    from pyspark.sql import Window
+
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    corpq = (
+        d.where(F.col("doc_id") % 50 != 0)
+        .withColumn("quality", tx.quality_score(F.col("text")))
+        .where(F.col("quality") >= 0.55)
+    )
+    wdup = Window.partitionBy("t").orderBy("doc_id")
+    keeper = (
+        corpq.withColumn("t", tx.norm_text(F.col("text")))
+        .withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    hits = dd.ngram_contamination(keeper, bench, "doc_id", "text", shingle_n=3)
+    clean = keeper.join(hits.select("doc_id"), "doc_id", "left_anti")
+    wpack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = clean.select(
+        "doc_id", "source", tx.n_tokens_ws(F.col("text")).alias("n_tok")
+    )
+    return (
+        toks.withColumn("cum_tok", F.sum("n_tok").over(wpack))
+        .groupBy(
+            "source",
+            ((F.col("cum_tok") - F.col("n_tok")) / 1024)
+            .cast("bigint")
+            .alias("bin_idx"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
     )

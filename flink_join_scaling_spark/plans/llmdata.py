@@ -1080,6 +1080,7 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_lines",
+    headline=True,
     oracle=f"""
     WITH {_TOKS_CTE},
     segs0 AS (
@@ -1176,6 +1177,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quantize_embeddings",
+    headline=True,
     oracle="""
     WITH q AS (
         SELECT vec_id,
