@@ -103,10 +103,12 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
 # Queries whose latest driver row is stale or missing and must land in
 # the round-5 window first: the 11 oracle-bearing queries whose latest
 # hash-green predates the r3 testdata regeneration (r1/r2 rows — the
-# driver hash has not re-attested them on current data). When editing
-# this set, also include any newly registered rows-only query that has
-# never held a driver row (none outstanding: q_dedup_minhash_ml and
-# q_sim_ann_ivf_trained got their first rows in r4).
+# driver hash has not re-attested them on current data). The ~35
+# round-5-new queries (the completed TPC-H sweep, lines/LM/stream-join/
+# rollup/quantize/mixture-weights/pipeline additions, and the two
+# converted-to-self-attesting entries) need no listing here: they are
+# absent from _DRIVER_GREEN, so the group-2 rank already orders them
+# directly after this set — together they fill the ~50-slot window.
 _NEEDS_FRESH_ROW: frozenset[str] = frozenset(
     {
         "q_agg_grouping_sets", "q_window_range_frame", "q_scalar_subquery",

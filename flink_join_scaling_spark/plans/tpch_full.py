@@ -93,9 +93,10 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUALITY with the aggregate. No partsupp in this schema, so lineitem
     is the part↔supplier link and unit price is the line price in exact
     integer cents (equality on a float min would be engine-dependent;
-    on a bigint it is exact). region→nation→supplier broadcasts down
-    the dim chain; the only fact shuffle is the per-part min and its
-    equality join back, both on l_partkey."""
+    on a bigint it is exact). nation/region broadcast into the
+    supplier slice; the slice itself grows with SF, so its join to
+    lineitem is left to AQE. The fact shuffles are the per-part min
+    and its equality join back, both on l_partkey."""
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     s = _t(spark, sf_dir, "supplier")
@@ -105,7 +106,9 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     li = _t(spark, sf_dir, "lineitem")
-    link = li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]).select(
+    # supp grows with SF (it is a supplier slice): no broadcast hint —
+    # AQE's runtime size threshold decides, as for supplier in Q5
+    link = li.join(supp, li["l_suppkey"] == supp["s_suppkey"]).select(
         F.col("l_partkey").alias("partkey"),
         "s_acctbal",
         "s_name",
@@ -432,9 +435,11 @@ def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (supplier counts by part attributes): distinct
     suppliers per (brand, type, size) bucket, excluding one brand/type
     and a supplier denylist (negative account balance stands in for the
-    complaint-comment scan; NOT IN → broadcast LEFT ANTI, null-safe
-    because s_suppkey is a key). The part filter broadcasts; distinct
-    count is the only fact shuffle, with partial dedup map-side."""
+    complaint-comment scan; NOT IN → LEFT ANTI, null-safe because
+    s_suppkey is a key; the denylist is a supplier slice that grows
+    with SF, so AQE picks its strategy). The part filter broadcasts;
+    distinct count is the only fact shuffle, with partial dedup
+    map-side."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#5")
@@ -445,7 +450,8 @@ def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        # the denylist is a supplier slice (grows with SF): AQE decides
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -646,7 +652,8 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("s_key") == supp["s_suppkey"])
+        # supp grows with SF: left to AQE, no hint
+        waiting.join(supp, F.col("s_key") == supp["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
