@@ -180,3 +180,127 @@ def stream_dedup_exact(
     return hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )
+
+
+def _band_members_fn(max_bucket: int):
+    """Per-(band_idx, band_hash) state machine: membership list of doc
+    ids seen in this bucket; each NEW id emits a candidate pair against
+    every existing member, then joins the list. ``max_bucket`` is the
+    streaming face of the batch path's stop-shingle/df cap: a bucket at
+    the cap stops admitting members (and so stops emitting pairs) —
+    bounded state AND bounded per-arrival work under adversarial hot
+    buckets."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        members: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        changed = False
+        for pdf in pdfs:
+            for v in pdf["__band_id"]:
+                new_id = int(v)
+                if new_id in seen or len(members) >= max_bucket:
+                    continue
+                for m in members:
+                    out_a.append(min(m, new_id))
+                    out_b.append(max(m, new_id))
+                members.append(new_id)
+                seen.add(new_id)
+                changed = True
+        if changed:
+            state.update((members,))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return fn
+
+
+def stream_dedup_minhash(
+    sdf: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming MinHash/LSH near-duplicate candidate detection: as
+    documents arrive, each is hashed into the SAME band buckets as the
+    batch path (``operators.dedup.minhash_bands`` — md5 hash family,
+    identical formulas evaluated map-only per document), and a keyed
+    bucket-membership state emits a candidate pair the moment two
+    documents ever share a bucket — across micro-batches, in any
+    arrival order. Downstream consumers exact-verify candidates
+    (``shingle_jaccard_pairs``'s verify stage) just as in batch.
+
+    Converged candidate set == the batch banded self-join's candidates
+    on the same corpus (asserted in tests/test_streaming_text.py),
+    modulo the ``max_bucket`` cap — the streaming face of the batch
+    stop-shingle guard, bounding both state and per-arrival work.
+
+    Scale shape: the signature is computed WHERE THE DOCUMENT ARRIVES
+    (map-only array expressions — no shuffle before the stateful
+    exchange, which carries num_bands short rows per doc, never the
+    text); state per bucket is a bounded id list. This is the
+    reference's keyed-state philosophy (``VersioningEvictor`` bounding
+    window state) applied to the near-dup problem the LLM pipeline
+    actually runs continuously."""
+    from flink_join_scaling_spark.functions.text import (
+        shingles_from_tokens,
+        tokens_ws,
+    )
+
+    num_bands = num_hashes // band_size
+    if num_hashes > 8:
+        raise ValueError("hash family provides 8 members (two md5 x four slices)")
+
+    sh = (
+        sdf.select(
+            F.col(id_col).alias("__band_id"),
+            tokens_ws(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__band_id", shingles_from_tokens("__toks", shingle_n).alias("__sh")
+        )
+        .where(F.size("__sh") > 0)
+    )
+
+    # per-doc signature, map-only: min hash-k over the shingle array
+    # (same value as the batch groupBy-min — formulas shared)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.substring(
+                F.md5(s) if k < 4 else F.md5(F.concat(F.lit("#"), s)),
+                1 + 8 * (k % 4), 8,
+            ))
+        ).alias(f"h{k}")
+        for k in range(num_hashes)
+    ]
+    sigs = sh.select("__band_id", *sig_cols)
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{k}")
+                        for k in range(b * band_size, (b + 1) * band_size)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+    bands = sigs.select(
+        "__band_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _band_members_fn(max_bucket),
+        outputStructType="id_a long, id_b long",
+        stateStructType="ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -60,3 +60,51 @@ def test_stream_dedup_exact_first_wins(streaming_spark, tmp_path):
     assert set(em["doc_id"]) <= {1, 2, 3, 4, 5}
     texts = {t.lower().split()[0] for t in em["text"]}
     assert texts == {"alpha", "gamma", "delta"}
+
+
+def test_stream_dedup_minhash_matches_batch_candidates(streaming_spark, tmp_path):
+    """Streaming LSH near-dup detection: the converged candidate-pair
+    set equals the batch banded self-join's candidates on the same
+    corpus — same md5 hash family, same band buckets, computed
+    map-only per arriving document with keyed bucket-membership state.
+    Pairs must span micro-batches (a doc arriving in chunk 3 pairs
+    with its near-dup from chunk 1) — the property batch can't give."""
+    from flink_join_scaling_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_minhash
+
+    spark = streaming_spark
+    base = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # plant near-dup families so candidates exist: 3 shifted copies
+    shift = base.agg(F.max("doc_id")).first()[0] + 1
+    docs = base
+    for i in (1, 2):
+        docs = docs.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        )
+
+    # batch expectation: distinct candidate pairs from the banded join
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    bands = minhash_bands(sigs, "doc_id")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
+    expected = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+
+    s = chunked_parquet_stream(spark, docs, str(tmp_path), n_chunks=3)
+    em = collect_emissions(
+        stream_dedup_minhash(s, "doc_id", "text", max_bucket=4096),
+        output_mode="update",
+    )
+    got = {tuple(r) for r in em[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == expected
+    assert len(expected) > 0
