@@ -108,3 +108,35 @@ def test_stream_dedup_minhash_matches_batch_candidates(streaming_spark, tmp_path
     got = {tuple(r) for r in em[["id_a", "id_b"]].itertuples(index=False)}
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_decontamination_stream_static_join(streaming_spark, tmp_path):
+    """Benchmark decontamination on a LIVE stream: the corpus arrives
+    as micro-batches, the benchmark slice is a static table, and the
+    registered operator (ngram_contamination) runs unchanged as a
+    stream-static join — the benchmark shingle set broadcasts into
+    every micro-batch. Flagged ids equal the batch run's."""
+    from flink_join_scaling_spark.operators.dedup import ngram_contamination
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+
+    spark = streaming_spark
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corp = d.where(F.col("doc_id") % 50 != 0)
+    expected = {
+        (r.doc_id, r.n_hits)
+        for r in ngram_contamination(corp, bench, "doc_id", "text").collect()
+    }
+    s = chunked_parquet_stream(spark, corp, str(tmp_path), n_chunks=3)
+    em = collect_emissions(
+        ngram_contamination(s, bench, "doc_id", "text"),
+        output_mode="update",
+    )
+    # per-doc hits are complete within the doc's own micro-batch (the
+    # aggregation is per doc_id and a doc arrives whole in one chunk):
+    # take each doc's final emission
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in em.groupby("doc_id", as_index=False).last().itertuples(index=False)
+    }
+    assert got == expected and len(expected) > 0
