@@ -1273,3 +1273,110 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recon_err2_e9",
         )
     )
+
+
+# ------------------------------------------ semantic outlier detection
+
+
+@query(
+    "q_embed_outliers",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM e
+    ),
+    cm AS (
+        SELECT label, pos, CAST(round(avg(val) * 10000) AS BIGINT) AS c_e4
+        FROM ex GROUP BY 1, 2
+    ),
+    cl AS (
+        SELECT label, list(CAST(c_e4 AS DOUBLE) ORDER BY pos) AS c
+        FROM cm GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               list_reduce(list_transform(list_zip(e.v, cl.c),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (a, b) -> a + b) AS dot,
+               sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                                (a, b) -> a + b)) AS nv,
+               sqrt(list_reduce(list_transform(cl.c, x -> x * x),
+                                (a, b) -> a + b)) AS nc
+        FROM e JOIN cl USING (label)
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           round(dot / (nv * nc), 6) AS centroid_cos
+    FROM scored
+    WHERE nv > 0 AND nc > 0
+    ORDER BY centroid_cos ASC, vec_id ASC
+    LIMIT 20
+    """,
+    tags=("llmdata", "similarity"),
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier detection (DataComp-style embedding quality
+    gate): score every vector by cosine to ITS OWN label's centroid
+    and surface the 20 farthest — off-topic / mislabeled candidates
+    for the curation filter. Composes the centroid aggregation
+    (q_embed_centroids' algebra) with per-vector scoring.
+
+    Comparability: centroids are quantized to exact e4 integers before
+    scoring (the accumulation-order-sensitive step is the label AVG —
+    quantizing it makes the downstream cosine deterministic); dot and
+    norms fold strictly left-to-right in dimension order in both
+    engines, so the round-6 cosine is bit-identical given identical
+    centroids; the top-20 has a vec_id tiebreak.
+
+    Scale shape: centroid state is labels × dim (output-sized); the
+    only corpus-scale stages are the dimension explode feeding the
+    centroid agg (map-side partials) and the label equi-join of the
+    tiny centroid table back onto vectors (AQE broadcasts it); top-k
+    is TakeOrdered, no global sort."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cm = ex.groupBy("label", "pos").agg(
+        F.round(F.avg("val") * 10000).cast("bigint").alias("c_e4")
+    )
+    cl = cm.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c_e4"))),
+            lambda s: s["c_e4"].cast("double"),
+        ).alias("c")
+    )
+
+    def _fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    scored = (
+        e.join(cl, e["label"] == cl["c_label"])
+        .withColumn(
+            "dot", _fold_sum(F.zip_with(F.col("v"), F.col("c"), lambda x, y: x * y))
+        )
+        .withColumn(
+            "nv", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
+        .withColumn(
+            "nc", F.sqrt(_fold_sum(F.transform(F.col("c"), lambda x: x * x)))
+        )
+    )
+    return (
+        scored.where((F.col("nv") > 0) & (F.col("nc") > 0))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+        .orderBy(F.col("centroid_cos").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )

@@ -227,3 +227,59 @@ def test_mixture_weights_equalize(spark):
     for r in rows:
         share = r["tok"] / total
         assert abs(share * r["weight"] - 1.0 / n) < 1e-6
+
+
+def test_dedup_lines_planted_ground_truth(spark):
+    """Planted corpus: two docs share one exact 3-token segment, the
+    rest is unique. Exactly that segment (and nothing else) must be
+    removed from both docs, and the unique doc passes through whole.
+    Runs the registered algebra inline on a micro-corpus."""
+    from flink_join_scaling_spark.functions import text as tx
+
+    docs = [
+        (1, "shared seg one aaa bbb ccc"),      # segments: [shared seg one, aaa bbb ccc]
+        (2, "shared seg one ddd eee fff"),      # shares segment 0 with doc 1
+        (3, "ggg hhh iii jjj kkk lll"),         # fully unique
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    segs = (
+        d.select("doc_id", tx.tokens_ws(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(toks) / 3.0) as int) - 1),"
+                    " i -> struct(cast(i as bigint) as seg_idx,"
+                    " concat_ws(' ', slice(toks, i * 3 + 1, 3)) as seg))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.seg_idx", "s.seg")
+    )
+    segdf = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("seg_df"))
+    kept = segs.join(segdf, "seg")
+    rows = {
+        r["doc_id"]: r
+        for r in kept.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("seg_df") >= 2, 1).otherwise(0)).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("seg_df") < 2,
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+        .collect()
+    }
+    assert rows[1]["n_removed"] == 1 and rows[1]["clean_text"] == "aaa bbb ccc"
+    assert rows[2]["n_removed"] == 1 and rows[2]["clean_text"] == "ddd eee fff"
+    assert rows[3]["n_removed"] == 0 and rows[3]["clean_text"] == "ggg hhh iii jjj kkk lll"
