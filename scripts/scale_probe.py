@@ -36,21 +36,22 @@ INFLATED = os.path.join(ROOT, f"x{COPIES}")
 
 
 def inflate(spark) -> None:
-    if os.path.exists(os.path.join(INFLATED, "documents.parquet")):
-        return
-    os.makedirs(INFLATED, exist_ok=True)
-    d = load_table(spark, BASE, "documents")
-    shift = d.agg(F.max("doc_id")).first()[0] + 1
-    copies = [
-        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
-        for i in range(COPIES)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(INFLATED, "documents.parquet")
-    )
+    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        if os.path.exists(os.path.join(INFLATED, f"{table}.parquet")):
+            continue
+        os.makedirs(INFLATED, exist_ok=True)
+        d = load_table(spark, BASE, table)
+        shift = d.agg(F.max(key)).first()[0] + 1
+        copies = [
+            d.withColumn(key, F.col(key) + F.lit(i * shift))
+            for i in range(COPIES)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(INFLATED, f"{table}.parquet")
+        )
 
 
 def timed(fn, warmup: int = 1, passes: int = 3) -> float:
@@ -95,6 +96,14 @@ def main() -> None:
         # vocabulary is FIXED while tf rows grow 10x.
         "q_dedup_lines": plan_probe("q_dedup_lines"),
         "q_lm_score": plan_probe("q_lm_score"),
+        # r5c additions: the composed pipeline (worst case as for line
+        # dedup: every copy family collapses to one keeper), map-only
+        # int8 quantization (wall should track the scan), and the
+        # centroid-cosine outlier gate (centroid state stays labels x
+        # dim while vectors grow 10x)
+        "q_pipeline_e2e": plan_probe("q_pipeline_e2e"),
+        "q_quantize_embeddings": plan_probe("q_quantize_embeddings"),
+        "q_embed_outliers": plan_probe("q_embed_outliers"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
