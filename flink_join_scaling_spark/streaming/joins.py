@@ -262,6 +262,8 @@ def stream_stream_join_within(
     within: str = "10 minutes",
     delay: str = "10 seconds",
     how: str = "inner",
+    before: str | None = None,
+    after: str | None = None,
 ) -> DataFrame:
     """Spark's *built-in* watermarked stream-stream join: pairs whose
     event times fall within ``within`` of each other. State on both
@@ -275,12 +277,20 @@ def stream_stream_join_within(
     re-emits per record, while this emits each qualifying pair once.
     Use it when the join key recurs only within a bounded lateness
     horizon; use the keyed-state join for true versioned upserts.
+
+    Asymmetric windows (e.g. click→purchase ATTRIBUTION, where only
+    later y rows qualify): pass ``before``/``after`` — y must fall in
+    ``[x_ts - before, x_ts + after]``. Both default to ``within``
+    (symmetric). ``before="0 seconds"`` expresses the pure forward
+    window of the registered ``q_stream_join``.
     """
     xw = sx.withWatermark(x_ts, delay)
     yw = sy.withWatermark(y_ts, delay)
     cond = on if not isinstance(on, str) else (xw[on] == yw[on])
-    time_cond = (yw[y_ts] >= xw[x_ts] - F.expr(f"INTERVAL {within}")) & (
-        yw[y_ts] <= xw[x_ts] + F.expr(f"INTERVAL {within}")
+    lo = before if before is not None else within
+    hi = after if after is not None else within
+    time_cond = (yw[y_ts] >= xw[x_ts] - F.expr(f"INTERVAL {lo}")) & (
+        yw[y_ts] <= xw[x_ts] + F.expr(f"INTERVAL {hi}")
     )
     return xw.join(yw, cond & time_cond, how)
 

@@ -97,3 +97,60 @@ def test_stream_stream_join_within(streaming_spark, tmp_path):
     em = collect_emissions(out, output_mode="append")
     got = sorted(zip(em["xid"], em["yid"]))
     assert got == expected
+
+
+def test_registered_stream_join_matches_streaming_execution(streaming_spark, tmp_path):
+    """The registered q_stream_join (batch form) and the actual
+    streaming execution (stream_stream_join_within with the asymmetric
+    forward window) produce the same pair set on the real events table
+    — the registered query IS the streaming operator's semantics.
+    Timestamps are truncated to epoch-ms on both sides (the batch
+    form's unit), so window edges agree exactly. The chunker delivers
+    round-robin (NOT time-ordered), so the watermark delay is set past
+    the data's full span — no row is ever late; lateness-dropping under
+    a tight delay is covered by the recovery/watermark tests."""
+    from flink_join_scaling_spark import plans
+    from flink_join_scaling_spark.sources.catalog import load_table
+    from flink_join_scaling_spark.streaming import (
+        chunked_parquet_stream,
+        collect_emissions,
+    )
+
+    spark = streaming_spark
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in plans.QUERIES["q_stream_join"].fn(spark, sf).collect()
+    }
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.expr("ts_ns div 1000000")).alias("tsm"),
+    )
+    src = str(tmp_path / "ev")
+    s = chunked_parquet_stream(spark, ev, src, n_chunks=3)
+    ck = s.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("tsm").alias("cts"),
+    )
+    pu = s.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("tsm").alias("pts"),
+    )
+    out = stream_stream_join_within(
+        ck,
+        pu,
+        on=(F.col("c_uid") == F.col("p_uid")),
+        x_ts="cts",
+        y_ts="pts",
+        before="0 seconds",
+        after="30 minutes",
+        delay="3650 days",
+    ).select("click_id", "purchase_id")
+    em = collect_emissions(out, output_mode="append")
+    got = {tuple(r) for r in em[["click_id", "purchase_id"]].itertuples(index=False)}
+    assert got == expected and len(expected) > 0
