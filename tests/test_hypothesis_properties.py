@@ -145,3 +145,136 @@ def test_sessionize_matches_fold(spark, evs, gap):
     out = sessionize(df, "user", "ts", gap=gap, tiebreak=["eid"])
     got = {(r.user, r.eid): r.session_idx for r in out.collect()}
     assert got == _py_sessions(rows, gap)
+
+
+# ---------------------------------------- round-5 operator properties
+
+vec = st.lists(
+    st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(vs=st.lists(vec, min_size=1, max_size=6))
+@SET
+def test_quantization_bounds_property(spark, vs):
+    """Int8 symmetric quantization (q_quantize_embeddings algebra):
+    every level lands in [-127, 127] and every element reconstructs
+    within half a step (amax/254) — for ANY float vector, including
+    all-zero and single-element ones."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, v) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = df.select(
+        "vec_id", v.alias("v"), F.array_max(F.transform(v, F.abs)).alias("amax")
+    ).withColumn(
+        "qv",
+        F.when(
+            F.col("amax") == 0.0,
+            F.transform(F.col("v"), lambda x: F.lit(0).cast("bigint")),
+        ).otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * 127 / F.col("amax")).cast("bigint"),
+            )
+        ),
+    )
+    out = base.select(
+        "amax",
+        F.array_max(F.transform(F.col("qv"), F.abs)).alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                F.col("qv"),
+                lambda x, q: F.abs(x - q.cast("double") * F.col("amax") / 127),
+            )
+        ).alias("max_resid"),
+    ).collect()
+    for r in out:
+        assert r["qmax"] <= 127
+        assert r["max_resid"] <= r["amax"] / 254 + 1e-12
+
+
+word = st.sampled_from(["aa", "bb", "cc", "dd"])
+doc_text = st.lists(word, min_size=0, max_size=9).map(" ".join)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=5))
+@SET
+def test_line_dedup_matches_python_oracle(spark, texts):
+    """q_dedup_lines algebra vs a pure-Python oracle on random tiny
+    corpora over a 4-word vocabulary (segment collisions are the
+    common case): per-doc removed counts and clean text match
+    exactly, including empty docs and sub-3-token tails."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.functions import text as tx
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    # pure-Python oracle mirroring tokens_ws exactly: normalized text
+    # splits on single spaces, so empty text yields ONE empty token
+    # (split of "" is [""], same in Spark and DuckDB)
+    import re
+
+    def segs_of(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        toks = norm.split(" ")
+        return [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+
+    df_count = defaultdict(set)
+    for i, t in rows:
+        for s in set(segs_of(t)):
+            df_count[s].add(i)
+    expected = {}
+    for i, t in rows:
+        segs = segs_of(t)
+        kept = [s for s in segs if len(df_count[s]) < 2]
+        removed = sum(1 for s in segs if len(df_count[s]) >= 2)
+        expected[i] = (removed, " ".join(kept))
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = (
+        d.select("doc_id", tx.tokens_ws(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(toks) / 3.0) as int) - 1),"
+                    " i -> struct(cast(i as bigint) as seg_idx,"
+                    " concat_ws(' ', slice(toks, i * 3 + 1, 3)) as seg))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.seg_idx", "s.seg")
+    )
+    segdf = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("seg_df"))
+    got_rows = (
+        segs.join(segdf, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("seg_df") >= 2, 1).otherwise(0)).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("seg_df") < 2,
+                                F.struct(F.col("seg_idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+        .collect()
+    )
+    got = {r["doc_id"]: (r["n_removed"], r["clean_text"]) for r in got_rows}
+    assert got == expected
