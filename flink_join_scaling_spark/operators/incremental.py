@@ -1,0 +1,149 @@
+"""Incremental (cross-run) corpus deduplication against a persisted
+index — the production ingestion pattern: each batch of NEW documents
+is checked against everything ever accepted, without rescanning the
+historical corpus.
+
+Two tiers, mirroring the batch family in ``operators.dedup``:
+
+* :func:`dedup_incremental_exact` — content-hash index. A new doc is
+  accepted iff its normalized-text sha2 has never been seen (in the
+  index OR earlier in the same batch, min-id keeper); accepted hashes
+  append to the index.
+* :func:`dedup_incremental_minhash` — LSH band index. New docs whose
+  band buckets intersect the index are flagged as near-dup candidates
+  (same md5 hash family as ``operators.dedup.minhash_bands``, so a
+  backfill-built index and incremental batches interoperate);
+  non-candidates' bands append to the index.
+
+Scale shape: the index is a parquet table keyed by hash — each
+incremental run is one equi-join of the (small) new batch against it,
+plus an append. The historical TEXT is never re-read; the index rows
+are a hash + id, orders of magnitude smaller than the corpus. On a
+real deployment the index lives on object storage and compacts
+periodically; correctness only needs hash-key equi-join semantics.
+
+The reference analogue: ``VersioningEvictor``'s compacted keyed state
+(``VersioningEvictor.scala:10-29``) persisted ACROSS jobs — what its
+in-memory window state cannot do.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions.text import norm_text
+from flink_join_scaling_spark.operators.dedup import (
+    minhash_bands,
+    minhash_signatures,
+)
+
+
+def _index_exists(index_dir: str) -> bool:
+    return os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    )
+
+
+def dedup_incremental_exact(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Accept only never-seen documents; persist their hashes.
+
+    Returns the accepted subset of ``new_docs`` (original columns).
+    Within-batch duplicates resolve to the min-id keeper — the same
+    survivor rule as batch ``dedup_exact_apply``, so an incremental
+    run over chunks and one batch run over the union accept the SAME
+    id set (asserted in tests/test_incremental.py).
+    """
+    hashed = new_docs.withColumn(
+        "__h", F.sha2(norm_text(F.col(text_col)), 256)
+    )
+    if _index_exists(index_dir):
+        known = spark.read.parquet(index_dir).select(F.col("h").alias("__h"))
+        hashed = hashed.join(known, "__h", "left_anti")
+    keeper = hashed.groupBy(F.col("__h").alias("__kh")).agg(
+        F.min(id_col).alias("__keep_id")
+    )
+    accepted = (
+        hashed.join(
+            keeper,
+            (F.col("__h") == F.col("__kh"))
+            & (F.col(id_col) == F.col("__keep_id")),
+        )
+        .select(*new_docs.columns, "__h")
+    )
+    # localCheckpoint: the accepted set must be PINNED before the index
+    # append — otherwise the lazy plan would re-read the index it is
+    # about to modify
+    accepted = accepted.localCheckpoint(eager=True)
+    accepted.select(F.col("__h").alias("h")).write.mode("append").parquet(
+        index_dir
+    )
+    return accepted.select(*new_docs.columns)
+
+
+def dedup_incremental_minhash(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup screening of a new batch against the historical band
+    index. Returns ``(accepted, flagged)``:
+
+    * ``flagged`` — (new_id, known_id) candidate pairs whose band
+      buckets collide with the index (exact-verify downstream if the
+      workload needs it, as in the batch path);
+    * ``accepted`` — new docs with NO collision against the index or
+      an earlier-id doc of the same batch; their bands append to the
+      index.
+
+    The same band formulas as the batch/streaming paths: an index
+    bootstrapped by a batch backfill keeps working incrementally.
+    """
+    sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes)
+    bands = minhash_bands(sigs, id_col, num_hashes, band_size).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    )
+    bands = bands.localCheckpoint(eager=True)
+    if _index_exists(index_dir):
+        known = spark.read.parquet(index_dir)
+        hist_hits = bands.join(known, ["band_idx", "band_hash"]).select(
+            "new_id", F.col("known_id")
+        )
+    else:
+        hist_hits = spark.createDataFrame([], "new_id long, known_id long")
+    # within-batch collisions: earlier (smaller) id wins, later id flags
+    b2 = bands.select(
+        F.col("new_id").alias("known_id"), "band_idx", "band_hash"
+    )
+    batch_hits = (
+        bands.join(b2, ["band_idx", "band_hash"])
+        .where(F.col("new_id") > F.col("known_id"))
+        .select("new_id", "known_id")
+    )
+    flagged = hist_hits.unionByName(batch_hits).distinct().localCheckpoint(
+        eager=True
+    )
+    accepted = new_docs.join(
+        flagged.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    accepted_bands = bands.join(
+        accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
+    )
+    accepted_bands.select(
+        F.col("new_id").alias("known_id"), "band_idx", "band_hash"
+    ).write.mode("append").parquet(index_dir)
+    return accepted, flagged

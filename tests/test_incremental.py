@@ -1,0 +1,90 @@
+"""Incremental (cross-run) dedup against a persisted index
+(operators/incremental.py): chunked ingestion must accept exactly the
+same documents as one batch run over the union, and the index must
+carry state across separate invocations — the property that makes
+daily-ingestion dedup work without rescanning history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators.incremental import (
+    dedup_incremental_exact,
+    dedup_incremental_minhash,
+)
+from flink_join_scaling_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_incremental_exact_matches_batch(spark, tmp_path):
+    """Three chunked runs accept the same id set as the batch
+    min-id-keeper rule over the union — duplicates planted both
+    WITHIN a chunk and ACROSS chunks."""
+    rows = [
+        (1, "alpha beta gamma"), (2, "ALPHA  beta gamma"),  # dup within chunk 1
+        (3, "delta epsilon"),
+        (4, "alpha beta gamma"),                            # dup across chunks
+        (5, "zeta eta"),
+        (6, "delta  EPSILON"), (7, "theta iota"),           # dup across chunks
+    ]
+    chunks = [rows[:3], rows[3:5], rows[5:]]
+    idx = str(tmp_path / "idx")
+    accepted: list[int] = []
+    for c in chunks:
+        df = spark.createDataFrame(c, "doc_id long, text string")
+        out = dedup_incremental_exact(spark, df, idx)
+        accepted += [r["doc_id"] for r in out.collect()]
+    # batch truth: min id per normalized text
+    assert sorted(accepted) == [1, 3, 5, 7]
+
+
+def test_incremental_exact_on_real_corpus(spark, tmp_path):
+    """Real documents split in two runs: run 2 re-ingests run 1's docs
+    plus new ones — only the new ones are accepted."""
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    first = d.where(F.col("doc_id") < 25)
+    idx = str(tmp_path / "idx")
+    a1 = dedup_incremental_exact(spark, first, idx)
+    n1 = a1.count()
+    assert n1 > 0
+    # second run: everything (old + new)
+    a2 = dedup_incremental_exact(spark, d, idx)
+    ids2 = {r["doc_id"] for r in a2.collect()}
+    assert ids2 and all(i >= 25 for i in ids2)  # old content rejected
+    # third run with identical input accepts nothing
+    a3 = dedup_incremental_exact(spark, d, idx)
+    assert a3.count() == 0
+
+
+def test_incremental_minhash_flags_cross_run_near_dups(spark, tmp_path):
+    """A near-identical doc arriving in a LATER run is flagged against
+    the index entry from the earlier run (bands persisted), and only
+    non-colliding docs extend the index."""
+    idx = str(tmp_path / "bidx")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    run1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here today")],
+        "doc_id long, text string",
+    )
+    acc1, flag1 = dedup_incremental_minhash(spark, run1, idx)
+    assert {r["doc_id"] for r in acc1.collect()} == {1, 2}
+    assert flag1.count() == 0
+
+    run2 = spark.createDataFrame(
+        [(10, base), (11, "unrelated fresh content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    acc2, flag2 = dedup_incremental_minhash(spark, run2, idx)
+    flagged_pairs = {(r["new_id"], r["known_id"]) for r in flag2.collect()}
+    assert (10, 1) in flagged_pairs  # cross-run near-dup caught
+    assert {r["doc_id"] for r in acc2.collect()} == {11}
+
+    # the accepted doc's bands joined the index: a copy of IT now flags
+    run3 = spark.createDataFrame(
+        [(20, "unrelated fresh content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    acc3, flag3 = dedup_incremental_minhash(spark, run3, idx)
+    assert acc3.count() == 0
+    assert (20, 11) in {(r["new_id"], r["known_id"]) for r in flag3.collect()}
