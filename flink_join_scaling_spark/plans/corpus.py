@@ -831,3 +831,95 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ----------------------------------------------- snapshot diff (CDC)
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH cur AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    old AS (
+        -- deterministic previous generation derived from the current
+        -- one: docs id%7=0 did not exist yet (-> added), id%5=0 had
+        -- older text (-> changed), and 10 ids past the current max
+        -- existed then but not now (-> removed)
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN t || ' legacy' ELSE t END AS t
+        FROM cur WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT m.mx + 1 + u.i AS doc_id, 'retired document' AS t
+        FROM (SELECT max(doc_id) AS mx FROM cur) m,
+             (SELECT unnest(range(10)) AS i) u
+    ),
+    j AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.t = n.t THEN 'unchanged'
+                    ELSE 'changed' END AS change_type
+        FROM old o FULL JOIN cur n ON o.doc_id = n.doc_id
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM j GROUP BY 1
+    """,
+    tags=("corpus", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the CDC view of a re-crawled /
+    re-generated corpus): FULL OUTER join of the previous snapshot
+    against the current one on doc_id, classifying added / removed /
+    changed / unchanged by normalized content, reduced to per-class
+    counts with an exact id-sum attestation. The previous snapshot is
+    derived deterministically from the current table (so the oracle is
+    self-contained and all four classes occur): id%7=0 docs are new,
+    id%5=0 docs carry older text, and 10 retired ids only exist in the
+    old generation. The operational primitive behind incremental
+    reprocessing: downstream stages re-run only on added+changed.
+
+    Scale shape: one doc_id-keyed full-outer shuffle of the two
+    snapshots (content compare rides the join row — no second pass);
+    output is 4 rows. At 100 TB both sides prune to (doc_id, text)
+    at the scan, and the id-keyed exchange is the only data movement."""
+    cur = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.norm_text(F.col("text")).alias("t")
+    )
+    mx = cur.agg(F.max("doc_id").alias("mx"))
+    retired = (
+        mx.select(F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"), "mx")
+        .select(
+            (F.col("mx") + 1 + F.col("i")).alias("doc_id"),
+            F.lit("retired document").alias("t"),
+        )
+    )
+    old = (
+        cur.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("t"), F.lit(" legacy"))
+            )
+            .otherwise(F.col("t"))
+            .alias("t"),
+        )
+        .unionByName(retired)
+        .select(F.col("doc_id").alias("o_id"), F.col("t").alias("o_t"))
+    )
+    new = cur.select(F.col("doc_id").alias("n_id"), F.col("t").alias("n_t"))
+    j = old.join(new, old["o_id"] == new["n_id"], "full_outer").select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_t") == F.col("n_t"), "unchanged")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
