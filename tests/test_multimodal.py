@@ -137,3 +137,50 @@ def test_frame_sample_positions(media):
     assert set(by_doc) == {3, 7}
     assert sorted(by_doc[3]) == [(0, 0), (1, 100), (2, 200), (3, 300)]
     assert sorted(by_doc[7]) == [(0, 0), (1, 100), (2, 200), (3, 300)]  # capped at max_frames
+
+
+def test_binaryfile_ingestion_to_real_decode(spark, tmp_path):
+    """File-based ingestion closes the loop: real WAV files on disk ->
+    spark.read.format('binaryFile') -> the standard payload shape ->
+    decode_media(decoder='real'). Features match a direct _parse_wav
+    of the same bytes — i.e. the lakehouse ingest path and the
+    operator agree byte-for-byte."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    media = str(tmp_path / "media")
+    os.makedirs(media)
+    clips = {
+        "a.wav": _wav_bytes([0, 1000, -1000, 500], channels=1, rate=8000, bits=16),
+        "b.wav": _wav_bytes([128, 0, 255, 128, 64, 192], channels=2, rate=44100, bits=8),
+    }
+    for name, payload in clips.items():
+        with open(os.path.join(media, name), "wb") as f:
+            f.write(payload)
+
+    raw = spark.read.format("binaryFile").load(media)
+    shaped = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+    )
+    out = {
+        r["fname"]: r
+        for r in mm.decode_media(
+            shaped.drop("fname").join(
+                shaped.select("doc_id", "fname"), "doc_id"
+            ),
+            decoder="real",
+        )
+        .join(shaped.select("doc_id", "fname"), "doc_id")
+        .collect()
+    }
+    for name, payload in clips.items():
+        rate, frames, ch, mean_abs = mm._parse_wav(payload)
+        r = out[name]
+        assert (r["width"], r["height"], r["n_channels"]) == (rate, frames, ch)
+        assert r["mean_byte"] == mean_abs
+        assert r["n_bytes"] == len(payload)
