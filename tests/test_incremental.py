@@ -88,3 +88,77 @@ def test_incremental_minhash_flags_cross_run_near_dups(spark, tmp_path):
     acc3, flag3 = dedup_incremental_minhash(spark, run3, idx)
     assert acc3.count() == 0
     assert (20, 11) in {(r["new_id"], r["known_id"]) for r in flag3.collect()}
+
+
+def test_incremental_minhash_equals_python_oracle(spark, tmp_path):
+    """Chunked incremental runs accept exactly the operator's documented
+    semantics, replayed by a Python oracle over the batch band table:
+    a doc is blocked iff its buckets intersect the INDEX (accepted docs
+    from earlier chunks) or ANY smaller-id doc of its own chunk; only
+    accepted docs' bands join the index. Planted 3-copy corpus so
+    collisions abound."""
+    from collections import defaultdict
+
+    from flink_join_scaling_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    base = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    shift = base.agg(F.max("doc_id")).first()[0] + 1
+    docs = base
+    for i in (1, 2):
+        docs = docs.unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        )
+
+    bands = minhash_bands(minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    by_doc = defaultdict(set)
+    for r in bands.collect():
+        by_doc[r["doc_id"]].add((r["band_idx"], r["band_hash"]))
+
+    ids = sorted(by_doc)
+    chunk_bounds = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+
+    def chunk_of(did):
+        return sum(did >= b for b in chunk_bounds)
+
+    chunks: dict[int, list[int]] = defaultdict(list)
+    for did in ids:
+        chunks[chunk_of(did)].append(did)
+
+    # Python oracle replaying the operator's exact rule
+    index: set = set()
+    accepted_oracle: list[int] = []
+    for ci in sorted(chunks):
+        batch = chunks[ci]
+        batch_band_owner = defaultdict(list)
+        blocked = set()
+        for did in batch:
+            if by_doc[did] & index:
+                blocked.add(did)
+        for did in batch:
+            for other in batch:
+                if other < did and by_doc[did] & by_doc[other]:
+                    blocked.add(did)
+        for did in batch:
+            if did not in blocked:
+                accepted_oracle.append(did)
+                index |= by_doc[did]
+
+    # chunked incremental runs, chunks in id order
+    idx = str(tmp_path / "idx")
+    got: list[int] = []
+    lo = None
+    for hi in chunk_bounds + [None]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") < hi)
+        acc, _ = dedup_incremental_minhash(spark, docs.where(cond), idx)
+        got += [r["doc_id"] for r in acc.collect()]
+        lo = hi
+    assert sorted(got) == sorted(accepted_oracle)
+    # sanity: the dedup actually rejected the planted copies
+    assert len(accepted_oracle) < len(ids)
