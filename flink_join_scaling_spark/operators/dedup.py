@@ -64,8 +64,38 @@ def _sig_hash(k: int) -> F.Column:
     execution paths evaluate the identical value via
     :func:`_md5_pair_projected` + :func:`_sig_slice` (one digest pair
     per row instead of one md5 per aggregate expression)."""
-    src = F.md5(F.col("shingle")) if k < 4 else F.md5(F.concat(F.lit("#"), F.col("shingle")))
+    return sig_hash_of(F.col("shingle"), k)
+
+
+def sig_hash_of(col: F.Column, k: int) -> F.Column:
+    """Hash k of the MinHash family applied to an arbitrary shingle
+    expression — THE single definition of the hash formula. Every path
+    (batch aggregation here, the map-only streaming signature in
+    ``streaming.dedup.stream_dedup_minhash``, the incremental index in
+    ``operators.incremental``) derives from this, so cross-path
+    candidate convergence and index interop hold by construction."""
+    src = F.md5(col) if k < 4 else F.md5(F.concat(F.lit("#"), col))
     return F.substring(src, 1 + 8 * (k % 4), 8)
+
+
+def band_hash_array(
+    num_hashes: int, band_size: int, h=lambda k: F.col(f"h{k}")
+) -> F.Column:
+    """The band-bucket array: md5 of each band's '|'-joined signature
+    slice — the single definition shared by the batch, streaming, and
+    incremental paths (same interop argument as :func:`sig_hash_of`)."""
+    num_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[h(k) for k in range(b * band_size, (b + 1) * band_size)],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
 
 
 def _md5_pair_projected(sh: DataFrame) -> DataFrame:
@@ -114,18 +144,7 @@ def minhash_bands(
     per-band selects: a union would re-evaluate the signature
     aggregation subplan once per band (num_bands scans/shuffles of the
     corpus unless exchange reuse happens to kick in)."""
-    num_bands = num_hashes // band_size
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{k}") for k in range(b * band_size, (b + 1) * band_size)],
-                )
-            )
-            for b in range(num_bands)
-        ]
-    )
+    band_arr = band_hash_array(num_hashes, band_size)
     return signatures.select(F.col(id_col), F.posexplode(band_arr)).toDF(
         id_col, "band_idx", "band_hash"
     )

@@ -57,10 +57,15 @@ def dedup_incremental_exact(
     """Accept only never-seen documents; persist their hashes.
 
     Returns the accepted subset of ``new_docs`` (original columns).
-    Within-batch duplicates resolve to the min-id keeper — the same
-    survivor rule as batch ``dedup_exact_apply``, so an incremental
-    run over chunks and one batch run over the union accept the SAME
-    id set (asserted in tests/test_incremental.py).
+    Survivor rule, precisely: WITHIN a batch, the min-id keeper (the
+    batch ``dedup_exact_apply`` rule); ACROSS batches,
+    first-arrival-wins (the index has no notion of a better id, only
+    "seen"). The two compose to the batch min-id rule exactly when
+    batches arrive in non-decreasing id order — the ingestion norm,
+    and what tests/test_incremental.py asserts. An out-of-id-order
+    backfill keeps the EARLIER-ARRIVED copy, not the min-id one;
+    re-run the batch dedup over the union if min-id survivors matter
+    for such a replay.
     """
     hashed = new_docs.withColumn(
         "__h", F.sha2(norm_text(F.col(text_col)), 256)

@@ -1326,11 +1326,15 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_embed_centroids' algebra) with per-vector scoring.
 
     Comparability: centroids are quantized to exact e4 integers before
-    scoring (the accumulation-order-sensitive step is the label AVG —
-    quantizing it makes the downstream cosine deterministic); dot and
+    scoring — the accumulation-order-sensitive step is the label AVG,
+    and quantizing it confines that sensitivity to the single
+    ``round(avg*1e4)`` boundary (an engine pair disagrees only if a
+    dimension mean lands within float-summation noise of an exact .5,
+    measure-zero in practice and the same accepted risk class as
+    q_embed_centroids' round-4 output). Downstream of the quantized
+    centroid everything IS bit-identical by construction: dot and
     norms fold strictly left-to-right in dimension order in both
-    engines, so the round-6 cosine is bit-identical given identical
-    centroids; the top-20 has a vec_id tiebreak.
+    engines; the top-20 has a vec_id tiebreak.
 
     Scale shape: centroid state is labels × dim (output-sized); the
     only corpus-scale stages are the dimension explode feeding the

@@ -261,8 +261,11 @@ def stream_dedup_minhash(
         shingles_from_tokens,
         tokens_ws,
     )
+    from flink_join_scaling_spark.operators.dedup import (
+        band_hash_array,
+        sig_hash_of,
+    )
 
-    num_bands = num_hashes // band_size
     if num_hashes > 8:
         raise ValueError("hash family provides 8 members (two md5 x four slices)")
 
@@ -277,32 +280,21 @@ def stream_dedup_minhash(
         .where(F.size("__sh") > 0)
     )
 
-    # per-doc signature, map-only: min hash-k over the shingle array
-    # (same value as the batch groupBy-min — formulas shared)
+    # per-doc signature, map-only: min hash-k over the shingle array —
+    # the SHARED formula (operators.dedup.sig_hash_of), so the stream
+    # lands in the same buckets as the batch aggregation
+    def _hash_k(k: int):
+        # factory, NOT a k=k default: a 2-param lambda would make
+        # Spark's transform() bind its (element, index) form and pass
+        # the array index as k
+        return lambda s: sig_hash_of(s, k)
+
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("__sh"), lambda s: F.substring(
-                F.md5(s) if k < 4 else F.md5(F.concat(F.lit("#"), s)),
-                1 + 8 * (k % 4), 8,
-            ))
-        ).alias(f"h{k}")
+        F.array_min(F.transform(F.col("__sh"), _hash_k(k))).alias(f"h{k}")
         for k in range(num_hashes)
     ]
     sigs = sh.select("__band_id", *sig_cols)
-    band_arr = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{k}")
-                        for k in range(b * band_size, (b + 1) * band_size)
-                    ],
-                )
-            )
-            for b in range(num_bands)
-        ]
-    )
+    band_arr = band_hash_array(num_hashes, band_size)
     bands = sigs.select(
         "__band_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )

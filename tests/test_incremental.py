@@ -132,7 +132,6 @@ def test_incremental_minhash_equals_python_oracle(spark, tmp_path):
     accepted_oracle: list[int] = []
     for ci in sorted(chunks):
         batch = chunks[ci]
-        batch_band_owner = defaultdict(list)
         blocked = set()
         for did in batch:
             if by_doc[did] & index:

@@ -191,13 +191,54 @@ def test_tpch_q11_threshold_filters(spark):
 
 
 def test_tpch_q21_sole_failing_supplier(spark):
-    """Q21's waiting count only counts lineitems where NO other
-    supplier in the order also returned — cross-check one emitted
-    supplier against a direct SQL recomputation."""
-    out = plans.QUERIES["q_tpch_q21_waiting_suppliers"].fn(spark, SF_SMALL)
-    # at sf0.001 the result may legitimately be empty; the invariant
-    # is that counts are positive when present
-    assert out.where(F.col("numwait") <= 0).count() == 0
+    """Q21's waiting count only counts R-lineitems in multi-supplier
+    'F' orders where NO other supplier also returned — cross-checked
+    against an independent order-profile recomputation (distinct
+    supplier / distinct R-supplier counts per order), not the
+    semi/anti decorrelation under test."""
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    o = load_table(spark, SF_ORACLE, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    prof = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_s"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_r"),
+        )
+    )
+    s = load_table(spark, SF_ORACLE, "supplier")
+    n = load_table(spark, SF_ORACLE, "nation")
+    r = load_table(spark, SF_ORACLE, "region").where(F.col("r_name") == "AMERICA")
+    supp = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    waiting = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_semi")
+        .join(prof, li["l_orderkey"] == prof["l_orderkey"])
+        .where((F.col("n_s") >= 2) & (F.col("n_r") == 1))
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    recomputed = {r_["s_name"]: r_["numwait"] for r_ in waiting.collect()}
+    out = plans.QUERIES["q_tpch_q21_waiting_suppliers"].fn(spark, SF_ORACLE)
+    got = [(r_["s_name"], r_["numwait"]) for r_ in out.collect()]
+    assert got, "empty Q21 at sf0.01 — predicate too tight"
+    # every emitted row matches the independent recomputation…
+    for name, cnt in got:
+        assert recomputed.get(name) == cnt, (name, cnt, recomputed.get(name))
+    # …and the emission IS the top-20 of the recomputed ranking
+    top = sorted(recomputed.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == top
 
 
 # ------------------------------------------- quantization + mixture
@@ -209,9 +250,13 @@ def test_quantize_error_within_theoretical_bound(spark):
     e9 scaling, plus 1 for the final rounding."""
     out = plans.QUERIES["q_quantize_embeddings"].fn(spark, SF_ORACLE)
     dim = 64
+    # the output amax is rounded to 6 decimals while the error was
+    # computed with the raw amax — widen it by the rounding radius so
+    # a vector sitting exactly on half-steps can't spuriously fail
+    amax_hi = F.col("amax") + 5e-7
     bad = out.where(
         F.col("recon_err2_e9")
-        > F.lit(dim) * (F.col("amax") / 254) * (F.col("amax") / 254) * 1e9 + 1
+        > F.lit(dim) * (amax_hi / 254) * (amax_hi / 254) * 1e9 + 1
     ).count()
     assert bad == 0
     # quantized levels are attested within [-127, 127]: qnorm2 <= dim*127^2
