@@ -158,3 +158,45 @@ def test_orc_roundtrip(spark, tmp_path):
     # predicate pushdown reaches the ORC scan like parquet
     plan = back.where(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
     assert "n_nationkey" in plan
+
+
+def test_events_queries_identical_across_timestamp_layouts(spark, tmp_path):
+    """The r3 catastrophe armor, end to end: three representative
+    events QUERIES (windowed agg, as-of join needs other tables — use
+    tumbling, rollup, stream-join pairing) produce IDENTICAL results
+    whether events.parquet ships as TIMESTAMP(NANOS) (the current
+    generation) or plain timestamp[us] (the other historical layout),
+    because the catalog normalizes both to (ts timestamp, ts_ns long).
+    Sub-microsecond precision is absent from the generator, so even
+    ts_ns-derived values agree exactly."""
+    import os
+    import shutil
+
+    from flink_join_scaling_spark import plans
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    alt = str(tmp_path / "alt_sf")
+    os.makedirs(alt)
+    # rewrite events in the us layout (Spark writes TIMESTAMP_NTZ as
+    # int64 micros); other tables link through unchanged
+    ev = load_table(spark, sf, "events")
+    ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.parquet(os.path.join(alt, "events.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        os.symlink(f"{sf}/{t}.parquet", os.path.join(alt, f"{t}.parquet"))
+
+    for name in ("q_stream_tumbling", "q_rollup_multires", "q_stream_join",
+                 "q_stream_dedup"):
+        fn = plans.QUERIES[name].fn
+        a = sorted(map(tuple, fn(spark, sf).collect()))
+        b = sorted(map(tuple, fn(spark, alt).collect()))
+        assert a == b and len(a) > 0, name
+    shutil.rmtree(alt)
