@@ -286,19 +286,22 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'AFRICA'
         GROUP BY 1
     )
-    SELECT partkey, value_e4 FROM pv
-    WHERE value_e4 * 1000 > (SELECT sum(value_e4) FROM pv)
+    SELECT pv.partkey, pv.value_e4
+    FROM pv, (SELECT sum(value_e4) AS t, count(*) AS c FROM pv) tot
+    WHERE pv.value_e4 * tot.c > 2 * tot.t
     """,
     tags=("tpch",),
 )
 def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part value restricted to
-    one region's suppliers, HAVING value above a fraction of the GLOBAL
-    total — an aggregate filtered against a scalar subquery over the
-    same aggregate. The per-part frame computes once and feeds both the
-    global 1-row sum (broadcast back) and the threshold filter; with
-    exact-integer values the ``×1000 >`` comparison cannot sit on a
-    float boundary. Threshold keeps ~1/1000 of parts: output-sized."""
+    one region's suppliers, HAVING value above a multiple of the GLOBAL
+    average — an aggregate filtered against a scalar subquery over the
+    same aggregate. The original's fixed fraction is 0.0001/SF (spec
+    scales it); this analogue uses the scale-INVARIANT form value >
+    2 × average (``value*count > 2*total`` in exact integers — no
+    float boundary, non-degenerate at every SF). The per-part frame
+    computes once and feeds both the 1-row (total, count) broadcast
+    and the threshold filter."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -310,10 +313,12 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev_e4()).cast("bigint").alias("value_e4"))
     )
-    total = pv.agg(F.sum("value_e4").alias("grand_total"))
+    total = pv.agg(
+        F.sum("value_e4").alias("grand_total"), F.count("*").alias("n_parts")
+    )
     return (
         pv.join(F.broadcast(total))
-        .where(F.col("value_e4") * 1000 > F.col("grand_total"))
+        .where(F.col("value_e4") * F.col("n_parts") > 2 * F.col("grand_total"))
         .select("partkey", "value_e4")
     )
 

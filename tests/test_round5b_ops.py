@@ -166,7 +166,7 @@ def test_tpch_q15_top_supplier_is_argmax(spark):
 
 
 def test_tpch_q11_threshold_filters(spark):
-    """Every surviving part's value clears the 1/1000 global bar,
+    """Every surviving part's value clears the 2x-average bar,
     recomputed independently from the base tables."""
     from flink_join_scaling_spark.sources.catalog import load_table
 
@@ -177,17 +177,19 @@ def test_tpch_q11_threshold_filters(spark):
     rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
-    total = (
+    pv = (
         li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(n, s["s_nationkey"] == n["n_nationkey"])
         .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .agg(F.sum(rev))
-        .first()[0]
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("v"))
     )
+    total, n_parts = pv.agg(F.sum("v"), F.count("*")).first()
     out = plans.QUERIES["q_tpch_q11_important_stock"].fn(spark, SF_ORACLE)
     vals = [row["value_e4"] for row in out.collect()]
     assert vals, "threshold kept nothing at sf0.01 — query is vacuous"
-    assert all(v * 1000 > total for v in vals)
+    assert all(v * n_parts > 2 * total for v in vals)
+    assert len(vals) < n_parts  # the bar actually filters
 
 
 def test_tpch_q21_sole_failing_supplier(spark):
