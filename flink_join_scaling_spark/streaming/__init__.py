@@ -26,6 +26,7 @@ from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
     stream_dedup_exact,
     stream_dedup_latest,
     stream_dedup_minhash,
+    stream_dedup_simhash,
     stream_dedup_within_watermark,
 )
 from flink_join_scaling_spark.streaming.joins import (  # noqa: F401

@@ -305,3 +305,109 @@ def stream_dedup_minhash(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _sim_members_fn(max_bucket: int, max_hamming: int):
+    """Per-(band_idx, band_val) state: membership (id, simhash) pairs;
+    a new doc emits an exact-hamming-verified pair against each member
+    within ``max_hamming``, then joins. Verification happens IN the
+    state update (unlike the minhash detector, which emits unverified
+    candidates) because the simhash IS the verifier — no second pass
+    over text needed."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids: list[int] = list(state.get[0]) if state.exists else []
+        sims: list[int] = list(state.get[1]) if state.exists else []
+        seen = set(ids)
+        out_a, out_b, out_h = [], [], []
+        changed = False
+        for pdf in pdfs:
+            for vid, vsim in zip(pdf["__sim_id"], pdf["simhash"]):
+                new_id, new_sim = int(vid), int(vsim)
+                if new_id in seen or len(ids) >= max_bucket:
+                    continue
+                for mid, msim in zip(ids, sims):
+                    h = bin(msim ^ new_sim).count("1")
+                    if h <= max_hamming:
+                        out_a.append(min(mid, new_id))
+                        out_b.append(max(mid, new_id))
+                        out_h.append(h)
+                ids.append(new_id)
+                sims.append(new_sim)
+                seen.add(new_id)
+                changed = True
+        if changed:
+            state.update((ids, sims))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    return fn
+
+
+def stream_dedup_simhash(
+    sdf: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming SimHash near-dup detection: per-arriving-document
+    32-bit simhash computed map-only (same majority-bit formula as the
+    batch ``operators.dedup.simhash32`` — md5-derived token hashes,
+    counts over ALL tokens), byte-band buckets (pigeonhole-complete
+    for hamming ≤ 3, as in ``simhash_dedup_pairs``), and keyed bucket
+    state that emits exact-hamming-VERIFIED pairs across micro-batches.
+    A pair sharing several bands may emit from each; consumers
+    ``distinct()`` (the batch path does the same internally).
+
+    Converged verified pair set == the batch ``simhash_dedup_pairs``
+    on the same corpus (asserted in tests/test_streaming_text.py).
+    Same per-arrival cost caveat as the minhash detector: the token
+    fold runs through interpreted HOFs — per-arrival streaming cost,
+    not the bulk-backfill path."""
+    from flink_join_scaling_spark.functions.text import tokens_ws
+
+    # explicit BIGINT cast: conv() returns a STRING, and the implicit
+    # numeric coercion picks INT, which overflows for 32-bit hash
+    # values (the batch simhash32 casts to bigint for the same reason)
+    bits_of_tok = (
+        "transform(sequence(0, 31), j -> "
+        "shiftright(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), j) % 2)"
+    )
+    cnts = (
+        "aggregate(__toks, array_repeat(CAST(0 AS BIGINT), 32), "
+        f"(acc, tok) -> zip_with(acc, {bits_of_tok}, (a, b) -> a + CAST(b AS BIGINT)))"
+    )
+    simhash = (
+        "aggregate(zip_with(__cnts, transform(sequence(0, 31), "
+        "j -> shiftleft(CAST(1 AS BIGINT), j)), "
+        "(c, w) -> CASE WHEN c * 2 > __n THEN w ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    sims = (
+        sdf.select(
+            F.col(id_col).alias("__sim_id"),
+            tokens_ws(F.col(text_col)).alias("__toks"),
+        )
+        .withColumn("__n", F.size("__toks").cast("bigint"))
+        .withColumn("__cnts", F.expr(cnts))
+        .select("__sim_id", F.expr(simhash).alias("simhash"))
+    )
+    band_arr = F.array(
+        *[
+            ((F.col("simhash") / (1 << (8 * b))).cast("bigint") % 256)
+            for b in range(4)
+        ]
+    )
+    bands = sims.select(
+        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
+        _sim_members_fn(max_bucket, max_hamming),
+        outputStructType="id_a long, id_b long, hamming long",
+        stateStructType="ids array<long>, sims array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

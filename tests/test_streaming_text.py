@@ -140,3 +140,37 @@ def test_stream_decontamination_stream_static_join(streaming_spark, tmp_path):
         for r in em.groupby("doc_id", as_index=False).last().itertuples(index=False)
     }
     assert got == expected and len(expected) > 0
+
+
+def test_stream_dedup_simhash_matches_batch_pairs(streaming_spark, tmp_path):
+    """Streaming SimHash near-dup detection: converged VERIFIED pair
+    set (hamming <= 3, checked in-state) equals the batch
+    simhash_dedup_pairs on the same corpus — same majority-bit simhash
+    computed map-only per arriving doc, same byte-band pigeonhole."""
+    from flink_join_scaling_spark.operators.dedup import simhash_dedup_pairs
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_simhash
+
+    spark = streaming_spark
+    base = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    shift = base.agg(F.max("doc_id")).first()[0] + 1
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+    )
+
+    expected = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dedup_pairs(docs, "doc_id", "text").collect()
+    }
+
+    s = chunked_parquet_stream(spark, docs, str(tmp_path), n_chunks=3)
+    em = collect_emissions(
+        stream_dedup_simhash(s, "doc_id", "text", max_bucket=4096),
+        output_mode="update",
+    )
+    got = {
+        tuple(r)
+        for r in em[["id_a", "id_b", "hamming"]].itertuples(index=False)
+    }
+    assert got == expected
+    assert len(expected) > 0
