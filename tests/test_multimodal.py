@@ -184,3 +184,40 @@ def test_binaryfile_ingestion_to_real_decode(spark, tmp_path):
         assert (r["width"], r["height"], r["n_channels"]) == (rate, frames, ch)
         assert r["mean_byte"] == mean_abs
         assert r["n_bytes"] == len(payload)
+
+
+def test_read_media_dir_source(spark, tmp_path):
+    """The media-directory source yields the standard payload shape
+    with extension-derived types and deterministic path-hash ids, and
+    feeds decode_media(decoder='real') directly."""
+    import os
+
+    from flink_join_scaling_spark.sources.media import read_media_dir
+
+    media = str(tmp_path / "m")
+    os.makedirs(media)
+    wav = _wav_bytes([0, 500, -500], channels=1, rate=8000, bits=16)
+    with open(os.path.join(media, "clip.wav"), "wb") as f:
+        f.write(wav)
+    with open(os.path.join(media, "blob.bin"), "wb") as f:
+        f.write(b"\x00\x01\x02")
+
+    df = read_media_dir(spark, media)
+    rows = {r["media_type"]: r for r in df.collect()}
+    assert rows["audio/wav"]["n_bytes"] == len(wav)
+    assert rows["application/octet-stream"]["n_bytes"] == 3
+    # ids are deterministic across reads (path-hash, not monotonic id)
+    again = {r["media_type"]: r["doc_id"] for r in read_media_dir(spark, media).collect()}
+    assert again["audio/wav"] == rows["audio/wav"]["doc_id"]
+
+    feats = (
+        mm.decode_media(
+            df.where(F.col("media_type") == "audio/wav").drop("src_path"),
+            decoder="real",
+        )
+        .collect()
+    )
+    rate, frames, ch, mean_abs = mm._parse_wav(wav)
+    assert (feats[0]["width"], feats[0]["height"], feats[0]["n_channels"]) == (
+        rate, frames, ch,
+    )
