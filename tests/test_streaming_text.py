@@ -174,3 +174,66 @@ def test_stream_dedup_simhash_matches_batch_pairs(streaming_spark, tmp_path):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_lm_score_against_static_model(streaming_spark, tmp_path):
+    """Unigram LM quality scoring on a LIVE stream: the tf model comes
+    from the static historical corpus; arriving docs join it
+    stream-static and score with the same sorted left-to-right fold as
+    the registered q_lm_score. Scores equal the batch computation on
+    the same docs — the deploy shape where the model refreshes offline
+    while the gate runs continuously."""
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+
+    spark = streaming_spark
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+    def score_against(words_src, model_tf, model_tot):
+        per = (
+            words_src.join(model_tf, "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_tokens"),
+                F.array_sort(
+                    F.collect_list(F.col("tf").cast("double"))
+                ).alias("tfs"),
+            )
+        )
+        return per.join(F.broadcast(model_tot)).select(
+            "doc_id",
+            F.round(
+                (
+                    F.aggregate(
+                        F.transform(F.col("tfs"), lambda x: F.log(x)),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    - F.col("n_tokens") * F.log(F.col("t"))
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("lm_logprob"),
+        )
+
+    words_static = d.select(
+        "doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    )
+    tf = words_static.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("t"))
+    expected = {
+        (r["doc_id"], r["lm_logprob"])
+        for r in score_against(words_static, tf, tot).collect()
+    }
+
+    s = chunked_parquet_stream(spark, d, str(tmp_path), n_chunks=3)
+    words_stream = s.select(
+        "doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    )
+    em = collect_emissions(
+        score_against(words_stream, tf, tot), output_mode="update"
+    )
+    got = {
+        (r.doc_id, r.lm_logprob)
+        for r in em.groupby("doc_id", as_index=False).last().itertuples(index=False)
+    }
+    assert got == expected and len(expected) > 0
