@@ -411,6 +411,17 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), F.expr(f"({total}) AS simhash"))
 
 
+def simhash_band_array(col: str = "simhash") -> F.Column:
+    """The 4 byte-bands of a 32-bit simhash — THE single definition
+    shared by the batch pair join below and the streaming detector
+    (``streaming.dedup.stream_dedup_simhash``), so both land in
+    identical buckets by construction (same interop argument as
+    :func:`sig_hash_of`). Pigeonhole: hamming ≤ 3 ⇒ ≥ 1 shared byte."""
+    return F.array(
+        *[((F.col(col) / (1 << (8 * b))).cast("bigint") % 256) for b in range(4)]
+    )
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -427,12 +438,7 @@ def simhash_dedup_pairs(
     re-evaluate the simhash aggregation subplan once per band.
     """
     sims = simhash32(df, id_col, text_col)
-    band_arr = F.array(
-        *[
-            ((F.col("simhash") / (1 << (8 * b))).cast("bigint") % 256)
-            for b in range(4)
-        ]
-    )
+    band_arr = simhash_band_array()
     bands = sims.select(
         F.col(id_col),
         F.col("simhash"),

@@ -53,6 +53,8 @@ def read_media_dir(
         F.xxhash64(F.col("path")).alias("doc_id"),
         F.col("content").alias("payload"),
         mt.alias("media_type"),
-        F.length(F.col("content")).cast("bigint").alias("n_bytes"),
+        # the source's own length metadata column — no payload scan
+        # needed to know the size, and it survives content pruning
+        F.col("length").cast("bigint").alias("n_bytes"),
         F.col("path").alias("src_path"),
     )

@@ -363,22 +363,33 @@ def stream_dedup_simhash(
     ``distinct()`` (the batch path does the same internally).
 
     Converged verified pair set == the batch ``simhash_dedup_pairs``
-    on the same corpus (asserted in tests/test_streaming_text.py).
-    Same per-arrival cost caveat as the minhash detector: the token
-    fold runs through interpreted HOFs — per-arrival streaming cost,
-    not the bulk-backfill path."""
+    on the same corpus, MODULO the ``max_bucket`` cap (a byte-band
+    bucket at the cap stops admitting members, so pairs involving
+    later arrivals in a hot bucket are not emitted — size the cap to
+    the workload's duplicate-family bound, as for the minhash
+    detector; the equivalence test passes 4096). Asserted in
+    tests/test_streaming_text.py. Same per-arrival cost caveat as the
+    minhash detector: the token fold runs through interpreted HOFs —
+    per-arrival streaming cost, not the bulk-backfill path. NULL-text
+    rows are dropped before the stateful exchange (the batch path
+    drops them implicitly at the token explode)."""
     from flink_join_scaling_spark.functions.text import tokens_ws
+    from flink_join_scaling_spark.operators.dedup import simhash_band_array
 
-    # explicit BIGINT cast: conv() returns a STRING, and the implicit
-    # numeric coercion picks INT, which overflows for 32-bit hash
-    # values (the batch simhash32 casts to bigint for the same reason)
-    bits_of_tok = (
-        "transform(sequence(0, 31), j -> "
-        "shiftright(CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT), j) % 2)"
+    # hash each token ONCE (explicit BIGINT cast: conv() returns a
+    # STRING whose implicit numeric coercion picks INT and overflows
+    # 32-bit hash values — batch simhash32 casts for the same reason),
+    # then fold the per-bit extraction over the precomputed hash array;
+    # embedding the md5 inside the 32-bit transform would recompute it
+    # 32x per token on the per-arrival hot path
+    hashes = (
+        "transform(__toks, tok -> "
+        "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT))"
     )
     cnts = (
-        "aggregate(__toks, array_repeat(CAST(0 AS BIGINT), 32), "
-        f"(acc, tok) -> zip_with(acc, {bits_of_tok}, (a, b) -> a + CAST(b AS BIGINT)))"
+        f"aggregate({hashes}, array_repeat(CAST(0 AS BIGINT), 32), "
+        "(acc, v) -> zip_with(acc, transform(sequence(0, 31), "
+        "j -> shiftright(v, j) % 2), (a, b) -> a + CAST(b AS BIGINT)))"
     )
     simhash = (
         "aggregate(zip_with(__cnts, transform(sequence(0, 31), "
@@ -391,16 +402,14 @@ def stream_dedup_simhash(
             F.col(id_col).alias("__sim_id"),
             tokens_ws(F.col(text_col)).alias("__toks"),
         )
+        # NULL text -> null token array: drop it here, or the null
+        # simhash reaches the state fn as NaN and kills the query
+        .where(F.col("__toks").isNotNull() & (F.size("__toks") > 0))
         .withColumn("__n", F.size("__toks").cast("bigint"))
         .withColumn("__cnts", F.expr(cnts))
         .select("__sim_id", F.expr(simhash).alias("simhash"))
     )
-    band_arr = F.array(
-        *[
-            ((F.col("simhash") / (1 << (8 * b))).cast("bigint") % 256)
-            for b in range(4)
-        ]
-    )
+    band_arr = simhash_band_array()
     bands = sims.select(
         "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
     )

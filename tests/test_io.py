@@ -161,9 +161,9 @@ def test_orc_roundtrip(spark, tmp_path):
 
 
 def test_events_queries_identical_across_timestamp_layouts(spark, tmp_path):
-    """The r3 catastrophe armor, end to end: three representative
-    events QUERIES (windowed agg, as-of join needs other tables — use
-    tumbling, rollup, stream-join pairing) produce IDENTICAL results
+    """The r3 catastrophe armor, end to end: four representative
+    events QUERIES (tumbling window, multi-resolution rollup,
+    stream-join pairing, versioned dedup) produce IDENTICAL results
     whether events.parquet ships as TIMESTAMP(NANOS) (the current
     generation) or plain timestamp[us] (the other historical layout),
     because the catalog normalizes both to (ts timestamp, ts_ns long).
@@ -174,8 +174,9 @@ def test_events_queries_identical_across_timestamp_layouts(spark, tmp_path):
 
     from flink_join_scaling_spark import plans
     from flink_join_scaling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMALL
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     alt = str(tmp_path / "alt_sf")
     os.makedirs(alt)
     # rewrite events in the us layout (Spark writes TIMESTAMP_NTZ as

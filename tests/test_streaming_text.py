@@ -156,6 +156,10 @@ def test_stream_dedup_simhash_matches_batch_pairs(streaming_spark, tmp_path):
     shift = base.agg(F.max("doc_id")).first()[0] + 1
     docs = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + F.lit(shift))
+    ).unionByName(
+        # a NULL-text row must be dropped by the guard, not kill the
+        # query (batch drops it implicitly at the token explode)
+        spark.createDataFrame([(10 * shift, None)], "doc_id long, text string")
     )
 
     expected = {
