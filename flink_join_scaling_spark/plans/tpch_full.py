@@ -80,7 +80,7 @@ _REV_E4_SQL = (
     FROM link l
     JOIN mins m ON m.partkey = l.partkey AND l.price_c = m.min_price_c
     JOIN part p ON p.p_partkey = l.partkey
-    WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    WHERE p.p_size IN (15, 25, 35)
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
@@ -118,9 +118,9 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = link.groupBy(F.col("partkey").alias("m_partkey")).agg(
         F.min("price_c").alias("min_price_c")
     )
-    p = _t(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
-    )
+    # size-list filter (not size+type): the conjunctive form matched a
+    # SINGLE part at sf0.01, one regeneration away from an empty result
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(15, 25, 35))
     return (
         link.join(
             mins,
