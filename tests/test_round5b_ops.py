@@ -20,8 +20,8 @@ from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 def test_dedup_lines_counts_conserve(spark):
-    """kept + removed = total segments, per document; and the clean
-    text's token count is exactly 3×kept minus the short tail."""
+    """Removed counts stay within [0, n_segments] per document, and a
+    doc with nothing removed reassembles to its normalized self."""
     out = plans.QUERIES["q_dedup_lines"].fn(spark, SF_ORACLE)
     bad = out.where(
         (F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_segments"))
