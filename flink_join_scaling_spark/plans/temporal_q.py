@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_join_scaling_spark.operators.temporal import asof_join, range_join, sessionize
+from flink_join_scaling_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    scd2_intervals,
+    sessionize,
+)
 from flink_join_scaling_spark.plans.registry import query
 from flink_join_scaling_spark.sources.catalog import load_table
 
@@ -412,4 +417,71 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ve4",
             )
         )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts_ms, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    seg AS (
+      SELECT user_id, event_type, ts_ms,
+             sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts_ms, event_id
+             ) AS seg_id
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, seg_id,
+             min(event_type) AS event_type,
+             min(ts_ms) AS valid_from_ms,
+             count(*) AS n_versions
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT user_id, event_type, valid_from_ms,
+           lead(valid_from_ms) OVER w2 AS valid_to_ms,
+           n_versions,
+           lead(valid_from_ms) OVER w2 IS NULL AS is_current
+    FROM intervals
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY seg_id)
+    """,
+    tags=("temporal", "scd2"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history construction: each user's event stream run-length
+    compressed on event_type into half-open validity intervals — the
+    change-compacted warehouse history of the reference's versioned
+    record model (its dedup keeps the newest state; this keeps every
+    DISTINCT state with [valid_from, valid_to) bounds + is_current).
+
+    Exact integer-ms timestamps, unique event_id tiebreak: both
+    engines compute identical segment boundaries, so the hash compare
+    is exact. Two user-keyed shuffles, per-key linear work.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    versions = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000000").alias("ts_ms"),
+        "event_id",
+    )
+    out = scd2_intervals(
+        versions, "user_id", "event_type", "ts_ms", tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_ms"),
+        F.col("valid_to").alias("valid_to_ms"),
+        "n_versions",
+        "is_current",
     )

@@ -175,3 +175,41 @@ def test_gapfill_grid_and_zero_rows(spark):
     for k, v in sparse.items():
         assert got[k] == v  # observed buckets preserved
     assert sum(1 for v in got.values() if v == 0) == len(got) - len(sparse)
+
+
+def test_scd2_intervals_collapses_runs_and_flags_current(spark):
+    """Hand-built version stream: runs of equal attr collapse, interval
+    bounds chain half-open, null attrs compare null-safely, and exactly
+    one open (is_current) interval per key."""
+    from flink_join_scaling_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # key 1: A A B A  -> [A@10,30) x2, [B@30,40) x1, [A@40,None) x1
+        (1, "A", 10, 100),
+        (1, "A", 20, 101),
+        (1, "B", 30, 102),
+        (1, "A", 40, 103),
+        # key 2: null null C -> [null@5,25) x2, [C@25,None) x1
+        (2, None, 5, 200),
+        (2, None, 15, 201),
+        (2, "C", 25, 202),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, ts long, id long")
+    out = scd2_intervals(df, "k", "attr", "ts", tiebreak=["id"])
+    got = sorted(
+        (
+            (r.k, r.attr or "", r.valid_from),
+            (r.k, r.attr, r.valid_from, r.valid_to, r.n_versions, r.is_current),
+        )
+        for r in out.collect()
+    )
+    got = [g[1] for g in got]
+    assert got == [
+        (1, "A", 10, 30, 2, False),
+        (1, "A", 40, None, 1, True),
+        (1, "B", 30, 40, 1, False),
+        (2, None, 5, 25, 2, False),
+        (2, "C", 25, None, 1, True),
+    ]
+    # conservation: interval version counts sum back to the input rows
+    assert sum(g[4] for g in got) == len(rows)
