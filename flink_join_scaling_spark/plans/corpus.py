@@ -923,3 +923,164 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+# ------------------------------------------- collocation mining (PMI)
+
+
+@query(
+    "q_collocations",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    bi AS (
+        SELECT a.w AS x, b.w AS y
+        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
+    bic AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM bi GROUP BY x, y),
+    tot AS (SELECT CAST((SELECT count(*) FROM words) AS DOUBLE) AS nu,
+                   CAST((SELECT count(*) FROM bi) AS DOUBLE) AS nb)
+    SELECT x || ' ' || y AS bigram, n_xy, ux.n AS n_x, uy.n AS n_y,
+           CAST(round(1e6 * ((CAST(n_xy AS DOUBLE) / nb) /
+                ((CAST(ux.n AS DOUBLE) / nu) * (CAST(uy.n AS DOUBLE) / nu))))
+                AS BIGINT) AS lift_e6
+    FROM bic JOIN uni ux ON bic.x = ux.w JOIN uni uy ON bic.y = uy.w, tot
+    WHERE n_xy >= 5
+    ORDER BY lift_e6 DESC, bigram ASC
+    LIMIT 20
+    """,
+    tags=("corpus", "text"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining: top-20 adjacent token pairs by lift
+    (observed/expected co-occurrence ratio, the exp of PMI) with
+    support ≥ 5 — the phrase-mining step behind tokenizer vocab
+    extension and boilerplate discovery.
+
+    Bigrams come from the token ARRAY map-side (transform over
+    sequence), never a positional self-join — one corpus scan feeds
+    both the unigram and bigram counts, then two vocab-sized
+    token-keyed joins (AQE broadcasts the smaller sides) and 1-row
+    totals ride a broadcast cross join. Output is top-k sized.
+
+    Cross-engine exactness: counts are exact integers; lift is a fixed
+    parenthesized chain of IEEE double divisions/multiplications
+    (correctly rounded, so bit-identical given identical inputs and
+    order — no transcendentals), scaled to an e6 integer. Deterministic
+    top-k via (lift_e6, bigram) total order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens_ws(F.col("text")).alias("ws"))
+    words = toks.select(F.explode("ws").alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("n"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS x, ws[i + 1] AS y)) ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    bic = bi.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
+    tot = words.agg(F.count("*").cast("double").alias("nu")).crossJoin(
+        bi.agg(F.count("*").cast("double").alias("nb"))
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("n").alias("n_x"))
+    uy = uni.select(F.col("w").alias("y"), F.col("n").alias("n_y"))
+    joined = (
+        bic.where(F.col("n_xy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("n_xy").cast("double") / F.col("nb")) / (
+        (F.col("n_x").cast("double") / F.col("nu"))
+        * (F.col("n_y").cast("double") / F.col("nu"))
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(F.lit(1e6) * lift).cast("bigint").alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------- cross-source overlap matrix
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ssh AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ssh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM ssh a JOIN ssh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON src_a = sa.source
+    JOIN sizes sb ON src_b = sb.source
+    """,
+    tags=("corpus", "dedup"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication diagnostic: shingle-set Jaccard between
+    every pair of sources that share at least one 3-gram — the
+    curation report that tells you two crawls overlap before you pay
+    for document-level dedup between them.
+
+    The self-join is keyed by shingle, and each shingle's bucket is
+    the set of SOURCES containing it (≤ |sources|, not documents), so
+    Σ bucket² ≤ |sources|² × |distinct shingles| — linear in the
+    corpus for the O(100) source counts real pipelines have. The
+    per-source distinct reduction happens before the join, collapsing
+    hot shingles to one row per source. Output is |sources|²-bounded
+    (tiny); jaccard is the same round-6 integer-ratio form the MinHash
+    oracle hash-matches with.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = tx.exploded_shingles(d, "doc_id", "text", 3)
+    ssh = (
+        sh.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
+    a = ssh.select(F.col("source").alias("src_a"), "shingle")
+    b = ssh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )

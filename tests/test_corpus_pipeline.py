@@ -65,3 +65,67 @@ def test_corpus_pipeline_end_to_end(spark):
     assert total_before == total_after
     # no bin except possibly a source's last overflows past budget+max_doc
     assert packed.where(F.col("n_docs") <= 0).count() == 0
+
+
+def test_collocations_planted_phrase_tops_lift(spark):
+    """A phrase whose words appear ONLY together must out-lift a pair
+    of independently frequent words; counts are exact."""
+    from flink_join_scaling_spark.plans.corpus import q_collocations
+
+    # "zig zag" always adjacent (8x); "the cat" co-occurs 8x but both
+    # words also appear apart, diluting their lift.
+    docs = [
+        (i, "zig zag the cat " + ("the dog " * 3) + "cat nap", "en", "s0", 0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("__colloc_docs")
+    import flink_join_scaling_spark.plans.corpus as cp
+    from flink_join_scaling_spark.sources import catalog
+
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda spark, sf, name: df  # noqa: ARG005
+        cp.load_table = catalog.load_table
+        out = q_collocations(spark, "ignored").collect()
+    finally:
+        catalog.load_table = orig
+        cp.load_table = orig
+    by_bigram = {r.bigram: r for r in out}
+    assert by_bigram["zig zag"].n_xy == 8
+    assert by_bigram["zig zag"].n_x == 8 and by_bigram["zig zag"].n_y == 8
+    # planted exclusive pair has the highest lift in the corpus
+    assert out[0].bigram == "zig zag"
+    assert by_bigram["zig zag"].lift_e6 > by_bigram["the cat"].lift_e6
+
+
+def test_source_overlap_counts_shared_shingles_exactly(spark):
+    """Two sources sharing exactly one 3-gram, a third disjoint source:
+    the pair row carries exact sizes and the disjoint source is absent."""
+    from flink_join_scaling_spark.plans.corpus import q_source_overlap
+    import flink_join_scaling_spark.plans.corpus as cp
+    from flink_join_scaling_spark.sources import catalog
+
+    docs = [
+        (1, "alpha beta gamma delta", "en", "sA", 0),  # shingles: abg, bgd
+        (2, "alpha beta gamma", "en", "sB", 0),        # shingle:  abg
+        (3, "zeta eta theta", "en", "sC", 0),          # disjoint
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda spark, sf, name: df  # noqa: ARG005
+        cp.load_table = catalog.load_table
+        rows = q_source_overlap(spark, "ignored").collect()
+    finally:
+        catalog.load_table = orig
+        cp.load_table = orig
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.src_a, r.src_b) == ("sA", "sB")
+    assert (r.n_inter, r.n_a, r.n_b) == (1, 2, 1)
+    assert abs(r.jaccard - 0.5) < 1e-9
