@@ -420,3 +420,120 @@ def stream_dedup_simhash(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _scd2_fn(key_col: str, max_versions: int):
+    """Per-key state machine for continuous SCD2 maintenance: state is
+    the key's full version list (ts, id, attr) — the exact retention an
+    out-of-order-correct SCD2 needs, since a late version landing
+    inside an existing interval can split it, which no compacted
+    summary can replay. Each changed batch re-derives the interval set
+    and emits it as ONE row of parallel arrays, so the converged
+    (last-emission-per-key) reduction is exact even when late data
+    merges or removes intervals emitted earlier."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_l, id_l, attr_l = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            ts_l, id_l, attr_l = [], [], []
+        seen = set(id_l)
+        changed = False
+        for pdf in pdfs:
+            for ts, vid, attr in pdf[["__ts", "__id", "__attr"]].itertuples(
+                index=False, name=None
+            ):
+                ts = _native(ts, is_int=True)
+                vid = _native(vid, is_int=True)
+                attr = _native(attr)
+                # a version without a timestamp has no place on the
+                # validity axis; unique version ids make replays no-ops
+                if ts is None or vid is None or vid in seen:
+                    continue
+                if len(id_l) >= max_versions:
+                    continue  # bounded state under adversarial keys
+                ts_l.append(ts)
+                id_l.append(vid)
+                attr_l.append(attr)
+                seen.add(vid)
+                changed = True
+        if not changed:
+            return
+        state.update((ts_l, id_l, attr_l))
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        attrs: list = []
+        froms: list[int] = []
+        counts: list[int] = []
+        for i in order:
+            if attrs and attr_l[i] == attrs[-1]:
+                counts[-1] += 1
+            else:
+                attrs.append(attr_l[i])
+                froms.append(ts_l[i])
+                counts.append(1)
+        tos = [*froms[1:], None]
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "attr": attrs,
+                    "valid_from": froms,
+                    "valid_to": tos,
+                    "n_versions": counts,
+                    "is_current": [t is None for t in tos],
+                }
+            ]
+        )
+
+    return fn
+
+
+def stream_scd2_intervals(
+    sdf: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    id_col: str,
+    max_versions: int = 4096,
+) -> DataFrame:
+    """Continuous SCD2 history maintenance: the streaming sibling of
+    ``operators.temporal.scd2_intervals``. As versions arrive (in ANY
+    order — late data splits/merges intervals correctly), each changed
+    key emits its full recomputed interval set as one row of parallel
+    arrays ``(attr, valid_from, valid_to, n_versions, is_current)``
+    ordered by ``valid_from`` — an update-mode changelog whose
+    last-emission-per-key reduction equals the batch operator's
+    intervals on the same data (asserted in tests/test_streaming.py).
+
+    State per key is the version list itself (ts, id, attr — never the
+    full record), the minimum retention that makes late-arrival
+    interval splits exact; ``max_versions`` bounds it under adversarial
+    keys, the same trade as the batch stop-shingle / streaming
+    max_bucket caps. Requires integer ``ts_col``/``id_col`` (exact
+    ordering arithmetic) and a string ``attr_col``; null timestamps are
+    dropped (no place on the validity axis), null attrs compare equal
+    to each other only — both matching the batch operator.
+    """
+    src = sdf.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(attr_col).alias("__attr"),
+    )
+    out_schema = (
+        f"{key_col} long, attr array<string>, valid_from array<long>, "
+        "valid_to array<long>, n_versions array<long>, is_current array<boolean>"
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        _scd2_fn(key_col, max_versions),
+        outputStructType=out_schema,
+        stateStructType="ts array<long>, ids array<long>, attrs array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -576,3 +576,86 @@ def test_stream_join_null_event_time(streaming_spark, tmp_path):
         y = json.loads(r.y_payload)["tag"] if r.y_payload else None
         pairs.add((x, y))
     assert pairs == {("a1", "b1"), ("a2-null-ts", None)}
+
+
+def test_stream_scd2_matches_batch(streaming_spark, tmp_path):
+    """Continuous SCD2 maintenance converges to the batch operator's
+    intervals under out-of-order arrival (late versions splitting and
+    extending intervals across micro-batches)."""
+    from flink_join_scaling_spark.operators.temporal import scd2_intervals
+    from flink_join_scaling_spark.streaming.dedup import stream_scd2_intervals
+
+    rng = random.Random(SEED)
+    rows = [
+        (i * 1000 + v, rng.randrange(5), rng.choice(["A", "B", "C"]),
+         rng.randrange(10_000))
+        for i in range(5)
+        for v in range(20)
+    ]
+    rng.shuffle(rows)
+    schema = "event_id long, k long, attr string, ts long"
+    spark = streaming_spark
+    df = spark.createDataFrame(rows, schema)
+
+    batch = scd2_intervals(df, "k", "attr", "ts", tiebreak=["event_id"])
+    expected = {}
+    for r in batch.collect():
+        expected.setdefault(r.k, []).append(
+            (r.valid_from, r.attr, r.valid_to, r.n_versions, r.is_current)
+        )
+    for v in expected.values():
+        v.sort()
+
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=5)
+    em = collect_emissions(
+        stream_scd2_intervals(s, "k", "attr", "ts", "event_id")
+    )
+    assert len(em) >= len(expected)  # changelog: every key emits >= once
+    got_rows = converged(em, ["k"])
+    got = {}
+    for _, r in got_rows.iterrows():
+        got[r["k"]] = sorted(
+            zip(r["valid_from"], r["attr"], r["valid_to"],
+                r["n_versions"], r["is_current"])
+        )
+    # normalize numpy scalars / None vs NaN for comparison
+    def norm(intervals):
+        return [
+            (int(a), b, None if c is None or c != c else int(c), int(d), bool(e))
+            for a, b, c, d, e in intervals
+        ]
+    assert {k: norm(v) for k, v in got.items()} == {
+        k: norm(v) for k, v in expected.items()
+    }
+
+
+def test_stream_scd2_late_version_splits_interval(streaming_spark, tmp_path):
+    """A late-arriving version with a different attr lands INSIDE an
+    already-emitted interval: the converged output shows the split —
+    the case compacted-state designs cannot replay."""
+    from flink_join_scaling_spark.streaming.dedup import stream_scd2_intervals
+
+    spark = streaming_spark
+    schema = "event_id long, k long, attr string, ts long"
+    early = [(1, 1, "A", 100), (2, 1, "A", 300)]
+    late = [(3, 1, "B", 200)]  # arrives last, belongs in the middle
+
+    import os, uuid
+    path = os.path.join(str(tmp_path), f"stream-{uuid.uuid4().hex[:6]}")
+    os.makedirs(path)
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(
+        os.path.join(path, "chunk-000")
+    )
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(
+        os.path.join(path, "chunk-001")
+    )
+    s = (
+        spark.readStream.schema(spark.createDataFrame(early, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(path, "chunk-*"))
+    )
+    em = collect_emissions(stream_scd2_intervals(s, "k", "attr", "ts", "event_id"))
+    final = converged(em, ["k"]).iloc[0]
+    assert list(final["attr"]) == ["A", "B", "A"]
+    assert [int(x) for x in final["valid_from"]] == [100, 200, 300]
+    assert list(final["is_current"]) == [False, False, True]
