@@ -36,7 +36,13 @@ INFLATED = os.path.join(ROOT, f"x{COPIES}")
 
 
 def inflate(spark) -> None:
-    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    for table, key in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        # events: shifted event_ids, user_ids preserved → 10x versions
+        # per key, the worst case for per-key history operators (SCD2)
+        ("events", "event_id"),
+    ):
         if os.path.exists(os.path.join(INFLATED, f"{table}.parquet")):
             continue
         os.makedirs(INFLATED, exist_ok=True)
@@ -104,6 +110,14 @@ def main() -> None:
         "q_pipeline_e2e": plan_probe("q_pipeline_e2e"),
         "q_quantize_embeddings": plan_probe("q_quantize_embeddings"),
         "q_embed_outliers": plan_probe("q_embed_outliers"),
+        # r5d additions: SCD2 over 10x versions per user (events
+        # inflation keeps user_ids); collocations' token/bigram vocab
+        # is FIXED while count rows grow 10x; source-overlap's
+        # per-source DISTINCT shingle sets are UNCHANGED by identical
+        # copies — only the corpus-sized distinct stage grows
+        "q_scd2_intervals": plan_probe("q_scd2_intervals"),
+        "q_collocations": plan_probe("q_collocations"),
+        "q_source_overlap": plan_probe("q_source_overlap"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")

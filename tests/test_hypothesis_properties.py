@@ -278,3 +278,66 @@ def test_line_dedup_matches_python_oracle(spark, texts):
     )
     got = {r["doc_id"]: (r["n_removed"], r["clean_text"]) for r in got_rows}
     assert got == expected
+
+
+# --------------------------------------------------- SCD2 intervals
+
+# tight domains: ts ties across keys, attr runs, duplicate ids are
+# impossible (unique version id is the operator's contract)
+_scd2_version = st.tuples(
+    st.integers(0, 2),                     # key
+    st.sampled_from(["A", "B", None]),     # attr (nullable)
+    st.integers(0, 6),                     # ts (ties common)
+)
+
+
+def _py_scd2(rows):
+    """Pure-Python oracle: sort by (ts, id) per key, run-length
+    compress on attr (null-safe), chain half-open bounds."""
+    by_key = {}
+    for key, attr, ts, vid in rows:
+        by_key.setdefault(key, []).append((ts, vid, attr))
+    out = []
+    for key, versions in by_key.items():
+        versions.sort(key=lambda v: (v[0], v[1]))
+        segs = []  # (attr, valid_from, n)
+        for ts, _vid, attr in versions:
+            if segs and segs[-1][0] == attr:
+                segs[-1][2] += 1
+            else:
+                segs.append([attr, ts, 1])
+        for i, (attr, vf, n) in enumerate(segs):
+            vt = segs[i + 1][1] if i + 1 < len(segs) else None
+            out.append((key, attr, vf, vt, n, vt is None))
+    return sorted(out, key=lambda r: (r[0], r[2], r[4]))
+
+
+@given(rows=st.lists(_scd2_version, max_size=14))
+@SET
+def test_scd2_intervals_property(spark, rows):
+    from flink_join_scaling_spark.operators.temporal import scd2_intervals
+
+    rows = [(k, a, t, i) for i, (k, a, t) in enumerate(rows)]  # unique ids
+    schema = "k long, attr string, ts long, id long"
+    df = (
+        spark.createDataFrame(rows, schema)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from, r.valid_to, r.n_versions, r.is_current)
+            for r in scd2_intervals(df, "k", "attr", "ts", tiebreak=["id"]).collect()
+        ),
+        key=lambda r: (r[0], r[2], r[4]),
+    )
+    assert got == _py_scd2(rows)
+    # interval bounds chain: within a key, valid_to == next valid_from
+    # and exactly one open interval (when the key has any versions)
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r[0], []).append(r)
+    for key_rows in by_key.values():
+        assert sum(1 for r in key_rows if r[5]) == 1
+        for a, b in zip(key_rows, key_rows[1:]):
+            assert a[3] == b[2]
