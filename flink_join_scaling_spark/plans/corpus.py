@@ -930,6 +930,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_collocations",
+    headline=True,
     oracle=f"""
     WITH {_TOKS_CTE},
     bi AS (
@@ -1015,6 +1016,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_source_overlap",
+    headline=True,
     oracle=f"""
     WITH {_SHINGLE_CTE},
     ssh AS (

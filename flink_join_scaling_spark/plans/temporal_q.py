@@ -422,6 +422,7 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_scd2_intervals",
+    headline=True,
     oracle="""
     WITH e AS (
       SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
