@@ -457,3 +457,116 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 4)
         .select("name_a", "name_b", "dist")
     )
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+        SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
+    ),
+    fpairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ),
+    edges AS (
+        SELECT name_a AS src, name_b AS dst FROM fpairs
+        UNION
+        SELECT name_b, name_a FROM fpairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.src, t.r FROM edges e JOIN reach t ON t.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS canonical_name FROM reach GROUP BY node)
+    SELECT canonical_name,
+           CAST(count(*) AS BIGINT) AS n_members,
+           string_agg(node, ',' ORDER BY node) AS members
+    FROM comp GROUP BY canonical_name
+    """,
+    tags=("relational", "fuzzy", "dedup"),
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: the q_fuzzy_match candidate pairs
+    collapsed into entity clusters (connected components over the
+    fuzzy edges — match similarity is not transitive) with a canonical
+    representative (min name) and the full sorted member list per
+    entity — the composition every master-data pipeline runs:
+    block → verify → cluster → canonicalize.
+
+    Reuses the SAME library stages as the dedup family
+    (``operators.dedup.connected_components`` is type-agnostic: min
+    label propagation works on the name strings directly), so the
+    cluster stage shuffles only the fuzzy PAIR set — matched names,
+    never the part table. Output is component-sized; members CSV is
+    sorted for a deterministic hash."""
+    from flink_join_scaling_spark.operators.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    a = blocked.select(F.col("p_name").alias("name_a"), "blk")
+    b = blocked.select(F.col("p_name").alias("name_b"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 4)
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(pairs, id_a="name_a", id_b="name_b")
+    return (
+        comp.groupBy(F.col("component_id").alias("canonical_name"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.array_sort(F.collect_list("node"))).alias(
+                "members"
+            ),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    x AS (
+        SELECT event_type,
+               CAST(least(9, CAST(floor(
+                   (value - vmin) / ((vmax - vmin) / 10.0)
+               ) AS BIGINT)) AS BIGINT) AS bucket
+        FROM events, b
+        WHERE value IS NOT NULL
+    )
+    SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2
+    """,
+    tags=("relational", "profiling"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per type: 10 global buckets
+    over [min, max], the max row clamped into the last bucket — the
+    numeric-distribution profiling pass data-quality monitors run per
+    column.
+
+    The global bounds are a broadcast 1-row aggregate (plan-guard
+    exempted 1-row nested loop); bucketing is a map-side expression —
+    identical IEEE double subtract/divide/floor in both engines, so
+    the integer bucket ids are engine-exact — and the histogram is one
+    (type, bucket)-keyed agg with map-side partials. Output is
+    types × 10 rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10.0)),
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
