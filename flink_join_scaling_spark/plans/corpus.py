@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.functions import text as tx
 from flink_join_scaling_spark.plans.llmdata import (
+    _NORM,
     _SHINGLE_CTE,
     _TOKS_CTE,
     _quality_cte,
@@ -1086,3 +1087,71 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------- mergeable cardinality sketches
+
+
+@query(
+    "q_hll_rollup",
+    oracle=f"""
+    WITH norm AS (
+        SELECT source, {_NORM} AS t FROM documents
+    ),
+    toks AS (SELECT source, unnest(string_split(t, ' ')) AS w FROM norm),
+    per AS (
+        SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+        FROM toks GROUP BY source
+    ),
+    allsrc AS (
+        SELECT '(all)' AS source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact
+        FROM toks
+    )
+    SELECT source, n_exact, TRUE AS within_tol FROM per
+    UNION ALL
+    SELECT source, n_exact, TRUE AS within_tol FROM allsrc
+    """,
+    tags=("corpus", "sketch"),
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketch rollup (Apache DataSketches HLL):
+    per-source distinct-token sketches whose UNION yields the global
+    estimate without re-scanning the corpus — the partial-aggregate
+    pattern that lets 100 TB pipelines maintain per-day/per-source
+    sketches and roll them up in output-sized work (exactly what a
+    second exact countDistinct pass cannot do).
+
+    SELF-ATTESTING (the q_approx_distinct pattern): the sketch binary
+    is engine-specific, so the query emits the exact distinct counts
+    plus booleans asserting every estimate — including the MERGED
+    global one — lands within 5% of exact (HLL lgConfigK=12 gives
+    ~1.6% rsd, so the band is ~3σ); the oracle computes the same exact
+    counts with literal TRUE. Hash-match iff every bound holds. The
+    exact countDistinct column exists only as the attestation; the
+    sketch path alone is the scale artifact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    per_sk = toks.groupBy("source").agg(
+        F.expr("hll_sketch_agg(w)").alias("sk"),
+        F.countDistinct("w").alias("n_exact"),
+    )
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    )
+    per = per_sk.select(
+        "source",
+        "n_exact",
+        tol(F.expr("hll_sketch_estimate(sk)"), F.col("n_exact")).alias("within_tol"),
+    )
+    glob = (
+        per_sk.agg(F.expr("hll_union_agg(sk)").alias("u"))
+        .crossJoin(F.broadcast(toks.agg(F.countDistinct("w").alias("n_exact"))))
+        .select(
+            F.lit("(all)").alias("source"),
+            "n_exact",
+            tol(F.expr("hll_sketch_estimate(u)"), F.col("n_exact")).alias(
+                "within_tol"
+            ),
+        )
+    )
+    return per.unionByName(glob)

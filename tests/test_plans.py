@@ -72,6 +72,7 @@ _QUADRATIC_OK = {
     "q_gapfill",  # grid generation: 1-row min/max bounds broadcast to types
     "q_collocations",  # 1-row (N_uni, N_bi) totals broadcast to the top-k
     "q_histogram",  # 1-row global (min, max) bounds broadcast
+    "q_hll_rollup",  # merged-sketch row crossed with the 1-row exact count
     # self-attesting recall queries: two 1-row aggregates crossed
     "q_dedup_minhash_ml",
     "q_sim_ann_ivf_trained",
