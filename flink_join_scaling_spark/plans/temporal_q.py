@@ -486,3 +486,76 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_versions",
         "is_current",
     )
+
+
+@query(
+    "q_ema",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(ts_ms) AS BIGINT) AS last_ts_ms,
+               list_transform(
+                   list_sort(list({'t': ts_ms, 'i': event_id, 'v': value})),
+                   s -> s.v
+               ) AS vals
+        FROM e GROUP BY user_id
+    )
+    SELECT user_id, n_events, last_ts_ms,
+           round(list_reduce(vals, (a, b) -> 2e-1 * b + 8e-1 * a), 6) AS ema
+    FROM per
+    """,
+    tags=("temporal", "timeseries"),
+)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event value (α = 0.2) in
+    time order — the exponential-smoothing primitive behind metric
+    monitors and drift detectors.
+
+    EMA is a non-associative left fold, so cross-engine exactness uses
+    the q_lm_score discipline: values sorted by the total order
+    (ts, event_id), then folded strictly left-to-right with the FIRST
+    element as the seed — DuckDB ``list_reduce`` seeds with element 1,
+    so Spark folds ``slice(vals, 2, n-1)`` seeded with
+    ``element_at(vals, 1)`` (1-based — ``vals[1]`` would be 0-based);
+    the per-step expression (0.2·x + 0.8·acc) is the same pinned IEEE
+    chain in both engines → the round-6 double is bit-identical by
+    construction. Exact n_events/last_ts_ms attest the grouping.
+
+    Scale shape: one user-keyed shuffle; fold state is one double,
+    list state bounded by events per key (the same per-key-history
+    bound as SCD2 — keys parallelize)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr("ts_ns div 1000000").alias("ts_ms"),
+            "event_id",
+            "value",
+        )
+    )
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts_ms").alias("last_ts_ms"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts_ms, event_id, value)))"
+            ", s -> s.value)"
+        ).alias("vals"),
+    )
+    return per.select(
+        "user_id",
+        "n_events",
+        "last_ts_ms",
+        F.round(
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+                " (a, b) -> 2e-1d * b + 8e-1d * a)"
+            ),
+            6,
+        ).alias("ema"),
+    )
