@@ -537,3 +537,97 @@ def stream_scd2_intervals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _ema_fn(key_col: str, alpha: float, max_versions: int):
+    """Per-key state machine for continuous EMA: like :func:`_scd2_fn`,
+    state is the retained (ts, id, value) version list — EMA is a
+    non-associative time-ordered fold, so a late-arriving point
+    re-weights every later point and only recomputation over the
+    retained series is exact. Emits one row per changed key."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_l, id_l, val_l = (
+                list(state.get[0]),
+                list(state.get[1]),
+                list(state.get[2]),
+            )
+        else:
+            ts_l, id_l, val_l = [], [], []
+        seen = set(id_l)
+        changed = False
+        for pdf in pdfs:
+            for ts, vid, val in pdf[["__ts", "__id", "__val"]].itertuples(
+                index=False, name=None
+            ):
+                ts = _native(ts, is_int=True)
+                vid = _native(vid, is_int=True)
+                val = _native(val)
+                if ts is None or vid is None or val is None or vid in seen:
+                    continue
+                if len(id_l) >= max_versions:
+                    continue
+                ts_l.append(ts)
+                id_l.append(vid)
+                val_l.append(float(val))
+                seen.add(vid)
+                changed = True
+        if not changed:
+            return
+        state.update((ts_l, id_l, val_l))
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        ema = val_l[order[0]]
+        for i in order[1:]:
+            ema = alpha * val_l[i] + (1.0 - alpha) * ema
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "n_events": len(order),
+                    "last_ts": ts_l[max(order, key=lambda i: (ts_l[i], id_l[i]))],
+                    "ema": ema,
+                }
+            ]
+        )
+
+    return fn
+
+
+def stream_ema(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    alpha: float = 0.2,
+    max_versions: int = 4096,
+) -> DataFrame:
+    """Continuous per-key EMA: the streaming sibling of the registered
+    ``q_ema`` query. Each changed key emits its recomputed
+    ``(n_events, last_ts, ema)`` — an update-mode changelog whose
+    last-emission-per-key reduction equals the batch time-ordered fold
+    on the same data under ANY arrival order (asserted in
+    tests/test_streaming.py), because the state retains the (ts, id,
+    value) series itself: EMA is a non-associative fold, so a late
+    point re-weights everything after it and nothing short of the
+    series can replay that exactly. Identical fold expression
+    (alpha·x + (1−alpha)·acc, first element as seed) as the batch
+    query. ``max_versions`` bounds state per key; null timestamps/
+    values are dropped, matching the batch filter."""
+    src = sdf.select(
+        F.col(key_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__val"),
+    )
+    out_schema = f"{key_col} long, n_events long, last_ts long, ema double"
+    return src.groupBy(key_col).applyInPandasWithState(
+        _ema_fn(key_col, alpha, max_versions),
+        outputStructType=out_schema,
+        stateStructType="ts array<long>, ids array<long>, vals array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -659,3 +659,46 @@ def test_stream_scd2_late_version_splits_interval(streaming_spark, tmp_path):
     assert list(final["attr"]) == ["A", "B", "A"]
     assert [int(x) for x in final["valid_from"]] == [100, 200, 300]
     assert list(final["is_current"]) == [False, False, True]
+
+
+def test_stream_ema_matches_batch_fold(streaming_spark, tmp_path):
+    """Continuous EMA converges to the batch time-ordered fold under
+    out-of-order arrival — a late point re-weights every later point,
+    which only the retained-series state can replay."""
+    from flink_join_scaling_spark.streaming.dedup import stream_ema
+
+    spark = streaming_spark
+    rng = random.Random(SEED + 7)
+    rows = [
+        (i * 100 + v, i, rng.randrange(10_000), round(rng.uniform(0, 100), 3))
+        for i in range(6)
+        for v in range(15)
+    ]
+    rng.shuffle(rows)
+    schema = "event_id long, k long, ts long, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    # pure-Python batch oracle: sort by (ts, id), left fold seed=first
+    expected = {}
+    by_key = {}
+    for eid, k, ts, v in rows:
+        by_key.setdefault(k, []).append((ts, eid, v))
+    for k, vs in by_key.items():
+        vs.sort()
+        ema = vs[0][2]
+        for _, _, v in vs[1:]:
+            ema = 0.2 * v + 0.8 * ema
+        expected[k] = (len(vs), vs[-1][0], ema)
+
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=5)
+    em = collect_emissions(stream_ema(s, "k", "value", "ts", "event_id"))
+    got_rows = converged(em, ["k"])
+    got = {
+        int(r["k"]): (int(r["n_events"]), int(r["last_ts"]), float(r["ema"]))
+        for _, r in got_rows.iterrows()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0]
+        assert got[k][1] == expected[k][1]
+        assert abs(got[k][2] - expected[k][2]) < 1e-9
