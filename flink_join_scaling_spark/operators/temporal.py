@@ -232,7 +232,15 @@ def scd2_intervals(
     rides the same partitioning), per-key work linear in versions —
     keys parallelize, so the shape holds at 100 TB. Pass an integer
     ``ts_col`` for exact cross-engine arithmetic.
+
+    Null-timestamp versions are DROPPED: a version without a timestamp
+    has no place on the validity axis, and every consumer (the
+    streaming sibling ``streaming.dedup.stream_scd2_intervals``, the
+    DuckDB oracle) applies the same rule — engines disagree on null
+    ordering (Spark ASC is NULLS FIRST, DuckDB NULLS LAST), so
+    admitting them would make the segmentation engine-dependent.
     """
+    df = df.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(key_col).orderBy(*order)
     # IS DISTINCT FROM semantics: first row (lag null vs non-null attr)

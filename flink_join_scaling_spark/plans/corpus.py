@@ -940,8 +940,8 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w),
     bic AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM bi GROUP BY x, y),
-    tot AS (SELECT CAST((SELECT count(*) FROM words) AS DOUBLE) AS nu,
-                   CAST((SELECT count(*) FROM bi) AS DOUBLE) AS nb)
+    tot AS (SELECT CAST((SELECT sum(n) FROM uni) AS DOUBLE) AS nu,
+                   CAST((SELECT sum(n_xy) FROM bic) AS DOUBLE) AS nb)
     SELECT x || ' ' || y AS bigram, n_xy, ux.n AS n_x, uy.n AS n_y,
            CAST(round(1e6 * ((CAST(n_xy AS DOUBLE) / nb) /
                 ((CAST(ux.n AS DOUBLE) / nu) * (CAST(uy.n AS DOUBLE) / nu))))
@@ -960,9 +960,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension and boilerplate discovery.
 
     Bigrams come from the token ARRAY map-side (transform over
-    sequence), never a positional self-join — one corpus scan feeds
-    both the unigram and bigram counts, then two vocab-sized
-    token-keyed joins (AQE broadcasts the smaller sides) and 1-row
+    sequence), never a positional self-join; the corpus totals are
+    sums over the already-grouped count tables (identical subtrees →
+    exchange reuse, no extra corpus scans), then two vocab-sized
+    token-keyed joins (AQE broadcasts the smaller sides) and the 1-row
     totals ride a broadcast cross join. Output is top-k sized.
 
     Cross-engine exactness: counts are exact integers; lift is a fixed
@@ -984,8 +985,12 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.x", "p.y")
     bic = bi.groupBy("x", "y").agg(F.count("*").alias("n_xy"))
-    tot = words.agg(F.count("*").cast("double").alias("nu")).crossJoin(
-        bi.agg(F.count("*").cast("double").alias("nb"))
+    # totals derived from the ALREADY-GROUPED tables (nu = Σ uni.n,
+    # nb = Σ bic.n_xy before the support filter): identical subtrees →
+    # Catalyst exchange reuse, instead of re-tokenizing the corpus for
+    # two extra count(*) scans
+    tot = uni.agg(F.sum("n").cast("double").alias("nu")).crossJoin(
+        bic.agg(F.sum("n_xy").cast("double").alias("nb"))
     )
     ux = uni.select(F.col("w").alias("x"), F.col("n").alias("n_x"))
     uy = uni.select(F.col("w").alias("y"), F.col("n").alias("n_y"))

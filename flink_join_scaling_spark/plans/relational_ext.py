@@ -418,29 +418,28 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_fuzzy_match",
-    oracle="""
-    WITH names AS (SELECT DISTINCT p_name FROM part),
+#: THE single definition of the blocking + verify policy (first-token
+#: block, levenshtein <= 4) shared by q_fuzzy_match and
+#: q_entity_resolution — one place to tune the threshold, zero drift.
+_FUZZY_PAIRS_CTE = """
+    names AS (SELECT DISTINCT p_name FROM part),
     blocked AS (
         SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
+    ),
+    fpairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
     )
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-    FROM blocked a JOIN blocked b
-      ON a.blk = b.blk AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= 4
-    """,
-    tags=("relational", "fuzzy", "dedup"),
-)
-def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy matching (entity resolution): candidate part-name
-    pairs with edit distance <= 4, blocked on the first token so the
-    pair product is Σ block² over the name VOCABULARY, never all-pairs
-    over the table — the same blocking discipline as the LSH dedup
-    family, with levenshtein as the verify stage (both in whole-stage
-    codegen). Names are deduplicated before blocking: the fuzzy-join
-    cost depends on distinct entities, not row count."""
+"""
+
+
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, dist): blocked fuzzy candidate pairs over the
+    distinct part-name vocabulary — the Spark twin of
+    ``_FUZZY_PAIRS_CTE``."""
     p = load_table(spark, sf_dir, "part")
     names = p.select("p_name").distinct()
     blocked = names.withColumn(
@@ -460,18 +459,29 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fuzzy_match",
+    oracle=f"""
+    WITH {_FUZZY_PAIRS_CTE}
+    SELECT name_a, name_b, dist FROM fpairs
+    """,
+    tags=("relational", "fuzzy", "dedup"),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): candidate part-name
+    pairs with edit distance <= 4, blocked on the first token so the
+    pair product is Σ block² over the name VOCABULARY, never all-pairs
+    over the table — the same blocking discipline as the LSH dedup
+    family, with levenshtein as the verify stage (both in whole-stage
+    codegen). Names are deduplicated before blocking: the fuzzy-join
+    cost depends on distinct entities, not row count. Blocking policy
+    lives in the shared ``_fuzzy_name_pairs`` / ``_FUZZY_PAIRS_CTE``."""
+    return _fuzzy_name_pairs(spark, sf_dir)
+
+
+@query(
     "q_entity_resolution",
-    oracle="""
-    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
-    blocked AS (
-        SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names
-    ),
-    fpairs AS (
-        SELECT a.p_name AS name_a, b.p_name AS name_b
-        FROM blocked a JOIN blocked b
-          ON a.blk = b.blk AND a.p_name < b.p_name
-        WHERE levenshtein(a.p_name, b.p_name) <= 4
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIRS_CTE},
     edges AS (
         SELECT name_a AS src, name_b AS dst FROM fpairs
         UNION
@@ -506,17 +516,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted for a deterministic hash."""
     from flink_join_scaling_spark.operators.dedup import connected_components
 
-    p = load_table(spark, sf_dir, "part")
-    names = p.select("p_name").distinct()
-    blocked = names.withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
-    a = blocked.select(F.col("p_name").alias("name_a"), "blk")
-    b = blocked.select(F.col("p_name").alias("name_b"), "blk")
-    pairs = (
-        a.join(b, "blk")
-        .where(F.col("name_a") < F.col("name_b"))
-        .where(F.levenshtein("name_a", "name_b") <= 4)
-        .select("name_a", "name_b")
-    )
+    pairs = _fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
     comp = connected_components(pairs, id_a="name_a", id_b="name_b")
     return (
         comp.groupBy(F.col("component_id").alias("canonical_name"))
@@ -535,9 +535,10 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
     x AS (
         SELECT event_type,
-               CAST(least(9, CAST(floor(
-                   (value - vmin) / ((vmax - vmin) / 10.0)
-               ) AS BIGINT)) AS BIGINT) AS bucket
+               CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(9, CAST(floor(
+                        (value - vmin) / ((vmax - vmin) / 10.0)
+                    ) AS BIGINT)) AS BIGINT) END AS bucket
         FROM events, b
         WHERE value IS NOT NULL
     )
@@ -557,12 +558,20 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE double subtract/divide/floor in both engines, so
     the integer bucket ids are engine-exact — and the histogram is one
     (type, bucket)-keyed agg with map-side partials. Output is
-    types × 10 rows regardless of corpus size."""
+    types × 10 rows regardless of corpus size. A degenerate constant
+    column (vmax == vmin) maps everything to bucket 0 in BOTH engines
+    — without the guard, ANSI Spark raises DIVIDE_BY_ZERO where DuckDB
+    NaN-propagates to bucket 9."""
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     b = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-    bucket = F.least(
-        F.lit(9),
-        F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10.0)),
+    bucket = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(9),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / 10.0)
+            ),
+        )
     ).cast("bigint")
     return (
         ev.crossJoin(F.broadcast(b))

@@ -426,6 +426,7 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id FROM events
+      WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, event_type, ts_ms, event_id,

@@ -422,6 +422,54 @@ def stream_dedup_simhash(
     )
 
 
+def _accumulate_versions(
+    state: GroupState,
+    pdfs: Iterator[pd.DataFrame],
+    cols: tuple[str, str, str],
+    max_versions: int,
+    third_cast=lambda v: v,
+):
+    """Shared state scaffolding for retained-version-list operators
+    (:func:`_scd2_fn`, :func:`_ema_fn`): load (ts, id, third) lists
+    from state, fold in new non-null, not-yet-seen versions up to
+    ``max_versions``, and report whether anything changed. The third
+    slot's value passes through ``third_cast`` (identity for SCD2's
+    attr — which MAY be null — float for EMA's value; EMA rejects null
+    values via its own cast guard in the caller loop)."""
+    if state.exists:
+        ts_l, id_l, third_l = (
+            list(state.get[0]),
+            list(state.get[1]),
+            list(state.get[2]),
+        )
+    else:
+        ts_l, id_l, third_l = [], [], []
+    seen = set(id_l)
+    changed = False
+    for pdf in pdfs:
+        for ts, vid, third in pdf[list(cols)].itertuples(index=False, name=None):
+            ts = _native(ts, is_int=True)
+            vid = _native(vid, is_int=True)
+            third = _native(third)
+            if ts is None or vid is None or vid in seen:
+                continue
+            third = third_cast(third)
+            if third is _SKIP_VERSION:
+                continue
+            if len(id_l) >= max_versions:
+                continue  # bounded state under adversarial keys
+            ts_l.append(ts)
+            id_l.append(vid)
+            third_l.append(third)
+            seen.add(vid)
+            changed = True
+    return ts_l, id_l, third_l, changed
+
+
+#: sentinel returned by a third_cast to reject a version entirely
+_SKIP_VERSION = object()
+
+
 def _scd2_fn(key_col: str, max_versions: int):
     """Per-key state machine for continuous SCD2 maintenance: state is
     the key's full version list (ts, id, attr) — the exact retention an
@@ -435,34 +483,11 @@ def _scd2_fn(key_col: str, max_versions: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ts_l, id_l, attr_l = (
-                list(state.get[0]),
-                list(state.get[1]),
-                list(state.get[2]),
-            )
-        else:
-            ts_l, id_l, attr_l = [], [], []
-        seen = set(id_l)
-        changed = False
-        for pdf in pdfs:
-            for ts, vid, attr in pdf[["__ts", "__id", "__attr"]].itertuples(
-                index=False, name=None
-            ):
-                ts = _native(ts, is_int=True)
-                vid = _native(vid, is_int=True)
-                attr = _native(attr)
-                # a version without a timestamp has no place on the
-                # validity axis; unique version ids make replays no-ops
-                if ts is None or vid is None or vid in seen:
-                    continue
-                if len(id_l) >= max_versions:
-                    continue  # bounded state under adversarial keys
-                ts_l.append(ts)
-                id_l.append(vid)
-                attr_l.append(attr)
-                seen.add(vid)
-                changed = True
+        # null ts dropped by the helper (no place on the validity
+        # axis); unique version ids make replays no-ops
+        ts_l, id_l, attr_l, changed = _accumulate_versions(
+            state, pdfs, ("__ts", "__id", "__attr"), max_versions
+        )
         if not changed:
             return
         state.update((ts_l, id_l, attr_l))
@@ -516,9 +541,10 @@ def stream_scd2_intervals(
     interval splits exact; ``max_versions`` bounds it under adversarial
     keys, the same trade as the batch stop-shingle / streaming
     max_bucket caps. Requires integer ``ts_col``/``id_col`` (exact
-    ordering arithmetic) and a string ``attr_col``; null timestamps are
-    dropped (no place on the validity axis), null attrs compare equal
-    to each other only — both matching the batch operator.
+    ordering arithmetic) and a string ``attr_col``; null timestamps
+    are dropped (no place on the validity axis — the batch operator
+    filters them identically), null attrs compare equal to each other
+    only, matching the batch null-safe segmentation.
     """
     src = sdf.select(
         F.col(key_col),
@@ -526,8 +552,9 @@ def stream_scd2_intervals(
         F.col(id_col).alias("__id"),
         F.col(attr_col).alias("__attr"),
     )
+    key_type = sdf.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, attr array<string>, valid_from array<long>, "
+        f"{key_col} {key_type}, attr array<string>, valid_from array<long>, "
         "valid_to array<long>, n_versions array<long>, is_current array<boolean>"
     )
     return src.groupBy(key_col).applyInPandasWithState(
@@ -549,32 +576,14 @@ def _ema_fn(key_col: str, alpha: float, max_versions: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ts_l, id_l, val_l = (
-                list(state.get[0]),
-                list(state.get[1]),
-                list(state.get[2]),
-            )
-        else:
-            ts_l, id_l, val_l = [], [], []
-        seen = set(id_l)
-        changed = False
-        for pdf in pdfs:
-            for ts, vid, val in pdf[["__ts", "__id", "__val"]].itertuples(
-                index=False, name=None
-            ):
-                ts = _native(ts, is_int=True)
-                vid = _native(vid, is_int=True)
-                val = _native(val)
-                if ts is None or vid is None or val is None or vid in seen:
-                    continue
-                if len(id_l) >= max_versions:
-                    continue
-                ts_l.append(ts)
-                id_l.append(vid)
-                val_l.append(float(val))
-                seen.add(vid)
-                changed = True
+        # null values rejected (the batch query filters them too)
+        ts_l, id_l, val_l, changed = _accumulate_versions(
+            state,
+            pdfs,
+            ("__ts", "__id", "__val"),
+            max_versions,
+            third_cast=lambda v: _SKIP_VERSION if v is None else float(v),
+        )
         if not changed:
             return
         state.update((ts_l, id_l, val_l))
@@ -587,7 +596,9 @@ def _ema_fn(key_col: str, alpha: float, max_versions: int):
                 {
                     key_col: key[0],
                     "n_events": len(order),
-                    "last_ts": ts_l[max(order, key=lambda i: (ts_l[i], id_l[i]))],
+                    # order is sorted by exactly (ts, id): last index
+                    # IS the argmax
+                    "last_ts": ts_l[order[-1]],
                     "ema": ema,
                 }
             ]
@@ -623,7 +634,8 @@ def stream_ema(
         F.col(id_col).alias("__id"),
         F.col(value_col).alias("__val"),
     )
-    out_schema = f"{key_col} long, n_events long, last_ts long, ema double"
+    key_type = sdf.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events long, last_ts long, ema double"
     return src.groupBy(key_col).applyInPandasWithState(
         _ema_fn(key_col, alpha, max_versions),
         outputStructType=out_schema,
