@@ -560,3 +560,96 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ema"),
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) // 604800000 AS week
+        FROM events WHERE ts IS NOT NULL
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT c.cohort_week, a.week - c.cohort_week AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, each
+    cell counting cohort members active N weeks later — the classic
+    product-analytics triangle.
+
+    Exact integer week buckets (epoch-ms floor-div by a week constant,
+    identical integer arithmetic both engines). Shape: one user-keyed
+    aggregation for cohorts, a (user, week) distinct reduced before
+    the join — the cohort table is user-sized and joins on user_id
+    co-partitioned with the distinct; output is weeks² cells. At
+    100 TB nothing here is corpus-sized after the first distinct."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    e = ev.select(
+        "user_id", F.expr("ts_ns div 1000000 div 604800000").alias("week")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = e.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_transition_matrix",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, event_type AS curr,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+               ) AS prev
+        FROM e
+    )
+    SELECT prev, curr, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "analytics"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: counts of consecutive (prev →
+    curr) event pairs per user timeline — the first-order Markov
+    profile behind journey mining and anomaly detection on behavioral
+    streams.
+
+    One user-keyed window (total order (ts_ms, event_id), so the lag
+    is engine-deterministic) feeding a types²-sized aggregation with
+    map-side partials. Exact integer counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000000").alias("ts_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    return (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", "curr")
+        .agg(F.count("*").alias("n"))
+    )

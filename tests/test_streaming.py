@@ -702,3 +702,20 @@ def test_stream_ema_matches_batch_fold(streaming_spark, tmp_path):
         assert got[k][0] == expected[k][0]
         assert got[k][1] == expected[k][1]
         assert abs(got[k][2] - expected[k][2]) < 1e-9
+
+
+def test_stream_scd2_string_key(streaming_spark, tmp_path):
+    """The streaming SCD2 output schema derives the key type from the
+    input (regression: it was hardcoded long) — string-keyed streams
+    work end-to-end, like the batch operator."""
+    from flink_join_scaling_spark.streaming.dedup import stream_scd2_intervals
+
+    spark = streaming_spark
+    schema = "event_id long, k string, attr string, ts long"
+    rows = [(1, "alpha", "A", 10), (2, "alpha", "B", 20), (3, "beta", "A", 5)]
+    df = spark.createDataFrame(rows, schema)
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=2)
+    em = collect_emissions(stream_scd2_intervals(s, "k", "attr", "ts", "event_id"))
+    got = converged(em, ["k"])
+    by_key = {r["k"]: list(r["attr"]) for _, r in got.iterrows()}
+    assert by_key == {"alpha": ["A", "B"], "beta": ["A"]}

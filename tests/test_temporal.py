@@ -213,3 +213,39 @@ def test_scd2_intervals_collapses_runs_and_flags_current(spark):
     ]
     # conservation: interval version counts sum back to the input rows
     assert sum(g[4] for g in got) == len(rows)
+
+
+def test_histogram_constant_column_is_bucket_zero(spark):
+    """Degenerate profiling input (all values equal): zero bucket width
+    must not divide by zero (ANSI Spark raises) and both engines pin
+    the rows to bucket 0 — regression for the vmax == vmin guard."""
+    import duckdb
+
+    import flink_join_scaling_spark.plans.relational_ext as rx
+    from flink_join_scaling_spark.sources import catalog
+
+    rows = [(1, 5.0, "click"), (2, 5.0, "view"), (3, None, "click")]
+    df = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda spark, sf, name: df  # noqa: ARG005
+        rx.load_table = catalog.load_table
+        got = {
+            (r.event_type, r.bucket, r.n)
+            for r in rx.q_histogram(spark, "ignored").collect()
+        }
+    finally:
+        catalog.load_table = orig
+        rx.load_table = orig
+    assert got == {("click", 0, 1), ("view", 0, 1)}
+    # the oracle agrees on the same degenerate input
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, 5.0, 'click'), (2, 5.0, 'view'), (3, NULL, 'click')"
+        ") t(event_id, value, event_type)"
+    )
+    from flink_join_scaling_spark.plans.registry import QUERIES
+
+    du = {tuple(r) for r in con.sql(QUERIES["q_histogram"].oracle).fetchall()}
+    assert du == got
