@@ -579,3 +579,59 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    SELECT
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) FILTER (WHERE event_id IS NULL) AS BIGINT) AS null_event_id,
+        CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS null_ts,
+        CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS null_user_id,
+        CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS null_event_type,
+        CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS null_value,
+        CAST(count(DISTINCT event_id) AS BIGINT) AS d_event_id,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS d_user_id,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS d_event_type,
+        CAST(min(user_id) AS BIGINT) AS min_user_id,
+        CAST(max(user_id) AS BIGINT) AS max_user_id,
+        round(min(value), 6) AS min_value,
+        round(max(value), 6) AS max_value,
+        CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ts_ms,
+        CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms
+    FROM events
+    """,
+    tags=("relational", "profiling"),
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the events table (the Deequ-style
+    one-pass column audit): row count, per-column null counts, distinct
+    cardinalities, and numeric/time ranges — the summary every
+    ingestion gate computes before letting a batch into the lake.
+
+    One aggregation over one scan; conditional counts are map-side
+    FILTER expressions in whole-stage codegen, exact distincts expand
+    per-column (Spark plans multi-distinct via a single Expand — still
+    one shuffle). All outputs exact integers except the round-6 value
+    range. At 100 TB the same query runs unchanged; swap the exact
+    distincts for hll sketches (q_hll_rollup) when estimates suffice."""
+    ev = load_table(spark, sf_dir, "events")
+    nul = lambda c: F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")  # noqa: E731
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        nul("event_id"),
+        nul("ts"),
+        nul("user_id"),
+        nul("event_type"),
+        nul("value"),
+        F.countDistinct("event_id").alias("d_event_id"),
+        F.countDistinct("user_id").alias("d_user_id"),
+        F.countDistinct("event_type").alias("d_event_type"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        (F.min(F.expr("ts_ns div 1000000"))).alias("min_ts_ms"),
+        (F.max(F.expr("ts_ns div 1000000"))).alias("max_ts_ms"),
+    )
