@@ -1051,28 +1051,43 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation report that tells you two crawls overlap before you pay
     for document-level dedup between them.
 
-    The self-join is keyed by shingle, and each shingle's bucket is
-    the set of SOURCES containing it (≤ |sources|, not documents), so
-    Σ bucket² ≤ |sources|² × |distinct shingles| — linear in the
-    corpus for the O(100) source counts real pipelines have. The
-    per-source distinct reduction happens before the join, collapsing
-    hot shingles to one row per source. Output is |sources|²-bounded
-    (tiny); jaccard is the same round-6 integer-ratio form the MinHash
-    oracle hash-matches with.
+    ONE shingle-keyed corpus shuffle total: each shingle aggregates to
+    its sorted SOURCE SET (|set| ≤ |sources|, not documents — hot
+    shingles collapse inside collect_set's map-side partials), and the
+    source pairs expand map-side from that set (x < y combinations via
+    a nested transform — Σ |set|² ≤ |sources|² × |distinct shingles|,
+    linear in the corpus for the O(100) source counts real pipelines
+    have). The previous distinct + shingle self-join form computed the
+    same thing with a SECOND corpus-sized exchange; the oracle SQL
+    keeps that relational form — identical results, different physical
+    plan. Per-source sizes fall out of the same grouped rows. Output
+    is |sources|²-bounded (tiny); jaccard is the same round-6
+    integer-ratio form the MinHash oracle hash-matches with.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = tx.exploded_shingles(d, "doc_id", "text", 3)
-    ssh = (
+    grouped = (
         sh.join(d.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
-    a = ssh.select(F.col("source").alias("src_a"), "shingle")
-    b = ssh.select(F.col("source").alias("src_b"), "shingle")
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("src_a") < F.col("src_b"))
+        grouped.where(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> transform("
+                    "slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_inter"))
     )
