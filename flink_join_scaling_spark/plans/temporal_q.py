@@ -586,15 +586,20 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer week buckets (epoch-ms floor-div by a week constant,
     identical integer arithmetic both engines). Shape: one user-keyed
     aggregation for cohorts, a (user, week) distinct reduced before
-    the join — the cohort table is user-sized and joins on user_id
-    co-partitioned with the distinct; output is weeks² cells. At
-    100 TB nothing here is corpus-sized after the first distinct."""
+    the join; the cohort aggregate reuses the distinct's exchange
+    (it mins over the distinct rows), so the corpus is scanned ONCE;
+    output is weeks² cells. At 100 TB nothing is corpus-sized after
+    the first distinct."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     e = ev.select(
         "user_id", F.expr("ts_ns div 1000000 div 604800000").alias("week")
     )
-    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = e.distinct()
+    # cohort derives from the DISTINCT rows (min over distinct weeks ==
+    # min over all events), so the corpus-sized subtree is one shared
+    # exchange (ReusedExchange) instead of a second full scan; the
+    # extra user-keyed shuffle moves only (user, week) distinct rows
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
         active.join(cohort, "user_id")
         .groupBy(
