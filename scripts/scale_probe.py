@@ -118,6 +118,13 @@ def main() -> None:
         "q_scd2_intervals": plan_probe("q_scd2_intervals"),
         "q_collocations": plan_probe("q_collocations"),
         "q_source_overlap": plan_probe("q_source_overlap"),
+        # r5e additions: EMA + cohort/transition analytics shuffle 10x
+        # versions per user through user-keyed windows/aggs; dq-profile
+        # is one scan + one multi-distinct Expand
+        "q_ema": plan_probe("q_ema"),
+        "q_cohort_retention": plan_probe("q_cohort_retention"),
+        "q_transition_matrix": plan_probe("q_transition_matrix"),
+        "q_dq_profile": plan_probe("q_dq_profile"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
