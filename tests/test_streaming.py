@@ -719,3 +719,21 @@ def test_stream_scd2_string_key(streaming_spark, tmp_path):
     got = converged(em, ["k"])
     by_key = {r["k"]: list(r["attr"]) for _, r in got.iterrows()}
     assert by_key == {"alpha": ["A", "B"], "beta": ["A"]}
+
+
+def test_stream_scd2_max_versions_caps_state(streaming_spark, tmp_path):
+    """The documented state bound: with max_versions=2, later versions
+    beyond the cap are ignored (bounded state under adversarial keys)
+    and the emitted history covers exactly the admitted versions."""
+    from flink_join_scaling_spark.streaming.dedup import stream_scd2_intervals
+
+    spark = streaming_spark
+    schema = "event_id long, k long, attr string, ts long"
+    rows = [(i, 1, "A" if i % 2 else "B", i * 10) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, schema)
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=1)
+    em = collect_emissions(
+        stream_scd2_intervals(s, "k", "attr", "ts", "event_id", max_versions=2)
+    )
+    final = converged(em, ["k"]).iloc[0]
+    assert sum(int(n) for n in final["n_versions"]) == 2
