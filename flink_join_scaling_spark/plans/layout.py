@@ -74,7 +74,7 @@ def _hex8_duck(col: str) -> str:
 
 # ---------------------------------------------- bloom semi-join reduce
 
-_BLOOM_M = 1 << 14  # filter positions (bits)
+_BLOOM_M = 1 << 17  # filter positions (bits) → 16 KiB as bytes
 _BLOOM_K = 3  # hash probes per key
 
 
@@ -85,17 +85,28 @@ def _bloom_positions_spark(key: Column) -> list[Column]:
     ]
 
 
-def _bit_at(bits_hex: str, pos: Column) -> Column:
-    """Probe bit ``pos`` of a hex-encoded bitset literal (LSB-first
-    within each nibble). O(1) per probe, stays in codegen."""
-    nibble = F.conv(
-        F.lit(bits_hex).substr((pos / 4).cast("int") + 1, F.lit(1)), 16, 10
+def _bit_at(bits: bytes, pos: Column) -> Column:
+    """Probe bit ``pos`` of the filter, encoded as a BinaryType
+    literal (LSB-first within each byte): O(1) byte slice + hex fold.
+
+    Encoding matters enormously here — two plausible alternatives are
+    per-row scale-killers, measured at sf0.1 (600k probes):
+    - a hex STRING literal probed with ``substr(pos)``: Spark's
+      UTF8String substring walks bytes from the start to find char
+      boundaries, so every probe re-scans O(m) — 19 s/pass;
+    - ``F.lit([ints])``: builds a ``CreateArray`` with m child
+      expressions evaluated PER ROW (it is an array constructor, not a
+      literal) — 22 s/pass.
+    A ``bytes`` literal is a single BinaryType Literal; ``substr`` on
+    binary is a direct byte slice — 2 s/pass, md5-dominated."""
+    byte = F.conv(
+        F.hex(F.lit(bits).substr((pos / 8).cast("int") + 1, F.lit(1))), 16, 10
     ).cast("int")
     mask = F.element_at(
-        F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
-        (pos % 4).cast("int") + 1,
+        F.array(*[F.lit(1 << i) for i in range(8)]),
+        (pos % 8).cast("int") + 1,
     )
-    return F.floor(nibble / mask).cast("int") % 2
+    return F.floor(byte / mask).cast("int") % 2
 
 
 def _bloom_oracle() -> str:
@@ -146,8 +157,8 @@ def q_join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's internal ``BloomFilterAggregate``). The set-bit positions
     are collected (bounded by m — the filter itself, the same
     driver-sized artifact AQE's runtime bloom filter ships) and
-    re-encoded as a hex bitset literal that the fact scan probes
-    map-side in whole-stage codegen. The output cross-tabulates
+    re-encoded as a nibble-array literal that the fact scan probes
+    map-side with O(1) array indexing. The output cross-tabulates
     filter-pass vs true-match: the (false, true) cell is structurally
     empty (no false negatives — the Bloom guarantee), and the
     (true, false) cell is the measured false-positive traffic the
@@ -167,19 +178,30 @@ def q_join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*_bloom_positions_spark(F.col("k")))).alias("pos")
     ).distinct()
     set_bits = {r.pos for r in dpos.collect()}
-    nibbles = bytearray(_BLOOM_M // 4)
+    buf = bytearray(_BLOOM_M // 8)
     for b in set_bits:
-        nibbles[b // 4] |= 1 << (b % 4)
-    bits_hex = "".join(_HEX[v] for v in nibbles)
+        buf[b // 8] |= 1 << (b % 8)
+    bits = bytes(buf)
 
-    probes = _bloom_positions_spark(F.col("l_orderkey"))
-    passes = reduce(
-        lambda a, c: a & c, [_bit_at(bits_hex, p) == 1 for p in probes]
+    # stage the k positions as named columns so each md5 is computed
+    # once per row (an inline reuse would re-evaluate the hash per
+    # reference under interpreted fallback)
+    staged = li.select(
+        "l_quantity",
+        F.col("l_orderkey").alias("fk"),
+        *[
+            p.alias(f"__p{j}")
+            for j, p in enumerate(_bloom_positions_spark(F.col("l_orderkey")))
+        ],
     )
-    flagged = li.select(
+    passes = reduce(
+        lambda a, c: a & c,
+        [_bit_at(bits, F.col(f"__p{j}")) == 1 for j in range(_BLOOM_K)],
+    )
+    flagged = staged.select(
         "l_quantity",
         passes.alias("passes_filter"),
-        F.col("l_orderkey").alias("fk"),
+        "fk",
     ).join(
         F.broadcast(dimk.withColumn("__hit", F.lit(True))),
         F.col("fk") == F.col("k"),

@@ -42,6 +42,10 @@ def inflate(spark) -> None:
         # events: shifted event_ids, user_ids preserved → 10x versions
         # per key, the worst case for per-key history operators (SCD2)
         ("events", "event_id"),
+        # lineitem: 10x fact rows with shifted orderkeys (the new keys
+        # match nothing — the bloom filter's reject path carries the
+        # growth), while orders stays 1x below: fixed dim, growing fact
+        ("lineitem", "l_orderkey"),
     ):
         if os.path.exists(os.path.join(INFLATED, f"{table}.parquet")):
             continue
@@ -58,6 +62,12 @@ def inflate(spark) -> None:
         out.repartition(32).write.mode("overwrite").parquet(
             os.path.join(INFLATED, f"{table}.parquet")
         )
+    # dims copied 1x: probed queries joining a fixed dim against the
+    # inflated fact read both from INFLATED
+    for table in ("orders",):
+        dst = os.path.join(INFLATED, f"{table}.parquet")
+        if not os.path.exists(dst):
+            load_table(spark, BASE, table).write.mode("overwrite").parquet(dst)
 
 
 def timed(fn, warmup: int = 1, passes: int = 3) -> float:
@@ -125,6 +135,13 @@ def main() -> None:
         "q_cohort_retention": plan_probe("q_cohort_retention"),
         "q_transition_matrix": plan_probe("q_transition_matrix"),
         "q_dq_profile": plan_probe("q_dq_profile"),
+        # layout trio: bloom probes a FIXED filter (1x orders) against a
+        # 10x fact — map-only reject path, wall should track the scan;
+        # split shuffles 10x docs through one digest-keyed exchange;
+        # z-order is map-only arithmetic + a <=64-group agg
+        "q_join_bloom_reduced": plan_probe("q_join_bloom_reduced"),
+        "q_split_leakage_safe": plan_probe("q_split_leakage_safe"),
+        "q_zorder_layout": plan_probe("q_zorder_layout"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
