@@ -1175,3 +1175,37 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(glob)
+
+
+# ------------------------------------------------------ heavy hitters
+
+_HH_THETA = 200  # report tokens with count > total/200
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH {{toks}},
+    tot AS (SELECT count(*) AS n FROM words),
+    cnt AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM words GROUP BY w)
+    SELECT token, n_occurrences
+    FROM cnt, tot
+    WHERE {_HH_THETA} * n_occurrences > n
+    ORDER BY n_occurrences DESC, token ASC
+    """.format(toks=_TOKS_CTE),
+    tags=("corpus", "sketch", "scale"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with count > total/200) WITHOUT a
+    corpus-keyed groupBy: per-partition Misra-Gries summaries bound the
+    candidate set (sound by the W/(k+1) merge guarantee), then only the
+    candidates are recounted exactly — the sketch-then-verify shape
+    that replaces a billions-of-keys shuffle with a candidates-sized
+    one at 100 TB. The oracle is the plain GROUP BY ... HAVING the
+    two-phase plan provably equals."""
+    from flink_join_scaling_spark.operators.sketches import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    return heavy_hitters(toks, "w", theta=_HH_THETA)

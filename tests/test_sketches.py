@@ -1,0 +1,77 @@
+"""Invariant tests for the Misra-Gries heavy-hitter operator
+(operators/sketches.py): candidate soundness under a hostile k, exact
+recount equality, and the k-bound guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators.sketches import (
+    heavy_hitters,
+    misra_gries_summaries,
+)
+from flink_join_scaling_spark.plans import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def _tokens(spark, sf_dir):
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+
+
+def test_candidates_superset_of_true_heavy_hitters(spark):
+    """The MG candidate union must contain every token above W/(k+1) —
+    checked against the exact counts, at the operator's minimum legal
+    k (the worst case for the guarantee, not the 5x-slack default)."""
+    toks = _tokens(spark, SF_ORACLE)
+    theta = 200
+    k = theta  # minimum legal: k + 1 > theta
+    summ = misra_gries_summaries(toks, "w", k)
+    cands = {
+        r.token
+        for r in summ.where(F.col("token").isNotNull()).distinct().collect()
+    }
+    exact = toks.groupBy("w").count()
+    total = toks.count()
+    truth = {
+        r.w for r in exact.where(theta * F.col("count") > total).collect()
+    }
+    assert truth <= cands, sorted(truth - cands)[:10]
+
+
+def test_heavy_hitters_equals_plain_groupby(spark):
+    """The two-phase result is EXACT: identical to the full groupBy
+    with the same threshold."""
+    toks = _tokens(spark, SF_ORACLE)
+    got = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitters(toks, "w", theta=200).collect()
+    }
+    total = toks.count()
+    want = {
+        (r.w, r["count"])
+        for r in toks.groupBy("w")
+        .count()
+        .where(200 * F.col("count") > total)
+        .collect()
+    }
+    assert got == want
+
+
+def test_k_bound_guard():
+    with pytest.raises(ValueError, match="too small"):
+        heavy_hitters(None, "w", theta=200, k=100)
+
+
+def test_registered_query_nonempty(spark):
+    """Sanity on the registered form: stopword-like tokens exist at
+    sf0.01, so the output is non-empty and sorted heaviest-first."""
+    out = QUERIES["q_heavy_hitters"].fn(spark, SF_ORACLE).collect()
+    assert len(out) > 0
+    counts = [r.n_occurrences for r in out]
+    assert counts == sorted(counts, reverse=True)
