@@ -1184,6 +1184,7 @@ _HH_THETA = 200  # report tokens with count > total/200
 
 @query(
     "q_heavy_hitters",
+    headline=True,
     oracle=f"""
     WITH {{toks}},
     tot AS (SELECT count(*) AS n FROM words),

@@ -22,11 +22,11 @@ These are the three layout disciplines a 100 TB deployment leans on:
 
 Scale notes:
 - bloom build = one distinct on the *filtered dim* (tiny) + a driver
-  collect bounded by the filter's bit count (``_BLOOM_M`` = 16384
-  positions, ≤ 128 KiB) — the same driver-sized artifact Spark's own
-  runtime bloom filter materializes. The fact side is probed by a
-  map-only expression in whole-stage codegen: zero fact shuffle before
-  the output-sized aggregate.
+  collect bounded by the filter's bit count (``_BLOOM_M`` = 2^17
+  positions → a 16 KiB filter) — the same driver-sized artifact
+  Spark's own runtime bloom filter materializes. The fact side is
+  probed by a map-only expression: zero fact shuffle before the
+  output-sized aggregate.
 - split = two window passes over the same digest-keyed exchange
   (Catalyst plans one Exchange, both Windows reuse it) + an
   output-sized agg.
@@ -145,6 +145,7 @@ def _bloom_oracle() -> str:
 
 @query(
     "q_join_bloom_reduced",
+    headline=True,
     oracle=_bloom_oracle(),
     tags=("layout", "join", "scale"),
 )
@@ -152,13 +153,14 @@ def q_join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join reduction via an engine-independent Bloom-style
     filter, with its false-positive rate measured *exactly*.
 
-    Build side: urgent orders' keys hashed k=3 ways into m=16384
+    Build side: urgent orders' keys hashed k=3 ways into m=2^17
     positions (md5 Horner — deterministic across engines, unlike
     Spark's internal ``BloomFilterAggregate``). The set-bit positions
     are collected (bounded by m — the filter itself, the same
     driver-sized artifact AQE's runtime bloom filter ships) and
-    re-encoded as a nibble-array literal that the fact scan probes
-    map-side with O(1) array indexing. The output cross-tabulates
+    re-encoded as a bytes literal that the fact scan probes map-side
+    with O(1) byte slicing (see ``_bit_at`` for why the encoding is
+    load-bearing). The output cross-tabulates
     filter-pass vs true-match: the (false, true) cell is structurally
     empty (no false negatives — the Bloom guarantee), and the
     (true, false) cell is the measured false-positive traffic the
@@ -240,6 +242,7 @@ _NORM_DUCK = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
 @query(
     "q_split_leakage_safe",
+    headline=True,
     oracle=f"""
     WITH h AS (SELECT doc_id, source, sha256({_NORM_DUCK}) AS th
                FROM documents),
@@ -334,6 +337,7 @@ def _z_value_duck(x: str, y: str) -> str:
 
 @query(
     "q_zorder_layout",
+    headline=True,
     oracle=f"""
     WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS x,
                       CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) % 256
