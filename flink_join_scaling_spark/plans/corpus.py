@@ -1210,3 +1210,101 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
     return heavy_hitters(toks, "w", theta=_HH_THETA)
+
+
+# ------------------------------------------------- distribution drift
+
+_DRIFT_BINS = 6  # n_chars // 100, capped → bins 0..5
+
+
+@query(
+    "q_source_drift",
+    oracle=f"""
+    WITH b AS (SELECT source, CAST(LEAST(n_chars // 100, {_DRIFT_BINS - 1}) AS INT) AS bin
+               FROM documents),
+    sb AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    srcs AS (SELECT source, sum(c) AS ns FROM sb GROUP BY source),
+    grid AS (SELECT source, ns, CAST(t.bin AS INT) AS bin
+             FROM srcs, unnest([0, 1, 2, 3, 4, 5]) AS t(bin)),
+    sbf AS (SELECT g.source, g.bin, g.ns,
+                   (COALESCE(sb.c, 0) + 1.0) / (g.ns + {_DRIFT_BINS}) AS p
+            FROM grid g LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin),
+    tot AS (SELECT sum(c) AS n FROM sb),
+    gball AS (SELECT CAST(t.bin AS INT) AS bin, n
+              FROM tot, unnest([0, 1, 2, 3, 4, 5]) AS t(bin)),
+    gb AS (SELECT bin, sum(c) AS cg FROM sb GROUP BY bin),
+    gbf AS (SELECT g.bin, (COALESCE(gb.cg, 0) + 1.0) / (g.n + {_DRIFT_BINS}) AS q
+            FROM gball g LEFT JOIN gb ON gb.bin = g.bin)
+    SELECT s.source,
+           round(sum((s.p - q.q) * ln(s.p / q.q)), 4) AS psi,
+           CAST(max(s.ns) AS BIGINT) AS n_docs
+    FROM sbf s JOIN gbf q ON q.bin = s.bin
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+    tags=("corpus", "quality", "drift"),
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index per source vs the whole corpus, over
+    Laplace-smoothed document-length bins — the drift gate a pipeline
+    runs when a source's crawl shifts under it (PSI > 0.2 is the
+    conventional 'investigate' line).
+
+    One corpus scan into a (source, bin)-keyed count (output-sized,
+    pinned with localCheckpoint so the four consumers — per-source
+    totals, global totals, bin marginals, the smoothed join — reuse it
+    instead of re-scanning the corpus). Zero-count bins are densified
+    with an exploded literal range, NOT a cross join, so the plan stays
+    nested-loop-free; everything after the first agg is sources x bins
+    sized."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(_DRIFT_BINS - 1))
+        .cast("int")
+        .alias("bin"),
+    )
+    sb = (
+        b.groupBy("source", "bin")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bins_lit = F.array(*[F.lit(i) for i in range(_DRIFT_BINS)])
+    srcs = sb.groupBy("source").agg(F.sum("c").alias("ns"))
+    grid = srcs.select("source", "ns", F.explode(bins_lit).alias("bin"))
+    sbf = grid.join(sb, ["source", "bin"], "left").select(
+        "source",
+        "bin",
+        "ns",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+            / (F.col("ns") + _DRIFT_BINS)
+        ).alias("p"),
+    )
+    gb = sb.groupBy("bin").agg(F.sum("c").alias("cg"))
+    gbf = (
+        sb.agg(F.sum("c").alias("n"))
+        .select(F.explode(bins_lit).alias("bin"), "n")
+        .join(gb, "bin", "left")
+        .select(
+            "bin",
+            (
+                (F.coalesce(F.col("cg"), F.lit(0)) + 1.0)
+                / (F.col("n") + _DRIFT_BINS)
+            ).alias("q"),
+        )
+    )
+    return (
+        sbf.join(gbf, "bin")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+                ),
+                4,
+            ).alias("psi"),
+            F.max("ns").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("source")
+    )

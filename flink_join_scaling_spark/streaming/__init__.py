@@ -29,6 +29,9 @@ from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
     stream_dedup_simhash,
     stream_dedup_within_watermark,
 )
+from flink_join_scaling_spark.streaming.sketches import (  # noqa: F401
+    stream_heavy_hitters,
+)
 from flink_join_scaling_spark.streaming.joins import (  # noqa: F401
     stream_join_versioned,
     stream_join_versioned_grouped,

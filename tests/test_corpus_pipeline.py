@@ -129,3 +129,22 @@ def test_source_overlap_counts_shared_shingles_exactly(spark):
     assert (r.src_a, r.src_b) == ("sA", "sB")
     assert (r.n_inter, r.n_a, r.n_b) == (1, 2, 1)
     assert abs(r.jaccard - 0.5) < 1e-9
+
+
+# ---------------------------------------------------- source drift PSI
+
+
+def test_source_drift_nonnegative_and_total(spark):
+    """PSI is a sum of (p-q)*ln(p/q) terms, each >= 0 (both factors
+    share sign), so every source's PSI must be >= 0; one row per
+    source; per-source doc counts reconcile with the corpus."""
+    from flink_join_scaling_spark.plans import QUERIES
+    from flink_join_scaling_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    out = QUERIES["q_source_drift"].fn(spark, SF_ORACLE).collect()
+    d = load_table(spark, SF_ORACLE, "documents")
+    n_sources = d.select("source").distinct().count()
+    assert len(out) == n_sources
+    assert all(r.psi >= 0 for r in out)
+    assert sum(r.n_docs for r in out) == d.count()

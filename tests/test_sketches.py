@@ -75,3 +75,42 @@ def test_registered_query_nonempty(spark):
     assert len(out) > 0
     counts = [r.n_occurrences for r in out]
     assert counts == sorted(counts, reverse=True)
+
+
+# ------------------------------------------------- streaming sibling
+
+
+def test_stream_heavy_hitters_sound_and_never_overcounts(
+    streaming_spark, tmp_path
+):
+    """The streaming MG candidate union contains every true heavy
+    hitter of the fed corpus (soundness: a token's whole count lives in
+    ONE bucket, undercount ≤ W_bucket/(k+1)), and no emission ever
+    overcounts a token (MG only decrements). Data spans micro-batches,
+    so candidates must survive state round-trips."""
+    from flink_join_scaling_spark.streaming import (
+        chunked_parquet_stream,
+        collect_emissions,
+        stream_heavy_hitters,
+    )
+
+    spark = streaming_spark
+    toks = _tokens(spark, "/root/testdata/sf0.001")
+    theta = 50
+    total = toks.count()
+    exact = {r.w: r["count"] for r in toks.groupBy("w").count().collect()}
+    truth = {w for w, c in exact.items() if theta * c > total}
+    assert truth, "fixture has no heavy hitters; lower theta"
+
+    s = chunked_parquet_stream(spark, toks, str(tmp_path), n_chunks=3)
+    em = collect_emissions(
+        stream_heavy_hitters(s, "w", k=256, buckets=8), output_mode="update"
+    )
+    cands = set(em["token"])
+    assert truth <= cands, sorted(truth - cands)[:10]
+    over = [
+        (t, int(e))
+        for t, e in em[["token", "est"]].itertuples(index=False)
+        if int(e) > exact.get(t, 0)
+    ]
+    assert not over, over[:10]
