@@ -809,3 +809,49 @@ def dedup_apply(
     return docs.join(
         losers, docs[id_col] == losers["node"], "left_anti"
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected near-dup pair
+    graph: (node, rank). Ranks start at 1.0 and follow
+    ``r' = (1-d) + d * Σ_in r/deg`` — on the symmetrized graph every
+    node has deg ≥ 1, so no dangling-mass term is needed.
+
+    Scale shape: every iteration shuffles the PAIR SET only (one
+    edge-keyed join + one dst-keyed agg), never a corpus-sized table —
+    the same discipline as :func:`connected_components`. The pair set
+    is pinned with ``localCheckpoint`` so the expensive pair-generation
+    lineage (the MinHash pipeline) runs exactly once, not once per
+    iteration. A fixed small ``iters`` keeps the plan bounded; for
+    survivor selection the ordering converges in very few iterations
+    because near-dup components are small and dense."""
+    from pyspark.sql import functions as F
+
+    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    contrib = edges.join(deg, "src")
+    for _ in range(iters):
+        ranks = (
+            contrib.join(ranks, contrib["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("nxt"))
+            .agg(
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+            .select(F.col("nxt").alias("node"), "r")
+        )
+    return ranks

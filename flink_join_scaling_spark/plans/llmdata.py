@@ -1384,3 +1384,85 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("centroid_cos").asc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+def _pagerank_ctes() -> str:
+    """Three unrolled PageRank iterations over the symmetrized pair
+    graph (r' = 0.15 + 0.85 * Σ r/deg), as plain CTEs after the shared
+    edges/reach/comp chain."""
+    parts = [
+        "dg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 AS r FROM dg)",
+    ]
+    for i in range(1, 4):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""r{i} AS (
+        SELECT e.dst AS node, 0.15 + 0.85 * sum({prev}.r / dg.d) AS r
+        FROM edges e JOIN {prev} ON {prev}.node = e.src
+                     JOIN dg ON dg.node = e.src
+        GROUP BY e.dst)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_dedup_canonical_rank",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_EDGES_REACH_CTES},
+    {_pagerank_ctes()},
+    memb AS (
+        SELECT c.component_id, c.node, round(r3.r, 6) AS rr
+        FROM comp c JOIN r3 ON r3.node = c.node
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY component_id
+                                     ORDER BY rr DESC, node ASC) AS rn
+        FROM memb
+    )
+    SELECT component_id,
+           max(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(rr) AS top_rank
+    FROM ranked
+    GROUP BY component_id
+    ORDER BY component_id
+    """,
+    tags=("llmdata", "dedup", "graph"),
+)
+def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality-based survivor selection: the canonical document per
+    near-dup component is the one with the highest fixed-iteration
+    PageRank on the pair graph — web-dedup's "most central version
+    wins" policy, an alternative to the quality argmax of
+    q_dedup_keep_best (a hub linked to every variant beats a fringe
+    member that happens to score well).
+
+    Ranks are rounded BEFORE the argmax so the winner is chosen on
+    engine-identical values (mathematically tied symmetric members
+    would otherwise be ordered by float noise); ties break to the
+    lowest doc id. Every stage after pair generation shuffles the
+    pair set only; the pair set is pinned once for both consumers
+    (ranks + components)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    ).localCheckpoint(eager=True)
+    ranks = dd.pagerank(pairs)
+    comp = dd.connected_components(pairs)
+    memb = comp.join(ranks, "node").select(
+        "component_id", "node", F.round("r", 6).alias("rr")
+    )
+    return (
+        memb.groupBy("component_id")
+        .agg(
+            F.max_by(
+                "node", F.struct(F.col("rr"), (-F.col("node")).alias("negid"))
+            ).alias("canonical_id"),
+            F.count("*").alias("n_members"),
+            F.max("rr").alias("top_rank"),
+        )
+        .orderBy("component_id")
+    )

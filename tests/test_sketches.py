@@ -114,3 +114,30 @@ def test_stream_heavy_hitters_sound_and_never_overcounts(
         if int(e) > exact.get(t, 0)
     ]
     assert not over, over[:10]
+
+
+# ------------------------------------------------ pagerank centrality
+
+
+def test_pagerank_matches_hand_replay_and_prefers_hub(spark):
+    """On a 4-node star the operator's ranks equal a pure-Python replay
+    of the same fixed-iteration recurrence, and the hub outranks every
+    leaf — the property canonical selection relies on."""
+    from flink_join_scaling_spark.operators.dedup import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {r.node: r.r for r in pagerank(pairs).collect()}
+
+    nbrs = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1]}
+    deg = {n: len(v) for n, v in nbrs.items()}
+    rr = {n: 1.0 for n in nbrs}
+    for _ in range(3):
+        rr = {
+            n: 0.15 + 0.85 * sum(rr[m] / deg[m] for m in nbrs[n])
+            for n in nbrs
+        }
+    assert set(got) == set(rr)
+    assert all(abs(got[n] - rr[n]) < 1e-9 for n in rr)
+    assert all(got[1] > got[leaf] for leaf in (2, 3, 4))
