@@ -140,6 +140,14 @@ def main() -> None:
         # split shuffles 10x docs through one digest-keyed exchange;
         # z-order is map-only arithmetic + a <=64-group agg
         "q_join_bloom_reduced": plan_probe("q_join_bloom_reduced"),
+        # sketch/graph/drift additions: heavy hitters' candidate set is
+        # FIXED under identical copies (same tokens, 10x counts) so the
+        # recount exchange stays candidates-sized; canonical-rank walks
+        # a 10x-denser pair graph (same worst case as components);
+        # drift's (source, bin) state is fixed by construction
+        "q_heavy_hitters": plan_probe("q_heavy_hitters"),
+        "q_source_drift": plan_probe("q_source_drift"),
+        "q_dedup_canonical_rank": plan_probe("q_dedup_canonical_rank"),
         "q_split_leakage_safe": plan_probe("q_split_leakage_safe"),
         "q_zorder_layout": plan_probe("q_zorder_layout"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
