@@ -363,3 +363,34 @@ def test_scd2_intervals_property(spark, rows):
         if len(set(froms)) == len(froms):
             for a, b in zip(key_rows, key_rows[1:]):
                 assert a[3] == b[2]
+
+
+# ------------------------------------------------ bloom bitset probe
+
+
+@given(
+    bits=st.sets(st.integers(0, 1023), max_size=64),
+    probes=st.lists(st.integers(0, 1023), min_size=1, max_size=8),
+)
+@SET
+def test_bloom_bit_probe_matches_python(spark, bits, probes):
+    """The BinaryType bitset probe (plans/layout.py::_bit_at) reads
+    exactly the bits Python set — across random set/probe positions,
+    byte boundaries included. Regression armor for the encoding (the
+    hex-string and CreateArray forms were silent scale-killers; a
+    silent bit-order bug would be worse)."""
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.plans.layout import _bit_at
+
+    buf = bytearray(1024 // 8)
+    for b in bits:
+        buf[b // 8] |= 1 << (b % 8)
+    blob = bytes(buf)
+    df = spark.createDataFrame([(p,) for p in probes], "pos long")
+    got = [
+        r.hit for r in df.select(
+            _bit_at(blob, F.col("pos")).alias("hit")
+        ).collect()
+    ]
+    assert got == [1 if p in bits else 0 for p in probes]
