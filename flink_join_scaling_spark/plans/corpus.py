@@ -1308,3 +1308,111 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- reciprocal rank fusion
+
+_RRF_K = 60  # the standard RRF dampening constant
+_RRF_TOP = 50  # per-ranker retrieved-list depth
+_RRF_TERMS = ("join", "stream", "vector")  # shared with q_bm25's query
+
+
+@query(
+    "q_retrieval_rrf",
+    oracle=f"""
+    WITH {{toks}},
+    {{qual}},
+    lex_top AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM words WHERE w IN ('join', 'stream', 'vector')
+        GROUP BY doc_id
+        ORDER BY tf DESC, doc_id ASC
+        LIMIT {_RRF_TOP}
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS r
+        FROM lex_top
+    ),
+    qual_top AS (
+        SELECT doc_id, round(quality, 4) AS q
+        FROM qual
+        ORDER BY round(quality, 4) DESC, doc_id ASC
+        LIMIT {_RRF_TOP}
+    ),
+    qrank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY q DESC, doc_id ASC) AS r
+        FROM qual_top
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, qr.doc_id) AS doc_id,
+               COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + qr.r), 0.0) AS rrf,
+               l.r AS lex_rank, qr.r AS quality_rank
+        FROM lex l FULL OUTER JOIN qrank qr ON qr.doc_id = l.doc_id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(quality_rank AS BIGINT) AS quality_rank
+    FROM fused
+    ORDER BY round(rrf, 6) DESC, doc_id ASC
+    LIMIT 20
+    """.format(toks=_TOKS_CTE, qual=_quality_cte()),
+    tags=("corpus", "retrieval"),
+)
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion of two retrieval signals — a lexical
+    ranker (query-term frequency) and a quality prior — the standard
+    hybrid-retrieval combiner for training-data selection
+    (rrf = Σ 1/(60 + rank), ranker-agnostic, scoreless).
+
+    Scale discipline for GLOBAL rank numbers: each ranker takes its
+    top-50 via orderBy+limit (Spark's distributed TakeOrdered — a
+    partial top-k per partition, NO single-partition sort of the
+    corpus), and row_number runs over the 50-row bounded result. The
+    quality ranking orders by the ROUNDED score so rank positions are
+    engine-identical wherever the oracle's quality hash-matches; the
+    fusion itself divides identical integers, so rrf is bit-equal
+    across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    lex_top = (
+        toks.where(F.col("w").isin(*_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+    w_lex = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    lex = lex_top.select("doc_id", F.row_number().over(w_lex).alias("lr"))
+    qual_top = (
+        d.select(
+            "doc_id", F.round(tx.quality_score(F.col("text")), 4).alias("q")
+        )
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+    w_q = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    qrank = qual_top.select("doc_id", F.row_number().over(w_q).alias("qr"))
+    fused = lex.join(qrank, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("qr")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("lr").cast("bigint").alias("lex_rank"),
+        F.col("qr").cast("bigint").alias("quality_rank"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "lex_rank",
+            "quality_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
+    )

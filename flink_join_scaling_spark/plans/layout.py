@@ -61,10 +61,11 @@ def _hex8_spark(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
 
-def _hex8_duck(col: str) -> str:
-    """Horner fold of the first 8 hex nibbles of an md5-hex column."""
+def _hex8_duck(col: str, offset: int = 0) -> str:
+    """Horner fold of 8 hex nibbles of an md5-hex column, starting
+    after ``offset`` nibbles."""
     def nib(i: int) -> str:
-        return f"(strpos('{_HEX}', substr({col}, {i}, 1)) - 1)"
+        return f"(strpos('{_HEX}', substr({col}, {offset + i}, 1)) - 1)"
 
     v = nib(1)
     for i in range(2, 9):
@@ -79,8 +80,12 @@ _BLOOM_K = 3  # hash probes per key
 
 
 def _bloom_positions_spark(key: Column) -> list[Column]:
+    """k positions from ONE md5: disjoint 8-nibble slices — the same
+    hash-family discipline as the MinHash signatures (one digest,
+    sliced), cutting the per-row hash cost k-fold vs k salted md5s."""
+    h = F.md5(key.cast("string"))
     return [
-        _hex8_spark(F.concat(F.lit(f"{j}:"), key.cast("string"))) % _BLOOM_M
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("bigint") % _BLOOM_M
         for j in range(_BLOOM_K)
     ]
 
@@ -110,12 +115,13 @@ def _bit_at(bits: bytes, pos: Column) -> Column:
 
 
 def _bloom_oracle() -> str:
-    probes = ",\n               ".join(
-        f"md5('{j}:' || CAST(l_orderkey AS VARCHAR)) AS h{j}"
+    pos_cols = ", ".join(
+        f"({_hex8_duck('h', 8 * j)}) % {_BLOOM_M} AS p{j}"
         for j in range(_BLOOM_K)
     )
-    pos_cols = ", ".join(
-        f"({_hex8_duck(f'h{j}')}) % {_BLOOM_M} AS p{j}" for j in range(_BLOOM_K)
+    dpos_union = "\n        UNION ALL ".join(
+        f"SELECT ({_hex8_duck('h', 8 * j)}) % {_BLOOM_M} AS pos FROM dh"
+        for j in range(_BLOOM_K)
     )
     passes = " AND ".join(
         f"(p{j} IN (SELECT pos FROM dpos))" for j in range(_BLOOM_K)
@@ -123,11 +129,11 @@ def _bloom_oracle() -> str:
     return f"""
     WITH dimk AS (SELECT DISTINCT o_orderkey AS k FROM orders
                   WHERE o_orderpriority = '1-URGENT'),
-    dh AS (SELECT md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
-           FROM dimk, (SELECT unnest([0, 1, 2]) AS j) js),
-    dpos AS (SELECT DISTINCT ({_hex8_duck('h')}) % {_BLOOM_M} AS pos FROM dh),
+    dh AS (SELECT md5(CAST(k AS VARCHAR)) AS h FROM dimk),
+    dpos AS (SELECT DISTINCT pos FROM (
+        {dpos_union}) u),
     fh AS (SELECT l_orderkey, l_quantity,
-               {probes}
+               md5(CAST(l_orderkey AS VARCHAR)) AS h
            FROM lineitem),
     fp AS (SELECT l_orderkey, l_quantity, {pos_cols} FROM fh),
     flag AS (SELECT l_quantity,
