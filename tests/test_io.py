@@ -195,7 +195,7 @@ def test_events_queries_identical_across_timestamp_layouts(spark, tmp_path):
         os.symlink(f"{sf}/{t}.parquet", os.path.join(alt, f"{t}.parquet"))
 
     for name in ("q_stream_tumbling", "q_rollup_multires", "q_stream_join",
-                 "q_stream_dedup"):
+                 "q_stream_dedup", "q_zorder_layout"):
         fn = plans.QUERIES[name].fn
         a = sorted(map(tuple, fn(spark, sf).collect()))
         b = sorted(map(tuple, fn(spark, alt).collect()))
