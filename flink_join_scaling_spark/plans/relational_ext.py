@@ -635,3 +635,77 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(F.expr("ts_ns div 1000000"))).alias("min_ts_ms"),
         (F.max(F.expr("ts_ns div 1000000"))).alias("max_ts_ms"),
     )
+
+
+_DQ_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_dq_rules",
+    oracle=f"""
+    WITH a AS (SELECT count(*) AS n_rows,
+        count(*) FILTER (WHERE event_id IS NULL) AS v1,
+        count(*) FILTER (WHERE ts IS NULL) AS v2,
+        count(*) - count(DISTINCT event_id) AS v3,
+        count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN
+            {str(tuple(_DQ_DOMAIN))}) AS v4,
+        count(*) FILTER (WHERE value > 100) AS v5,
+        count(*) FILTER (WHERE value < 0) AS v6
+      FROM events),
+    r AS (
+        SELECT 'event_id_not_null' AS rule, v1 AS v, n_rows FROM a
+        UNION ALL SELECT 'ts_not_null', v2, n_rows FROM a
+        UNION ALL SELECT 'event_id_unique', v3, n_rows FROM a
+        UNION ALL SELECT 'event_type_in_domain', v4, n_rows FROM a
+        UNION ALL SELECT 'value_le_100', v5, n_rows FROM a
+        UNION ALL SELECT 'value_non_negative', v6, n_rows FROM a
+    )
+    SELECT rule, CAST(v AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_checked,
+           (v = 0) AS passed
+    FROM r
+    ORDER BY rule
+    """,
+    tags=("relational", "profiling", "quality"),
+)
+def q_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule suite (the Deequ-style admission
+    gate, as distinct from q_dq_profile's open-ended profiling): a
+    fixed set of named constraints — completeness, uniqueness, domain
+    membership, numeric bounds — evaluated in ONE aggregation over one
+    scan, emitted one row per rule with its exact violation count and
+    pass verdict. Uniqueness rides the same multi-distinct Expand as
+    the profile; everything else is a map-side conditional count. The
+    1-row aggregate is then unpivoted with ``stack`` (a generator, not
+    a join), so the plan stays scan → agg → generate."""
+    ev = load_table(spark, sf_dir, "events")
+    viol = lambda cond, name: F.count(F.when(cond, 1)).alias(name)  # noqa: E731
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("event_id").isNull(), "v1"),
+        viol(F.col("ts").isNull(), "v2"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v3"),
+        viol(
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin(*_DQ_DOMAIN),
+            "v4",
+        ),
+        viol(F.col("value") > 100, "v5"),
+        viol(F.col("value") < 0, "v6"),
+    )
+    stacked = agg.select(
+        F.col("n_rows").cast("bigint").alias("n_checked"),
+        F.expr(
+            "stack(6, "
+            "'event_id_not_null', v1, 'ts_not_null', v2, "
+            "'event_id_unique', v3, 'event_type_in_domain', v4, "
+            "'value_le_100', v5, 'value_non_negative', v6"
+            ") AS (rule, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        "n_checked",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
