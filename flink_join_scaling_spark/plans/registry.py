@@ -103,16 +103,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
 # Queries whose latest driver row is stale or missing and must land in
 # the round-5 window first: the 11 oracle-bearing queries whose latest
 # hash-green predates the r3 testdata regeneration (r1/r2 rows — the
-# driver hash has not re-attested them on current data). The ~45
+# driver hash has not re-attested them on current data). The ~54
 # round-5-new queries (the completed TPC-H sweep, lines/LM/stream-join/
 # rollup/quantize/mixture-weights/pipeline additions, the two
-# converted-to-self-attesting entries, and the continuation batch:
+# converted-to-self-attesting entries, the continuation batch —
 # scd2/collocations/source-overlap/entity-resolution/histogram/
-# hll-rollup/ema/cohort/transition/dq-profile) need no listing here:
-# they are absent from _DRIVER_GREEN, so the group-2 rank orders them
-# directly after this set. 11 + ~45 slightly overflows the ~50-slot
-# window — the tail (last-registered group-2 entries) rolls to the
-# next round's rotation, losing nothing permanently.
+# hll-rollup/ema/cohort/transition/dq-profile — and the final batch:
+# bloom-reduced join/leakage-safe split/z-order/heavy hitters/source
+# drift/canonical rank/rrf/dq-rules) need no listing here: they are
+# absent from _DRIVER_GREEN, so the group-2 rank orders them directly
+# after this set. 11 + ~54 overflows the ~50-slot window — the tail
+# (last-registered group-2 entries) rolls to the next round's
+# rotation, losing nothing permanently.
 _NEEDS_FRESH_ROW: frozenset[str] = frozenset(
     {
         "q_agg_grouping_sets", "q_window_range_frame", "q_scalar_subquery",
