@@ -93,35 +93,37 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
         # fresh re-attestations for the 13 events-reading queries)
         "q_decontaminate", "q_decontaminate_apply", "q_mixture_budget",
         "q_pii_redact",
-        # q_dedup_minhash_ml and q_sim_ann_ivf_trained held r4
-        # rows-only rows but were converted to self-attesting
-        # oracle-bearing form in r5 — they need a FIRST hash row, so
-        # they are deliberately NOT in this set (group-2 ordering).
+        # round-5 rotation greens: CORRECTNESS_r05.json — 50/50 hash
+        # green, including the 11 post-regeneration re-attestations and
+        # the two converted-to-self-attesting entries.
+        "q_agg_skew_salted", "q_approx_distinct", "q_approx_quantiles",
+        "q_cohort_retention", "q_dedup_containment", "q_dedup_lines",
+        "q_dedup_minhash_ml", "q_dq_profile", "q_dq_rules", "q_ema",
+        "q_entity_resolution", "q_fuzzy_match", "q_gapfill",
+        "q_higher_order_funcs", "q_histogram", "q_join_skew_salted",
+        "q_json_funcs", "q_quantize_embeddings", "q_rollup_multires",
+        "q_scd2_intervals", "q_sim_ann_ivf_trained", "q_stream_join",
+        "q_tpch_q11_important_stock", "q_tpch_q12_priority_class",
+        "q_tpch_q13_order_distribution", "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_counts", "q_tpch_q17_small_quantity",
+        "q_tpch_q19_disjunctive_rev", "q_tpch_q20_excess_suppliers",
+        "q_tpch_q21_waiting_suppliers", "q_tpch_q22_dormant_customers",
+        "q_tpch_q2_min_cost_supplier", "q_tpch_q4_late_orders",
+        "q_tpch_q7_nation_volume", "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit", "q_transition_matrix",
+        "q_window_distribution",
     }
 )
 
-# Queries whose latest driver row is stale or missing and must land in
-# the round-5 window first: the 11 oracle-bearing queries whose latest
-# hash-green predates the r3 testdata regeneration (r1/r2 rows — the
-# driver hash has not re-attested them on current data). The ~54
-# round-5-new queries (the completed TPC-H sweep, lines/LM/stream-join/
-# rollup/quantize/mixture-weights/pipeline additions, the two
-# converted-to-self-attesting entries, the continuation batch —
-# scd2/collocations/source-overlap/entity-resolution/histogram/
-# hll-rollup/ema/cohort/transition/dq-profile — and the final batch:
-# bloom-reduced join/leakage-safe split/z-order/heavy hitters/source
-# drift/canonical rank/rrf/dq-rules) need no listing here: they are
-# absent from _DRIVER_GREEN, so the group-2 rank orders them directly
-# after this set. 11 + ~54 overflows the ~50-slot window — the tail
-# (last-registered group-2 entries) rolls to the next round's
-# rotation, losing nothing permanently.
-_NEEDS_FRESH_ROW: frozenset[str] = frozenset(
-    {
-        "q_agg_grouping_sets", "q_window_range_frame", "q_scalar_subquery",
-        "q_text_stats", "q_token_count", "q_lang_id", "q_quality_score",
-        "q_fingerprint", "q_text_chunks", "q_dedup_exact", "q_dedup_minhash",
-    }
-)
+# Queries whose latest driver row is stale and must be re-attested
+# before never-recorded queries. Empty after round 5: CORRECTNESS_r05
+# re-attested all 11 post-regeneration stale entries, so the round-6
+# window goes straight to group 2 — the 17 oracle-bearing queries that
+# have never held a driver row (retrieval scores, sketches/drift, the
+# layout trio, canonical rank, embed outliers, LM/mixture/pipeline/
+# snapshot/collocations/overlap). 17 ≪ the ~50-slot window, so all of
+# them land this round.
+_NEEDS_FRESH_ROW: frozenset[str] = frozenset()
 
 
 def query_fns() -> dict[str, QueryFn]:

@@ -1,0 +1,119 @@
+"""Rotation-hygiene guards for the driver's ~50-slot correctness window.
+
+The driver replays roughly the first 50 entries of ``queries()`` each
+round. ``plans/registry.py`` orders never/stale-attested queries first
+so the window eventually covers every query. These tests make the
+round-5 failure mode — rotation sets one round stale, so the same 50
+queries get re-checked while the tail starves forever — structurally
+impossible:
+
+1. Every hash-green row in every CORRECTNESS_r*.json on disk must be
+   folded into ``_DRIVER_GREEN`` (or listed stale in
+   ``_NEEDS_FRESH_ROW``). A forgotten fold fails this test.
+2. Every oracle-bearing query without a driver-green row must rank
+   inside the window (position < 50); greens come after all
+   non-greens. If more unattested queries exist than slots, the test
+   demands the overflow be *newly registered* this round (absent from
+   every CORRECTNESS file), i.e. starvation of old queries is never
+   the thing that overflows.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from flink_join_scaling_spark.plans import registry
+
+REPO = Path(__file__).resolve().parent.parent
+WINDOW = 50
+
+
+def _correctness_rows() -> dict[str, set[str]]:
+    """name -> set of rounds with a hash-green (or rows-only-green) row."""
+    greens: dict[str, set[str]] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(f.read_text())
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") or (
+                row.get("hash_match") is None and row.get("rows_match")
+            )
+            if ok:
+                greens.setdefault(name, set()).add(f.stem)
+    return greens
+
+
+def test_sets_reference_registered_queries_only():
+    names = set(registry.QUERIES)
+    assert registry._DRIVER_GREEN <= names, (
+        registry._DRIVER_GREEN - names
+    )
+    assert registry._NEEDS_FRESH_ROW <= names, (
+        registry._NEEDS_FRESH_ROW - names
+    )
+
+
+def test_every_recorded_green_is_folded_into_rotation_sets():
+    """A green driver row must move its query out of group 2.
+
+    If the latest round's CORRECTNESS file lands and nobody updates
+    ``_DRIVER_GREEN``, this fails — the exact staleness that made the
+    r5→r6 window re-check 50 already-green queries.
+    """
+    recorded = set(_correctness_rows()) & set(registry.QUERIES)
+    unfolded = recorded - registry._DRIVER_GREEN - registry._NEEDS_FRESH_ROW
+    assert not unfolded, (
+        f"{len(unfolded)} driver-green queries not folded into "
+        f"_DRIVER_GREEN (or marked stale): {sorted(unfolded)}"
+    )
+
+
+def test_unattested_oracle_queries_fit_the_driver_window():
+    """No oracle-bearing query may starve outside the ~50-slot window.
+
+    Position ≥ WINDOW is only acceptable for queries that already hold
+    a driver row (their rows stand) or are rows-only (can never
+    hash-match). Previously-seen-by-a-round queries must never be
+    pushed out by this round's ordering.
+    """
+    order = list(registry.query_fns())
+    recorded = set(_correctness_rows())
+    for pos, name in enumerate(order):
+        spec = registry.QUERIES[name]
+        if spec.oracle is None:
+            continue
+        needs_row = (
+            name in registry._NEEDS_FRESH_ROW
+            or name not in registry._DRIVER_GREEN
+        )
+        if needs_row and pos >= WINDOW:
+            # Overflow tolerated only for brand-new registrations that
+            # no driver round has ever had a chance to see.
+            assert name not in recorded, (
+                f"{name} needs a driver row but ranks {pos} (≥{WINDOW}) "
+                "— it would starve again; update registry rotation sets"
+            )
+
+
+def test_greens_rank_after_all_queries_needing_rows():
+    order = list(registry.query_fns())
+    pend = [
+        n for n in order
+        if registry.QUERIES[n].oracle is not None
+        and (n in registry._NEEDS_FRESH_ROW
+             or n not in registry._DRIVER_GREEN)
+    ]
+    if not pend:
+        return
+    last_pending = max(order.index(n) for n in pend)
+    settled_before = [
+        n for n in order[:last_pending]
+        if n in registry._DRIVER_GREEN and n not in registry._NEEDS_FRESH_ROW
+    ]
+    assert not settled_before, (
+        f"green queries rank before pending ones: {settled_before[:5]}"
+    )
