@@ -830,7 +830,16 @@ def pagerank(
     lineage (the MinHash pipeline) runs exactly once, not once per
     iteration. A fixed small ``iters`` keeps the plan bounded; for
     survivor selection the ordering converges in very few iterations
-    because near-dup components are small and dense."""
+    because near-dup components are small and dense.
+
+    Determinism: each node's incoming contributions are folded in
+    sorted-by-src order (collect_list → array_sort → left fold), not
+    ``F.sum`` — partition-order-dependent double accumulation would
+    make the ranks wobble by an ulp across runs/engines, which can
+    flip a round-6 hash. The fold is the q_ema/q_lm_score discipline:
+    bit-identical by construction wherever the oracle folds the same
+    sorted chain. Per-node state is its in-neighbor list (degree-
+    bounded, pair-set total) — same exchange volume as the sum."""
     from pyspark.sql import functions as F
 
     pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
@@ -849,7 +858,22 @@ def pagerank(
             .agg(
                 (
                     F.lit(1.0 - damping)
-                    + F.lit(damping) * F.sum(F.col("r") / F.col("d"))
+                    + F.lit(damping)
+                    * F.aggregate(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("src").alias("s"),
+                                        (F.col("r") / F.col("d")).alias("c"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["c"],
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
                 ).alias("r")
             )
             .select(F.col("nxt").alias("node"), "r")

@@ -181,7 +181,8 @@ def q_join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Filter build: one job over the filtered dim; result bounded by m
-    # positions (≤ 16384 ints) — the runtime-filter build stage.
+    # positions (≤ 131072 ints = _BLOOM_M; the filter itself is 16 KiB
+    # as bytes) — the runtime-filter build stage.
     dpos = dimk.select(
         F.explode(F.array(*_bloom_positions_spark(F.col("k")))).alias("pos")
     ).distinct()
@@ -375,10 +376,13 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-sized agg (≤ 64 groups). At 100 TB the same z-value is the
     ``repartitionByRange`` key that writes the clustered files."""
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
-    # exact integer division: the numerator is an exact multiple, so
-    # the IEEE quotient is the true integer (no float-boundary risk)
-    minute = ((us - us % 60_000_000) / 60_000_000).cast("bigint")
+    # Floor division in pure integer arithmetic: pmod keeps the
+    # adjusted numerator an exact multiple, so `div` (truncating) IS
+    # floor — matching DuckDB's `//` for pre-1970 timestamps too,
+    # where `us - us % m` would truncate toward zero instead.
+    minute = F.expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 60000000)) div 60000000"
+    )
     e = ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull()).select(
         (F.col("user_id") % 256).cast("bigint").alias("x"),
         (minute % 256).cast("bigint").alias("y"),

@@ -1388,8 +1388,12 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_ctes() -> str:
     """Three unrolled PageRank iterations over the symmetrized pair
-    graph (r' = 0.15 + 0.85 * Σ r/deg), as plain CTEs after the shared
-    edges/reach/comp chain."""
+    graph (r' = 0.15 + 0.85 * fold(r/deg)), as plain CTEs after the
+    shared edges/reach/comp chain. The per-node contributions are
+    folded in sorted-by-src order — the same deterministic left fold
+    the Spark operator uses (seeded 0.0; 0.0 + x == x in IEEE, so the
+    chains are identical) — because an unordered sum() accumulates in
+    engine/partition-dependent order and can flip a round-6 hash."""
     parts = [
         "dg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)",
         "r0 AS (SELECT node, 1.0 AS r FROM dg)",
@@ -1398,7 +1402,11 @@ def _pagerank_ctes() -> str:
         prev = f"r{i - 1}"
         parts.append(
             f"""r{i} AS (
-        SELECT e.dst AS node, 0.15 + 0.85 * sum({prev}.r / dg.d) AS r
+        SELECT e.dst AS node, 0.15 + 0.85 * list_reduce(
+            list_prepend(0.0, list_transform(
+                list_sort(list({{'s': e.src, 'c': {prev}.r / dg.d}})),
+                s -> s.c)),
+            (a, b) -> a + b) AS r
         FROM edges e JOIN {prev} ON {prev}.node = e.src
                      JOIN dg ON dg.node = e.src
         GROUP BY e.dst)"""

@@ -494,7 +494,7 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
         SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
     per AS (
         SELECT user_id,
@@ -532,7 +532,11 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound as SCD2 — keys parallelize)."""
     ev = (
         load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        # null ts would sort engine-dependently (Spark struct ordering
+        # is nulls-first, DuckDB list_sort nulls-last) — filter it like
+        # the SCD2/cohort/transition siblings so the fold order is a
+        # total order in both engines.
+        .where(F.col("value").isNotNull() & F.col("ts_ns").isNotNull())
         .select(
             "user_id",
             F.expr("ts_ns div 1000000").alias("ts_ms"),
@@ -591,8 +595,17 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is weeks² cells. At 100 TB nothing is corpus-sized after
     the first distinct."""
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # Week bucket via pmod-adjusted `div` = true floor division,
+    # matching DuckDB `//` for pre-1970 ms too (bare `div` truncates
+    # toward zero). The ns→ms step keeps plain `div`: testdata ts ≥
+    # epoch, and sub-ms negative handling would need the oracle's
+    # epoch_ms internals pinned — documented precondition.
     e = ev.select(
-        "user_id", F.expr("ts_ns div 1000000 div 604800000").alias("week")
+        "user_id",
+        F.expr(
+            "((ts_ns div 1000000) - pmod(ts_ns div 1000000, 604800000))"
+            " div 604800000"
+        ).alias("week"),
     )
     active = e.distinct()
     # cohort derives from the DISTINCT rows (min over distinct weeks ==

@@ -435,15 +435,24 @@ def _accumulate_versions(
     ``max_versions``, and report whether anything changed. The third
     slot's value passes through ``third_cast`` (identity for SCD2's
     attr — which MAY be null — float for EMA's value; EMA rejects null
-    values via its own cast guard in the caller loop)."""
+    values via its own cast guard in the caller loop).
+
+    Versions refused by the ``max_versions`` cap are COUNTED in the
+    returned ``dropped`` total (persisted as the 4th state slot), not
+    silently discarded: a key whose emitted history is truncated is
+    distinguishable from a complete one by ``dropped > 0``, and a
+    batch that only drops still reports ``changed`` so the new count
+    is emitted."""
     if state.exists:
         ts_l, id_l, third_l = (
             list(state.get[0]),
             list(state.get[1]),
             list(state.get[2]),
         )
+        dropped = int(state.get[3]) if len(state.get) > 3 else 0
     else:
         ts_l, id_l, third_l = [], [], []
+        dropped = 0
     seen = set(id_l)
     changed = False
     for pdf in pdfs:
@@ -457,13 +466,17 @@ def _accumulate_versions(
             if third is _SKIP_VERSION:
                 continue
             if len(id_l) >= max_versions:
-                continue  # bounded state under adversarial keys
+                # bounded state under adversarial keys — but loudly:
+                # the drop count is state + output, never invisible
+                dropped += 1
+                changed = True
+                continue
             ts_l.append(ts)
             id_l.append(vid)
             third_l.append(third)
             seen.add(vid)
             changed = True
-    return ts_l, id_l, third_l, changed
+    return ts_l, id_l, third_l, dropped, changed
 
 
 #: sentinel returned by a third_cast to reject a version entirely
@@ -485,12 +498,12 @@ def _scd2_fn(key_col: str, max_versions: int):
     ) -> Iterator[pd.DataFrame]:
         # null ts dropped by the helper (no place on the validity
         # axis); unique version ids make replays no-ops
-        ts_l, id_l, attr_l, changed = _accumulate_versions(
+        ts_l, id_l, attr_l, dropped, changed = _accumulate_versions(
             state, pdfs, ("__ts", "__id", "__attr"), max_versions
         )
         if not changed:
             return
-        state.update((ts_l, id_l, attr_l))
+        state.update((ts_l, id_l, attr_l, dropped))
         order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
         attrs: list = []
         froms: list[int] = []
@@ -512,6 +525,7 @@ def _scd2_fn(key_col: str, max_versions: int):
                     "valid_to": tos,
                     "n_versions": counts,
                     "is_current": [t is None for t in tos],
+                    "n_dropped": dropped,
                 }
             ]
         )
@@ -540,7 +554,9 @@ def stream_scd2_intervals(
     full record), the minimum retention that makes late-arrival
     interval splits exact; ``max_versions`` bounds it under adversarial
     keys, the same trade as the batch stop-shingle / streaming
-    max_bucket caps. Requires integer ``ts_col``/``id_col`` (exact
+    max_bucket caps — versions refused by the cap are counted in the
+    emitted ``n_dropped`` column (0 = complete history), so truncated
+    keys are detectable by consumers. Requires integer ``ts_col``/``id_col`` (exact
     ordering arithmetic) and a string ``attr_col``; null timestamps
     are dropped (no place on the validity axis — the batch operator
     filters them identically), null attrs compare equal to each other
@@ -555,12 +571,14 @@ def stream_scd2_intervals(
     key_type = sdf.schema[key_col].dataType.simpleString()
     out_schema = (
         f"{key_col} {key_type}, attr array<string>, valid_from array<long>, "
-        "valid_to array<long>, n_versions array<long>, is_current array<boolean>"
+        "valid_to array<long>, n_versions array<long>, is_current array<boolean>, "
+        "n_dropped long"
     )
     return src.groupBy(key_col).applyInPandasWithState(
         _scd2_fn(key_col, max_versions),
         outputStructType=out_schema,
-        stateStructType="ts array<long>, ids array<long>, attrs array<string>",
+        stateStructType="ts array<long>, ids array<long>, attrs array<string>, "
+        "dropped long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -577,7 +595,7 @@ def _ema_fn(key_col: str, alpha: float, max_versions: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         # null values rejected (the batch query filters them too)
-        ts_l, id_l, val_l, changed = _accumulate_versions(
+        ts_l, id_l, val_l, dropped, changed = _accumulate_versions(
             state,
             pdfs,
             ("__ts", "__id", "__val"),
@@ -586,7 +604,7 @@ def _ema_fn(key_col: str, alpha: float, max_versions: int):
         )
         if not changed:
             return
-        state.update((ts_l, id_l, val_l))
+        state.update((ts_l, id_l, val_l, dropped))
         order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
         ema = val_l[order[0]]
         for i in order[1:]:
@@ -600,6 +618,7 @@ def _ema_fn(key_col: str, alpha: float, max_versions: int):
                     # IS the argmax
                     "last_ts": ts_l[order[-1]],
                     "ema": ema,
+                    "n_dropped": dropped,
                 }
             ]
         )
@@ -626,8 +645,10 @@ def stream_ema(
     point re-weights everything after it and nothing short of the
     series can replay that exactly. Identical fold expression
     (alpha·x + (1−alpha)·acc, first element as seed) as the batch
-    query. ``max_versions`` bounds state per key; null timestamps/
-    values are dropped, matching the batch filter."""
+    query. ``max_versions`` bounds state per key, with cap refusals
+    counted in the emitted ``n_dropped`` column (0 = complete series);
+    null timestamps/values are dropped, matching the batch filter
+    (q_ema excludes both null value and null ts)."""
     src = sdf.select(
         F.col(key_col),
         F.col(ts_col).alias("__ts"),
@@ -635,11 +656,15 @@ def stream_ema(
         F.col(value_col).alias("__val"),
     )
     key_type = sdf.schema[key_col].dataType.simpleString()
-    out_schema = f"{key_col} {key_type}, n_events long, last_ts long, ema double"
+    out_schema = (
+        f"{key_col} {key_type}, n_events long, last_ts long, ema double, "
+        "n_dropped long"
+    )
     return src.groupBy(key_col).applyInPandasWithState(
         _ema_fn(key_col, alpha, max_versions),
         outputStructType=out_schema,
-        stateStructType="ts array<long>, ids array<long>, vals array<double>",
+        stateStructType="ts array<long>, ids array<long>, vals array<double>, "
+        "dropped long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -737,3 +737,19 @@ def test_stream_scd2_max_versions_caps_state(streaming_spark, tmp_path):
     )
     final = converged(em, ["k"]).iloc[0]
     assert sum(int(n) for n in final["n_versions"]) == 2
+    # truncation is loud: the 2 refused versions are counted, so a
+    # capped key is distinguishable from a complete one (n_dropped=0)
+    assert int(final["n_dropped"]) == 2
+
+
+def test_stream_scd2_uncapped_reports_zero_dropped(streaming_spark, tmp_path):
+    from flink_join_scaling_spark.streaming.dedup import stream_scd2_intervals
+
+    spark = streaming_spark
+    schema = "event_id long, k long, attr string, ts long"
+    rows = [(i, 1, "A", i * 10) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, schema)
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=2)
+    em = collect_emissions(stream_scd2_intervals(s, "k", "attr", "ts", "event_id"))
+    final = converged(em, ["k"]).iloc[0]
+    assert int(final["n_dropped"]) == 0
