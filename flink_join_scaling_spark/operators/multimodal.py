@@ -7,15 +7,17 @@ columnar batches of payloads, never one row at a time. This is the
 shape that holds at 100 TB: payload bytes stay in the executor, only
 fixed-width features come back.
 
-Image/video codecs (PIL/ffmpeg) are NOT in this container, so
+JPEG/video codecs (libjpeg/ffmpeg) are NOT in this container, so
 ``decode_media`` is gated: for those types ``decoder="real"`` raises
 NotImplementedError at the decode step; ``decoder="fake"`` (default in
 tests, and the DuckDB-oracle path) derives deterministic
 pseudo-features from the raw bytes so the Spark-side plumbing —
 schema, batching, partitioning, UDF signature — is fully real and
-testable. ``audio/wav`` has a REAL dependency-free decoder
-(:func:`_parse_wav`: RIFF chunk walk + PCM statistics in pure
-Python/NumPy), value-checked in tests against hand-built WAV bytes.
+testable. ``audio/wav`` and ``image/png`` have REAL dependency-free
+decoders (:func:`_parse_wav`: RIFF chunk walk + PCM statistics;
+:func:`_parse_png`: chunk walk + stdlib-zlib inflate + full
+None/Sub/Up/Average/Paeth scanline unfiltering), value-checked in
+tests against hand-built bytes.
 """
 
 from __future__ import annotations
@@ -113,11 +115,106 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, float]:
     )
 
 
+def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
+    """Dependency-free PNG decode: chunk walk + IHDR fields + zlib
+    (stdlib) inflate of the IDAT stream + per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth — the full PNG filter set), reducing the
+    reconstructed samples to one deterministic statistic. Returns the
+    image projection of FEATURE_SCHEMA's generic fields:
+
+    - width / height → IHDR dimensions in pixels
+    - n_channels     → from IHDR color type (gray 1, RGB 3, gray+α 2,
+      RGBA 4)
+    - mean_byte      → mean reconstructed sample value normalized to
+      [0, 1], SQL-style half-up rounded to 4 decimals (the same
+      reduction and rounding as the WAV path)
+
+    Supports 8-bit, non-interlaced, non-palette images — the subset a
+    filter-reconstruction parser can decode exactly without a palette
+    table or Adam7 pass logic. Anything else raises ValueError
+    (loudly, not a guess).
+    """
+    import math
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < len(sig) + 25 or payload[: len(sig)] != sig:
+        raise ValueError("not a PNG payload")
+    pos = len(sig)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}); only 8-bit non-interlaced "
+            "gray/RGB/gray+alpha/RGBA is decoded here"
+        )
+    if width == 0 or height == 0:
+        return width, height, channels, 0.0
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT stream length does not match dimensions")
+    prev = np.zeros(stride, dtype=np.int64)
+    total = 0
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, cur = line[0], np.frombuffer(line[1:], dtype="u1").astype(np.int64)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
+            out = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = out[i - channels] if i >= channels else 0  # left
+                b = prev[i]  # up
+                if ftype == 1:
+                    rec = cur[i] + a
+                elif ftype == 3:
+                    rec = cur[i] + (a + b) // 2
+                else:
+                    c = prev[i - channels] if i >= channels else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec = cur[i] + pred
+                out[i] = rec & 0xFF
+            cur = out
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        prev = cur
+        total += int(cur.sum())
+    mean = total / (height * stride) / 255.0
+    return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
+
+
 def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
     if media_type == "audio/wav":
         return _parse_wav(payload)
+    if media_type == "image/png":
+        return _parse_png(payload)
     raise NotImplementedError(
-        f"no codec for {media_type!r}: image/video decoders (PIL/ffmpeg) "
+        f"no codec for {media_type!r}: JPEG/video decoders (libjpeg/ffmpeg) "
         "are not available in this environment; plug a decoder in here"
     )
 

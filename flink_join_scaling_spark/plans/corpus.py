@@ -772,6 +772,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cum
     GROUP BY 1, 2
     """,
+    headline=True,
     tags=("corpus", "pipeline"),
 )
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

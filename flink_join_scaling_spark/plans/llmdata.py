@@ -617,6 +617,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON id_b = sb.doc_id
     WHERE round(n_inter / least(sa.n, sb.n), 6) >= 0.8
     """,
+    headline=True,
     tags=("llmdata", "dedup"),
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,6 +1438,7 @@ def _pagerank_ctes() -> str:
     GROUP BY component_id
     ORDER BY component_id
     """,
+    headline=True,
     tags=("llmdata", "dedup", "graph"),
 )
 def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -498,6 +498,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_agg(node, ',' ORDER BY node) AS members
     FROM comp GROUP BY canonical_name
     """,
+    headline=True,
     tags=("relational", "fuzzy", "dedup"),
 )
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,16 +41,17 @@ def test_fake_decode_deterministic_and_batched(media):
 
 
 def test_real_decoder_rejects_non_wav_payload(media):
-    """decoder="real" fails loudly on the fixture: its audio/wav rows
-    carry text bytes (not RIFF), and image/video have no codec — either
-    way the decode step raises instead of fabricating features. (Real
-    WAV decode is value-checked in test_real_wav_decode_values; the
-    image/video NotImplementedError gate in
-    test_real_decoder_still_gated_for_images.)"""
+    """decoder="real" fails loudly on the fixture: its audio/wav and
+    image/png rows carry text bytes (not RIFF/PNG), and jpeg/video have
+    no codec — either way the decode step raises instead of fabricating
+    features. (Real WAV/PNG decode is value-checked in
+    test_real_wav_decode_values / test_real_png_decode_through_spark;
+    the jpeg/video NotImplementedError gate in
+    test_real_decoder_still_gated_for_jpeg.)"""
     with pytest.raises(Exception) as exc_info:
         mm.decode_media(media, decoder="real").collect()
     msg = str(exc_info.value)
-    assert "NotImplementedError" in msg or "RIFF" in msg
+    assert "NotImplementedError" in msg or "RIFF" in msg or "PNG" in msg
 
 
 def _wav_bytes(
@@ -116,9 +117,9 @@ def test_parse_wav_rejects_non_pcm():
         mm._parse_wav(bytes(wav))
 
 
-def test_real_decoder_still_gated_for_images(spark):
+def test_real_decoder_still_gated_for_jpeg(spark):
     df = spark.createDataFrame(
-        [(1, bytearray(b"notanimage"), "image/png", 10)],
+        [(1, bytearray(b"notanimage"), "image/jpeg", 10)],
         "doc_id long, payload binary, media_type string, n_bytes long",
     )
     with pytest.raises(Exception) as exc_info:
@@ -126,6 +127,142 @@ def test_real_decoder_still_gated_for_images(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def _png_bytes(pixels, channels: int, filters=None) -> bytes:
+    """Hand-assembled PNG: `pixels` is rows × width × channels nested
+    lists of 0-255 ints; `filters` picks the per-scanline filter type
+    (default all 0 = None) and the encoder applies the MATCHING forward
+    filter so the decoder must invert it."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    height = len(pixels)
+    width = len(pixels[0])
+    stride = width * channels
+    flat = [
+        [c for px in row for c in (px if isinstance(px, (list, tuple)) else [px])]
+        for row in pixels
+    ]
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = [0] * stride
+    for row, ft in zip(flat, filters):
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - a
+            elif ft == 2:
+                v = row[i] - b
+            elif ft == 3:
+                v = row[i] - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pred
+            raw.append(v & 0xFF)
+        prev = row
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_all_filter_types():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) on a 3×5 RGB
+    image: the decoder's unfiltering must reproduce the exact pixels
+    the encoder forward-filtered, attested by the exact mean."""
+    pixels = [
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        [[15, 25, 35], [45, 55, 65], [75, 85, 95]],
+        [[200, 100, 0], [0, 200, 100], [100, 0, 200]],
+        [[255, 0, 255], [1, 2, 3], [250, 251, 252]],
+        [[128, 128, 128], [0, 0, 0], [255, 255, 255]],
+    ]
+    png = _png_bytes(pixels, channels=3, filters=[0, 1, 2, 3, 4])
+    w, h, ch, mean = mm._parse_png(png)
+    assert (w, h, ch) == (3, 5, 3)
+    import math
+
+    flat = [c for row in pixels for px in row for c in px]
+    expected = sum(flat) / len(flat) / 255.0
+    assert mean == math.floor(expected * 10000 + 0.5) / 10000
+
+
+def test_parse_png_gray_and_rgba():
+    import math
+
+    g = _png_bytes([[0, 100], [200, 255]], channels=1, filters=[4, 4])
+    assert mm._parse_png(g) == (
+        2, 2, 1, math.floor((555 / 4) / 255.0 * 10000 + 0.5) / 10000,
+    )
+    rgba = _png_bytes(
+        [[[1, 2, 3, 4], [5, 6, 7, 8]]], channels=4, filters=[1]
+    )
+    w, h, ch, mean = mm._parse_png(rgba)
+    assert (w, h, ch) == (2, 1, 4)
+    assert mean == math.floor((36 / 8) / 255.0 * 10000 + 0.5) / 10000
+
+
+def test_parse_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm._parse_png(b"\x89PNG\r\n\x1a\nshort")
+    # 16-bit depth rejected loudly
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        mm._parse_png(png16)
+
+
+def test_real_png_decode_through_spark(spark):
+    """decoder="real" on image/png through the mapInPandas path: exact
+    IHDR dimensions + channel count + pixel mean come back."""
+    png = _png_bytes(
+        [[[9, 18, 27], [36, 45, 54]], [[63, 72, 81], [90, 99, 108]]],
+        channels=3,
+        filters=[2, 3],
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(png), "image/png", len(png))],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    [r] = mm.decode_media(df, decoder="real").collect()
+    assert (r.width, r.height, r.n_channels) == (2, 2, 3)
+    import math
+
+    expected = (9 + 18 + 27 + 36 + 45 + 54 + 63 + 72 + 81 + 90 + 99 + 108) / 12 / 255.0
+    assert r.mean_byte == math.floor(expected * 10000 + 0.5) / 10000
 
 
 def test_frame_sample_positions(media):
