@@ -643,7 +643,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.45
     """,
-    tags=("llmdata", "dedup"),
+    tags=("llmdata", "dedup", "float-boundary-sensitive"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.45 (exact pair join baseline)."""
@@ -757,7 +757,12 @@ def _ann_oracle() -> str:
     """
 
 
-@query("q_sim_ann_lsh", oracle=_ann_oracle(), headline=True, tags=("llmdata", "similarity"))
+@query(
+    "q_sim_ann_lsh",
+    oracle=_ann_oracle(),
+    headline=True,
+    tags=("llmdata", "similarity", "float-boundary-sensitive"),
+)
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (sign-random-projection, 4
     deterministic md5-derived hyperplanes → 16 buckets)."""

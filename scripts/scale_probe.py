@@ -146,12 +146,20 @@ def main() -> None:
         # a 10x-denser pair graph (same worst case as components);
         # drift's (source, bin) state is fixed by construction
         "q_heavy_hitters": plan_probe("q_heavy_hitters"),
+        # mergeable-partial HLL: register state is (source, week) x 2^p
+        # regardless of volume — the probe measures that the union agg
+        # absorbs the copy growth map-side
+        "q_hll_rollup": plan_probe("q_hll_rollup"),
         "q_source_drift": plan_probe("q_source_drift"),
         "q_dedup_canonical_rank": plan_probe("q_dedup_canonical_rank"),
         "q_split_leakage_safe": plan_probe("q_split_leakage_safe"),
         "q_zorder_layout": plan_probe("q_zorder_layout"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
+    only = os.environ.get("PROBE_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        probes = {k: v for k, v in probes.items() if k in keep}
     print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
     print("|---|---|---|---|")
     for label, fn in probes.items():

@@ -379,3 +379,50 @@ def test_scd2_state_survives_restart(streaming_spark, tmp_path):
     assert list(final["attr"]) == ["A", "B", "A"]
     assert [int(x) for x in final["valid_from"]] == [100, 200, 300]
     assert list(final["is_current"]) == [False, False, True]
+
+
+def test_mg_sketch_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for continuous Misra-Gries: the bucket summary
+    rehydrates, so post-restart occurrences ADD to the pre-kill
+    estimates — committed chunks are not reprocessed and the sketch is
+    not restarted from zero. With k=2 the pre-kill chunk forces one
+    eviction trim (delta=1), pinning the rehydrated counter to an
+    exact, order-independent value the final emission must extend."""
+    from flink_join_scaling_spark.streaming.sketches import (
+        stream_heavy_hitters,
+    )
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    schema_str = "w string"
+    # h x10 + two distinct rares: MG k=2 trims delta=1 -> {h: 9}, total 12
+    df1 = spark.createDataFrame(
+        [("h",)] * 10 + [("a",), ("b",)], schema_str
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    out = stream_heavy_hitters(
+        _read_stream(spark, src, df1.schema), "w", k=2, buckets=1
+    )
+    _run_once(out, sink, ckpt)
+    em1 = _emissions(sink)
+    pre = {r["token"]: int(r["est"]) for _, r in em1.iterrows()}
+    assert pre == {"h": 9}
+    assert int(em1.iloc[-1]["bucket_total"]) == 12
+
+    # while down: 5 more h occurrences land
+    df2 = spark.createDataFrame([("h",)] * 5, schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    out2 = stream_heavy_hitters(
+        _read_stream(spark, src, df1.schema), "w", k=2, buckets=1
+    )
+    _run_once(out2, sink, ckpt)
+    em2 = _emissions(sink)
+    final = em2.iloc[-1]
+    # 9 (rehydrated) + 5 (new) — state lost would give 5; chunk-000
+    # reprocessed would give 14 but with bucket_total 29, not 17
+    assert (final["token"], int(final["est"])) == ("h", 14)
+    assert int(final["bucket_total"]) == 17

@@ -394,3 +394,49 @@ def test_bloom_bit_probe_matches_python(spark, bits, probes):
         ).collect()
     ]
     assert got == [1 if p in bits else 0 for p in probes]
+
+
+# ------------------------------------------------ cosine ulp boundary
+
+
+def test_cosine_expr_vs_numpy_agree_on_current_fixtures(spark):
+    """The accepted ulp risk (plans/registry.FLOAT_BOUNDARY_SENSITIVE):
+    the JVM fold path (round(cosine_expr, 6)) and the NumPy pairwise
+    path (cosine6_pandas) must produce IDENTICAL round-6 values on the
+    current embeddings fixtures — all pairs at the driver's comparison
+    scale (sf0.01). If a regeneration ever lands a dot product within
+    an ulp of a round-6 boundary, this test localizes the flake to the
+    documented boundary before the driver does."""
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.functions.vectors import (
+        cosine6_pandas,
+        cosine_expr,
+        with_l2_norm,
+    )
+    from flink_join_scaling_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    n = with_l2_norm(
+        load_table(spark, SF_ORACLE, "embeddings"), "embedding", "nrm"
+    ).select("vec_id", "embedding", "nrm")
+    a = n.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    diff = (
+        pairs.select(
+            F.round(cosine_expr("ea", "eb", "na", "nb"), 6).alias("c_expr"),
+            cosine6_pandas("ea", "eb", "na", "nb").alias("c_np"),
+        )
+        .where(F.col("c_expr") != F.col("c_np"))
+        .count()
+    )
+    assert diff == 0

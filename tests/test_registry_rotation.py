@@ -99,6 +99,16 @@ def test_unattested_oracle_queries_fit_the_driver_window():
             )
 
 
+def test_float_boundary_manifest_matches_tags():
+    """The ulp-risk manifest and the query tags must agree, so a flake
+    triage can trust either one."""
+    tagged = {
+        n for n, s in registry.QUERIES.items()
+        if "float-boundary-sensitive" in s.tags
+    }
+    assert tagged == set(registry.FLOAT_BOUNDARY_SENSITIVE)
+
+
 def test_greens_rank_after_all_queries_needing_rows():
     order = list(registry.query_fns())
     pend = [

@@ -116,6 +116,71 @@ def test_stream_heavy_hitters_sound_and_never_overcounts(
     assert not over, over[:10]
 
 
+def test_stream_heavy_hitters_converged_equals_batch_adversarial_order(
+    streaming_spark, tmp_path
+):
+    """Converged == batch under adversarial arrival: tokens stream in
+    ascending-frequency order (floods of distinct rare tokens first,
+    heavy mass last — the worst case for MG eviction pressure), split
+    across micro-batches. The converged candidate union then goes
+    through the SAME two-phase protocol the batch operator proves
+    (exact recount of candidates, HAVING theta*c > W): the result must
+    equal both the plain groupBy truth and the batch heavy_hitters()
+    output. This is the sketch-then-verify guarantee carried over to
+    continuous state: soundness survives any arrival order."""
+    from pyspark.sql import Window
+
+    from flink_join_scaling_spark.streaming import (
+        chunked_parquet_stream,
+        collect_emissions,
+        converged,
+        stream_heavy_hitters,
+    )
+
+    spark = streaming_spark
+    toks = _tokens(spark, "/root/testdata/sf0.001")
+    theta = 50
+    total = toks.count()
+    exact = {r.w: r["count"] for r in toks.groupBy("w").count().collect()}
+    truth = {
+        w: c for w, c in exact.items() if theta * c > total
+    }
+    assert truth, "fixture has no heavy hitters; lower theta"
+
+    adversarial = toks.withColumn(
+        "freq", F.count("*").over(Window.partitionBy("w"))
+    ).orderBy(F.asc("freq"), F.asc("w")).select("w")
+    s = chunked_parquet_stream(spark, adversarial, str(tmp_path), n_chunks=4)
+    em = collect_emissions(
+        stream_heavy_hitters(s, "w", k=256, buckets=8), output_mode="update"
+    )
+    conv = converged(em, ["bucket", "token"])
+    cands = set(conv["token"])
+    # phase 2: exact recount of the converged candidates only
+    cand_df = spark.createDataFrame([(t,) for t in cands], "w string")
+    recount = {
+        r.w: r["count"]
+        for r in toks.join(F.broadcast(cand_df), "w").groupBy("w").count().collect()
+    }
+    verified = {w: c for w, c in recount.items() if theta * c > total}
+    assert verified == truth
+    # and the batch operator agrees with the same truth
+    from flink_join_scaling_spark.operators.sketches import heavy_hitters
+
+    batch = {
+        r.token: r.n_occurrences
+        for r in heavy_hitters(toks, "w", theta=theta).collect()
+    }
+    assert batch == truth
+    # converged estimates never overcount the exact counts
+    over = [
+        (t, int(e))
+        for t, e in conv[["token", "est"]].itertuples(index=False)
+        if int(e) > exact.get(t, 0)
+    ]
+    assert not over, over[:10]
+
+
 # ------------------------------------------------ pagerank centrality
 
 
