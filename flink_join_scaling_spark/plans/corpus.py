@@ -1417,3 +1417,145 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# -------------------------------------- shard manifest + ppl buckets
+
+_N_SHARDS = 16
+
+
+@query(
+    "q_shard_assignment",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    s AS (SELECT doc_id, n_chars,
+                 CAST({_BUCKET_DUCK} % {_N_SHARDS} AS BIGINT) AS shard
+          FROM h)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM s GROUP BY shard
+    """,
+    tags=("corpus", "sharding"),
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: every document lands in
+    md5(doc_id) mod N — reproducible across runs, engines, and input
+    order (the same hash discipline as q_sample_hash), so a 100 TB
+    corpus rewrite and an incremental top-up agree on placement
+    without coordination. The manifest (per-shard doc count, byte
+    volume, id range) is what a training job's data loader consumes.
+
+    Scale shape: the shard column is map-only arithmetic; the manifest
+    agg has map-side partials and N_SHARDS groups. At 100 TB the same
+    column is the ``repartition(shard)`` key for the physical write —
+    balance is guaranteed by the hash, visible in the manifest."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", "n_chars", (_bucket_spark() % _N_SHARDS).alias("shard")
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "q_ppl_buckets",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+    j AS (SELECT d.doc_id, f.tf FROM words d JOIN tf f USING (w)),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               list_sort(list(CAST(tf AS DOUBLE))) AS tfs
+        FROM j GROUP BY doc_id
+    ),
+    lm AS (
+        SELECT doc_id, n_tokens,
+               round((list_reduce(list_transform(tfs, x -> ln(x)),
+                                  (a, b) -> a + b)
+                      - n_tokens * ln(t)) / n_tokens, 6) AS lm_logprob
+        FROM per, tot
+    ),
+    b AS (
+        SELECT d.lang, lm.n_tokens, lm.lm_logprob,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY lm.lm_logprob DESC, lm.doc_id ASC
+                             ) AS bucket
+        FROM lm JOIN documents d USING (doc_id)
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(lm_logprob) AS min_logprob,
+           max(lm_logprob) AS max_logprob
+    FROM b GROUP BY lang, bucket
+    """,
+    tags=("corpus", "text", "curation"),
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, documents are
+    ranked by unigram-LM log-probability (q_lm_score's model — the
+    corpus IS the model) and split into head/middle/tail terciles;
+    the curation decision CCNet makes (keep head, maybe middle, drop
+    tail) falls out of the manifest this emits per (lang, bucket).
+
+    Comparability: the per-doc score is the q_lm_score sorted-fold
+    chain (bit-identical round-6 by construction), the tercile
+    assignment is ntile over (score DESC, doc_id) — a total order, so
+    both engines cut identical buckets; the bucket aggregates are
+    exact integers plus order-free round-6 min/max.
+
+    Scale shape: identical to q_lm_score through the per-doc score
+    (one vocab-keyed tf exchange co-partitioned with its join, 1-row
+    broadcast total), then one lang-keyed window (the only sort,
+    per-lang parallel) and a (lang × 3)-group agg. Nothing after the
+    score is corpus-wide."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    tf = words.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("t"))
+    per = (
+        words.join(tf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.col("tf").cast("double"))).alias("tfs"),
+        )
+    )
+    lm = per.join(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (
+                F.aggregate(
+                    F.transform(F.col("tfs"), lambda x: F.log(x)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                - F.col("n_tokens") * F.log(F.col("t"))
+            )
+            / F.col("n_tokens"),
+            6,
+        ).alias("lm_logprob"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_logprob"), F.asc("doc_id")
+    )
+    b = lm.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", "n_tokens", "lm_logprob", F.ntile(3).over(w).alias("bucket")
+    )
+    return b.groupBy("lang", F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("lm_logprob").alias("min_logprob"),
+        F.max("lm_logprob").alias("max_logprob"),
+    )

@@ -1481,3 +1481,176 @@ def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# ------------------------------------------------- semantic dedup
+
+_SEM_THRESHOLD = 0.35
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (a, b) -> a + b)) AS nrm
+        FROM e
+    ),
+    sp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.nrm > 0 AND b.nrm > 0
+          AND round(list_reduce(list_transform(list_zip(a.v, b.v),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                        (x, y) -> x + y) / (a.nrm * b.nrm), 6)
+              >= {_SEM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM sp
+        UNION
+        SELECT id_b, id_a FROM sp
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM edges
+        UNION
+        SELECT e2.src, t.r FROM edges e2 JOIN reach t ON t.node = e2.dst
+    ),
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    ex AS (
+        SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM e
+    ),
+    cm AS (
+        SELECT label, pos, CAST(round(avg(val) * 10000) AS BIGINT) AS c_e4
+        FROM ex GROUP BY 1, 2
+    ),
+    cl AS (
+        SELECT label, list(CAST(c_e4 AS DOUBLE) ORDER BY pos) AS c
+        FROM cm GROUP BY label
+    ),
+    memb AS (
+        SELECT comp.component_id, comp.node,
+               round(list_reduce(list_transform(list_zip(n.v, cl.c),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                         (x, y) -> x + y)
+                     / (n.nrm *
+                        sqrt(list_reduce(list_transform(cl.c, x -> x * x),
+                                         (a, b) -> a + b))), 6) AS ccos
+        FROM comp JOIN n ON n.vec_id = comp.node
+                  JOIN cl ON cl.label = n.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY component_id
+                                     ORDER BY ccos ASC, node ASC) AS rn
+        FROM memb
+    )
+    SELECT component_id,
+           max(CASE WHEN rn = 1 THEN node END) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(ccos) AS keep_centroid_cos
+    FROM ranked
+    GROUP BY component_id
+    """,
+    headline=True,
+    tags=("llmdata", "dedup", "similarity"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by
+    cluster-then-prune. Embeddings are bucketed by their cluster
+    (the ``label`` coarse assignment — the same role k-means centroids
+    play in the paper and in the IVF family here), pairwise cosine runs
+    ONLY within a cluster, ≥θ pairs form duplicate components, and each
+    component keeps the member FARTHEST from its cluster centroid —
+    the argmin of centroid cosine (the paper's low-centroid-similarity
+    keep rule, preserving diversity), ties to the lowest vec_id.
+
+    Comparability: pair cosines and centroid cosines are the
+    dimension-ordered fold (bit-identical round-6); centroids are
+    e4-quantized before scoring (q_embed_outliers' discipline);
+    component ids are min-node labels; keeper argmin has a vec_id
+    tiebreak. Exact n_members attests the component structure.
+
+    Scale shape: THE SemDeDup scale story — pairwise work is
+    Σ cluster², never corpus² (clusters are capacity-bounded by the
+    coarse quantizer at 100 TB); components and centroid scoring
+    shuffle the pair set and the member set only; centroid state is
+    labels × dim. The quadratic stage is confined inside buckets
+    exactly like the LSH band family."""
+    from flink_join_scaling_spark.functions.vectors import with_l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    n = with_l2_norm(e, "v", "nrm").where(F.col("nrm") > 0)
+
+    def _fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cos",
+            F.round(
+                _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= _SEM_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    comp = dd.connected_components(pairs)
+    # centroid over the FULL cluster population (not just members) —
+    # the cluster centroid of the paper, e4-quantized for parity
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cm = ex.groupBy("label", "pos").agg(
+        F.round(F.avg("val") * 10000).cast("bigint").alias("c_e4")
+    )
+    cl = cm.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c_e4"))),
+            lambda s: s["c_e4"].cast("double"),
+        ).alias("c")
+    )
+    memb = (
+        comp.join(n, comp["node"] == n["vec_id"])
+        .join(cl, F.col("label") == F.col("c_label"))
+        .withColumn(
+            "ccos",
+            F.round(
+                _fold_sum(F.zip_with("v", "c", lambda x, y: x * y))
+                / (
+                    F.col("nrm")
+                    * F.sqrt(_fold_sum(F.transform("c", lambda x: x * x)))
+                ),
+                6,
+            ),
+        )
+        .select("component_id", "node", "ccos")
+    )
+    return memb.groupBy("component_id").agg(
+        F.min_by("node", F.struct(F.col("ccos"), F.col("node"))).alias("keep_id"),
+        F.count("*").alias("n_members"),
+        F.min("ccos").alias("keep_centroid_cos"),
+    )

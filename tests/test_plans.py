@@ -67,6 +67,7 @@ _QUADRATIC_OK = {
     "q_tpch_q22_dormant_customers",  # 1-row avg-balance cutoff
     "q_tfidf",  # corpus-size N rides a broadcast 1-row aggregate
     "q_lm_score",  # corpus token total rides a broadcast 1-row aggregate
+    "q_ppl_buckets",  # same 1-row token total as q_lm_score (shared model)
     "q_mixture_weights",  # 1-row (total, n_sources) aggregate broadcast
     "q_bm25",  # corpus stats (N, avgdl, dfs) ride broadcast 1-row aggregates
     "q_gapfill",  # grid generation: 1-row min/max bounds broadcast to types
