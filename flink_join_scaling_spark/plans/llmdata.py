@@ -1559,7 +1559,7 @@ _SEM_THRESHOLD = 0.35
     GROUP BY component_id
     """,
     headline=True,
-    tags=("llmdata", "dedup", "similarity"),
+    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by
@@ -1607,18 +1607,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    # pair-heavy stage → Arrow/NumPy cosine (cosine6_pandas), not the
+    # interpreted per-element fold: ~200k within-cluster candidates ×
+    # dim-wide dot products is exactly the hot path §4.3 reserves for
+    # vectorized batches (measured 2.8 s → sub-second at sf0.1)
+    from flink_join_scaling_spark.functions.vectors import cosine6_pandas
+
     pairs = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn(
-            "cos",
-            F.round(
-                _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ),
-        )
+        .withColumn("cos", cosine6_pandas("va", "vb", "na", "nb"))
         .where(F.col("cos") >= _SEM_THRESHOLD)
         .select("id_a", "id_b")
+        # one materialization feeds the iterative CC consumer — without
+        # the pin every CC round would re-run the pairwise join
+        .localCheckpoint(eager=True)
     )
     comp = dd.connected_components(pairs)
     # centroid over the FULL cluster population (not just members) —

@@ -51,6 +51,9 @@ QUERIES: dict[str, QuerySpec] = {}
 FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     "q_dedup_embedding",
     "q_sim_ann_lsh",
+    # pair-stage cosine runs through cosine6_pandas (NumPy) against a
+    # threshold on the round-6 value — same accepted boundary class
+    "q_dedup_semantic",
 )
 
 
