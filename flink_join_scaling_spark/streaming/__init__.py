@@ -31,6 +31,7 @@ from flink_join_scaling_spark.streaming.dedup import (  # noqa: F401
 )
 from flink_join_scaling_spark.streaming.sketches import (  # noqa: F401
     stream_heavy_hitters,
+    stream_hll_rollup,
 )
 from flink_join_scaling_spark.streaming.joins import (  # noqa: F401
     stream_join_versioned,

@@ -105,3 +105,37 @@ def stream_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hll_rollup(
+    sdf: DataFrame, key_col: str, col: str, lg_k: int = 12
+) -> DataFrame:
+    """Continuous per-key distinct-count sketches: the streaming
+    sibling of the registered ``q_hll_rollup`` batch query.
+
+    A plain update-mode streaming aggregation carries the DataSketches
+    HLL register state (constant-size per key: 2^lg_k registers) in
+    the engine's state store — no custom state machine needed, because
+    ``hll_sketch_agg`` is an algebraic aggregate and Structured
+    Streaming maintains algebraic aggregates incrementally. Each
+    micro-batch re-emits (key, n_est, sketch) for the keys it touched;
+    the converged last-emission-per-key estimates equal the batch
+    sketch on the same data under any arrival order (asserted in
+    tests/test_streaming_text.py), and the emitted sketch BINARIES are
+    the mergeable partials: a downstream ``hll_union_agg`` over the
+    converged sketches yields the batch global estimate without
+    re-reading the stream — the same rollup algebra the batch query
+    proves, maintained continuously.
+    """
+    src = sdf.select(F.col(key_col), F.col(col).alias("__item")).where(
+        F.col("__item").isNotNull()
+    )
+    return src.groupBy(key_col).agg(
+        F.expr(f"hll_sketch_agg(__item, {lg_k})").alias("sketch"),
+    ).select(
+        key_col,
+        F.expr("cast(round(hll_sketch_estimate(sketch)) as bigint)").alias(
+            "n_est"
+        ),
+        "sketch",
+    )

@@ -426,3 +426,45 @@ def test_mg_sketch_state_survives_restart(streaming_spark, tmp_path):
     # reprocessed would give 14 but with bucket_total 29, not 17
     assert (final["token"], int(final["est"])) == ("h", 14)
     assert int(final["bucket_total"]) == 17
+
+
+def test_hll_rollup_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous HLL rollup: the register
+    state rehydrates, so the post-restart estimate covers BOTH chunks'
+    distincts (state loss would count only chunk 1's) and equals the
+    batch sketch over the union."""
+    from flink_join_scaling_spark.streaming.sketches import stream_hll_rollup
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    schema_str = "source string, w string"
+    rows1 = [("s", f"tok{i}") for i in range(300)]
+    df1 = spark.createDataFrame(rows1, schema_str)
+    _write_chunk(spark, df1, src, "chunk-000")
+    out = stream_hll_rollup(
+        _read_stream(spark, src, df1.schema), "source", "w"
+    )
+    _run_once(out.drop("sketch"), sink, ckpt)
+
+    rows2 = [("s", f"tok{i}") for i in range(200, 500)]  # 100 overlap
+    df2 = spark.createDataFrame(rows2, schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    out2 = stream_hll_rollup(
+        _read_stream(spark, src, df1.schema), "source", "w"
+    )
+    _run_once(out2.drop("sketch"), sink, ckpt)
+    em = _emissions(sink)
+    final = int(em.iloc[-1]["n_est"])
+
+    # 500 true distincts across both chunks. Exact equality with the
+    # batch sketch does NOT hold here: the streaming path merges
+    # serialized per-batch partials while batch updates one sketch
+    # directly, and DataSketches' union path can differ by a few
+    # counts from direct updates. The recovery property is that the
+    # estimate covers BOTH chunks — state loss would leave ~300 —
+    # attested with the same 5% band the batch q_hll_rollup uses.
+    assert abs(final - 500) <= 25, final
