@@ -850,7 +850,9 @@ def pagerank(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
-    contrib = edges.join(deg, "src")
+    # pin (src, dst, d) once: every iteration joins against it, and
+    # without the pin each one replays the union+degree-agg subtree
+    contrib = edges.join(deg, "src").localCheckpoint(eager=True)
     for _ in range(iters):
         ranks = (
             contrib.join(ranks, contrib["src"] == ranks["node"])
