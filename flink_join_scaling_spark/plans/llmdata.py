@@ -1487,11 +1487,9 @@ def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_THRESHOLD = 0.35
 
-
-@query(
-    "q_dedup_semantic",
-    oracle=f"""
-    WITH RECURSIVE e AS (
+# shared CTE chain for the SemDeDup family: within-cluster pairs →
+# components → e4-centroid member scoring → per-component keeper rank
+_SEM_CTES = f"""e AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -1550,7 +1548,13 @@ _SEM_THRESHOLD = 0.35
         SELECT *, row_number() OVER (PARTITION BY component_id
                                      ORDER BY ccos ASC, node ASC) AS rn
         FROM memb
-    )
+    )"""
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE {_SEM_CTES}
     SELECT component_id,
            max(CASE WHEN rn = 1 THEN node END) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_members,
@@ -1583,6 +1587,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the pair set and the member set only; centroid state is
     labels × dim. The quadratic stage is confined inside buckets
     exactly like the LSH band family."""
+    memb = _semantic_members(spark, sf_dir)
+    return memb.groupBy("component_id").agg(
+        F.min_by("node", F.struct(F.col("ccos"), F.col("node"))).alias("keep_id"),
+        F.count("*").alias("n_members"),
+        F.min("ccos").alias("keep_centroid_cos"),
+    )
+
+
+def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup core: (component_id, node, ccos) — duplicate
+    components over within-cluster ≥θ cosine pairs, each member scored
+    by cosine to its e4-quantized cluster centroid. Consumed by
+    q_dedup_semantic (the component report) and
+    q_dedup_semantic_apply (the pruned corpus)."""
     from flink_join_scaling_spark.functions.vectors import with_l2_norm
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -1651,8 +1669,36 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("component_id", "node", "ccos")
     )
-    return memb.groupBy("component_id").agg(
-        F.min_by("node", F.struct(F.col("ccos"), F.col("node"))).alias("keep_id"),
-        F.count("*").alias("n_members"),
-        F.min("ccos").alias("keep_centroid_cos"),
+    return memb
+
+
+@query(
+    "q_dedup_semantic_apply",
+    oracle=f"""
+    WITH RECURSIVE {_SEM_CTES},
+    losers AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT e3.vec_id, CAST(e3.label AS BIGINT) AS label
+    FROM embeddings e3
+    WHERE e3.vec_id NOT IN (SELECT node FROM losers)
+    """,
+    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+)
+def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantically pruned corpus itself: every vector except the
+    non-keeper members of SemDeDup components — the family's apply
+    convention (q_dedup_apply / q_dedup_exact_apply), here on the
+    embeddings table. A LEFT ANTI join of the corpus against the
+    component-sized loser set; the corpus shuffles once, on its id."""
+    memb = _semantic_members(spark, sf_dir)
+    keep = memb.groupBy("component_id").agg(
+        F.min_by("node", F.struct(F.col("ccos"), F.col("node"))).alias("keep_id")
+    )
+    losers = (
+        memb.join(keep, "component_id")
+        .where(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias("vec_id"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.join(losers, "vec_id", "left_anti").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
     )

@@ -54,6 +54,7 @@ FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     # pair-stage cosine runs through cosine6_pandas (NumPy) against a
     # threshold on the round-6 value — same accepted boundary class
     "q_dedup_semantic",
+    "q_dedup_semantic_apply",
 )
 
 

@@ -154,6 +154,14 @@ def main() -> None:
         "q_dedup_canonical_rank": plan_probe("q_dedup_canonical_rank"),
         "q_split_leakage_safe": plan_probe("q_split_leakage_safe"),
         "q_zorder_layout": plan_probe("q_zorder_layout"),
+        # r6 additions: semantic dedup's pairwise stage is within-
+        # cluster (embeddings inflate 10x with shifted ids, labels
+        # preserved → 10x denser clusters, the quadratic worst case);
+        # ppl buckets ride the lm model (fixed vocab, 10x tf rows);
+        # shard manifest is map-only + a 16-group agg
+        "q_dedup_semantic": plan_probe("q_dedup_semantic"),
+        "q_ppl_buckets": plan_probe("q_ppl_buckets"),
+        "q_shard_assignment": plan_probe("q_shard_assignment"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")
