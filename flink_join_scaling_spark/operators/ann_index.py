@@ -1,0 +1,175 @@
+"""Persisted IVF index as CELL-PARTITIONED parquet: partition pruning
+IS the ANN index.
+
+The build writes each corpus vector (plus its precomputed L2 norm)
+into ``index_dir/cells/cell=<j>/`` via ``partitionBy("cell")`` and the
+trained centroid list to ``index_dir/centroids``. A query batch then
+probes its ``nprobe`` nearest cells and reads the cell table with a
+``cell IN (...)`` predicate — Spark's partition pruning turns that
+into a directory-level file skip, so a 100 TB index serves a query
+batch by scanning only ``nprobe / num_cells`` of its bytes, with no
+custom storage engine: the lakehouse layout is the index structure
+(the same idea as Z-order/bucketing in ``plans/layout.py``, applied
+to vector search). Tested: the probed scan's input files lie entirely
+inside the probed cell directories (``test_ann_index.py``).
+
+Build once / query many is the deployment shape the in-session
+:func:`~flink_join_scaling_spark.operators.similarity.ann_ivf_topk`
+cannot offer — there the assignment pass reruns per job; here it is
+amortized into the layout, and incremental corpus top-ups append new
+rows into their cells without touching existing files (the
+``operators/incremental.py`` discipline applied to ANN).
+
+Same determinism contract as the similarity module: assignments rank
+cells by round-6 cosine with ties to the lower cell id, centroid
+training is the deterministic md5-sampled spherical k-means, and
+query scoring reuses the round-6 cosine with (query_id, -cosine,
+vec_id) total-order ranking.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators.similarity import (
+    _ranked,
+    ivf_cells_pandas,
+    ivf_centroids,
+    ivf_centroids_kmeans,
+)
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "meta.json")
+
+
+def ivf_index_build(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    train: bool = True,
+    mode: str = "overwrite",
+) -> dict:
+    """Build (or append to) the partitioned IVF index.
+
+    Centroid training is sample-bounded on the driver
+    (:func:`ivf_centroids_kmeans`); the corpus-sized work — cell
+    assignment and the partitioned write — stays distributed. With
+    ``mode="append"`` the existing centroid list is REUSED (an index's
+    cell space must stay fixed across top-ups, or old and new rows
+    disagree about what a cell means) and new vectors land in their
+    cells as new files.
+
+    Returns the meta dict (num_cells, id/vec column names, trained).
+    """
+    cells_dir = os.path.join(index_dir, "cells")
+    spark = vectors.sparkSession
+    if mode == "append" and os.path.exists(_meta_path(index_dir)):
+        meta = json.loads(open(_meta_path(index_dir)).read())
+        cents = [
+            {"cell": r.cell, "cvec": list(r.cvec)}
+            for r in spark.read.parquet(
+                os.path.join(index_dir, "centroids")
+            ).collect()
+        ]
+        cents.sort(key=lambda c: c["cell"])
+    else:
+        cents_fn = ivf_centroids_kmeans if train else ivf_centroids
+        cents = cents_fn(vectors, id_col, vec_col, num_cells)
+        meta = {
+            "num_cells": num_cells,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "trained": bool(train),
+        }
+        spark.createDataFrame(
+            [(int(c["cell"]), [float(x) for x in c["cvec"]]) for c in cents],
+            "cell int, cvec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "centroids")
+        )
+        os.makedirs(index_dir, exist_ok=True)
+        with open(_meta_path(index_dir), "w") as f:
+            json.dump(meta, f)
+    assigned = ivf_cells_pandas(
+        vectors, id_col, vec_col, meta["num_cells"], nprobe=1, centroids=cents
+    ).select(id_col, vec_col, "l2_norm", "cell")
+    assigned.write.mode(
+        "append" if mode == "append" else "overwrite"
+    ).partitionBy("cell").parquet(cells_dir)
+    return meta
+
+
+def ivf_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The raw cell table (id, vec, l2_norm, cell) — partition-pruned
+    when filtered on ``cell``."""
+    return spark.read.parquet(os.path.join(index_dir, "cells"))
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k against the persisted index.
+
+    The query batch is assigned to its ``nprobe`` nearest cells with
+    the index's OWN centroids (loaded from the index — never re-derived
+    from the queries, which would probe a different partition of the
+    corpus). The cell scan carries ``cell IN (<probed>)``: partition
+    pruning reads only the probed directories, which is the entire
+    point of the layout. Scoring and ranking reuse the similarity
+    module's round-6 cosine + total-order rank.
+
+    The probed-cell set is collected to build the pruning predicate —
+    bounded by ``num_cells`` (an index parameter, not data-sized).
+    """
+    spark = queries.sparkSession
+    meta = json.loads(open(_meta_path(index_dir)).read())
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = [
+        {"cell": r.cell, "cvec": list(r.cvec)}
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).collect()
+    ]
+    cents.sort(key=lambda c: c["cell"])
+    probes = ivf_cells_pandas(
+        queries, id_col, vec_col, meta["num_cells"], nprobe=nprobe,
+        centroids=cents,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("vq"),
+        F.col("l2_norm").alias("nq"),
+        "cell",
+    )
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    idx = ivf_index_cells(spark, index_dir).where(
+        F.col("cell").isin(probed_cells)
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        "cell",
+    )
+    from flink_join_scaling_spark.functions.vectors import cosine_expr
+
+    pairs = (
+        idx.join(F.broadcast(probes), on="cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")

@@ -1,0 +1,106 @@
+"""Persisted IVF index (operators/ann_index.py): build → query across
+sessions-of-use, partition pruning as the index structure, append
+top-ups in a fixed cell space, and recall against brute force.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators.ann_index import (
+    ivf_index_build,
+    ivf_index_cells,
+    ivf_index_topk,
+)
+from flink_join_scaling_spark.operators.similarity import cosine_topk
+from flink_join_scaling_spark.sources.catalog import load_table
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_build_then_query_matches_recall_gate(spark, tmp_path):
+    """End-to-end: build the partitioned index, query the first 20
+    vectors, and require recall@5 ≥ 0.6 vs exact brute force (nprobe=2
+    of 8 cells — the approximate trade the in-session ann_ivf_topk
+    makes, now amortized into a persisted layout)."""
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    meta = ivf_index_build(e, idx, num_cells=8, train=True)
+    assert meta["num_cells"] == 8
+    queries = e.where(F.col("vec_id") < 20)
+    got = ivf_index_topk(queries, idx, k=5, nprobe=2).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    exact = {}
+    for r in cosine_topk(e, queries, "vec_id", "embedding", k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_partition_pruning_reads_only_probed_cells(spark, tmp_path):
+    """The layout claim itself: the probed scan's input files all live
+    under the probed cell directories — partition pruning skips every
+    other cell's data at the FILE level, which is what makes the
+    persisted index serve queries in nprobe/num_cells of the bytes."""
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_index_build(e, idx, num_cells=8, train=False)
+    probed = [1, 3]
+    scan = ivf_index_cells(spark, idx).where(F.col("cell").isin(probed))
+    files = scan.select(
+        F.input_file_name().alias("f")
+    ).distinct().collect()
+    assert files, "pruned scan returned no files"
+    for r in files:
+        assert any(f"cell={c}/" in r.f for c in probed), r.f
+    # and the pruned scan reads strictly fewer files than the full one
+    all_files = ivf_index_cells(spark, idx).select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert len(files) < all_files
+
+
+def test_append_topup_keeps_cell_space_and_serves_new_vectors(spark, tmp_path):
+    """Incremental top-up: mode="append" reuses the stored centroids
+    (the cell space must stay fixed across builds) and the appended
+    vectors become findable — an exact duplicate of a new vector ranks
+    first for it."""
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    base = e.where(F.col("vec_id") % 2 == 0)
+    ivf_index_build(base, idx, num_cells=4, train=True)
+    n_before = ivf_index_cells(spark, idx).count()
+
+    topup = e.where(F.col("vec_id") % 2 == 1)
+    meta = ivf_index_build(topup, idx, mode="append")
+    assert meta["num_cells"] == 4  # reused, not retrained
+    n_after = ivf_index_cells(spark, idx).count()
+    assert n_after == n_before + topup.count()
+
+    # query an odd (appended) vector: its identical twin is itself —
+    # excluded — but its own cell must now contain it for OTHER queries
+    some_odd = topup.limit(1)
+    [q] = some_odd.collect()
+    got = ivf_index_topk(some_odd, idx, k=3, nprobe=2).collect()
+    assert got and all(r.query_id == q.vec_id for r in got)
+    assert all(r.vec_id != q.vec_id for r in got)  # self excluded
+
+
+def test_append_without_meta_builds_fresh(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    meta = ivf_index_build(e, idx, num_cells=4, mode="append", train=False)
+    assert meta["num_cells"] == 4
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    assert ivf_index_cells(spark, idx).count() == e.count()
