@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.operators.similarity import (
-    _ranked,
+    _probe_and_rank,
     ivf_cells_pandas,
     ivf_centroids,
     ivf_centroids_kmeans,
@@ -61,9 +61,12 @@ def ivf_index_build(
     Centroid training is sample-bounded on the driver
     (:func:`ivf_centroids_kmeans`); the corpus-sized work — cell
     assignment and the partitioned write — stays distributed. With
-    ``mode="append"`` the existing centroid list is REUSED (an index's
-    cell space must stay fixed across top-ups, or old and new rows
-    disagree about what a cell means) and new vectors land in their
+    ``mode="append"`` the existing centroid list AND the stored meta
+    (num_cells, id_col, vec_col) are REUSED — the caller's arguments
+    for those are ignored, because an index's cell space and column
+    schema must stay fixed across top-ups or old and new rows disagree
+    about what a cell/column means; a batch lacking the stored columns
+    raises instead of silently null-filling. New vectors land in their
     cells as new files.
 
     Returns the meta dict (num_cells, id/vec column names, trained).
@@ -72,6 +75,18 @@ def ivf_index_build(
     spark = vectors.sparkSession
     if mode == "append" and os.path.exists(_meta_path(index_dir)):
         meta = json.loads(open(_meta_path(index_dir)).read())
+        # the stored schema WINS over the caller's arguments: appended
+        # files must carry the same column names as the existing cell
+        # files, or parquet schema merging silently null-fills — the
+        # exact corruption the meta exists to prevent
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        missing = {id_col, vec_col} - set(vectors.columns)
+        if missing:
+            raise ValueError(
+                f"append batch lacks the index's columns {sorted(missing)}; "
+                f"the index was built with id_col={id_col!r}, "
+                f"vec_col={vec_col!r}"
+            )
         cents = [
             {"cell": r.cell, "cvec": list(r.cvec)}
             for r in spark.read.parquet(
@@ -117,6 +132,7 @@ def ivf_index_topk(
     index_dir: str,
     k: int = 5,
     nprobe: int = 2,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k against the persisted index.
 
@@ -125,11 +141,20 @@ def ivf_index_topk(
     from the queries, which would probe a different partition of the
     corpus). The cell scan carries ``cell IN (<probed>)``: partition
     pruning reads only the probed directories, which is the entire
-    point of the layout. Scoring and ranking reuse the similarity
-    module's round-6 cosine + total-order rank.
+    point of the layout. Scoring and ranking share the similarity
+    module's exact tail (``_probe_and_rank``) with the in-session
+    ``ann_ivf_topk``, so the two paths cannot drift.
+
+    ``exclude_self`` drops query_id == vec_id pairs — the right
+    convention when the queries ARE corpus members (dedup-style use);
+    pass ``False`` for a foreign query batch whose id space merely
+    collides with corpus ids, or its true nearest neighbors would be
+    silently filtered.
 
     The probed-cell set is collected to build the pruning predicate —
-    bounded by ``num_cells`` (an index parameter, not data-sized).
+    bounded by ``num_cells`` (an index parameter, not data-sized); the
+    probe assignment is pinned first so the collect and the join don't
+    run the NumPy assignment twice.
     """
     spark = queries.sparkSession
     meta = json.loads(open(_meta_path(index_dir)).read())
@@ -149,7 +174,7 @@ def ivf_index_topk(
         F.col(vec_col).alias("vq"),
         F.col("l2_norm").alias("nq"),
         "cell",
-    )
+    ).localCheckpoint(eager=True)
     probed_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
@@ -161,15 +186,4 @@ def ivf_index_topk(
         F.col("l2_norm").alias("nc"),
         "cell",
     )
-    from flink_join_scaling_spark.functions.vectors import cosine_expr
-
-    pairs = (
-        idx.join(F.broadcast(probes), on="cell")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
-        )
-    )
-    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+    return _probe_and_rank(idx, probes, k, exclude_self=exclude_self)

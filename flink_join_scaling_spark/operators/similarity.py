@@ -470,16 +470,29 @@ def ann_ivf_topk(
         F.col("l2_norm").alias("nq"),
         "cell",
     )
-    # each corpus vector lives in exactly one cell (nprobe=1 index), so
-    # every (query, vec) pair meets at most once — no dedup shuffle
-    pairs = (
-        idx.join(F.broadcast(probes), on="cell")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
-        )
+    return _probe_and_rank(idx, probes, k)
+
+
+def _probe_and_rank(
+    idx: DataFrame, probes: DataFrame, k: int, exclude_self: bool = True
+) -> DataFrame:
+    """Shared IVF scoring tail: broadcast the probe batch into the
+    cell equi-join, round-6 cosine, total-order top-k. ``idx`` carries
+    (vec_id, vc, nc, cell); ``probes`` carries (query_id, vq, nq,
+    cell). Used by :func:`ann_ivf_topk` (in-session) and
+    ``operators.ann_index.ivf_index_topk`` (persisted index) so the
+    scoring contract cannot drift between them. Each corpus vector
+    lives in exactly one cell (nprobe=1 index), so every (query, vec)
+    pair meets at most once — no dedup shuffle. ``exclude_self`` drops
+    query_id == vec_id pairs (the self-join convention); pass False
+    when the query batch's id space is foreign to the corpus."""
+    pairs = idx.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        pairs = pairs.where(F.col("query_id") != F.col("vec_id"))
+    pairs = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
     )
     return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
 

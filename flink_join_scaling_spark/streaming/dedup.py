@@ -442,7 +442,11 @@ def _accumulate_versions(
     silently discarded: a key whose emitted history is truncated is
     distinguishable from a complete one by ``dropped > 0``, and a
     batch that only drops still reports ``changed`` so the new count
-    is emitted."""
+    is emitted. ``dropped`` counts refused ARRIVALS: within a batch a
+    redelivered id is deduped, but dropped ids are not persisted (that
+    would unbound the capped state), so at-least-once redelivery
+    across batches can overcount — the signal errs loud, never
+    silent, and 0 still means exactly "complete history"."""
     if state.exists:
         ts_l, id_l, third_l = (
             list(state.get[0]),
@@ -467,9 +471,17 @@ def _accumulate_versions(
                 continue
             if len(id_l) >= max_versions:
                 # bounded state under adversarial keys — but loudly:
-                # the drop count is state + output, never invisible
+                # the drop count is state + output, never invisible.
+                # The id joins `seen` so a redelivery WITHIN this batch
+                # is not double-counted; dropped ids are deliberately
+                # NOT persisted (that would unbound the very state the
+                # cap bounds), so an at-least-once redelivery in a
+                # LATER batch re-counts — n_dropped is "refused
+                # arrivals", an overcount-only signal, and 0 still
+                # means exactly "complete history".
                 dropped += 1
                 changed = True
+                seen.add(vid)
                 continue
             ts_l.append(ts)
             id_l.append(vid)

@@ -104,3 +104,42 @@ def test_append_without_meta_builds_fresh(spark, tmp_path):
     assert meta["num_cells"] == 4
     assert os.path.exists(os.path.join(idx, "meta.json"))
     assert ivf_index_cells(spark, idx).count() == e.count()
+
+
+def test_append_reuses_stored_columns_and_rejects_mismatch(spark, tmp_path):
+    """The stored meta wins on append: a batch carrying only the wrong
+    column names raises instead of writing null-filled parquet."""
+    import pytest
+
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("emb")
+    )
+    ivf_index_build(
+        e, idx, id_col="doc_id", vec_col="emb", num_cells=4, train=False
+    )
+    wrong = _emb(spark)  # columns vec_id/embedding, not doc_id/emb
+    with pytest.raises(ValueError, match="built with id_col='doc_id'"):
+        ivf_index_build(wrong, idx, mode="append")
+    # a conforming batch appends fine even with default args — the
+    # stored id/vec column names are used, not the signature defaults
+    more = e.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    meta = ivf_index_build(more, idx, mode="append")
+    assert meta["id_col"] == "doc_id" and meta["num_cells"] == 4
+    assert ivf_index_cells(spark, idx).count() == 2 * e.count()
+
+
+def test_foreign_query_batch_keeps_colliding_ids(spark, tmp_path):
+    """exclude_self=False: a foreign query whose id collides with a
+    corpus vec_id can still retrieve it — with exclude_self=True an
+    identical twin sharing the id would be silently dropped."""
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_index_build(e, idx, num_cells=4, train=False)
+    # the foreign batch: corpus vector 3's exact embedding, under id 3
+    foreign = e.where(F.col("vec_id") == 3)
+    got = ivf_index_topk(foreign, idx, k=1, nprobe=2, exclude_self=False)
+    [r] = got.collect()
+    assert (r.query_id, r.vec_id) == (3, 3)  # its own twin ranks first
+    excl = ivf_index_topk(foreign, idx, k=1, nprobe=2).collect()
+    assert all(x.vec_id != 3 for x in excl)

@@ -753,3 +753,25 @@ def test_stream_scd2_uncapped_reports_zero_dropped(streaming_spark, tmp_path):
     em = collect_emissions(stream_scd2_intervals(s, "k", "attr", "ts", "event_id"))
     final = converged(em, ["k"]).iloc[0]
     assert int(final["n_dropped"]) == 0
+
+
+def test_stream_scd2_dropped_count_dedupes_within_batch(streaming_spark, tmp_path):
+    """A version id redelivered within one micro-batch is counted as
+    ONE refused arrival once the cap is hit, not two — the `seen` set
+    covers the drop branch too."""
+    from flink_join_scaling_spark.streaming.dedup import stream_scd2_intervals
+
+    spark = streaming_spark
+    schema = "event_id long, k long, attr string, ts long"
+    rows = [
+        (1, 1, "A", 10), (2, 1, "B", 20),  # fill the cap (max_versions=2)
+        (3, 1, "C", 30), (3, 1, "C", 30),  # same refused id, twice
+    ]
+    df = spark.createDataFrame(rows, schema)
+    s = chunked_parquet_stream(spark, df, str(tmp_path), n_chunks=1)
+    em = collect_emissions(
+        stream_scd2_intervals(s, "k", "attr", "ts", "event_id", max_versions=2)
+    )
+    final = converged(em, ["k"]).iloc[0]
+    assert sum(int(n) for n in final["n_versions"]) == 2
+    assert int(final["n_dropped"]) == 1
