@@ -15,6 +15,8 @@ value-level oracles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -844,6 +846,67 @@ def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.ann_ivf_topk(
         e, q, k=5, num_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, train=True
     ).select("query_id", "vec_id")
+    stats = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    hit = exact.join(approx, ["query_id", "vec_id"]).agg(
+        F.count("*").alias("__n_hit")
+    )
+    return stats.crossJoin(hit).select(
+        "n_queries",
+        "n_exact",
+        (F.col("__n_hit") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@query(
+    "q_sim_ann_persisted",
+    oracle=f"""
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM ({_TOPK_ORACLE}) t
+    """,
+    tags=("llmdata", "similarity"),
+)
+def q_sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index path (operators/ann_index.py),
+    SELF-ATTESTING like q_sim_ann_ivf_trained: the query builds the
+    cell-partitioned parquet index (trained centroids, partitionBy
+    cell), runs the partition-pruned top-k against it, and emits the
+    oracle-expressible exact top-k stats plus a boolean asserting the
+    persisted path recalls >= 0.5 of the exact cosine top-5. The build
+    lands in a per-sf temp dir and is overwritten each invocation, so
+    the query is idempotent across driver reruns and data
+    regenerations.
+
+    What the driver hash attests that the library tests cannot: the
+    whole build -> write -> reload -> prune -> score round-trip
+    produces the same ranked neighbors as the in-session path, on the
+    driver's own data."""
+    import hashlib as _hl
+    import tempfile
+
+    from flink_join_scaling_spark.operators.ann_index import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        "fjss_ivf_index_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    ivf_index_build(
+        e.select("vec_id", "embedding"), idx_dir,
+        num_cells=_IVF_CELLS, train=True, mode="overwrite",
+    )
+    exact = sim.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    approx = ivf_index_topk(q, idx_dir, k=5, nprobe=_IVF_NPROBE).select(
+        "query_id", "vec_id"
+    )
     stats = exact.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries"),
         F.count("*").cast("bigint").alias("n_exact"),

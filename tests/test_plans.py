@@ -77,6 +77,7 @@ _QUADRATIC_OK = {
     # self-attesting recall queries: two 1-row aggregates crossed
     "q_dedup_minhash_ml",
     "q_sim_ann_ivf_trained",
+    "q_sim_ann_persisted",
     "q_heavy_hitters",  # 1-row token total crossed with candidate counts
 }
 
