@@ -143,3 +143,35 @@ def test_foreign_query_batch_keeps_colliding_ids(spark, tmp_path):
     assert (r.query_id, r.vec_id) == (3, 3)  # its own twin ranks first
     excl = ivf_index_topk(foreign, idx, k=1, nprobe=2).collect()
     assert all(x.vec_id != 3 for x in excl)
+
+
+def test_streaming_ingest_appends_into_index(streaming_spark, tmp_path):
+    """The continuous-ingestion loop: micro-batches land in the
+    persisted index through foreachBatch(ivf_index_build mode=append)
+    — the stored cell space absorbs each batch, and after the stream
+    drains the index serves every streamed vector. No new operator:
+    the append path IS the streaming sink."""
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+
+    spark = streaming_spark
+    idx = str(tmp_path / "ivf")
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    seed = e.where(F.col("vec_id") < 100)
+    ivf_index_build(seed, idx, num_cells=4, train=True)
+
+    arriving = e.where(F.col("vec_id") >= 100)
+    s = chunked_parquet_stream(spark, arriving, str(tmp_path / "src"), n_chunks=3)
+    q = (
+        s.writeStream.foreachBatch(
+            lambda batch, _i: ivf_index_build(batch, idx, mode="append")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert ivf_index_cells(spark, idx).count() == e.count()
+    # a streamed vector is served: query one and get real neighbors
+    streamed_one = arriving.orderBy("vec_id").limit(1)
+    got = ivf_index_topk(streamed_one, idx, k=3, nprobe=2).collect()
+    assert len(got) == 3
