@@ -187,3 +187,63 @@ def ivf_index_topk(
         "cell",
     )
     return _probe_and_rank(idx, probes, k, exclude_self=exclude_self)
+
+
+def ivf_index_delete(
+    spark: SparkSession, index_dir: str, ids: list | DataFrame
+) -> int:
+    """Deletion propagation (right-to-be-forgotten) on the persisted
+    index: remove the given ids and rewrite ONLY the cell partitions
+    that contained them.
+
+    One pruned-to-nothing full scan finds the affected cells (an
+    id→cell sidecar would avoid even that; at this index's scale the
+    scan is the simpler correct choice), then the surviving rows of
+    just those cells are rewritten under dynamic partition overwrite —
+    untouched cells' files are never read back or rewritten, which is
+    what makes per-document deletion affordable on a 100 TB index. A
+    cell whose every member is deleted writes no replacement rows, so
+    dynamic overwrite would leave its old files; those directories are
+    removed explicitly (a table format with delete support — Iceberg /
+    Delta — subsumes this step in production).
+
+    Returns the number of rows deleted.
+    """
+    import shutil
+
+    meta = json.loads(open(_meta_path(index_dir)).read())
+    id_col = meta["id_col"]
+    cells_dir = os.path.join(index_dir, "cells")
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+    tbl = ivf_index_cells(spark, index_dir)
+    doomed = tbl.join(F.broadcast(ids_df), id_col)
+    affected = sorted(r.cell for r in doomed.select("cell").distinct().collect())
+    if not affected:
+        return 0
+    n_deleted = doomed.count()
+    survivors = (
+        tbl.where(F.col("cell").isin(affected))
+        .join(F.broadcast(ids_df), id_col, "left_anti")
+        # localCheckpoint: the overwrite below deletes the very files
+        # this frame reads — pin the rows first or the write races its
+        # own input
+        .localCheckpoint(eager=True)
+    )
+    nonempty = {r.cell for r in survivors.select("cell").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(cells_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for cell in affected:
+        if cell not in nonempty:
+            shutil.rmtree(
+                os.path.join(cells_dir, f"cell={cell}"), ignore_errors=True
+            )
+    return n_deleted

@@ -175,3 +175,46 @@ def test_streaming_ingest_appends_into_index(streaming_spark, tmp_path):
     streamed_one = arriving.orderBy("vec_id").limit(1)
     got = ivf_index_topk(streamed_one, idx, k=3, nprobe=2).collect()
     assert len(got) == 3
+
+
+def test_delete_propagation_rewrites_only_affected_cells(spark, tmp_path):
+    """Right-to-be-forgotten: deleted ids vanish from the index, only
+    their cells' files change (untouched cells keep their exact file
+    set), and a fully-emptied cell's directory disappears."""
+    import os as _os
+
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_index_build(e, idx, num_cells=4, train=False)
+    from flink_join_scaling_spark.operators.ann_index import ivf_index_delete
+
+    tbl = ivf_index_cells(spark, idx)
+    by_cell = {
+        r.cell: r.ids
+        for r in tbl.groupBy("cell").agg(
+            F.collect_list("vec_id").alias("ids")
+        ).collect()
+    }
+    # wipe one whole cell + two ids from another
+    cells = sorted(by_cell)
+    wipe_cell, touch_cell = cells[0], cells[1]
+    untouched = [c for c in cells if c not in (wipe_cell, touch_cell)]
+    victims = list(by_cell[wipe_cell]) + list(by_cell[touch_cell])[:2]
+
+    def files_of(cell):
+        d = _os.path.join(idx, "cells", f"cell={cell}")
+        return sorted(_os.listdir(d)) if _os.path.isdir(d) else None
+
+    before = {c: files_of(c) for c in untouched}
+    n = ivf_index_delete(spark, idx, victims)
+    assert n == len(victims)
+
+    after_tbl = ivf_index_cells(spark, idx)
+    assert after_tbl.where(F.col("vec_id").isin(victims)).count() == 0
+    assert after_tbl.count() == e.count() - len(victims)
+    assert files_of(wipe_cell) is None  # emptied cell's dir removed
+    for c in untouched:  # untouched cells byte-identical file sets
+        assert files_of(c) == before[c]
+    # a query still works against the post-delete index
+    q = after_tbl.limit(1).select("vec_id", "embedding")
+    assert ivf_index_topk(q, idx, k=2, nprobe=2).count() == 2
