@@ -132,6 +132,14 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
     }
 )
 
+#: Highest CORRECTNESS round whose greens are folded into
+#: ``_DRIVER_GREEN``. The rotation-hygiene test allows exactly ONE
+#: newer round file on disk (the driver writes r{N+1} after the
+#: round's last commit, so it can only be folded next round); two
+#: newer rounds mean the rotation went stale — the starvation bug this
+#: machinery exists to prevent — and the test fails loudly.
+ROTATION_FOLDED_THROUGH = 5
+
 # Queries whose latest driver row is stale and must be re-attested
 # before never-recorded queries. Empty after round 5: CORRECTNESS_r05
 # re-attested all 11 post-regeneration stale entries, so the round-6

