@@ -440,3 +440,41 @@ def test_cosine_expr_vs_numpy_agree_on_current_fixtures(spark):
         .count()
     )
     assert diff == 0
+
+
+# ------------------------------------------------ png filter inversion
+
+
+@given(
+    w=st.integers(1, 5),
+    h=st.integers(1, 4),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@SET
+def test_png_decode_inverts_every_filter_choice(spark, w, h, ch, data):
+    """decode(encode(pixels)) recovers the EXACT input pixels for any
+    dimensions/channel count and any per-scanline filter assignment —
+    the unfiltering is a true inverse (asymmetric bugs, byte-overflow
+    wraparound, and first-row/first-pixel edge cases included). The
+    encoder lives in tests (test_multimodal._png_bytes) and subtracts
+    predictors the decoder must add back."""
+    import math
+
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from tests.test_multimodal import _png_bytes
+
+    pixels = [
+        [
+            [data.draw(st.integers(0, 255)) for _ in range(ch)]
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    png = _png_bytes(pixels, channels=ch, filters=filters)
+    gw, gh, gch, mean = mm._parse_png(png)
+    assert (gw, gh, gch) == (w, h, ch)
+    flat = [c for row in pixels for px in row for c in px]
+    expected = sum(flat) / len(flat) / 255.0
+    assert mean == math.floor(expected * 10000 + 0.5) / 10000
