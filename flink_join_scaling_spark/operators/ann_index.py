@@ -97,6 +97,14 @@ def ivf_index_build(
     else:
         cents_fn = ivf_centroids_kmeans if train else ivf_centroids
         cents = cents_fn(vectors, id_col, vec_col, num_cells)
+        # the index's cell labels are its OWN namespace: always dense
+        # ints 0..n-1 (the untrained seeds label cells with raw vector
+        # ids, which may be strings — unusable as a partition value
+        # schema and irrelevant to a persisted index)
+        cents = [
+            {"cell": j, "cvec": [float(x) for x in c["cvec"]]}
+            for j, c in enumerate(cents)
+        ]
         meta = {
             "num_cells": num_cells,
             "id_col": id_col,
@@ -115,6 +123,12 @@ def ivf_index_build(
     assigned = ivf_cells_pandas(
         vectors, id_col, vec_col, meta["num_cells"], nprobe=1, centroids=cents
     ).select(id_col, vec_col, "l2_norm", "cell")
+    # the cell schema rides in meta so a fully-purged index (every row
+    # deleted → no parquet files left) still reads as EMPTY instead of
+    # failing schema inference
+    meta["cells_schema"] = assigned.schema.json()
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
     assigned.write.mode(
         "append" if mode == "append" else "overwrite"
     ).partitionBy("cell").parquet(cells_dir)
@@ -123,8 +137,25 @@ def ivf_index_build(
 
 def ivf_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
     """The raw cell table (id, vec, l2_norm, cell) — partition-pruned
-    when filtered on ``cell``."""
-    return spark.read.parquet(os.path.join(index_dir, "cells"))
+    when filtered on ``cell``. A fully-purged index (no cell
+    directories remain after deletions) reads as an EMPTY table with
+    the schema stored at build time, not a schema-inference error."""
+    cells_dir = os.path.join(index_dir, "cells")
+    has_cells = os.path.isdir(cells_dir) and any(
+        e.startswith("cell=") for e in os.listdir(cells_dir)
+    )
+    if not has_cells:
+        from pyspark.sql.types import StructType
+
+        meta = json.loads(open(_meta_path(index_dir)).read())
+        if "cells_schema" not in meta:
+            raise FileNotFoundError(
+                f"no cell data under {cells_dir} and the index meta "
+                "predates schema persistence — rebuild the index"
+            )
+        schema = StructType.fromJson(json.loads(meta["cells_schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(cells_dir)
 
 
 def ivf_index_topk(
@@ -207,25 +238,37 @@ def ivf_index_delete(
     removed explicitly (a table format with delete support — Iceberg /
     Delta — subsumes this step in production).
 
-    Returns the number of rows deleted.
+    Returns the number of index rows deleted (duplicate requested ids
+    count once — each index row is removed once).
     """
     import shutil
+
+    from pyspark.sql.types import StructField, StructType
 
     meta = json.loads(open(_meta_path(index_dir)).read())
     id_col = meta["id_col"]
     cells_dir = os.path.join(index_dir, "cells")
+    tbl = ivf_index_cells(spark, index_dir)
     if isinstance(ids, DataFrame):
         ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
     else:
+        # the id column keeps the INDEX's own type (string ids build
+        # and query fine, so they must delete fine too) and the list
+        # is deduped — a duplicated request must not fan out the join
+        # and overcount the return value
+        id_type = tbl.schema[id_col].dataType
         ids_df = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} long"
+            [(i,) for i in dict.fromkeys(ids)],
+            StructType([StructField(id_col, id_type)]),
         )
-    tbl = ivf_index_cells(spark, index_dir)
     doomed = tbl.join(F.broadcast(ids_df), id_col)
-    affected = sorted(r.cell for r in doomed.select("cell").distinct().collect())
+    # ONE full-scan job yields both the affected cell set and the
+    # deleted-row count (the docstring's single-scan claim)
+    per_cell = doomed.groupBy("cell").count().collect()
+    affected = sorted(r.cell for r in per_cell)
     if not affected:
         return 0
-    n_deleted = doomed.count()
+    n_deleted = sum(r["count"] for r in per_cell)
     survivors = (
         tbl.where(F.col("cell").isin(affected))
         .join(F.broadcast(ids_df), id_col, "left_anti")

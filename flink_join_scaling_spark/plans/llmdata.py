@@ -819,14 +819,38 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_sim_ann_ivf_trained",
-    oracle=f"""
+#: shared oracle for the self-attesting recall queries: exact top-k
+#: stats plus literal TRUE — the Spark side must land its recall bound.
+_RECALL_ORACLE = f"""
     SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
            CAST(count(*) AS BIGINT) AS n_exact,
            TRUE AS recall_ok
     FROM ({_TOPK_ORACLE}) t
-    """,
+    """
+
+
+def _recall_attest(exact: DataFrame, approx: DataFrame, bound: float = 0.5) -> DataFrame:
+    """Shared attestation tail for the self-attesting ANN queries:
+    exact top-k stats plus a boolean asserting the approximate result
+    recalls ≥ ``bound`` of the exact pairs. One definition so the
+    trained and persisted paths cannot drift."""
+    stats = exact.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    hit = exact.join(approx, ["query_id", "vec_id"]).agg(
+        F.count("*").alias("__n_hit")
+    )
+    return stats.crossJoin(hit).select(
+        "n_queries",
+        "n_exact",
+        (F.col("__n_hit") >= bound * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@query(
+    "q_sim_ann_ivf_trained",
+    oracle=_RECALL_ORACLE,
     tags=("llmdata", "similarity"),
 )
 def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,28 +870,12 @@ def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.ann_ivf_topk(
         e, q, k=5, num_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, train=True
     ).select("query_id", "vec_id")
-    stats = exact.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.count("*").cast("bigint").alias("n_exact"),
-    )
-    hit = exact.join(approx, ["query_id", "vec_id"]).agg(
-        F.count("*").alias("__n_hit")
-    )
-    return stats.crossJoin(hit).select(
-        "n_queries",
-        "n_exact",
-        (F.col("__n_hit") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
-    )
+    return _recall_attest(exact, approx)
 
 
 @query(
     "q_sim_ann_persisted",
-    oracle=f"""
-    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-           CAST(count(*) AS BIGINT) AS n_exact,
-           TRUE AS recall_ok
-    FROM ({_TOPK_ORACLE}) t
-    """,
+    oracle=_RECALL_ORACLE,
     tags=("llmdata", "similarity"),
 )
 def q_sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,9 +903,14 @@ def q_sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
+    # per-process path: a fixed world-readable name would let two
+    # concurrent invocations overwrite each other mid-scan (and
+    # collide across users on a shared host)
     idx_dir = os.path.join(
         tempfile.gettempdir(),
-        "fjss_ivf_index_" + _hl.md5(sf_dir.encode()).hexdigest()[:12],
+        "fjss_ivf_index_"
+        + _hl.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getuid()}_{os.getpid()}",
     )
     ivf_index_build(
         e.select("vec_id", "embedding"), idx_dir,
@@ -907,18 +920,7 @@ def q_sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_index_topk(q, idx_dir, k=5, nprobe=_IVF_NPROBE).select(
         "query_id", "vec_id"
     )
-    stats = exact.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.count("*").cast("bigint").alias("n_exact"),
-    )
-    hit = exact.join(approx, ["query_id", "vec_id"]).agg(
-        F.count("*").alias("__n_hit")
-    )
-    return stats.crossJoin(hit).select(
-        "n_queries",
-        "n_exact",
-        (F.col("__n_hit") >= 0.5 * F.col("n_exact")).alias("recall_ok"),
-    )
+    return _recall_attest(exact, approx)
 
 
 # ---------------------------------------------------------- multimodal

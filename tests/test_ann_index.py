@@ -218,3 +218,46 @@ def test_delete_propagation_rewrites_only_affected_cells(spark, tmp_path):
     # a query still works against the post-delete index
     q = after_tbl.limit(1).select("vec_id", "embedding")
     assert ivf_index_topk(q, idx, k=2, nprobe=2).count() == 2
+
+
+def test_delete_duplicate_ids_counts_rows_once(spark, tmp_path):
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark).limit(40)
+    ivf_index_build(e, idx, num_cells=4, train=False)
+    from flink_join_scaling_spark.operators.ann_index import ivf_index_delete
+
+    assert ivf_index_delete(spark, idx, [5, 5, 7]) == 2
+    assert ivf_index_cells(spark, idx).count() == 38
+
+
+def test_full_purge_leaves_readable_empty_index(spark, tmp_path):
+    """Deleting every row must leave an index that reads as EMPTY (the
+    schema persisted in meta), not one that crashes schema inference —
+    the very right-to-be-forgotten scenario the op exists for."""
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark).limit(20)
+    ivf_index_build(e, idx, num_cells=4, train=False)
+    from flink_join_scaling_spark.operators.ann_index import ivf_index_delete
+
+    ids = [r.vec_id for r in e.collect()]
+    assert ivf_index_delete(spark, idx, ids) == 20
+    assert ivf_index_cells(spark, idx).count() == 0
+    assert ivf_index_topk(e.limit(1), idx, k=3, nprobe=2).count() == 0
+    # and the index is still appendable afterwards
+    ivf_index_build(e.limit(5), idx, mode="append")
+    assert ivf_index_cells(spark, idx).count() == 5
+
+
+def test_delete_string_id_index(spark, tmp_path):
+    """Deletion honors the index's own id type: string-keyed indexes
+    (which build and query fine) must delete fine too."""
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark).limit(20).select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("doc_id"),
+        "embedding",
+    )
+    ivf_index_build(e, idx, id_col="doc_id", num_cells=4, train=False)
+    from flink_join_scaling_spark.operators.ann_index import ivf_index_delete
+
+    assert ivf_index_delete(spark, idx, ["doc-3", "doc-4", "doc-999"]) == 2
+    assert ivf_index_cells(spark, idx).count() == 18

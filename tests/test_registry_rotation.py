@@ -79,6 +79,13 @@ def test_every_recorded_green_is_folded_into_rotation_sets():
         (_round_no(f.stem) for f in REPO.glob("CORRECTNESS_r*.json")),
         default=0,
     )
+    # an over-bumped constant (claiming rounds that don't exist are
+    # folded) would silently disable this guard forever
+    assert folded_through <= newest, (
+        f"ROTATION_FOLDED_THROUGH={folded_through} exceeds the newest "
+        f"CORRECTNESS file on disk (r{newest:02d}) — you cannot have "
+        "folded rounds that were never recorded"
+    )
     assert newest <= folded_through + 1, (
         f"CORRECTNESS_r{newest:02d} exists but rotation sets are folded "
         f"only through r{folded_through}: fold the r{folded_through + 1} "
