@@ -1553,8 +1553,9 @@ def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEM_THRESHOLD = 0.35
 
 # shared CTE chain for the SemDeDup family: within-cluster pairs →
-# components → e4-centroid member scoring → per-component keeper rank
-_SEM_CTES = f"""e AS (
+# components → e4-centroid member scoring → per-component keeper rank.
+# The pair subset (e/n/sp) also feeds q_dedup_ensemble's fused graph.
+_SEM_PAIR_CTES = f"""e AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -1574,7 +1575,9 @@ _SEM_CTES = f"""e AS (
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
                         (x, y) -> x + y) / (a.nrm * b.nrm), 6)
               >= {_SEM_THRESHOLD}
-    ),
+    )"""
+
+_SEM_CTES = f"""{_SEM_PAIR_CTES},
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM sp
         UNION
@@ -1660,13 +1663,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared SemDeDup core: (component_id, node, ccos) — duplicate
-    components over within-cluster ≥θ cosine pairs, each member scored
-    by cosine to its e4-quantized cluster centroid. Consumed by
-    q_dedup_semantic (the component report) and
-    q_dedup_semantic_apply (the pruned corpus)."""
-    from flink_join_scaling_spark.functions.vectors import with_l2_norm
+def _semantic_graph(spark: SparkSession, sf_dir: str):
+    """(e, n, pairs): doubled vectors, their norms, and the
+    within-cluster ≥θ cosine pair set (checkpointed). The pair set is
+    the SemDeDup duplicate graph — consumed by _semantic_members and,
+    fused with the lexical MinHash pairs, by q_dedup_ensemble."""
+    from flink_join_scaling_spark.functions.vectors import (
+        cosine6_pandas,
+        with_l2_norm,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1674,10 +1679,6 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
     n = with_l2_norm(e, "v", "nrm").where(F.col("nrm") > 0)
-
-    def _fold_sum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
-
     a = n.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("la"),
@@ -1694,8 +1695,6 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted per-element fold: ~200k within-cluster candidates ×
     # dim-wide dot products is exactly the hot path §4.3 reserves for
     # vectorized batches (measured 2.8 s → sub-second at sf0.1)
-    from flink_join_scaling_spark.functions.vectors import cosine6_pandas
-
     pairs = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
         .withColumn("cos", cosine6_pandas("va", "vb", "na", "nb"))
@@ -1705,6 +1704,20 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the pin every CC round would re-run the pairwise join
         .localCheckpoint(eager=True)
     )
+    return e, n, pairs
+
+
+def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SemDeDup core: (component_id, node, ccos) — duplicate
+    components over within-cluster ≥θ cosine pairs, each member scored
+    by cosine to its e4-quantized cluster centroid. Consumed by
+    q_dedup_semantic (the component report) and
+    q_dedup_semantic_apply (the pruned corpus)."""
+    e, n, pairs = _semantic_graph(spark, sf_dir)
+
+    def _fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
     comp = dd.connected_components(pairs)
     # centroid over the FULL cluster population (not just members) —
     # the cluster centroid of the paper, e4-quantized for parity
@@ -1766,4 +1779,88 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.join(losers, "vec_id", "left_anti").select(
         "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+
+
+@query(
+    "q_dedup_ensemble",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_SEM_PAIR_CTES},
+    u_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+        UNION SELECT id_a, id_b FROM sp
+        UNION SELECT id_b, id_a FROM sp
+    ),
+    u_reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM u_edges
+        UNION
+        SELECT ue.src, t.r FROM u_edges ue JOIN u_reach t ON t.node = ue.dst
+    ),
+    u_comp AS (SELECT node, min(r) AS component_id FROM u_reach GROUP BY node),
+    lexp AS (
+        SELECT c.component_id, CAST(count(*) AS BIGINT) AS n
+        FROM mh_pairs p JOIN u_comp c ON c.node = p.id_a GROUP BY 1
+    ),
+    semp AS (
+        SELECT c.component_id, CAST(count(*) AS BIGINT) AS n
+        FROM sp JOIN u_comp c ON c.node = sp.id_a GROUP BY 1
+    )
+    SELECT c.component_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(coalesce(max(l.n), 0) AS BIGINT) AS n_lex_pairs,
+           CAST(coalesce(max(s.n), 0) AS BIGINT) AS n_sem_pairs
+    FROM u_comp c
+    LEFT JOIN lexp l USING (component_id)
+    LEFT JOIN semp s USING (component_id)
+    GROUP BY c.component_id
+    """,
+    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+)
+def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal (ensemble) dedup: the LEXICAL near-dup graph
+    (MinHash+LSH banded pairs over document text) and the SEMANTIC
+    graph (SemDeDup within-cluster cosine pairs over the 1:1 embedding
+    table — vec_id IS doc_id in this schema) are fused into ONE edge
+    set before component formation, because production pipelines run
+    both detectors and a duplicate family split across signals (A≈B
+    lexically, B≈C semantically) must collapse into one group — exactly
+    the same non-transitivity argument as q_dedup_components, applied
+    across signals. Each component reports how many pairs each signal
+    contributed: a component with n_lex_pairs = 0 was invisible to
+    MinHash, the measured value of running the ensemble.
+
+    Scale shape: both pair generators keep their own bounded shapes
+    (banded equi-join; within-cluster pairwise), the union is
+    pair-set-sized, and components shuffle the fused pair set only —
+    fusing signals costs one union, never a new corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = dd.minhash_dedup_pairs(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    _e, _n, sem = _semantic_graph(spark, sf_dir)
+    fused = lex.unionByName(sem).distinct()
+    comp = dd.connected_components(fused)
+    members = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
+    lexp = (
+        lex.join(comp, lex["id_a"] == comp["node"])
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_lex_pairs"))
+    )
+    semp = (
+        sem.join(comp, sem["id_a"] == comp["node"])
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n_sem_pairs"))
+    )
+    return (
+        members.join(lexp, "component_id", "left")
+        .join(semp, "component_id", "left")
+        .select(
+            "component_id",
+            "n_members",
+            F.coalesce("n_lex_pairs", F.lit(0)).alias("n_lex_pairs"),
+            F.coalesce("n_sem_pairs", F.lit(0)).alias("n_sem_pairs"),
+        )
     )

@@ -55,6 +55,7 @@ FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     # threshold on the round-6 value — same accepted boundary class
     "q_dedup_semantic",
     "q_dedup_semantic_apply",
+    "q_dedup_ensemble",
 )
 
 
