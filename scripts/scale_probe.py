@@ -160,6 +160,9 @@ def main() -> None:
         # ppl buckets ride the lm model (fixed vocab, 10x tf rows);
         # shard manifest is map-only + a 16-group agg
         "q_dedup_semantic": plan_probe("q_dedup_semantic"),
+        # ensemble: both pair generators at their own worst cases
+        # simultaneously (10x banded buckets + 10x-denser clusters)
+        "q_dedup_ensemble": plan_probe("q_dedup_ensemble"),
         "q_ppl_buckets": plan_probe("q_ppl_buckets"),
         "q_shard_assignment": plan_probe("q_shard_assignment"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
