@@ -1816,6 +1816,7 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN semp s USING (component_id)
     GROUP BY c.component_id
     """,
+    headline=True,
     tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
 )
 def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
