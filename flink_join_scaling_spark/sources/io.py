@@ -21,6 +21,7 @@ I/O:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,3 +124,64 @@ def stream_write_parquet(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: str | Sequence[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (optionally
+    re-sorted for locality), replacing the input atomically via a
+    sibling staging directory + rename.
+
+    Small files are the classic lakehouse decay mode — a streaming
+    sink or a per-micro-batch append leaves thousands of KB-sized
+    files whose open/footer costs dominate scans. Compaction is the
+    maintenance pass that restores scan efficiency; at 100 TB it runs
+    per PARTITION directory (each partition compacts independently in
+    parallel jobs), and a table format (Iceberg/Delta rewrite-files)
+    subsumes the staging-rename with a metadata swap.
+
+    Returns {"files_before", "files_after", "bytes", "rows"}.
+    """
+    import math
+    import shutil
+
+    def _files(p: str) -> list[str]:
+        out = []
+        for root, _dirs, names in os.walk(p):
+            out += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            ]
+        return out
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    staging = path.rstrip("/") + ".compacting"
+    if sort_by is not None:
+        s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        # repartitionByRange + sortWithinPartitions: globally range-
+        # clustered output files (min/max envelopes narrow per file —
+        # the statistics data-skipping consults), without a single-
+        # partition global sort
+        out = df.repartitionByRange(n_out, *s).sortWithinPartitions(*s)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    after = _files(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total,
+        "rows": rows,
+    }

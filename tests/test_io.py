@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.sources import io
@@ -201,3 +203,42 @@ def test_events_queries_identical_across_timestamp_layouts(spark, tmp_path):
         b = sorted(map(tuple, fn(spark, alt).collect()))
         assert a == b and len(a) > 0, name
     shutil.rmtree(alt)
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Small-file compaction: 40 tiny files collapse to the computed
+    target count, content identical, input replaced atomically."""
+    p = str(tmp_path / "frag")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(2000)], "id long, v string"
+    )
+    df.repartition(40).write.parquet(p)
+    before = {tuple(r) for r in spark.read.parquet(p).collect()}
+    stats = io.compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1  # everything fits one target file
+    assert stats["rows"] == 2000
+    after = {tuple(r) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    assert not os.path.exists(p + ".compacting")
+
+
+def test_compact_parquet_sorted_narrows_file_envelopes(spark, tmp_path):
+    """sort_by clusters the output by range: each compacted file's
+    (min, max) id envelope is disjoint, which is what statistics
+    data-skipping prunes on."""
+    p = str(tmp_path / "frag")
+    df = spark.createDataFrame([(i,) for i in range(4000)], "id long")
+    # write deliberately scrambled across files
+    df.orderBy(F.expr("hash(id)")).repartition(20).write.parquet(p)
+    io.compact_parquet(spark, p, target_file_bytes=12_000, sort_by="id")
+    per_file = (
+        spark.read.parquet(p)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) > 1
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo  # disjoint envelopes: range-clustered files
