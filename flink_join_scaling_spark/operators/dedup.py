@@ -560,10 +560,12 @@ def connected_components(
     so convergence is O(log diameter), not O(diameter)); converged when
     no label changed. Each round shuffles the PAIR set only, which is
     orders of magnitude smaller than the corpus at 100 TB.
-    ``localCheckpoint`` truncates the growing lineage so the plan
-    doesn't deepen per round. If labels still change after ``max_iter``
-    rounds the result would be silently split components, so it raises
-    instead — with jumping, max_iter=50 covers diameters up to ~2^50.
+    Each round's node-sized label frame is pinned to scratch parquet
+    (the lineage cut — see the in-loop comment for the measured
+    localCheckpoint degradation that motivated it). If labels still
+    change after ``max_iter`` rounds the result would be silently
+    split components, so it raises instead — with jumping, max_iter=50
+    covers diameters up to ~2^50.
 
     Size-adaptive: the deduped edge set is materialized first (it is
     needed either way), and when it holds at most ``driver_threshold``
