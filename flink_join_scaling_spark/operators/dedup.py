@@ -571,13 +571,16 @@ def connected_components(
     needed either way), and when it holds at most ``driver_threshold``
     edges the components come from a driver-side union-find — one small
     collect instead of several iterative jobs, the same runtime
-    size-based call AQE makes for broadcast joins. 1M edges is ~10s of
-    MB on the driver and a sub-second union-find — far cheaper and
-    more reliable than tens of iterative jobs (a measured fused-graph
-    case needed ~25+ propagation rounds; the driver path answers it in
-    one collect). Near-dup pair sets are pair-sized, not corpus-sized,
-    so this is the common case; the distributed propagation handles the
-    truly large one (force it with ``driver_threshold=0``).
+    size-based call AQE makes for broadcast joins. The threshold counts
+    SYMMETRIZED edges (2 per input pair, so 1M ≈ 500k pairs); at the
+    limit the collect is ~1M Row objects — a few hundred MB of Python
+    heap and seconds of work (measured 6.6 s end-to-end on a 740k-edge
+    graph), still cheaper and far more predictable than the ~30
+    iterative rounds the same graph needed distributed. Size the
+    threshold down on a memory-constrained driver. Near-dup pair sets
+    are pair-sized, not corpus-sized, so this is the common case; the
+    distributed propagation handles the truly large one (force it with
+    ``driver_threshold=0``).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -599,12 +602,41 @@ def connected_components(
     import os
     import shutil
     import tempfile
+    import uuid
 
     spark = pairs.sparkSession
-    scratch = tempfile.mkdtemp(prefix="fjss_cc_")
+    # Scratch location must be visible to EVERY executor AND the
+    # driver: on a cluster, set spark.sparkContext.setCheckpointDir to
+    # shared storage (HDFS/object store) and the rounds pin there; a
+    # driver-local tempdir is only correct in local mode, where
+    # executors share the driver's filesystem.
+    ckpt_base = spark.sparkContext.getCheckpointDir()
+    if ckpt_base:
+        scratch = ckpt_base.rstrip("/") + f"/fjss_cc_{uuid.uuid4().hex[:12]}"
+
+        def _cleanup() -> None:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(scratch)
+            p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+    else:
+        if not spark.sparkContext.master.startswith("local"):
+            raise RuntimeError(
+                "connected_components' distributed path needs a shared "
+                "scratch dir on a cluster: call "
+                "spark.sparkContext.setCheckpointDir(<shared path>) first "
+                "(a driver-local tempdir is only visible to co-located "
+                "executors)"
+            )
+        scratch = tempfile.mkdtemp(prefix="fjss_cc_")
+
+        def _cleanup() -> None:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     def pin(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(scratch, name)
+        path = scratch + "/" + name if "://" in scratch else os.path.join(
+            scratch, name
+        )
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -660,10 +692,14 @@ def connected_components(
         out = labels.select(
             F.col("v").alias("node"), F.col("label").alias("component_id")
         )
-        # the scratch dir is deleted on return — materialize first
+        # the scratch dir is deleted on return — materialize first.
+        # localCheckpoint blocks are lost with their executor (the
+        # standard localCheckpoint trade, same as every other use in
+        # this repo); a consumer needing executor-loss durability
+        # should write the result to a table immediately.
         return out.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        _cleanup()
 
 
 def dedup_keep_best(

@@ -1842,7 +1842,9 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
     ).select("id_a", "id_b").localCheckpoint(eager=True)
     _e, _n, sem = _semantic_graph(spark, sf_dir)
-    fused = lex.unionByName(sem).distinct()
+    # raw union: connected_components symmetrizes + distincts its input
+    # anyway, so a pre-distinct would only add a redundant shuffle
+    fused = lex.unionByName(sem)
     comp = dd.connected_components(fused)
     members = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
     lexp = (

@@ -143,12 +143,29 @@ def compact_parquet(
     maintenance pass that restores scan efficiency; at 100 TB it runs
     per PARTITION directory (each partition compacts independently in
     parallel jobs), and a table format (Iceberg/Delta rewrite-files)
-    subsumes the staging-rename with a metadata swap.
+    subsumes the swap with a metadata commit.
+
+    LOCAL-filesystem directories only (enforced): the sizing walk and
+    the swap use OS primitives. Remote tables (s3://, hdfs://) belong
+    to a table format's rewrite — silently mis-sizing them to one
+    output file would be a catastrophic single-task rewrite. The swap
+    renames the old directory aside, renames staging in, then deletes
+    the old — readers never observe a missing path, and a crash
+    between the renames leaves the data recoverable under one of the
+    two names. Row counts come from the staged files' parquet FOOTERS
+    (metadata-only), not a second data scan.
 
     Returns {"files_before", "files_after", "bytes", "rows"}.
     """
     import math
     import shutil
+
+    if "://" in path:
+        raise ValueError(
+            f"compact_parquet operates on local directories; got {path!r} "
+            "— remote tables belong to a table format's rewrite-files"
+        )
+    path = os.path.abspath(path)
 
     def _files(p: str) -> list[str]:
         out = []
@@ -164,8 +181,8 @@ def compact_parquet(
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    rows = df.count()
-    staging = path.rstrip("/") + ".compacting"
+    staging = path + ".compacting"
+    retired = path + ".compacted-old"
     if sort_by is not None:
         s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         # repartitionByRange + sortWithinPartitions: globally range-
@@ -175,10 +192,21 @@ def compact_parquet(
         out = df.repartitionByRange(n_out, *s).sortWithinPartitions(*s)
     else:
         out = df.repartition(n_out)
-    out.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
-    after = _files(path)
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        import pyarrow.parquet as pq
+
+        after = _files(staging)
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in after)
+        os.rename(path, retired)
+        os.rename(staging, path)
+    except BaseException:
+        # restore the original name first if the swap half-completed
+        if not os.path.exists(path) and os.path.exists(retired):
+            os.rename(retired, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(retired, ignore_errors=True)
     return {
         "files_before": len(before),
         "files_after": len(after),
