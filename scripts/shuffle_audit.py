@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Measured shuffle/input volumes per headline query (SCALING.md).
+
+The plan-guard suite proves plan SHAPES (pushdown, broadcast, partial
+aggs); this audit measures the actual bytes: per query, the delta of
+completed-stage totals from the Spark UI REST API — input bytes read,
+shuffle bytes written, shuffle bytes read. The design-for-scale claims
+become numbers: a dedup query whose shuffle volume is a small fraction
+of its input is demonstrably moving pair sets / sketches, not the
+corpus.
+
+Usage: python scripts/shuffle_audit.py [query ...]
+Prints one markdown row per query at $SPARK_GRAFT_SF_DIR (sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_join_scaling_spark import plans  # noqa: E402
+from flink_join_scaling_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _api(ui: str, path: str):
+    with urllib.request.urlopen(f"{ui}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def _totals(ui: str, app: str) -> dict:
+    tot = {"input": 0, "sh_write": 0, "sh_read": 0}
+    for st in _api(ui, f"applications/{app}/stages?status=complete"):
+        tot["input"] += st.get("inputBytes", 0)
+        tot["sh_write"] += st.get("shuffleWriteBytes", 0)
+        tot["sh_read"] += st.get("shuffleReadBytes", 0)
+    return tot
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="fjss-shuffle-audit", cpus=32, shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app = _api(ui, "applications")[0]["id"]
+    names = sys.argv[1:] or [
+        n for n, s in plans.QUERIES.items() if s.headline
+    ]
+    print("| query | input MB | shuffle-write MB | shuffle-read MB | shuffle/input |")
+    print("|---|---|---|---|---|")
+    mb = 1024 * 1024
+    for name in names:
+        fn = plans.QUERIES[name].fn
+        fn(spark, SF_DIR).count()  # warm: caches/codegen settle
+        before = _totals(ui, app)
+        fn(spark, SF_DIR).count()
+        after = _totals(ui, app)
+        inp = (after["input"] - before["input"]) / mb
+        sw = (after["sh_write"] - before["sh_write"]) / mb
+        sr = (after["sh_read"] - before["sh_read"]) / mb
+        ratio = (sw / inp) if inp > 0 else float("inf")
+        print(
+            f"| {name} | {inp:.1f} | {sw:.2f} | {sr:.2f} | {ratio:.2f} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
