@@ -1867,3 +1867,77 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sem_pairs", F.lit(0)).alias("n_sem_pairs"),
         )
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_minhash_ctes()},
+    e AS (SELECT id_a, id_b FROM mh_pairs),
+    tri AS (
+        SELECT count(*) AS n
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_b
+        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    sym AS (
+        SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e
+    ),
+    deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+    wed AS (SELECT sum(d * (d - 1) / 2) AS n FROM deg)
+    SELECT CAST(tri.n AS BIGINT) AS n_triangles,
+           CAST(wed.n AS BIGINT) AS n_wedges,
+           CAST((3 * tri.n * 1000000) // wed.n AS BIGINT)
+               AS clustering_e6
+    FROM tri, wed
+    """,
+    tags=("llmdata", "dedup", "graph"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph: triangle count,
+    wedge (length-2 path) count, and the global clustering coefficient
+    3·triangles/wedges as an e6 integer — the structural diagnostic of
+    a dedup pair set. True duplicate families are clique-ish (high
+    coefficient); banding-collision noise is tree-ish (low), so a
+    coefficient drop across crawls flags a banding-quality regression
+    before anyone inspects pairs.
+
+    All-exact integers (the coefficient by integer floor-div, no
+    float). Triangle join uses the a<b<c orientation so each triangle
+    counts once: with edges stored id_a<id_b, the three joins touch
+    the PAIR set only (the standard distributed triangle-count shape —
+    edge-sized shuffles, never corpus); wedges are one degree agg.
+    At 100 TB the pair graph is the orders-smaller derived set, and
+    the heaviest key's work is bounded by max-degree², the same
+    hot-bucket bound the banding stop-shingle cap enforces upstream."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    e1 = pairs
+    e2 = pairs.select(
+        F.col("id_a").alias("b2"), F.col("id_b").alias("c2")
+    )
+    e3 = pairs.select(
+        F.col("id_a").alias("a3"), F.col("id_b").alias("c3")
+    )
+    tri = (
+        e1.join(e2, e1["id_b"] == e2["b2"])
+        .join(e3, (F.col("id_a") == F.col("a3")) & (F.col("c2") == F.col("c3")))
+        .agg(F.count("*").alias("n_tri"))
+    )
+    sym = pairs.select(F.col("id_a").alias("v")).unionAll(
+        pairs.select(F.col("id_b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("d"))
+    wed = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wed")
+    )
+    return tri.crossJoin(wed).select(
+        F.col("n_tri").cast("bigint").alias("n_triangles"),
+        F.col("n_wed").cast("bigint").alias("n_wedges"),
+        F.floor(3 * F.col("n_tri") * 1000000 / F.col("n_wed"))
+        .cast("bigint")
+        .alias("clustering_e6"),
+    )

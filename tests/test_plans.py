@@ -79,6 +79,7 @@ _QUADRATIC_OK = {
     "q_sim_ann_ivf_trained",
     "q_sim_ann_persisted",
     "q_heavy_hitters",  # 1-row token total crossed with candidate counts
+    "q_graph_triangles",  # 1-row triangle and wedge counts crossed
 }
 
 
