@@ -1941,3 +1941,60 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clustering_e6"),
     )
+
+
+@query(
+    "q_dedup_ensemble_apply",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_SEM_PAIR_CTES},
+    {_quality_cte()},
+    u_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM mh_pairs
+        UNION SELECT id_b, id_a FROM mh_pairs
+        UNION SELECT id_a, id_b FROM sp
+        UNION SELECT id_b, id_a FROM sp
+    ),
+    u_reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM u_edges
+        UNION
+        SELECT ue.src, t.r FROM u_edges ue JOIN u_reach t ON t.node = ue.dst
+    ),
+    u_comp AS (SELECT node, min(r) AS component_id FROM u_reach GROUP BY node),
+    memb AS (
+        SELECT c.component_id, c.node, q.quality
+        FROM u_comp c JOIN qual q ON q.doc_id = c.node
+    ),
+    ranked AS (
+        SELECT component_id, node,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY quality DESC, node ASC) AS rn
+        FROM memb
+    ),
+    losers AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+)
+def q_dedup_ensemble_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-signal deduplicated corpus — what a production
+    pipeline actually ships: every document except the non-keeper
+    members of the FUSED (lexical ∪ semantic) duplicate components,
+    keeper = quality argmax with lowest-id tiebreak (the
+    q_dedup_apply election over q_dedup_ensemble's graph). Same
+    algebra as the single-signal apply: component labels computed
+    once, a pair-sized loser list, one LEFT ANTI corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = dd.minhash_dedup_pairs(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    _e, _n, sem = _semantic_graph(spark, sf_dir)
+    fused = lex.unionByName(sem)
+    docs = d.select(
+        "doc_id", "lang", "source", "n_chars",
+        tx.quality_score(F.col("text")).alias("__q"),
+    )
+    return dd.dedup_apply(docs, fused, "doc_id", "__q").drop("__q")

@@ -56,6 +56,7 @@ FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     "q_dedup_semantic",
     "q_dedup_semantic_apply",
     "q_dedup_ensemble",
+    "q_dedup_ensemble_apply",
 )
 
 
