@@ -52,8 +52,13 @@ def main() -> None:
     names = sys.argv[1:] or [
         n for n, s in plans.QUERIES.items() if s.headline
     ]
-    print("| query | input MB | shuffle-write MB | shuffle-read MB | shuffle/input |")
-    print("|---|---|---|---|---|")
+    # NOTE: stage-level inputBytes is NOT reported (measured: a full
+    # 11 MB lineitem scan shows ~17 KB — the vectorized parquet
+    # reader's bytes-read metric is unreliable in this build), so the
+    # audit reports the SHUFFLE columns only; compare queries against
+    # each other and against their tables' known on-disk sizes.
+    print("| query | shuffle-write MB | shuffle-read MB |")
+    print("|---|---|---|")
     mb = 1024 * 1024
     for name in names:
         fn = plans.QUERIES[name].fn
@@ -61,14 +66,9 @@ def main() -> None:
         before = _totals(ui, app)
         fn(spark, SF_DIR).count()
         after = _totals(ui, app)
-        inp = (after["input"] - before["input"]) / mb
         sw = (after["sh_write"] - before["sh_write"]) / mb
         sr = (after["sh_read"] - before["sh_read"]) / mb
-        ratio = (sw / inp) if inp > 0 else float("inf")
-        print(
-            f"| {name} | {inp:.1f} | {sw:.2f} | {sr:.2f} | {ratio:.2f} |",
-            flush=True,
-        )
+        print(f"| {name} | {sw:.2f} | {sr:.2f} |", flush=True)
 
 
 if __name__ == "__main__":
