@@ -131,6 +131,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
         "q_tpch_q7_nation_volume", "q_tpch_q8_market_share",
         "q_tpch_q9_product_profit", "q_transition_matrix",
         "q_window_distribution",
+        # round-6 rotation greens: CORRECTNESS_r06.json — 50/50 hash
+        # green, including all 17 previously never-attested names and
+        # the round-6-new semantic/ensemble/triangles/persisted-ANN ops.
+        "q_bm25", "q_collocations", "q_dedup_canonical_rank",
+        "q_dedup_ensemble", "q_dedup_ensemble_apply", "q_dedup_semantic",
+        "q_dedup_semantic_apply", "q_embed_outliers", "q_graph_triangles",
+        "q_heavy_hitters", "q_hll_rollup", "q_join_bloom_reduced",
+        "q_lm_score", "q_mixture_weights", "q_pipeline_e2e",
+        "q_ppl_buckets", "q_retrieval_rrf", "q_shard_assignment",
+        "q_sim_ann_persisted", "q_snapshot_diff", "q_source_drift",
+        "q_source_overlap", "q_split_leakage_safe", "q_tfidf",
+        "q_zorder_layout",
     }
 )
 
@@ -140,17 +152,44 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
 #: round's last commit, so it can only be folded next round); two
 #: newer rounds mean the rotation went stale — the starvation bug this
 #: machinery exists to prevent — and the test fails loudly.
-ROTATION_FOLDED_THROUGH = 5
+ROTATION_FOLDED_THROUGH = 6
 
 # Queries whose latest driver row is stale and must be re-attested
-# before never-recorded queries. Empty after round 5: CORRECTNESS_r05
-# re-attested all 11 post-regeneration stale entries, so the round-6
-# window goes straight to group 2 — the 17 oracle-bearing queries that
-# have never held a driver row (retrieval scores, sketches/drift, the
-# layout trio, canonical rank, embed outliers, LM/mixture/pipeline/
-# snapshot/collocations/overlap). 17 ≪ the ~50-slot window, so all of
-# them land this round.
-_NEEDS_FRESH_ROW: frozenset[str] = frozenset()
+# before never-recorded queries. Round 7 targets freshness (the r6
+# verdict's #1 task): every query is green in SOME round, but 24 names
+# last held a driver row in round 3 and 24 more in round 4 — before the
+# r4 vectorized-cosine hot path, r5 catalog memoization, and r6
+# registry reshuffles that now execute under them. 48 ≤ the ~50-slot
+# window, so the whole stale cohort re-attests this round.
+#: Subset of ``_NEEDS_FRESH_ROW`` with the OLDEST last-green round;
+#: ordered ahead of the rest of group 1 so a time-budget cutoff starves
+#: the freshest names, not the stalest.
+_NEEDS_FRESH_ROW_FIRST: frozenset[str] = frozenset(
+    {
+        "q_dedup_apply", "q_dedup_components", "q_dedup_embedding",
+        "q_dedup_embedding_ivf", "q_dedup_exact_apply", "q_dedup_keep_best",
+        "q_dedup_ngram", "q_dedup_simhash", "q_embed_centroids",
+        "q_inverted_index", "q_multimodal_features", "q_multimodal_frames",
+        "q_multimodal_meta", "q_pack_sequences", "q_quality_filter",
+        "q_repetition", "q_sample_hash", "q_sample_stratified",
+        "q_sim_ann_ivf", "q_sim_ann_lsh", "q_sim_topk", "q_sim_topk_pandas",
+        "q_source_stats", "q_vocab_df",
+    }
+)
+
+_NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
+    {
+        # last green in round 4
+        "q_decontaminate", "q_decontaminate_apply", "q_funnel",
+        "q_join_anti", "q_join_asof", "q_join_range", "q_join_semi",
+        "q_mixture_budget", "q_percentiles", "q_pii_redact", "q_pivot",
+        "q_sessionize", "q_stream_dedup", "q_stream_session",
+        "q_stream_sliding", "q_stream_tumbling", "q_tpch_q10_returns",
+        "q_tpch_q14_promo", "q_tpch_q18_large_orders", "q_tpch_q3_shipping",
+        "q_tpch_q5_local_supplier", "q_tpch_q6_forecast", "q_unpivot",
+        "q_value_outliers",
+    }
+)
 
 
 def query_fns() -> dict[str, QueryFn]:
@@ -164,9 +203,10 @@ def query_fns() -> dict[str, QueryFn]:
     never hash-match anyway."""
     order = list(QUERIES)
 
-    def rank(s: QuerySpec) -> tuple[int, int, int, int]:
+    def rank(s: QuerySpec) -> tuple[int, int, int, int, int]:
         return (
             s.name not in _NEEDS_FRESH_ROW,  # stale/missing rows first
+            s.name not in _NEEDS_FRESH_ROW_FIRST,  # stalest first in group 1
             s.oracle is None,  # rows-only after oracle-bearing
             s.name in _DRIVER_GREEN,  # never-recorded before re-verified
             order.index(s.name),
