@@ -474,11 +474,59 @@ def embedding_dedup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
+    exact_threshold: int = 65_536,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold — size-adaptive,
+    the same runtime dial as :func:`connected_components`.
+
+    At or below ``exact_threshold`` rows the answer is EXACT: the
+    corpus is routed through :func:`embedding_dedup_pairs_ivf` with
+    ``nprobe = num_cells`` (every vector probes every cell), so every
+    pair is scored exactly once via the cell cogroup — an equi-join on
+    the cell id with bounded k-way parallelism, never a cartesian plan
+    node. The Σ-work is necessarily n² (that is what "exact all-pairs"
+    means) but it is distributed across cells and only above-threshold
+    pairs are materialized; at the 65_536-row limit that is ~2×10⁹
+    NumPy-batched dot products, seconds of BLAS across 32 tasks.
+
+    Above ``exact_threshold`` the call delegates to the APPROXIMATE
+    IVF path (``num_cells`` scaled to corpus size, ``nprobe`` probes):
+    recall is bounded by the probe set — a pair is missed only when
+    neither member probes the other's home cell. Callers needing the
+    exact answer at scale don't exist (that is the quadratic wall the
+    IVF family exists to avoid); the property-test reference path is
+    :func:`embedding_dedup_pairs_exact`.
+
+    Cosine is rounded to 6 decimals *before* the threshold compare so
+    accumulation-order noise can't flip boundary pairs across engines.
+    """
+    n = df.count()
+    if n <= exact_threshold:
+        # exact: full-probe cogroup; cells sized for parallelism only
+        k = max(1, min(32, n // 256))
+        return embedding_dedup_pairs_ivf(
+            df, id_col, vec_col, threshold, num_cells=k, nprobe=k
+        )
+    num_cells = max(32, -(-n // 4096))  # ceil: ~4k rows/cell at scale
+    return embedding_dedup_pairs_ivf(
+        df, id_col, vec_col, threshold, num_cells=num_cells, nprobe=nprobe
+    )
+
+
+def embedding_dedup_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold (exact pair join).
 
-    The quadratic pair join is the correctness baseline; the bucketed
-    ANN path for scale is ``operators/similarity.py:ann_lsh_topk``.
+    Property-test REFERENCE path only: the quadratic crossJoin is the
+    simplest possible statement of the semantics, kept to check the
+    size-adaptive :func:`embedding_dedup_pairs` against. Production
+    calls go through the size-adaptive entry point, whose plan is an
+    equi-join on the IVF cell id (no cartesian node).
     Cosine is rounded to 6 decimals *before* the threshold compare so
     accumulation-order noise can't flip boundary pairs across engines;
     the per-pair dot product runs through the Arrow-vectorized

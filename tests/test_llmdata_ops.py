@@ -149,6 +149,38 @@ def test_embedding_dedup_finds_planted_pair(planted_vecs):
     assert set(pairs) == {(0, 30)}
 
 
+def test_embedding_dedup_adaptive_matches_exact_reference(planted_vecs):
+    """The size-adaptive path (full-probe IVF cogroup below threshold)
+    must reproduce the crossJoin reference exactly — same pairs, same
+    round-6 cosines — at a low threshold where many pairs survive."""
+    ref = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_dedup_pairs_exact(
+            planted_vecs, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    ada = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_dedup_pairs(
+            planted_vecs, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    assert ref and ada == ref
+
+
+def test_embedding_dedup_above_threshold_goes_approximate(planted_vecs):
+    """Past exact_threshold the dial flips to approximate IVF: the
+    planted 0.99 pair quantizes to the same cell so it's still found."""
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_dedup_pairs(
+            planted_vecs, "vec_id", "embedding", threshold=0.9,
+            exact_threshold=10, nprobe=2,
+        ).collect()
+    }
+    assert (0, 30) in pairs
+
+
 def test_ann_ivf_recalls_planted_neighbor(planted_vecs):
     """IVF cells: a 0.99-cosine pair quantizes to the same cell, so the
     probe finds it."""

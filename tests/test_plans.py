@@ -55,9 +55,13 @@ def test_no_nested_loop_anywhere():
 
 
 _QUADRATIC_OK = {
-    # intentionally exact/quadratic baselines over the small embeddings
-    # table; their scale path is q_sim_ann_lsh (bucketed)
-    "q_dedup_embedding",
+    # Exact brute-force top-k: every (query, corpus) pair MUST be
+    # scored, and broadcasting the small query side while the corpus
+    # streams once is the correct physical shape for that — the
+    # BroadcastNestedLoopJoin here is intended, not a regression. The
+    # sub-linear path is q_sim_ann_lsh/ivf/persisted (bucketed).
+    # (q_dedup_embedding left this set in round 7: size-adaptive
+    # full-probe IVF cogroup below threshold — equi-join on cell.)
     "q_sim_topk",
     "q_sim_topk_pandas",
     # broadcast of a 1-row aggregate (scalar subquery) is a nested-loop
