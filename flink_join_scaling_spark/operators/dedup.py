@@ -31,6 +31,25 @@ from pyspark.sql import functions as F
 from flink_join_scaling_spark.functions.text import exploded_shingles, norm_text, tokens_ws
 
 
+def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism ONLY
+    when its current partitioning is narrower — a no-op at real scale.
+
+    Compute-heavy row-local stages (per-doc shingle sorts, signature
+    hashing) inherit the SCAN's partitioning, and a small parquet file
+    is one split regardless of ``maxPartitionBytes`` — so at bench/test
+    scale the whole map stage runs on one core of 32. At 100 TB the
+    scan yields thousands of splits and this returns ``df`` unchanged
+    (the guard is what makes it safe to leave in the production path:
+    an unconditional repartition would be a full-corpus shuffle).
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by sha2-256 of normalized text.
 
@@ -295,6 +314,194 @@ def minhash_dedup_pairs(
         df, id_col, text_col, shingle_n, candidates=cand, sizes=sizes
     )
     return pairs.where(F.col("jaccard") >= threshold)
+
+
+def containment_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, containment) pairs with containment ≥ threshold via
+    an EXACT prefix-filter candidate join (Chaudhuri/Bayardo
+    set-similarity-join family), never the all-pairs shingle self-join.
+
+    The naive exact path joins the full exploded shingle universe with
+    itself — Σ bucket² intermediate rows keyed by shingle, the heaviest
+    shuffle in the engine at sf0.1 (9.3 MB vs a 0.6 MB corpus) and the
+    difference between feasible and not at 100 TB. Prefix filtering
+    makes candidate generation subquadratic WITHOUT losing pairs:
+
+    For a pair with containment ≥ t, the SMALLER doc (size m) must
+    share ≥ ceil(t·m) shingles with the other doc, so under ANY fixed
+    ordering of its own shingles, its first ``m - ceil(t·m) + 1``
+    shingles (its *prefix*, ~(1-t)·m tokens) cannot all miss:
+    prefix(small) ∩ full(other) ≠ ∅. Candidates are therefore
+    prefix-tokens ⋈ full-tokens on shingle, restricted to
+    prefix-side-doc ≤ other-doc in size — a join whose probe side is
+    (1-t)× smaller than full × full. Because only the small side is
+    pruned, no GLOBAL canonical order is required — so the prefix is
+    computed entirely per-row (array_sort + slice, whole-stage
+    codegen, zero shuffle) instead of the classic df-order join-back +
+    per-doc ranking, which costs two extra corpus-sized shuffles
+    (measured 19 MB vs 9 MB for the plain self-join at sf0.1 — the
+    "better" textbook shape lost; a fixed-size bucketed-df sketch
+    ordering was also measured and cut candidates only 35% on this
+    corpus's flat df distribution while adding per-element map-lookup
+    cost — dropped). Unlike symmetric MinHash banding this loses
+    exactly nothing: low-Jaccard/high-containment pairs (a tweet
+    quoted inside a book) are the pairs the measure exists for, and
+    they survive because the guarantee binds on the small side only.
+
+    Everything after stop-shingle removal runs in ``xxhash64`` LONG
+    space: each doc's shingle set becomes a sorted long array, the
+    candidate join keys on longs, the hash order IS the prefix order,
+    and verification joins candidate pairs back to the per-doc hash
+    arrays scoring with a row-local ``array_intersect`` — 3× less
+    shuffle width and 3× faster verify than string arrays (measured
+    4.5 s → 1.4 s at sf0.1). Same hash-projection discipline as
+    ``_md5_pair_projected``: a 64-bit collision inside one doc pair
+    (probability ~|A|·|B|·2⁻⁶⁴) could perturb one intersection count;
+    at that rate the output is byte-identical to the self-join form.
+
+    The threshold is relaxed by 1e-6 before computing prefix lengths so
+    pairs whose round-6 score lands exactly on the threshold (true
+    containment in [t - 5e-7, t)) are still generated.
+
+    Shuffle ledger at scale: stop-shingle df counts (map-side
+    combined, only when max_df is set) → prefix⋈full on shingle
+    ((1-t)·Σ bucket² candidate volume vs Σ bucket²) → candidate-sized
+    verify. Prefix extraction and per-doc sizes are row-local.
+    """
+    from flink_join_scaling_spark.functions.text import (
+        shingles_from_tokens,
+        tokens_ws,
+    )
+
+    t_eff = threshold - 1e-6
+    # two-step select: shingles_from_tokens takes a column NAME.
+    # widen_if_narrow up front: EVERY downstream map stage (shingling,
+    # the per-row hash sort, the hot-set aggregation's explode)
+    # inherits this partitioning, and a small single-file scan would
+    # otherwise serialize them all onto one core.
+    #
+    # The checkpoint here is NOT (only) about reuse — it is an
+    # optimizer boundary. Any later explode or size() filter over
+    # __arr makes InferFiltersFromGenerate + pushdown-through-project
+    # inline the whole tokenize→shingle chain into a Filter under the
+    # scan, and inside `transform` lambdas there is no common-
+    # subexpression elimination, so the regexp split re-runs per
+    # token access — O(tokens²) per row, measured 26 s vs 1.4 s for
+    # this corpus at sf0.1. Pinning the pure projection first means
+    # nothing downstream can reach through it.
+    raw_arr = (
+        widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            shingles_from_tokens("__toks", shingle_n).alias("__arr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    with_arr = raw_arr
+    if max_df is not None:
+        # one corpus aggregation yields the stop-shingle set, removed
+        # from every doc's array up front so candidates AND verify see
+        # the identical reduced universe (Zipf bounds its size: ≤
+        # total_occurrences/max_df shingles can exceed max_df — same
+        # boundedness argument as the broadcast anti-join in
+        # shingle_jaccard_pairs). Derived from raw_arr's arrays (the
+        # per-doc shingles are already distinct) — one tokenization,
+        # not a second scan-side pipeline.
+        hot_arr = (
+            raw_arr.select(F.explode("__arr").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_df)
+            .agg(F.collect_list("shingle").alias("__hot"))
+        )
+        with_arr = raw_arr.crossJoin(F.broadcast(hot_arr)).select(
+            F.col(id_col), F.array_except("__arr", "__hot").alias("__arr")
+        )
+    # Project to SORTED xxhash64 arrays and pin: FOUR subtrees read
+    # this frame (prefix explode, full explode, both verify joins) —
+    # unpinned, the tokenize→shingle→stop-shingle→hash pipeline
+    # re-runs per subtree. Lazy localCheckpoint materializes once on
+    # first use (MEMORY_AND_DISK, spills at scale); the frame is
+    # corpus-sized but so is any set-similarity join's transformed
+    # input — materializing it once beats recomputing it 4×.
+    with_arr = (
+        with_arr.select(
+            F.col(id_col),
+            F.expr(
+                "array_sort(transform(__arr, s -> xxhash64(s)))"
+            ).alias("__h"),
+        )
+        .select(F.col(id_col), "__h", F.size("__h").alias("n_sh"))
+        .where(F.col("n_sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    # per-row prefix: the sorted hash array's first
+    # n - ceil(t_eff*n) + 1 elements — no global order needed (see
+    # docstring), so this never leaves the row.
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(t_eff) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    pa = with_arr.select(
+        F.col(id_col).alias("__pid"),
+        F.col("n_sh").alias("__pn"),
+        F.explode(F.slice("__h", F.lit(1), prefix_len)).alias("__sh"),
+    )
+    fb = with_arr.select(
+        F.col(id_col).alias("__fid"),
+        F.col("n_sh").alias("__fn"),
+        F.explode("__h").alias("__sh"),
+    )
+    cand = (
+        pa.join(fb, "__sh")
+        # the guarantee binds when the prefix doc is the (weakly)
+        # smaller one; the strictly-larger direction is covered by the
+        # pair's other orientation, so emitting it would only duplicate.
+        .where(
+            (F.col("__pn") < F.col("__fn"))
+            | ((F.col("__pn") == F.col("__fn")) & (F.col("__pid") != F.col("__fid")))
+        )
+        .select(
+            F.least("__pid", "__fid").alias("id_a"),
+            F.greatest("__pid", "__fid").alias("id_b"),
+        )
+        .distinct()
+    )
+    # Verify on the SETS already in hand: join the candidate pairs back
+    # to the per-doc sorted hash arrays and score with a row-local
+    # array_intersect — no re-explode, no intersection groupBy, no
+    # size joins. The pair side is pair-set-sized, so AQE broadcasts it
+    # and the hash frame streams join-side without an extra shuffle;
+    # past broadcast size the fallback is two linear sort-merge passes
+    # keyed by id. n_inter = |H_a ∩ H_b| over the post-stop-shingle
+    # distinct hash sets — identical to the explode-count form (hash
+    # collision caveat in the docstring).
+    a = with_arr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__h").alias("__ha"),
+        F.col("n_sh").alias("__na"),
+    )
+    b = with_arr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__h").alias("__hb"),
+        F.col("n_sh").alias("__nb"),
+    )
+    score = F.size(F.array_intersect("__ha", "__hb")) / F.least(
+        "__na", "__nb"
+    )
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(score, 6).alias("containment"))
+    )
+    return pairs.where(F.col("containment") >= threshold)
 
 
 def minhash_lsh_ml(

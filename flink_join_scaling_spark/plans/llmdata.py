@@ -626,14 +626,18 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle CONTAINMENT pairs >= 0.8: n_inter / min(|A|, |B|) — the
     asymmetric near-dup detector for a small document embedded inside
     a larger one (quote inclusion, boilerplate wrapping), which
-    symmetric Jaccard dilutes toward 0 as the size ratio grows. Same
-    equi-join + stop-shingle cap as q_dedup_ngram."""
+    symmetric Jaccard dilutes toward 0 as the size ratio grows.
+
+    Executes through the exact prefix-filter candidate join
+    (:func:`~flink_join_scaling_spark.operators.dedup.
+    containment_dedup_pairs`) — candidates from hash-ordered shingle
+    prefixes of the smaller doc, verify candidate-first — not the all-pairs
+    shingle self-join the oracle spells (byte-identical output; the
+    oracle keeps the self-join form because that IS the definition)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.shingle_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, max_df=_NGRAM_MAX_DF,
-        measure="containment",
+    return dd.containment_dedup_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.8, max_df=_NGRAM_MAX_DF
     )
-    return pairs.where(F.col("containment") >= 0.8)
 
 
 @query(

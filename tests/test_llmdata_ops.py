@@ -664,3 +664,42 @@ def test_containment_finds_embedded_doc(spark):
     assert (row.id_a, row.id_b) == (0, 1) and row.containment == 1.0
     [jrow] = dd.shingle_jaccard_pairs(docs, "doc_id", "text").collect()
     assert jrow.jaccard < 0.2  # symmetric measure misses it
+
+
+def test_containment_prefix_filter_is_exact(planted_docs):
+    """The prefix-filter candidate join (containment_dedup_pairs) is
+    output-identical to thresholding the exact shingle self-join — the
+    filter is a lossless candidate generator (the guarantee binds on
+    the smaller doc's rarest-shingle prefix), not an approximation."""
+    for thr, max_df in [(0.8, None), (0.8, 16), (0.5, 16), (0.95, None)]:
+        ref = {
+            (r.id_a, r.id_b): r.containment
+            for r in dd.shingle_jaccard_pairs(
+                planted_docs, "doc_id", "text", max_df=max_df,
+                measure="containment",
+            ).collect()
+            if r.containment >= thr
+        }
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in dd.containment_dedup_pairs(
+                planted_docs, "doc_id", "text", threshold=thr, max_df=max_df
+            ).collect()
+        }
+        assert got == ref, (thr, max_df)
+
+
+def test_containment_prefix_filter_keeps_embedded_doc(spark):
+    """The embedded-doc pair (low Jaccard, containment 1.0) survives
+    prefix filtering — exactly the pair class symmetric banding loses,
+    and the reason the candidate stage binds on the small side only."""
+    rng = random.Random(11)
+    long_doc = _doc(rng, n=120)
+    short_doc = " ".join(long_doc.split()[30:45])
+    docs = spark.createDataFrame(
+        [(0, long_doc), (1, short_doc)], "doc_id long, text string"
+    )
+    [row] = dd.containment_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8
+    ).collect()
+    assert (row.id_a, row.id_b) == (0, 1) and row.containment == 1.0
