@@ -7,8 +7,8 @@ columnar batches of payloads, never one row at a time. This is the
 shape that holds at 100 TB: payload bytes stay in the executor, only
 fixed-width features come back.
 
-JPEG/video codecs (libjpeg/ffmpeg) are NOT in this container, so
-``decode_media`` is gated: for those types ``decoder="real"`` raises
+Pixel/frame codecs (libjpeg/ffmpeg) are NOT in this container, so
+``decode_media`` is gated: for video, ``decoder="real"`` raises
 NotImplementedError at the decode step; ``decoder="fake"`` (default in
 tests, and the DuckDB-oracle path) derives deterministic
 pseudo-features from the raw bytes so the Spark-side plumbing —
@@ -17,7 +17,10 @@ testable. ``audio/wav`` and ``image/png`` have REAL dependency-free
 decoders (:func:`_parse_wav`: RIFF chunk walk + PCM statistics;
 :func:`_parse_png`: chunk walk + stdlib-zlib inflate + full
 None/Sub/Up/Average/Paeth scanline unfiltering), value-checked in
-tests against hand-built bytes.
+tests against hand-built bytes. ``image/jpeg`` has a real STRUCTURE
+decoder (:func:`_parse_jpeg_header`: marker-segment walk to SOFn for
+exact width/height/components, ``mean_byte`` null) — only its pixel
+statistics remain gated.
 """
 
 from __future__ import annotations
@@ -183,14 +186,24 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
             pass
         elif ftype == 2:  # Up
             cur = (cur + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth need left-to-right
+        elif ftype == 1:  # Sub: out[i] = (cur[i] + out[i-ch]) & 0xFF,
+            # i.e. per-channel running sum mod 256 — vectorized cumsum
+            # per channel residue class instead of a per-sample loop.
+            out = np.empty(stride, dtype=np.int64)
+            for c in range(channels):
+                out[c::channels] = np.cumsum(cur[c::channels]) & 0xFF
+            cur = out
+        elif ftype in (3, 4):  # Average/Paeth: the left operand feeds
+            # floor-division / a 3-way min predictor, so the recurrence
+            # is genuinely sequential — O(width·channels) Python per
+            # such scanline. Fine for test/fixture imagery; at real
+            # scale the pixel path belongs to a native codec anyway
+            # (this parser's job is exact small-image ground truth).
             out = np.empty(stride, dtype=np.int64)
             for i in range(stride):
                 a = out[i - channels] if i >= channels else 0  # left
                 b = prev[i]  # up
-                if ftype == 1:
-                    rec = cur[i] + a
-                elif ftype == 3:
+                if ftype == 3:
                     rec = cur[i] + (a + b) // 2
                 else:
                     c = prev[i - channels] if i >= channels else 0  # up-left
@@ -208,14 +221,66 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
 
 
-def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+def _parse_jpeg_header(payload: bytes) -> tuple[int, int, int, None]:
+    """Dependency-free JPEG STRUCTURE decode: a marker-segment walk to
+    the frame header (SOF0/SOF1/SOF2/…), the same honest pattern as the
+    WAV RIFF walk — everything a parser can know without entropy
+    decode. Returns (width, height, n_components, None): dimensions
+    and channel count are exact; ``mean_byte`` is None because pixel
+    statistics require Huffman/DCT decode (libjpeg), which stays
+    behind :class:`NotImplementedError` by design.
+
+    JPEG layout (ITU T.81 §B): SOI (FFD8), then marker segments
+    ``FF xx <len16 incl. itself> <body>``; standalone markers
+    (SOI/EOI/TEM/RSTn) carry no length; 0xFF fill bytes may pad before
+    any marker. The frame header is any SOFn in 0xC0–0xCF except DHT
+    (0xC4), JPG (0xC8), DAC (0xCC); its body is precision(1),
+    height(2), width(2), n_components(1). SOF must precede SOS —
+    hitting scan data or EOI without one is a corrupt file, not a
+    guess."""
+    n = len(payload)
+    if n < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at byte {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone: SOI / TEM / RSTn
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI, or SOS (scan data) — frame header never found
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("truncated JPEG segment body")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = payload[pos + 2 : pos + seglen]
+            if len(body) < 6:
+                raise ValueError("SOF segment too short")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            return width, height, body[5], None
+        pos += seglen  # skip this segment's body
+    raise ValueError("no SOF frame header before scan data/EOI")
+
+
+def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float | None]:
     if media_type == "audio/wav":
         return _parse_wav(payload)
     if media_type == "image/png":
         return _parse_png(payload)
+    if media_type == "image/jpeg":
+        return _parse_jpeg_header(payload)
     raise NotImplementedError(
-        f"no codec for {media_type!r}: JPEG/video decoders (libjpeg/ffmpeg) "
-        "are not available in this environment; plug a decoder in here"
+        f"no codec for {media_type!r}: video decoders (ffmpeg) are not "
+        "available in this environment; plug a decoder in here. (JPEG "
+        "dimensions/components decode via _parse_jpeg_header; its PIXEL "
+        "statistics would need libjpeg and stay gated too.)"
     )
 
 

@@ -117,9 +117,9 @@ def test_parse_wav_rejects_non_pcm():
         mm._parse_wav(bytes(wav))
 
 
-def test_real_decoder_still_gated_for_jpeg(spark):
+def test_real_decoder_still_gated_for_video(spark):
     df = spark.createDataFrame(
-        [(1, bytearray(b"notanimage"), "image/jpeg", 10)],
+        [(1, bytearray(b"notavideo"), "video/mp4", 9)],
         "doc_id long, payload binary, media_type string, n_bytes long",
     )
     with pytest.raises(Exception) as exc_info:
@@ -127,6 +127,80 @@ def test_real_decoder_still_gated_for_jpeg(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def _jpeg_bytes(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    sof_marker: int = 0xC0,
+    fill_bytes: int = 0,
+    extra_segments: bool = True,
+) -> bytes:
+    """Hand-assembled JPEG marker stream (T.81 §B): SOI, optional
+    APP0/DQT/DRI segments and RST-style standalone markers to exercise
+    the walk, the SOFn frame header carrying the dimensions, SOS, two
+    bytes of fake scan data, EOI."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    if extra_segments:
+        jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+        dqt = bytes([0]) + bytes(range(64))  # table id + 64 entries
+        out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+        out += b"\xff\x01"  # TEM: standalone marker, no length
+    out += b"\xff" * fill_bytes  # fill bytes are legal padding
+    sof = (
+        bytes([8])  # precision
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([n_components])
+    )
+    for i in range(n_components):
+        sof += bytes([i + 1, 0x11, 0])  # component id, sampling, qtable
+    out += bytes([0xFF, sof_marker]) + (len(sof) + 2).to_bytes(2, "big") + sof
+    sos = bytes([n_components]) + b"".join(
+        bytes([i + 1, 0]) for i in range(n_components)
+    ) + bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += b"\x12\x34\xff\xd9"  # scan bytes + EOI
+    return bytes(out)
+
+
+def test_parse_jpeg_header_baseline_and_progressive():
+    for marker, w, h, nc in [(0xC0, 640, 480, 3), (0xC2, 31, 17, 1), (0xC1, 8192, 1, 4)]:
+        got = mm._parse_jpeg_header(_jpeg_bytes(w, h, nc, sof_marker=marker))
+        assert got == (w, h, nc, None)
+
+
+def test_parse_jpeg_header_fill_bytes_and_minimal():
+    assert mm._parse_jpeg_header(_jpeg_bytes(99, 7, 3, fill_bytes=3)) == (99, 7, 3, None)
+    assert mm._parse_jpeg_header(
+        _jpeg_bytes(5, 6, 1, extra_segments=False)
+    ) == (5, 6, 1, None)
+
+
+def test_parse_jpeg_header_rejects_corrupt():
+    with pytest.raises(ValueError, match="SOI"):
+        mm._parse_jpeg_header(b"notanimage")
+    with pytest.raises(ValueError, match="SOF"):
+        # SOS with no preceding SOF
+        mm._parse_jpeg_header(b"\xff\xd8\xff\xda\x00\x04\x01\x00\x12\xff\xd9")
+    with pytest.raises(ValueError, match="truncated"):
+        mm._parse_jpeg_header(_jpeg_bytes(640, 480)[:12])
+    # DHT (0xC4) must NOT be mistaken for a frame header
+    dht_only = b"\xff\xd8\xff\xc4\x00\x08" + bytes(6) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="SOF"):
+        mm._parse_jpeg_header(dht_only)
+
+
+def test_real_jpeg_decode_through_spark(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_jpeg_bytes(320, 200, 3)), "image/jpeg", 100)],
+        "doc_id long, payload binary, media_type string, n_bytes long",
+    )
+    [row] = mm.decode_media(df, decoder="real").collect()
+    assert (row.width, row.height, row.n_channels) == (320, 200, 3)
+    assert row.mean_byte is None  # pixel stats stay gated for JPEG
 
 
 def _png_bytes(pixels, channels: int, filters=None) -> bytes:
