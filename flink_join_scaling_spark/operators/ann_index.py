@@ -87,6 +87,23 @@ def ivf_index_build(
                 f"the index was built with id_col={id_col!r}, "
                 f"vec_col={vec_col!r}"
             )
+        # names matching is not enough: a float batch appended to a
+        # double index (or a different id type) writes files whose
+        # parquet schema diverges from existing cells — inconsistent
+        # schema merging / matmul failures at QUERY time, far from the
+        # write that caused them. Fail at the write instead.
+        if "cells_schema" in meta:
+            from pyspark.sql.types import StructType
+
+            stored = StructType.fromJson(json.loads(meta["cells_schema"]))
+            for c in (id_col, vec_col):
+                want, got = stored[c].dataType, vectors.schema[c].dataType
+                if want != got:
+                    raise ValueError(
+                        f"append batch column {c!r} has type "
+                        f"{got.simpleString()} but the index stores "
+                        f"{want.simpleString()}"
+                    )
         cents = [
             {"cell": r.cell, "cvec": list(r.cvec)}
             for r in spark.read.parquet(
@@ -94,6 +111,16 @@ def ivf_index_build(
             ).collect()
         ]
         cents.sort(key=lambda c: c["cell"])
+        # dimension check (first row is enough to catch a wrong-model
+        # batch cheaply; a mixed-dim batch still fails loudly in the
+        # assignment matmul)
+        dim = len(cents[0]["cvec"]) if cents else None
+        first = vectors.select(F.size(F.col(vec_col)).alias("n")).first()
+        if dim is not None and first is not None and first.n != dim:
+            raise ValueError(
+                f"append batch vectors have dimension {first.n} but the "
+                f"index's centroids are {dim}-dimensional"
+            )
     else:
         cents_fn = ivf_centroids_kmeans if train else ivf_centroids
         cents = cents_fn(vectors, id_col, vec_col, num_cells)
@@ -118,8 +145,6 @@ def ivf_index_build(
             os.path.join(index_dir, "centroids")
         )
         os.makedirs(index_dir, exist_ok=True)
-        with open(_meta_path(index_dir), "w") as f:
-            json.dump(meta, f)
     assigned = ivf_cells_pandas(
         vectors, id_col, vec_col, meta["num_cells"], nprobe=1, centroids=cents
     ).select(id_col, vec_col, "l2_norm", "cell")
@@ -127,11 +152,17 @@ def ivf_index_build(
     # deleted → no parquet files left) still reads as EMPTY instead of
     # failing schema inference
     meta["cells_schema"] = assigned.schema.json()
-    with open(_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
     assigned.write.mode(
         "append" if mode == "append" else "overwrite"
     ).partitionBy("cell").parquet(cells_dir)
+    # meta is the index's commit marker: written LAST (after the cell
+    # write succeeded), via temp-file + atomic rename, so a crashed
+    # fresh build has NO meta (readers error loudly instead of serving
+    # a partial/empty index as if complete)
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(index_dir))
     return meta
 
 
@@ -290,3 +321,55 @@ def ivf_index_delete(
                 os.path.join(cells_dir, f"cell={cell}"), ignore_errors=True
             )
     return n_deleted
+
+
+def ivf_index_compact(
+    spark: SparkSession,
+    index_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Maintenance pass closing the index lifecycle
+    (build → append → delete → COMPACT): fold each cell directory's
+    append-accumulated small files into ``ceil(bytes/target)`` files.
+
+    Every ``mode="append"`` top-up lands new files in existing cell
+    directories, and dynamic-overwrite deletion rewrites survivors as
+    fresh files — after enough cycles a cell is hundreds of KB-sized
+    parquet files whose open/footer costs dominate the probe scan.
+    Compaction runs :func:`~flink_join_scaling_spark.sources.io.
+    compact_parquet` PER CELL directory, so the partition layout —
+    which IS the index (pruning reads nprobe/num_cells of the bytes) —
+    is untouched: rows never move between cells, ``cell=`` directory
+    names never change, and a cell already at ``min_files`` or fewer
+    files is skipped (nothing to fold). At 100 TB each cell compacts
+    independently — embarrassingly parallel maintenance, and a table
+    format's rewrite-files subsumes the swap with a metadata commit.
+
+    Returns {"cells_compacted", "files_before", "files_after"}
+    (skipped cells count in neither files total).
+    """
+    from flink_join_scaling_spark.sources.io import compact_parquet
+
+    cells_dir = os.path.join(index_dir, "cells")
+    if not os.path.exists(_meta_path(index_dir)):
+        raise FileNotFoundError(f"no index meta under {index_dir}")
+    done = {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    if not os.path.isdir(cells_dir):
+        return done  # fully-purged index: nothing to compact
+    for entry in sorted(os.listdir(cells_dir)):
+        cell_dir = os.path.join(cells_dir, entry)
+        if not entry.startswith("cell=") or not os.path.isdir(cell_dir):
+            continue
+        n_files = sum(
+            1
+            for f in os.listdir(cell_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if n_files <= min_files:
+            continue
+        stats = compact_parquet(spark, cell_dir, target_file_bytes)
+        done["cells_compacted"] += 1
+        done["files_before"] += stats["files_before"]
+        done["files_after"] += stats["files_after"]
+    return done

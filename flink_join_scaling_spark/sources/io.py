@@ -150,10 +150,15 @@ def compact_parquet(
     to a table format's rewrite — silently mis-sizing them to one
     output file would be a catastrophic single-task rewrite. The swap
     renames the old directory aside, renames staging in, then deletes
-    the old — readers never observe a missing path, and a crash
-    between the renames leaves the data recoverable under one of the
-    two names. Row counts come from the staged files' parquet FOOTERS
-    (metadata-only), not a second data scan.
+    the old. That is CRASH-RECOVERABLE, not reader-atomic: between the
+    two renames the path briefly does not exist, and the final delete
+    breaks a concurrent reader still scanning old files — the operator
+    assumes a single writer and no concurrent readers during the swap
+    (true reader atomicity is exactly what a table format's metadata
+    commit buys). A crash between the renames leaves the data
+    recoverable under one of the two names. Row counts come from the
+    staged files' parquet FOOTERS (metadata-only), not a second data
+    scan.
 
     Returns {"files_before", "files_after", "bytes", "rows"}.
     """

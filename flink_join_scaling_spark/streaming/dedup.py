@@ -446,14 +446,22 @@ def _accumulate_versions(
     redelivered id is deduped, but dropped ids are not persisted (that
     would unbound the capped state), so at-least-once redelivery
     across batches can overcount — the signal errs loud, never
-    silent, and 0 still means exactly "complete history"."""
+    silent, and 0 still means exactly "complete history".
+
+    State layout is the FOUR-slot ``(ts, ids, third, dropped)`` schema.
+    Spark's state-store schema compatibility check refuses to open a
+    checkpoint written under the pre-``dropped`` three-slot layout —
+    upgrading a running scd2/ema deployment across that change requires
+    a fresh checkpoint directory (there is deliberately no in-code
+    back-compat read: it could never execute, because the restore fails
+    before user code sees the old state)."""
     if state.exists:
         ts_l, id_l, third_l = (
             list(state.get[0]),
             list(state.get[1]),
             list(state.get[2]),
         )
-        dropped = int(state.get[3]) if len(state.get) > 3 else 0
+        dropped = int(state.get[3])
     else:
         ts_l, id_l, third_l = [], [], []
         dropped = 0

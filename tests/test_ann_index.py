@@ -261,3 +261,95 @@ def test_delete_string_id_index(spark, tmp_path):
 
     assert ivf_index_delete(spark, idx, ["doc-3", "doc-4", "doc-999"]) == 2
     assert ivf_index_cells(spark, idx).count() == 18
+
+
+def test_append_rejects_wrong_vector_type_and_dimension(spark, tmp_path):
+    """Names matching is not enough: a float batch appended to a
+    double index, or a wrong-dimension batch (different embedding
+    model), must fail at the WRITE — not as schema-merge/matmul
+    corruption at query time."""
+    import pytest
+
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_index_build(e, idx, num_cells=4, train=False)
+    doubly = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    with pytest.raises(ValueError, match="array<double>"):
+        ivf_index_build(doubly, idx, mode="append")
+    short = e.withColumn("embedding", F.slice("embedding", 1, 3))
+    with pytest.raises(ValueError, match="dimension 3"):
+        ivf_index_build(short, idx, mode="append")
+    # the failed appends must not have written anything
+    assert ivf_index_cells(spark, idx).count() == e.count()
+
+
+def test_meta_is_written_last(spark, tmp_path, monkeypatch):
+    """meta.json is the commit marker: if the cell write dies, the
+    fresh build leaves NO meta, so readers error loudly instead of
+    serving a partial index as complete."""
+    import pytest
+
+    import flink_join_scaling_spark.operators.ann_index as ai
+
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated cell-write failure")
+
+    real = ai.ivf_cells_pandas
+    monkeypatch.setattr(ai, "ivf_cells_pandas", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ivf_index_build(e, idx, num_cells=4, train=False)
+    assert not os.path.exists(os.path.join(idx, "meta.json"))
+    monkeypatch.setattr(ai, "ivf_cells_pandas", real)
+    ivf_index_build(e, idx, num_cells=4, train=False)  # clean retry works
+    assert ivf_index_cells(spark, idx).count() == e.count()
+
+
+def test_compact_folds_appended_files_and_preserves_results(spark, tmp_path):
+    """build → append → append → COMPACT: per-cell file counts
+    collapse, the cell= partition layout (the index's pruning
+    structure) is untouched, and top-k results are unchanged."""
+    from flink_join_scaling_spark.operators.ann_index import ivf_index_compact
+
+    idx = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_index_build(e, idx, num_cells=4, train=False)
+    for i in (1, 2):
+        more = e.withColumn("vec_id", F.col("vec_id") + F.lit(100000 * i))
+        ivf_index_build(more, idx, mode="append")
+
+    cells_dir = os.path.join(idx, "cells")
+
+    def files_per_cell():
+        return {
+            d: sorted(
+                f
+                for f in os.listdir(os.path.join(cells_dir, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(cells_dir)
+            if d.startswith("cell=")
+        }
+
+    before = files_per_cell()
+    assert any(len(v) >= 3 for v in before.values()), before  # 3 writes
+    queries = e.where(F.col("vec_id") < 10)
+    res_before = sorted(
+        (r.query_id, r.vec_id)
+        for r in ivf_index_topk(queries, idx, k=5, nprobe=2).collect()
+    )
+    stats = ivf_index_compact(spark, idx)
+    assert stats["cells_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after = files_per_cell()
+    assert set(after) == set(before)  # same cell directories
+    assert all(len(v) <= 2 for v in after.values()), after
+    res_after = sorted(
+        (r.query_id, r.vec_id)
+        for r in ivf_index_topk(queries, idx, k=5, nprobe=2).collect()
+    )
+    assert res_after == res_before
+    # idempotent: a second pass finds nothing left to fold
+    assert ivf_index_compact(spark, idx)["cells_compacted"] == 0
