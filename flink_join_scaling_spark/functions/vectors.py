@@ -74,3 +74,45 @@ def _cosine6_udf():
         "return": pd.Series,
     }
     return pandas_udf("double")(_cos)
+
+
+def cosine_e6_pandas(a, b, norm_a, norm_b) -> Column:
+    """Integer-quantized cosine ``round(cos * 1e6) AS BIGINT`` — the
+    engine-stable form of :func:`cosine6_pandas` for values that are
+    COMPARED (thresholds, argmin keys) or EXPOSED in query output.
+
+    A round-6 *double* still carries two cross-engine hazards: the
+    rounded value itself is not exactly representable (so Spark/NumPy
+    and DuckDB can stringify the "same" round-6 value differently in a
+    hash compare), and ordering keys inherit the representation noise.
+    A BIGINT has one representation; after quantization every
+    downstream compare is exact integer math. The only residual risk
+    is a true cosine landing within an ulp of an exact .5e-6 midpoint
+    — strictly narrower than the round-6-double boundary it replaces
+    (the q_embed_outliers e4 discipline, promoted to the pair stage).
+    Zero-norm inputs define cosine as 0 like the rest of the family.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in (a, b, norm_a, norm_b)]
+    return _cosine_e6_udf()(*cols)
+
+
+def _cosine_e6_udf():
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_e6(va, vb, na, nb):
+        if not len(va):
+            return pd.Series(np.empty(0, dtype=np.int64))
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        denom = na.to_numpy() * nb.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(denom == 0.0, 0.0, (A * B).sum(axis=1) / denom)
+        return pd.Series(np.round(c * 1e6).astype(np.int64))
+
+    _cos_e6.__annotations__ = {
+        "va": pd.Series, "vb": pd.Series, "na": pd.Series, "nb": pd.Series,
+        "return": pd.Series,
+    }
+    return pandas_udf("long")(_cos_e6)

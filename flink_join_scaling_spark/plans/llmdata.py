@@ -1555,6 +1555,10 @@ def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- semantic dedup
 
 _SEM_THRESHOLD = 0.35
+#: the threshold compare runs on e6-quantized BIGINT cosines (see
+#: functions.vectors.cosine_e6_pandas) — integer compares are
+#: engine-stable where round-6 doubles carried representation noise
+_SEM_THRESHOLD_E6 = round(_SEM_THRESHOLD * 1_000_000)
 
 # shared CTE chain for the SemDeDup family: within-cluster pairs →
 # components → e4-centroid member scoring → per-component keeper rank.
@@ -1575,10 +1579,11 @@ _SEM_PAIR_CTES = f"""e AS (
         FROM n a JOIN n b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE a.nrm > 0 AND b.nrm > 0
-          AND round(list_reduce(list_transform(list_zip(a.v, b.v),
+          AND CAST(round(list_reduce(list_transform(list_zip(a.v, b.v),
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
-                        (x, y) -> x + y) / (a.nrm * b.nrm), 6)
-              >= {_SEM_THRESHOLD}
+                        (x, y) -> x + y) / (a.nrm * b.nrm) * 1000000)
+                   AS BIGINT)
+              >= {_SEM_THRESHOLD_E6}
     )"""
 
 _SEM_CTES = f"""{_SEM_PAIR_CTES},
@@ -1607,18 +1612,19 @@ _SEM_CTES = f"""{_SEM_PAIR_CTES},
     ),
     memb AS (
         SELECT comp.component_id, comp.node,
-               round(list_reduce(list_transform(list_zip(n.v, cl.c),
+               CAST(round(list_reduce(list_transform(list_zip(n.v, cl.c),
                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
                          (x, y) -> x + y)
                      / (n.nrm *
                         sqrt(list_reduce(list_transform(cl.c, x -> x * x),
-                                         (a, b) -> a + b))), 6) AS ccos
+                                         (a, b) -> a + b))) * 1000000)
+                    AS BIGINT) AS ccos_e6
         FROM comp JOIN n ON n.vec_id = comp.node
                   JOIN cl ON cl.label = n.label
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY component_id
-                                     ORDER BY ccos ASC, node ASC) AS rn
+                                     ORDER BY ccos_e6 ASC, node ASC) AS rn
         FROM memb
     )"""
 
@@ -1630,12 +1636,12 @@ _SEM_CTES = f"""{_SEM_PAIR_CTES},
     SELECT component_id,
            max(CASE WHEN rn = 1 THEN node END) AS keep_id,
            CAST(count(*) AS BIGINT) AS n_members,
-           min(ccos) AS keep_centroid_cos
+           min(ccos_e6) AS keep_centroid_cos_e6
     FROM ranked
     GROUP BY component_id
     """,
     headline=True,
-    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+    tags=("llmdata", "dedup", "similarity"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by
@@ -1647,11 +1653,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmin of centroid cosine (the paper's low-centroid-similarity
     keep rule, preserving diversity), ties to the lowest vec_id.
 
-    Comparability: pair cosines and centroid cosines are the
-    dimension-ordered fold (bit-identical round-6); centroids are
-    e4-quantized before scoring (q_embed_outliers' discipline);
-    component ids are min-node labels; keeper argmin has a vec_id
-    tiebreak. Exact n_members attests the component structure.
+    Comparability: pair cosines and centroid cosines are e6-quantized
+    BIGINTs (``round(cos * 1e6)`` — q_embed_outliers' integer
+    discipline promoted to the pair stage), so every threshold compare,
+    argmin key, and exposed value is exact integer math on both
+    engines; centroids are e4-quantized before scoring; component ids
+    are min-node labels; keeper argmin has a vec_id tiebreak. Exact
+    n_members attests the component structure.
 
     Scale shape: THE SemDeDup scale story — pairwise work is
     Σ cluster², never corpus² (clusters are capacity-bounded by the
@@ -1661,9 +1669,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the LSH band family."""
     memb = _semantic_members(spark, sf_dir)
     return memb.groupBy("component_id").agg(
-        F.min_by("node", F.struct(F.col("ccos"), F.col("node"))).alias("keep_id"),
+        F.min_by("node", F.struct(F.col("ccos_e6"), F.col("node"))).alias("keep_id"),
         F.count("*").alias("n_members"),
-        F.min("ccos").alias("keep_centroid_cos"),
+        F.min("ccos_e6").alias("keep_centroid_cos_e6"),
     )
 
 
@@ -1673,7 +1681,7 @@ def _semantic_graph(spark: SparkSession, sf_dir: str):
     the SemDeDup duplicate graph — consumed by _semantic_members and,
     fused with the lexical MinHash pairs, by q_dedup_ensemble."""
     from flink_join_scaling_spark.functions.vectors import (
-        cosine6_pandas,
+        cosine_e6_pandas,
         with_l2_norm,
     )
 
@@ -1695,14 +1703,15 @@ def _semantic_graph(spark: SparkSession, sf_dir: str):
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    # pair-heavy stage → Arrow/NumPy cosine (cosine6_pandas), not the
+    # pair-heavy stage → Arrow/NumPy cosine (cosine_e6_pandas), not the
     # interpreted per-element fold: ~200k within-cluster candidates ×
     # dim-wide dot products is exactly the hot path §4.3 reserves for
-    # vectorized batches (measured 2.8 s → sub-second at sf0.1)
+    # vectorized batches (measured 2.8 s → sub-second at sf0.1); the
+    # e6 BIGINT makes the threshold compare exact integer math
     pairs = (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine6_pandas("va", "vb", "na", "nb"))
-        .where(F.col("cos") >= _SEM_THRESHOLD)
+        .withColumn("cos_e6", cosine_e6_pandas("va", "vb", "na", "nb"))
+        .where(F.col("cos_e6") >= F.lit(_SEM_THRESHOLD_E6))
         .select("id_a", "id_b")
         # one materialization feeds the iterative CC consumer — without
         # the pin every CC round would re-run the pairwise join
@@ -1712,10 +1721,10 @@ def _semantic_graph(spark: SparkSession, sf_dir: str):
 
 
 def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared SemDeDup core: (component_id, node, ccos) — duplicate
+    """Shared SemDeDup core: (component_id, node, ccos_e6) — duplicate
     components over within-cluster ≥θ cosine pairs, each member scored
-    by cosine to its e4-quantized cluster centroid. Consumed by
-    q_dedup_semantic (the component report) and
+    by e6-quantized cosine to its e4-quantized cluster centroid.
+    Consumed by q_dedup_semantic (the component report) and
     q_dedup_semantic_apply (the pruned corpus)."""
     e, n, pairs = _semantic_graph(spark, sf_dir)
 
@@ -1739,17 +1748,17 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.join(n, comp["node"] == n["vec_id"])
         .join(cl, F.col("label") == F.col("c_label"))
         .withColumn(
-            "ccos",
+            "ccos_e6",
             F.round(
                 _fold_sum(F.zip_with("v", "c", lambda x, y: x * y))
                 / (
                     F.col("nrm")
                     * F.sqrt(_fold_sum(F.transform("c", lambda x: x * x)))
-                ),
-                6,
-            ),
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
         )
-        .select("component_id", "node", "ccos")
+        .select("component_id", "node", "ccos_e6")
     )
     return memb
 
@@ -1763,7 +1772,7 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings e3
     WHERE e3.vec_id NOT IN (SELECT node FROM losers)
     """,
-    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+    tags=("llmdata", "dedup", "similarity"),
 )
 def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The semantically pruned corpus itself: every vector except the
@@ -1773,7 +1782,7 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     component-sized loser set; the corpus shuffles once, on its id."""
     memb = _semantic_members(spark, sf_dir)
     keep = memb.groupBy("component_id").agg(
-        F.min_by("node", F.struct(F.col("ccos"), F.col("node"))).alias("keep_id")
+        F.min_by("node", F.struct(F.col("ccos_e6"), F.col("node"))).alias("keep_id")
     )
     losers = (
         memb.join(keep, "component_id")
@@ -1821,7 +1830,7 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.component_id
     """,
     headline=True,
-    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+    tags=("llmdata", "dedup", "similarity"),
 )
 def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal (ensemble) dedup: the LEXICAL near-dup graph
@@ -1980,7 +1989,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT node FROM losers)
     """,
-    tags=("llmdata", "dedup", "similarity", "float-boundary-sensitive"),
+    tags=("llmdata", "dedup", "similarity"),
 )
 def q_dedup_ensemble_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multi-signal deduplicated corpus — what a production

@@ -51,12 +51,11 @@ QUERIES: dict[str, QuerySpec] = {}
 FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     "q_dedup_embedding",
     "q_sim_ann_lsh",
-    # pair-stage cosine runs through cosine6_pandas (NumPy) against a
-    # threshold on the round-6 value — same accepted boundary class
-    "q_dedup_semantic",
-    "q_dedup_semantic_apply",
-    "q_dedup_ensemble",
-    "q_dedup_ensemble_apply",
+    # the SemDeDup/ensemble family left this manifest in round 7: its
+    # pair thresholds, argmin keys, and exposed centroid cosines are
+    # now e6-quantized BIGINTs (functions/vectors.cosine_e6_pandas) —
+    # exact integer compares on both engines, residual risk narrowed
+    # to a true cosine within an ulp of an exact .5e-6 midpoint
 )
 
 
@@ -154,13 +153,28 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
 #: machinery exists to prevent — and the test fails loudly.
 ROTATION_FOLDED_THROUGH = 6
 
+# Queries whose output CHANGED this round, invalidating their prior
+# green rows outright (not merely aging them): the SemDeDup/ensemble
+# family's e6-quantization renamed/retyped exposed columns and moved
+# every cosine compare to integer math, so the r6 hashes no longer
+# describe the current code. Ordered before even the stalest
+# re-attestations — a changed query with an old green row is the one
+# kind of entry whose CORRECTNESS record is actively wrong.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "q_dedup_semantic", "q_dedup_semantic_apply",
+        "q_dedup_ensemble", "q_dedup_ensemble_apply",
+    }
+)
+
 # Queries whose latest driver row is stale and must be re-attested
 # before never-recorded queries. Round 7 targets freshness (the r6
 # verdict's #1 task): every query is green in SOME round, but 24 names
 # last held a driver row in round 3 and 24 more in round 4 — before the
 # r4 vectorized-cosine hot path, r5 catalog memoization, and r6
-# registry reshuffles that now execute under them. 48 ≤ the ~50-slot
-# window, so the whole stale cohort re-attests this round.
+# registry reshuffles that now execute under them. 48 + the 4 changed
+# names ≈ the ~50-slot window; the freshest r4 names are the ones a
+# time-budget cutoff may defer (their unchanged rows still stand).
 #: Subset of ``_NEEDS_FRESH_ROW`` with the OLDEST last-green round;
 #: ordered ahead of the rest of group 1 so a time-budget cutoff starves
 #: the freshest names, not the stalest.
@@ -179,10 +193,14 @@ _NEEDS_FRESH_ROW_FIRST: frozenset[str] = frozenset(
 
 _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
     {
-        # last green in round 4
-        "q_decontaminate", "q_decontaminate_apply", "q_funnel",
+        # last green in round 4. q_decontaminate_apply and
+        # q_mixture_budget are deferred to round 8: the 4
+        # _CHANGED_THIS_ROUND names took their window slots, these two
+        # were FIRST attested in round 4 (newest rows of the cohort),
+        # and their code paths are untouched since — their rows stand.
+        "q_decontaminate", "q_funnel",
         "q_join_anti", "q_join_asof", "q_join_range", "q_join_semi",
-        "q_mixture_budget", "q_percentiles", "q_pii_redact", "q_pivot",
+        "q_percentiles", "q_pii_redact", "q_pivot",
         "q_sessionize", "q_stream_dedup", "q_stream_session",
         "q_stream_sliding", "q_stream_tumbling", "q_tpch_q10_returns",
         "q_tpch_q14_promo", "q_tpch_q18_large_orders", "q_tpch_q3_shipping",
@@ -193,19 +211,22 @@ _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
 
 
 def query_fns() -> dict[str, QueryFn]:
-    """Driver iteration order. Four groups, stable registration order
-    within each: (1) queries needing a fresh CORRECTNESS row this round
-    (stale or never recorded) — the driver's ~50-entry window must land
-    on these, oracle-bearing before rows-only; (2) oracle-bearing
+    """Driver iteration order. Groups, stable registration order
+    within each: (0) queries whose output changed this round (their
+    old rows are invalid, not just stale); (1) queries needing a fresh
+    CORRECTNESS row this round (stale or never recorded) — the
+    driver's ~50-entry window must land on these, oracle-bearing
+    before rows-only; (2) oracle-bearing
     queries with no green row yet; (3) oracle-bearing queries already
     green in a prior round (their rows stand); (4) remaining rows-only
     queries last — a cutoff shadowing them loses nothing, they can
     never hash-match anyway."""
     order = list(QUERIES)
 
-    def rank(s: QuerySpec) -> tuple[int, int, int, int, int]:
+    def rank(s: QuerySpec) -> tuple[int, int, int, int, int, int]:
         return (
-            s.name not in _NEEDS_FRESH_ROW,  # stale/missing rows first
+            s.name not in _CHANGED_THIS_ROUND,  # invalidated rows first
+            s.name not in _NEEDS_FRESH_ROW,  # stale/missing rows next
             s.name not in _NEEDS_FRESH_ROW_FIRST,  # stalest first in group 1
             s.oracle is None,  # rows-only after oracle-bearing
             s.name in _DRIVER_GREEN,  # never-recorded before re-verified

@@ -144,6 +144,7 @@ def test_greens_rank_after_all_queries_needing_rows():
         n for n in order
         if registry.QUERIES[n].oracle is not None
         and (n in registry._NEEDS_FRESH_ROW
+             or n in registry._CHANGED_THIS_ROUND
              or n not in registry._DRIVER_GREEN)
     ]
     if not pend:
@@ -151,7 +152,9 @@ def test_greens_rank_after_all_queries_needing_rows():
     last_pending = max(order.index(n) for n in pend)
     settled_before = [
         n for n in order[:last_pending]
-        if n in registry._DRIVER_GREEN and n not in registry._NEEDS_FRESH_ROW
+        if n in registry._DRIVER_GREEN
+        and n not in registry._NEEDS_FRESH_ROW
+        and n not in registry._CHANGED_THIS_ROUND
     ]
     assert not settled_before, (
         f"green queries rank before pending ones: {settled_before[:5]}"
