@@ -584,6 +584,92 @@ def ngram_contamination(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN detection: for every document, measure how
+    much of it is covered by token ``gram_len``-grams that also occur
+    in at least ``min_docs - 1`` OTHER documents — the substring-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), where boilerplate/license blocks recur
+    across otherwise-distinct pages that no whole-document or
+    near-duplicate detector flags. Within-document repetition is
+    deliberately NOT counted (that is ``q_repetition``'s signal);
+    a duplicated gram here must span ≥ ``min_docs`` distinct ids.
+
+    Returns one row per input document:
+    (id, n_tokens, n_dup_tokens, n_dup_spans) — n_dup_tokens is the
+    size of the UNION of covered token positions (overlapping grams
+    are not double-counted), n_dup_spans the number of MAXIMAL
+    contiguous covered runs (gaps-and-islands over positions).
+    Downstream policy is the caller's: clip the spans, drop documents
+    above a duplicated fraction, or weight them down.
+
+    Scale shape — a suffix-array corpus pass re-expressed as three
+    linear keyed shuffles (the same discipline as C4 line dedup):
+    positional grams explode to n_tokens rows per doc (linear, NOT
+    distinct — positions matter); the cross-doc frequency agg and the
+    join-back are keyed by the 128-bit gram digest (never the gram
+    text, so shuffle bytes are flat per token regardless of
+    gram_len); coverage/islands shuffle only DUPLICATED positions,
+    keyed by doc. No stage is ever pairwise — corpus² appears nowhere,
+    and a gram shared by k docs costs k rows, not k². The window sort
+    for islands runs per doc over covered positions (≤ n_tokens).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
+    ).withColumn("n_tokens", F.size("__t").cast("bigint"))
+    # positional grams: pos is the 0-based start token index; md5 of
+    # the space-joined gram is the join/agg key (16 bytes, flat in
+    # gram_len; collision odds over even 10^12 grams are ~10^-14)
+    gram = f"concat_ws(' ', slice(__t, i + 1, {gram_len}))"
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {gram_len} THEN "
+                f"transform(sequence(0, size(__t) - {gram_len}), i -> md5({gram})) "
+                f"ELSE array() END"
+            )
+        ).alias("pos", "g"),
+    )
+    dfreq = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .where(F.col("__ndocs") >= min_docs)
+        .select("g")
+    )
+    dup = grams.join(dfreq, "g").select(id_col, "pos")
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+        ).alias("p"),
+    ).distinct()
+    w = Window.partitionBy(id_col).orderBy("p")
+    isl = covered.withColumn("grp", F.col("p") - F.row_number().over(w))
+    agg = isl.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_tokens"),
+        F.count_distinct("grp").alias("n_dup_spans"),
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )
+
+
 # ------------------------------------------------------------- SimHash
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

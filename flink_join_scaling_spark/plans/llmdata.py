@@ -1247,6 +1247,60 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_GRAM_LEN = 8
+
+
+@query(
+    "q_dedup_spans",
+    headline=True,
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tk AS (SELECT doc_id, ws AS t, CAST(len(ws) AS BIGINT) AS n_tokens
+           FROM toks),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) - {_SPAN_GRAM_LEN} + 2)) AS i
+        FROM tk WHERE len(t) >= {_SPAN_GRAM_LEN}
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+{_SPAN_GRAM_LEN - 1}], ' ')) AS g
+        FROM idx
+    ),
+    dfq AS (SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id,
+               pos + unnest(range(0, {_SPAN_GRAM_LEN})) AS p
+        FROM grams JOIN dfq USING (g)
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM cov
+    ),
+    agg AS (SELECT doc_id, count(*) AS ndt, count(DISTINCT grp) AS nds
+            FROM isl GROUP BY doc_id)
+    SELECT tk.doc_id, tk.n_tokens,
+           CAST(coalesce(agg.ndt, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(coalesce(agg.nds, 0) AS BIGINT) AS n_dup_spans
+    FROM tk LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span census over the corpus: per document, how
+    many token positions (and how many maximal contiguous runs) fall
+    inside an 8-token gram shared with another document — the
+    substring-dedup signal of Lee et al. 2022, catching boilerplate
+    and license blocks that whole-document and near-dup detectors
+    miss. See :func:`operators.dedup.duplicated_spans` for the
+    three-linear-shuffle scale shape (digest-keyed frequency + join
+    back + doc-keyed islands; nothing pairwise)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_spans(d, "doc_id", "text", gram_len=_SPAN_GRAM_LEN)
+
+
 # ------------------------------------------ int8 embedding quantization
 
 

@@ -70,6 +70,79 @@ def inflate(spark) -> None:
             load_table(spark, BASE, table).write.mode("overwrite").parquet(dst)
 
 
+PROD = os.path.join(ROOT, f"prod_x{COPIES}")
+
+
+def inflate_prod(spark) -> None:
+    """Production-shape inflation: volume grows ×COPIES while near-dup
+    FAMILY SIZE and cluster CAPACITY stay fixed — the regime a real
+    corpus grows in (more families / more clusters, not denser ones),
+    and the regime the identical-copy inflation deliberately violates.
+
+    Each block is the base corpus with (a) every whitespace token
+    suffixed by the block id — token-level bijection, so within-block
+    shingle structure (and thus the MinHash pair set) is EXACTLY the
+    base corpus's, while cross-block shingle overlap is zero — and
+    (b) embeddings re-labeled per block (cluster COUNT grows ×COPIES,
+    per-cluster occupancy unchanged). doc_id and vec_id shift by the
+    same stride so the 1:1 doc↔embedding node identity the ensemble
+    relies on survives inflation."""
+    docs_dst = os.path.join(PROD, "documents.parquet")
+    emb_dst = os.path.join(PROD, "embeddings.parquet")
+    if os.path.exists(docs_dst) and os.path.exists(emb_dst):
+        return
+    os.makedirs(PROD, exist_ok=True)
+    d = load_table(spark, BASE, "documents")
+    e = load_table(spark, BASE, "embeddings")
+    stride = d.agg(F.max("doc_id")).first()[0] + 1
+    n_labels = e.agg(F.countDistinct("label")).first()[0]
+    if not os.path.exists(docs_dst):
+        out = None
+        for i in range(COPIES):
+            c = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride)).withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1b{i}")
+            )
+            out = c if out is None else out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(docs_dst)
+    if not os.path.exists(emb_dst):
+        out = None
+        for i in range(COPIES):
+            c = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * stride)).withColumn(
+                "label", F.col("label") + F.lit(i * n_labels)
+            )
+            out = c if out is None else out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(emb_dst)
+
+
+def ivf_growth_probe(spark) -> None:
+    """Persisted-IVF growth law: num_cells scales ∝ corpus (bounded
+    cell occupancy — the operator's documented 100 TB dial), nprobe
+    fixed, query batch fixed. Query wall should stay ~flat because a
+    probe reads nprobe cells of CONSTANT size regardless of corpus
+    rows; build wall is the linear term and is reported separately."""
+    from flink_join_scaling_spark.operators.ann_index import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    queries = load_table(spark, BASE, "embeddings").where(F.col("vec_id") < 50)
+    queries.count()
+    rows = []
+    for tag, src, cells in (("1x", BASE, 8), (f"{COPIES}x", PROD, 8 * COPIES)):
+        e = load_table(spark, src, "embeddings")
+        idx = os.path.join(ROOT, f"ivf_growth_{tag}")
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.perf_counter()
+        ivf_index_build(e, idx, num_cells=cells, train=False)
+        build = time.perf_counter() - t0
+        q = timed(lambda: ivf_index_topk(queries, idx, k=5, nprobe=2).count())
+        rows.append((tag, cells, build, q))
+    print("| index | cells | build | query (50q, nprobe=2) |")
+    print("|---|---|---|---|")
+    for tag, cells, build, q in rows:
+        print(f"| {tag} | {cells} | {build:.2f} s | {q:.2f} s |")
+
+
 def timed(fn, warmup: int = 1, passes: int = 3) -> float:
     for _ in range(warmup):
         fn()
@@ -92,7 +165,8 @@ def main() -> None:
         app_name="fjss-scale-probe", cpus=32, shuffle_partitions=32,
         max_partition_bytes="8m",
     )
-    inflate(spark)
+    if os.environ.get("PROBE_PROD") != "1":
+        inflate(spark)
 
     def plan_probe(name):
         def run(sf_dir):
@@ -165,18 +239,40 @@ def main() -> None:
         "q_dedup_ensemble": plan_probe("q_dedup_ensemble"),
         "q_ppl_buckets": plan_probe("q_ppl_buckets"),
         "q_shard_assignment": plan_probe("q_shard_assignment"),
+        # triangle census walks the oriented pair graph: under
+        # prod-shape inflation blocks are disjoint, so pairs, wedges,
+        # and triangles all grow linearly — the probe measures that the
+        # 3-way join stays pair-set-sized
+        "q_graph_triangles": plan_probe("q_graph_triangles"),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")
     if only:
         keep = {s.strip() for s in only.split(",")}
         probes = {k: v for k, v in probes.items() if k in keep}
-    print(f"| operator | 1x ({BASE}) | {COPIES}x | ratio |")
+    # PROBE_PROD=1 switches the inflated side to the production-shape
+    # corpus (fixed family size / cluster capacity) instead of the
+    # identical-copy density worst case — the right regime for probing
+    # the quadratic-stage operators at 100x, where the density worst
+    # case is unrunnable BY DESIGN (Σ cluster² with 100x-denser
+    # clusters is the blowup a real coarse quantizer prevents).
+    prod = os.environ.get("PROBE_PROD") == "1"
+    if prod:
+        inflate_prod(spark)
+    inflated = PROD if prod else INFLATED
+    shape = "prod-shape " if prod else ""
+    print(f"| operator | 1x ({BASE}) | {shape}{COPIES}x | ratio |")
     print("|---|---|---|---|")
     for label, fn in probes.items():
         t1 = timed(lambda: fn(BASE))
-        tn = timed(lambda: fn(INFLATED))
+        tn = timed(lambda: fn(inflated))
         print(f"| {label} | {t1:.2f} s | {tn:.2f} s | {tn / t1:.1f}x |")
+    if os.environ.get("PROBE_IVF_GROWTH") == "1":
+        if prod:
+            ivf_growth_probe(spark)
+        else:
+            print("PROBE_IVF_GROWTH requires PROBE_PROD=1 (needs the "
+                  "prod-shape embeddings)")
 
 
 if __name__ == "__main__":

@@ -703,3 +703,50 @@ def test_containment_prefix_filter_keeps_embedded_doc(spark):
         docs, "doc_id", "text", threshold=0.8
     ).collect()
     assert (row.id_a, row.id_b) == (0, 1) and row.containment == 1.0
+
+
+def test_duplicated_spans_semantics(spark):
+    """Cross-doc duplicated 3-gram spans: overlapping grams merge into
+    one maximal span (union-counted, not double-counted); a gram
+    repeated only WITHIN one doc is not duplication; short docs
+    (< gram_len tokens) report zeros but stay in the output."""
+    docs = spark.createDataFrame(
+        [
+            # docs 0/1 share the 5-token run "c d e f g" (three
+            # overlapping 3-grams -> one 5-token span each)
+            (0, "a b c d e f g h"),
+            (1, "x y c d e f g z"),
+            # doc 2 repeats its own 3-gram twice but shares nothing
+            (2, "p q r p q r p q r"),
+            # doc 3 is too short to hold a single 3-gram
+            (3, "u v"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dd.duplicated_spans(docs, "doc_id", "text", gram_len=3).collect()
+    }
+    assert len(rows) == 4
+    assert (rows[0].n_dup_tokens, rows[0].n_dup_spans) == (5, 1)
+    assert (rows[1].n_dup_tokens, rows[1].n_dup_spans) == (5, 1)
+    assert (rows[2].n_dup_tokens, rows[2].n_dup_spans) == (0, 0)
+    assert (rows[3].n_dup_tokens, rows[3].n_dup_spans) == (0, 0)
+    assert rows[3].n_tokens == 2
+
+
+def test_duplicated_spans_two_disjoint_spans(spark):
+    """Two separated shared runs in one doc count as two spans."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c 1 2 3 4 5 d e f"),
+            (1, "a b c 9 9 9 9 9 d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dd.duplicated_spans(docs, "doc_id", "text", gram_len=3).collect()
+    }
+    assert (rows[0].n_dup_tokens, rows[0].n_dup_spans) == (6, 2)
+    assert (rows[1].n_dup_tokens, rows[1].n_dup_spans) == (6, 2)
