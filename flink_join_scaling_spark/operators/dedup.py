@@ -584,6 +584,52 @@ def ngram_contamination(
     )
 
 
+def _duplicated_cover(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int,
+    min_docs: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the duplicated-span family: (toks, covered).
+
+    ``toks`` is (id, __t tokens, n_tokens); ``covered`` the DISTINCT
+    (id, p) token positions lying inside any ``gram_len``-gram that
+    occurs in ≥ ``min_docs`` distinct documents. Positional grams are
+    keyed by the 128-bit md5 digest of the space-joined gram (16 bytes
+    — shuffle cost flat in gram_len; collision odds over even 10^12
+    grams are ~10^-14), so the cross-doc frequency agg and the
+    join-back never ship gram text."""
+    toks = df.select(
+        F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
+    ).withColumn("n_tokens", F.size("__t").cast("bigint"))
+    gram = f"concat_ws(' ', slice(__t, i + 1, {gram_len}))"
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {gram_len} THEN "
+                f"transform(sequence(0, size(__t) - {gram_len}), i -> md5({gram})) "
+                f"ELSE array() END"
+            )
+        ).alias("pos", "g"),
+    )
+    dfreq = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .where(F.col("__ndocs") >= min_docs)
+        .select("g")
+    )
+    dup = grams.join(dfreq, "g").select(id_col, "pos")
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+        ).alias("p"),
+    ).distinct()
+    return toks, covered
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -622,36 +668,7 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
-    ).withColumn("n_tokens", F.size("__t").cast("bigint"))
-    # positional grams: pos is the 0-based start token index; md5 of
-    # the space-joined gram is the join/agg key (16 bytes, flat in
-    # gram_len; collision odds over even 10^12 grams are ~10^-14)
-    gram = f"concat_ws(' ', slice(__t, i + 1, {gram_len}))"
-    grams = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(__t) >= {gram_len} THEN "
-                f"transform(sequence(0, size(__t) - {gram_len}), i -> md5({gram})) "
-                f"ELSE array() END"
-            )
-        ).alias("pos", "g"),
-    )
-    dfreq = (
-        grams.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
-        .where(F.col("__ndocs") >= min_docs)
-        .select("g")
-    )
-    dup = grams.join(dfreq, "g").select(id_col, "pos")
-    covered = dup.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
-        ).alias("p"),
-    ).distinct()
+    toks, covered = _duplicated_cover(df, id_col, text_col, gram_len, min_docs)
     w = Window.partitionBy(id_col).orderBy("p")
     isl = covered.withColumn("grp", F.col("p") - F.row_number().over(w))
     agg = isl.groupBy(id_col).agg(
@@ -666,6 +683,55 @@ def duplicated_spans(
             "n_tokens",
             F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
             F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        )
+    )
+
+
+def duplicated_spans_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CLIP the duplicated spans out of every document — the removal
+    step of Lee et al. 2022's substring dedup (they delete the
+    duplicated substring itself, not the document): tokens inside a
+    cross-document duplicated ``gram_len``-gram are dropped, the rest
+    are rejoined in order. Returns (id, n_tokens, n_kept, clean_text);
+    a fully-covered document survives as an empty clean_text row so
+    downstream length filters, not this operator, decide its fate.
+
+    Scale shape: :func:`_duplicated_cover`'s three linear keyed
+    shuffles, then one LEFT ANTI join of the positional tokens against
+    the covered set (both keyed (id, position) — co-partitioned) and a
+    doc-keyed reassembly whose state is bounded by document length,
+    exactly the C4 line-dedup tail."""
+    toks, covered = _duplicated_cover(df, id_col, text_col, gram_len, min_docs)
+    words = toks.select(
+        F.col(id_col),
+        "n_tokens",
+        F.posexplode("__t").alias("p", "w"),
+    )
+    kept = words.join(covered, [id_col, "p"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(clean, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

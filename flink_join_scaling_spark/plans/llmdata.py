@@ -1301,6 +1301,58 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_spans(d, "doc_id", "text", gram_len=_SPAN_GRAM_LEN)
 
 
+@query(
+    "q_dedup_spans_apply",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tk AS (SELECT doc_id, ws AS t, CAST(len(ws) AS BIGINT) AS n_tokens
+           FROM toks),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(1, len(t) - {_SPAN_GRAM_LEN} + 2)) AS i
+        FROM tk WHERE len(t) >= {_SPAN_GRAM_LEN}
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+{_SPAN_GRAM_LEN - 1}], ' ')) AS g
+        FROM idx
+    ),
+    dfq AS (SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id,
+               pos + unnest(range(0, {_SPAN_GRAM_LEN})) AS p
+        FROM grams JOIN dfq USING (g)
+    ),
+    kept AS (
+        SELECT w.doc_id, w.i, w.w
+        FROM words w
+        WHERE NOT EXISTS (SELECT 1 FROM cov c
+                          WHERE c.doc_id = w.doc_id AND c.p + 1 = w.i)
+    ),
+    clean AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(w, ' ' ORDER BY i) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id, tk.n_tokens,
+           CAST(coalesce(clean.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(clean.clean_text, '') AS clean_text
+    FROM tk LEFT JOIN clean USING (doc_id)
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-CLIPPED corpus — Lee et al. 2022's removal step:
+    duplicated 8-gram runs are deleted from each document and the
+    survivors rejoined in order (fully-covered documents stay as
+    empty-text rows for downstream length filters to judge). Pairs
+    with q_dedup_spans exactly as the family's other apply variants
+    pair with their censuses."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicated_spans_apply(d, "doc_id", "text", gram_len=_SPAN_GRAM_LEN)
+
+
 # ------------------------------------------ int8 embedding quantization
 
 

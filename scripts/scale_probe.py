@@ -169,8 +169,13 @@ def main() -> None:
         inflate(spark)
 
     def plan_probe(name):
+        # noop sink, not count(): a count over a join against a
+        # unique-keyed aggregate lets Catalyst eliminate the join and
+        # everything under it (bench.py's r7 methodology note)
         def run(sf_dir):
-            plans.QUERIES[name].fn(spark, sf_dir).count()
+            plans.QUERIES[name].fn(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
         return run
 
     probes = {
@@ -239,6 +244,12 @@ def main() -> None:
         "q_dedup_ensemble": plan_probe("q_dedup_ensemble"),
         "q_ppl_buckets": plan_probe("q_ppl_buckets"),
         "q_shard_assignment": plan_probe("q_shard_assignment"),
+        # r7: duplicated-span census — identical copies are ITS worst
+        # case too (every gram reaches df >= 2, so coverage becomes all
+        # positions and the per-doc islands window runs over full
+        # documents); the gram-digest frequency agg still collapses
+        # map-side (fixed gram universe under copies)
+        "q_dedup_spans": plan_probe("q_dedup_spans"),
         # triangle census walks the oriented pair graph: under
         # prod-shape inflation blocks are disjoint, so pairs, wedges,
         # and triangles all grow linearly — the probe measures that the

@@ -750,3 +750,28 @@ def test_duplicated_spans_two_disjoint_spans(spark):
     }
     assert (rows[0].n_dup_tokens, rows[0].n_dup_spans) == (6, 2)
     assert (rows[1].n_dup_tokens, rows[1].n_dup_spans) == (6, 2)
+
+
+def test_duplicated_spans_apply_clips_shared_runs(spark):
+    """The apply variant deletes exactly the covered positions and
+    rejoins survivors in order; a doc fully covered by a shared gram
+    survives as an empty clean_text row."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "x y c d e f g z"),
+            (2, "c d e"),   # fully covered by the shared 3-gram
+            (3, "c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dd.duplicated_spans_apply(
+            docs, "doc_id", "text", gram_len=3
+        ).collect()
+    }
+    assert rows[0].clean_text == "a b h" and rows[0].n_kept == 3
+    assert rows[1].clean_text == "x y z" and rows[1].n_kept == 3
+    assert rows[2].clean_text == "" and rows[2].n_kept == 0
+    assert rows[3].clean_text == "" and rows[3].n_kept == 0
