@@ -878,6 +878,32 @@ def q_sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_ann_pq",
+    oracle=_RECALL_ORACLE,
+    tags=("llmdata", "similarity"),
+)
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-ranking (Jégou et
+    al. 2011 + FAISS's IndexRefineFlat), SELF-ATTESTING like the other
+    trained-ANN paths: 64 float dims compress to 8 4-bit codes (64× at
+    rest), the scan sums 8 LUT lookups per vector, and the ADC 16×k
+    shortlist is re-ranked by exact cosine — the query asserts the
+    refined top-5 recalls ≥ 0.5 of the exact cosine top-5 (measured
+    0.84/0.88 at sf0.001/sf0.01; pure ADC scores 0.3–0.4 on these
+    near-random synthetic vectors, PQ's worst case, which is exactly
+    why the refine stage exists). Codebook training is the md5-ordered
+    driver-sample k-means discipline; encode, scan, and refine stay
+    distributed (operators/similarity.py ann_pq_topk)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(e, q, k=5).select("query_id", "vec_id")
+    approx = sim.ann_pq_topk(e, q, k=5, m=8, nbits=4).select(
+        "query_id", "vec_id"
+    )
+    return _recall_attest(exact, approx)
+
+
+@query(
     "q_sim_ann_persisted",
     oracle=_RECALL_ORACLE,
     tags=("llmdata", "similarity"),

@@ -194,14 +194,14 @@ _NEEDS_FRESH_ROW_FIRST: frozenset[str] = frozenset(
 _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
     {
         # last green in round 4. q_decontaminate_apply,
-        # q_mixture_budget, q_unpivot, and q_pivot are deferred to
-        # round 8: the 4 _CHANGED_THIS_ROUND names and this round's NEW
-        # queries took their window slots; the deferred four hold the
-        # cohort's newest rows / most trivial unchanged plans — their
-        # rows stand.
+        # q_mixture_budget, q_unpivot, q_pivot, and q_percentiles are
+        # deferred to round 8: the 4 _CHANGED_THIS_ROUND names and this
+        # round's NEW queries took their window slots; the deferred
+        # five hold the cohort's newest rows / most trivial unchanged
+        # plans — their rows stand.
         "q_decontaminate", "q_funnel",
         "q_join_anti", "q_join_asof", "q_join_range", "q_join_semi",
-        "q_percentiles", "q_pii_redact",
+        "q_pii_redact",
         "q_sessionize", "q_stream_dedup", "q_stream_session",
         "q_stream_sliding", "q_stream_tumbling", "q_tpch_q10_returns",
         "q_tpch_q14_promo", "q_tpch_q18_large_orders", "q_tpch_q3_shipping",
