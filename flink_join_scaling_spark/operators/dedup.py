@@ -593,13 +593,16 @@ def _duplicated_cover(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared core of the duplicated-span family: (toks, covered).
 
-    ``toks`` is (id, __t tokens, n_tokens); ``covered`` the DISTINCT
-    (id, p) token positions lying inside any ``gram_len``-gram that
-    occurs in ≥ ``min_docs`` distinct documents. Positional grams are
-    keyed by the 128-bit md5 digest of the space-joined gram (16 bytes
-    — shuffle cost flat in gram_len; collision odds over even 10^12
-    grams are ~10^-14), so the cross-doc frequency agg and the
-    join-back never ship gram text."""
+    ``toks`` is (id, __t tokens, n_tokens); ``dup`` the (id, pos)
+    START positions of every ``gram_len``-gram that occurs in
+    ≥ ``min_docs`` distinct documents (one row per position — a
+    position yields one gram, so no dedup is needed). Positional grams
+    are keyed by a 60-bit digest (first 15 hex chars of md5 as BIGINT
+    — 8 shuffled bytes instead of a 32-char hex string, identical in
+    DuckDB via ``CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT)``;
+    collision odds across 10^6 grams ~1e-7, and both engines hash the
+    same way so a collision cannot flip oracle parity), so the
+    cross-doc frequency agg and the join-back never ship gram text."""
     toks = df.select(
         F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
     ).withColumn("n_tokens", F.size("__t").cast("bigint"))
@@ -609,7 +612,8 @@ def _duplicated_cover(
         F.posexplode(
             F.expr(
                 f"CASE WHEN size(__t) >= {gram_len} THEN "
-                f"transform(sequence(0, size(__t) - {gram_len}), i -> md5({gram})) "
+                f"transform(sequence(0, size(__t) - {gram_len}), "
+                f"i -> cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)) "
                 f"ELSE array() END"
             )
         ).alias("pos", "g"),
@@ -621,13 +625,7 @@ def _duplicated_cover(
         .select("g")
     )
     dup = grams.join(dfreq, "g").select(id_col, "pos")
-    covered = dup.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
-        ).alias("p"),
-    ).distinct()
-    return toks, covered
+    return toks, dup
 
 
 def duplicated_spans(
@@ -659,21 +657,35 @@ def duplicated_spans(
     linear keyed shuffles (the same discipline as C4 line dedup):
     positional grams explode to n_tokens rows per doc (linear, NOT
     distinct — positions matter); the cross-doc frequency agg and the
-    join-back are keyed by the 128-bit gram digest (never the gram
-    text, so shuffle bytes are flat per token regardless of
-    gram_len); coverage/islands shuffle only DUPLICATED positions,
-    keyed by doc. No stage is ever pairwise — corpus² appears nowhere,
-    and a gram shared by k docs costs k rows, not k². The window sort
-    for islands runs per doc over covered positions (≤ n_tokens).
+    join-back are keyed by an 8-byte gram digest (never the gram text,
+    so shuffle bytes are flat per token regardless of gram_len); then
+    ONE doc-keyed agg collects the duplicated gram START positions and
+    derives both measures arithmetically from the sorted-starts gap
+    list (consecutive starts d = s_{i+1} − s_i apart: a new maximal
+    run opens iff d > gram_len, coverage adds min(d, gram_len) per
+    step plus gram_len for the last gram) — no per-position coverage
+    explode, no distinct, no window sort. No stage is ever pairwise —
+    corpus² appears nowhere, and a gram shared by k docs costs k rows,
+    not k². Per-doc state is bounded by document length.
     """
-    from pyspark.sql import Window
-
-    toks, covered = _duplicated_cover(df, id_col, text_col, gram_len, min_docs)
-    w = Window.partitionBy(id_col).orderBy("p")
-    isl = covered.withColumn("grp", F.col("p") - F.row_number().over(w))
-    agg = isl.groupBy(id_col).agg(
-        F.count("*").alias("n_dup_tokens"),
-        F.count_distinct("grp").alias("n_dup_spans"),
+    toks, dup = _duplicated_cover(df, id_col, text_col, gram_len, min_docs)
+    diffs = (
+        "zip_with(slice(__s, 2, size(__s) - 1), "
+        "slice(__s, 1, size(__s) - 1), (a, b) -> a - b)"
+    )
+    agg = (
+        dup.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"aggregate({diffs}, cast({gram_len} as bigint), "
+                f"(acc, d) -> acc + least(d, {gram_len}))"
+            ).alias("n_dup_tokens"),
+            (1 + F.expr(f"size(filter({diffs}, d -> d > {gram_len}))"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
     )
     return (
         toks.select(id_col, "n_tokens")
@@ -702,12 +714,20 @@ def duplicated_spans_apply(
     a fully-covered document survives as an empty clean_text row so
     downstream length filters, not this operator, decide its fate.
 
-    Scale shape: :func:`_duplicated_cover`'s three linear keyed
-    shuffles, then one LEFT ANTI join of the positional tokens against
-    the covered set (both keyed (id, position) — co-partitioned) and a
-    doc-keyed reassembly whose state is bounded by document length,
-    exactly the C4 line-dedup tail."""
-    toks, covered = _duplicated_cover(df, id_col, text_col, gram_len, min_docs)
+    Scale shape: :func:`_duplicated_cover`'s linear keyed shuffles,
+    a gram_len-bounded coverage explode of the duplicated starts
+    (needed here, unlike the census — reconstruction is inherently
+    token-level), then one LEFT ANTI join of the positional tokens
+    against the covered set (both keyed (id, position) —
+    co-partitioned) and a doc-keyed reassembly whose state is bounded
+    by document length, exactly the C4 line-dedup tail."""
+    toks, dup = _duplicated_cover(df, id_col, text_col, gram_len, min_docs)
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(gram_len - 1))
+        ).alias("p"),
+    ).distinct()
     words = toks.select(
         F.col(id_col),
         "n_tokens",

@@ -1290,7 +1290,8 @@ _SPAN_GRAM_LEN = 8
     ),
     grams AS (
         SELECT doc_id, i - 1 AS pos,
-               md5(array_to_string(t[i:i+{_SPAN_GRAM_LEN - 1}], ' ')) AS g
+               CAST(concat('0x', substr(md5(array_to_string(
+                   t[i:i+{_SPAN_GRAM_LEN - 1}], ' ')), 1, 15)) AS BIGINT) AS g
         FROM idx
     ),
     dfq AS (SELECT g FROM grams GROUP BY g
@@ -1340,7 +1341,8 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grams AS (
         SELECT doc_id, i - 1 AS pos,
-               md5(array_to_string(t[i:i+{_SPAN_GRAM_LEN - 1}], ' ')) AS g
+               CAST(concat('0x', substr(md5(array_to_string(
+                   t[i:i+{_SPAN_GRAM_LEN - 1}], ' ')), 1, 15)) AS BIGINT) AS g
         FROM idx
     ),
     dfq AS (SELECT g FROM grams GROUP BY g

@@ -60,11 +60,18 @@ def main() -> None:
     print("| query | shuffle-write MB | shuffle-read MB |")
     print("|---|---|---|")
     mb = 1024 * 1024
+    # noop sink, not count(): Catalyst eliminates a count over a join
+    # against a unique-keyed aggregate — q_dedup_spans measured ZERO
+    # shuffle under count() because its whole pipeline was optimized
+    # away (bench.py's r7 methodology note)
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     for name in names:
         fn = plans.QUERIES[name].fn
-        fn(spark, SF_DIR).count()  # warm: caches/codegen settle
+        force(fn(spark, SF_DIR))  # warm: caches/codegen settle
         before = _totals(ui, app)
-        fn(spark, SF_DIR).count()
+        force(fn(spark, SF_DIR))
         after = _totals(ui, app)
         sw = (after["sh_write"] - before["sh_write"]) / mb
         sr = (after["sh_read"] - before["sh_read"]) / mb
