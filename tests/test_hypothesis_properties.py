@@ -478,3 +478,46 @@ def test_png_decode_inverts_every_filter_choice(spark, w, h, ch, data):
     flat = [c for row in pixels for px in row for c in px]
     expected = sum(flat) / len(flat) / 255.0
     assert mean == math.floor(expected * 10000 + 0.5) / 10000
+
+
+def test_cosine_e6_jvm_vs_numpy_agree_on_current_fixtures(spark):
+    """e6-int twin of the round-6 agreement test: the JVM fold path
+    (round(cosine_expr * 1e6) AS BIGINT) and the NumPy pairwise path
+    (cosine_e6_pandas) must produce IDENTICAL integers on the current
+    embeddings fixtures at the driver's comparison scale — the
+    quantized boundary the SemDeDup/ensemble family now rides."""
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.functions.vectors import (
+        cosine_e6_pandas,
+        cosine_expr,
+        with_l2_norm,
+    )
+    from flink_join_scaling_spark.sources.catalog import load_table
+    from tests.conftest import SF_ORACLE
+
+    n = with_l2_norm(
+        load_table(spark, SF_ORACLE, "embeddings"), "embedding", "nrm"
+    ).select("vec_id", "embedding", "nrm")
+    a = n.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    diff = (
+        pairs.select(
+            F.round(cosine_expr("ea", "eb", "na", "nb") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("c_expr"),
+            cosine_e6_pandas("ea", "eb", "na", "nb").alias("c_np"),
+        )
+        .where(F.col("c_expr") != F.col("c_np"))
+        .count()
+    )
+    assert diff == 0
