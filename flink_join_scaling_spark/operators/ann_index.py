@@ -20,6 +20,14 @@ amortized into the layout, and incremental corpus top-ups append new
 rows into their cells without touching existing files (the
 ``operators/incremental.py`` discipline applied to ANN).
 
+With ``pq=`` codebooks the cell files additionally carry a ``codes``
+column (product quantization, ~4 B/vector at m=8/nbits=4) and
+``ivf_index_topk(adc=True)`` serves queries by scanning ONLY the
+(id, codes) columns of the probed cells — partition pruning picks the
+cells, columnar projection skips the float payload, and an exact
+re-rank fetches just the shortlist ids: the complete FAISS IVF-PQ
+read path expressed as lakehouse layout + Catalyst pruning.
+
 Same determinism contract as the similarity module: assignments rank
 cells by round-6 cosine with ties to the lower cell id, centroid
 training is the deterministic md5-sampled spherical k-means, and
@@ -36,10 +44,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.operators.similarity import (
+    _adc_shortlist,
+    _pq_query_luts,
     _probe_and_rank,
     ivf_cells_pandas,
     ivf_centroids,
     ivf_centroids_kmeans,
+    pq_encode,
+    pq_train,
 )
 
 
@@ -55,6 +67,7 @@ def ivf_index_build(
     num_cells: int = 8,
     train: bool = True,
     mode: str = "overwrite",
+    pq: dict | None = None,
 ) -> dict:
     """Build (or append to) the partitioned IVF index.
 
@@ -62,12 +75,20 @@ def ivf_index_build(
     (:func:`ivf_centroids_kmeans`); the corpus-sized work — cell
     assignment and the partitioned write — stays distributed. With
     ``mode="append"`` the existing centroid list AND the stored meta
-    (num_cells, id_col, vec_col) are REUSED — the caller's arguments
-    for those are ignored, because an index's cell space and column
-    schema must stay fixed across top-ups or old and new rows disagree
-    about what a cell/column means; a batch lacking the stored columns
-    raises instead of silently null-filling. New vectors land in their
-    cells as new files.
+    (num_cells, id_col, vec_col, pq codebooks) are REUSED — the
+    caller's arguments for those are ignored, because an index's cell
+    space and column schema must stay fixed across top-ups or old and
+    new rows disagree about what a cell/column means; a batch lacking
+    the stored columns raises instead of silently null-filling. New
+    vectors land in their cells as new files.
+
+    ``pq`` (e.g. ``{"m": 8, "nbits": 4}``) additionally trains
+    product-quantization codebooks (stored in meta) and writes a
+    ``codes`` column next to each vector — parquet is columnar, so the
+    ADC query path (``ivf_index_topk(adc=True)``) scans ONLY the
+    (id, codes) columns of the probed cells: at m=8/nbits=4 that is
+    ~4 B/vector instead of the float payload, the FAISS IVF-PQ read
+    shape on top of the same cell-pruned layout.
 
     Returns the meta dict (num_cells, id/vec column names, trained).
     """
@@ -138,6 +159,11 @@ def ivf_index_build(
             "vec_col": vec_col,
             "trained": bool(train),
         }
+        if pq:
+            meta["pq"] = pq_train(
+                vectors, id_col=id_col, vec_col=vec_col,
+                m=pq.get("m", 8), nbits=pq.get("nbits", 4),
+            )
         spark.createDataFrame(
             [(int(c["cell"]), [float(x) for x in c["cvec"]]) for c in cents],
             "cell int, cvec array<double>",
@@ -148,6 +174,13 @@ def ivf_index_build(
     assigned = ivf_cells_pandas(
         vectors, id_col, vec_col, meta["num_cells"], nprobe=1, centroids=cents
     ).select(id_col, vec_col, "l2_norm", "cell")
+    if meta.get("pq"):
+        # stored codebooks win in append mode for the same reason the
+        # centroid list does: codes are only comparable within one
+        # quantizer. The join-back is keyed by id — one build-time
+        # shuffle, amortized like the assignment itself.
+        codes = pq_encode(vectors, meta["pq"], id_col=id_col, vec_col=vec_col)
+        assigned = assigned.join(codes, id_col)
     # the cell schema rides in meta so a fully-purged index (every row
     # deleted → no parquet files left) still reads as EMPTY instead of
     # failing schema inference
@@ -195,6 +228,8 @@ def ivf_index_topk(
     k: int = 5,
     nprobe: int = 2,
     exclude_self: bool = True,
+    adc: bool = False,
+    refine_factor: int = 16,
 ) -> DataFrame:
     """Approximate top-k against the persisted index.
 
@@ -206,6 +241,16 @@ def ivf_index_topk(
     point of the layout. Scoring and ranking share the similarity
     module's exact tail (``_probe_and_rank``) with the in-session
     ``ann_ivf_topk``, so the two paths cannot drift.
+
+    ``adc=True`` (requires a ``pq=``-built index) is the FAISS IVF-PQ
+    read shape: the probed-cell scan selects ONLY the (id, codes)
+    columns — parquet's columnar layout means the float vectors are
+    never read during the scan, ~4 B/vector at m=8/nbits=4 — scores
+    by per-query lookup tables, and re-ranks the ADC
+    ``refine_factor × k`` shortlist by exact cosine against one more
+    probed-cell scan filtered to the shortlist ids (predicate pushdown
+    does the fetch-by-id). Both stages stay inside the probed cells,
+    so ADC composes WITH partition pruning, not instead of it.
 
     ``exclude_self`` drops query_id == vec_id pairs — the right
     convention when the queries ARE corpus members (dedup-style use);
@@ -240,9 +285,53 @@ def ivf_index_topk(
     probed_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
-    idx = ivf_index_cells(spark, index_dir).where(
+    pruned = ivf_index_cells(spark, index_dir).where(
         F.col("cell").isin(probed_cells)
-    ).select(
+    )
+    if adc:
+        if not meta.get("pq"):
+            raise ValueError(
+                "adc=True requires an index built with pq= codebooks"
+            )
+        from flink_join_scaling_spark.functions.vectors import (
+            cosine_expr,
+            l2_norm_expr,
+        )
+        from flink_join_scaling_spark.operators.similarity import _ranked
+
+        qids, luts = _pq_query_luts(queries, meta["pq"], id_col, vec_col)
+        shortlist = max(k, refine_factor * k)
+        ranked = _adc_shortlist(
+            pruned.select(F.col(id_col), "codes"),
+            qids, luts, meta["pq"]["m"], shortlist,
+            id_col=id_col, exclude_self=exclude_self,
+        )
+        short_ids = sorted(
+            {r.vec_id for r in ranked.select("vec_id").distinct().collect()}
+        )
+        cand = F.broadcast(ranked.select("query_id", "vec_id"))
+        # fetch-by-id inside the probed cells: the id IN (...) filter
+        # reaches the parquet scan (row-group stats skip), and only
+        # this shortlist-sized scan touches the float column
+        fetched = pruned.where(F.col(id_col).isin(short_ids)).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vc"),
+            F.col("l2_norm").alias("nc"),
+        )
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq")
+        ).withColumn("nq", l2_norm_expr("vq"))
+        pairs = (
+            fetched.join(cand, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+            )
+        )
+        return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+    idx = pruned.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vc"),
         F.col("l2_norm").alias("nc"),

@@ -681,6 +681,101 @@ def pq_encode(
     return vectors.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
+def _pq_query_luts(
+    queries: DataFrame, cb: dict, id_col: str, vec_col: str
+):
+    """Collect the (bounded) query batch and build each query's exact
+    sub-distance lookup table: luts[q, j, c] = ‖q_subj − C[j, c]‖² over
+    L2-normalized queries. Returns (qids ndarray, luts ndarray) — the
+    closure payload every ADC scan ships (q × m × 2**nbits doubles)."""
+    import numpy as np
+
+    m, dsub = cb["m"], cb["dsub"]
+    C = np.asarray(cb["codebooks"], dtype=np.float64)  # (m, k, dsub)
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .orderBy("query_id")
+        .collect()
+    )
+    if len(q_rows) > _MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"refusing to collect {len(q_rows)} query vectors "
+            f"(> {_MAX_COLLECTED_QUERIES}); batch the query set"
+        )
+    qids = np.asarray([r["query_id"] for r in q_rows])
+    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn != 0)
+    nq = len(Qn)
+    kcb = C.shape[1]
+    luts = np.empty((nq, m, kcb), dtype=np.float64)
+    for j in range(m):
+        Sq = Qn[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = (
+            (Sq**2).sum(axis=1)[:, None]
+            - 2.0 * (Sq @ C[j].T)
+            + (C[j] ** 2).sum(axis=1)[None, :]
+        )
+    return qids, luts
+
+
+def _adc_shortlist(
+    codes: DataFrame,
+    qids,
+    luts,
+    m: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Shared ADC scan tail (in-session :func:`ann_pq_topk` and the
+    persisted ``ann_index.ivf_index_topk`` ADC path): per Arrow batch
+    of (id, codes) rows, approximate distances are m LUT lookups
+    summed, each partition emits its LOCAL ``shortlist`` per query via
+    one argpartition, and a window rank yields the global shortlist —
+    the shuffle is (partitions × queries × shortlist) rows, never
+    corpus-sized. Returns (query_id, vec_id, adist, rank ≤ shortlist).
+    """
+    import numpy as np
+    import pandas as pd
+
+    nq = len(qids)
+    out_schema = "query_id long, vec_id long, adist double"
+    kk = shortlist + 1 if exclude_self else shortlist  # self may hold a slot
+
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            codemat = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # adist[q, v] = Σ_j luts[q, j, codemat[v, j]] — advanced
+            # indexing with (m,) × (n, m) broadcasts to (nq, n, m)
+            d = luts[:, np.arange(m), codemat].sum(axis=2)
+            take = min(kk, n)
+            part = np.argpartition(d, take - 1, axis=1)[:, :take]
+            qi = np.repeat(np.arange(nq), take)
+            vi = part.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "vec_id": ids[vi],
+                    "adist": d[qi, vi],
+                }
+            )
+
+    local = codes.select(F.col(id_col), "codes").mapInPandas(scan, out_schema)
+    if exclude_self:
+        local = local.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return local.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).where(F.col("rank") <= shortlist)
+
+
 def ann_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -727,69 +822,13 @@ def ann_pq_topk(
     cb = codebooks or pq_train(
         corpus, id_col=id_col, vec_col=vec_col, m=m, nbits=nbits
     )
-    m, dsub = cb["m"], cb["dsub"]
-    C = np.asarray(cb["codebooks"], dtype=np.float64)  # (m, k, dsub)
-    q_rows = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-        .orderBy("query_id")
-        .collect()
-    )
-    if len(q_rows) > _MAX_COLLECTED_QUERIES:
-        raise ValueError(
-            f"refusing to collect {len(q_rows)} query vectors "
-            f"(> {_MAX_COLLECTED_QUERIES}); batch the query set"
-        )
-    qids = np.asarray([r["query_id"] for r in q_rows])
-    Q = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
-    qn = np.linalg.norm(Q, axis=1, keepdims=True)
-    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn != 0)
-    # per-query LUT: luts[q, j, c] = ||q_sub - C[j,c]||²  (exact)
-    nq = len(Qn)
-    kcb = C.shape[1]
-    luts = np.empty((nq, m, kcb), dtype=np.float64)
-    for j in range(m):
-        Sq = Qn[:, j * dsub : (j + 1) * dsub]
-        luts[:, j, :] = (
-            (Sq**2).sum(axis=1)[:, None]
-            - 2.0 * (Sq @ C[j].T)
-            + (C[j] ** 2).sum(axis=1)[None, :]
-        )
+    qids, luts = _pq_query_luts(queries, cb, id_col, vec_col)
     codes = pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col)
-    out_schema = "query_id long, vec_id long, adist double"
     shortlist = max(k, refine_factor * k) if refine_factor else k
-    kk = shortlist + 1 if exclude_self else shortlist  # self may hold a slot
-
-    def scan(batches):
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            codemat = np.stack(pdf["codes"].to_numpy())  # (n, m)
-            ids = pdf[id_col].to_numpy()
-            # adist[q, v] = Σ_j luts[q, j, codemat[v, j]] — advanced
-            # indexing with (m,) × (n, m) broadcasts to (nq, n, m)
-            d = luts[:, np.arange(m), codemat].sum(axis=2)
-            take = min(kk, n)
-            part = np.argpartition(d, take - 1, axis=1)[:, :take]
-            qi = np.repeat(np.arange(nq), take)
-            vi = part.ravel()
-            yield pd.DataFrame(
-                {
-                    "query_id": qids[qi],
-                    "vec_id": ids[vi],
-                    "adist": d[qi, vi],
-                }
-            )
-
-    local = codes.mapInPandas(scan, out_schema)
-    if exclude_self:
-        local = local.where(F.col("query_id") != F.col("vec_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("vec_id").asc()
+    ranked = _adc_shortlist(
+        codes, qids, luts, cb["m"], shortlist,
+        id_col=id_col, exclude_self=exclude_self,
     )
-    ranked = local.withColumn(
-        "rank", F.row_number().over(w).cast("bigint")
-    ).where(F.col("rank") <= shortlist)
     if not refine_factor:
         return ranked.withColumn(
             "adist_e6", F.round(F.col("adist") * F.lit(1_000_000.0)).cast("bigint")

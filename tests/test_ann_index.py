@@ -353,3 +353,73 @@ def test_compact_folds_appended_files_and_preserves_results(spark, tmp_path):
     assert res_after == res_before
     # idempotent: a second pass finds nothing left to fold
     assert ivf_index_compact(spark, idx)["cells_compacted"] == 0
+
+
+def test_pq_index_adc_path(spark, tmp_path):
+    """IVF-PQ: a pq= build stores codebooks in meta and a codes column
+    in the cells; adc=True scans codes-only (the scan's ReadSchema
+    carries no float vector column), refines exactly, and beats the
+    recall gate; adc on a non-PQ index raises."""
+    import json
+
+    import pytest
+
+    idx = str(tmp_path / "ivfpq")
+    e = _emb(spark)
+    meta = ivf_index_build(
+        e, idx, num_cells=4, train=True, pq={"m": 8, "nbits": 4}
+    )
+    assert meta["pq"]["m"] == 8 and len(meta["pq"]["codebooks"]) == 8
+    cells = ivf_index_cells(spark, idx)
+    assert "codes" in cells.columns
+    # the ADC scan projection never touches the float column
+    plan = cells.select("vec_id", "codes")._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan
+    q = e.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(e, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_index_topk(q, idx, k=5, nprobe=4, adc=True).collect()
+    }
+    assert len(exact & got) / len(exact) >= 0.5
+    # ADC result stays inside what the non-ADC path could see: same
+    # probed cells, so exact-rerank output schema matches
+    plain = ivf_index_topk(q, idx, k=5, nprobe=4)
+    assert set(plain.columns) == {"query_id", "vec_id", "cosine", "rank"}
+    # a non-PQ index refuses the ADC path loudly
+    idx2 = str(tmp_path / "plain")
+    ivf_index_build(e, idx2, num_cells=4, train=False)
+    with pytest.raises(ValueError, match="pq="):
+        ivf_index_topk(q, idx2, k=5, adc=True)
+    # meta survives the JSON round-trip byte-exactly (codes comparable
+    # across sessions)
+    assert json.loads(open(os.path.join(idx, "meta.json")).read())["pq"] == meta["pq"]
+
+
+def test_pq_index_append_reuses_codebooks_and_delete_keeps_codes(spark, tmp_path):
+    """Top-ups encode with the STORED codebooks (codes comparable
+    across batches); deletion rewrites survivors with their codes
+    intact so the ADC path keeps working."""
+    from flink_join_scaling_spark.operators.ann_index import ivf_index_delete
+
+    idx = str(tmp_path / "ivfpq")
+    e = _emb(spark)
+    ivf_index_build(e, idx, num_cells=4, train=True, pq={"m": 8, "nbits": 4})
+    before = {
+        r.vec_id: list(r.codes) for r in ivf_index_cells(spark, idx).collect()
+    }
+    more = e.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    ivf_index_build(more, idx, mode="append")
+    after = {
+        r.vec_id: list(r.codes) for r in ivf_index_cells(spark, idx).collect()
+    }
+    assert len(after) == 2 * len(before)
+    # identical vectors ⇒ identical codes under the stored codebooks
+    for vid, codes in before.items():
+        assert after[vid + 100000] == codes
+    assert ivf_index_delete(spark, idx, [0, 1, 100000]) == 3
+    q = e.where(F.col("vec_id").between(2, 6))
+    got = ivf_index_topk(q, idx, k=3, nprobe=4, adc=True)
+    assert got.count() == 5 * 3

@@ -82,6 +82,7 @@ _QUADRATIC_OK = {
     "q_dedup_minhash_ml",
     "q_sim_ann_ivf_trained",
     "q_sim_ann_persisted",
+    "q_sim_ann_pq",
     "q_heavy_hitters",  # 1-row token total crossed with candidate counts
     "q_graph_triangles",  # 1-row triangle and wedge counts crossed
 }
