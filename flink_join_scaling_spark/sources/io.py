@@ -60,6 +60,19 @@ def write_parquet(
     df.write.mode(mode).option("compression", compression).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — like parquet, schema comes from file metadata and
+    predicate pushdown / column pruning are native (ORC is the other
+    first-class columnar format in Spark's built-in datasources)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+) -> None:
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
 def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
 ) -> None:

@@ -1,0 +1,108 @@
+"""Stateless streaming ingest filters: benchmark decontamination
+applied to documents AS THEY ARRIVE, before anything stateful sees
+them.
+
+Production pipelines decontaminate at ingest (the earlier a
+benchmark-tainted page dies, the less every downstream stage pays);
+the batch operator (``operators.dedup.ngram_contamination``) covers
+the backfill pass, this module the continuous one. The benchmark/eval
+set is SMALL by definition (MBs against a multi-TB stream) — the same
+premise that lets the batch path broadcast it — so here its distinct
+shingle set rides the task closure and every micro-batch pays one
+map-side set probe per document: no state store, no shuffle, no
+watermark, works in append mode.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: refuse to close over an unbounded "benchmark" — past this, the set
+#: is not an eval suite and the batch equi-join path is the right tool
+_MAX_BENCHMARK_SHINGLES = 2_000_000
+
+
+def _norm_tokens_py(text: str | None) -> list[str]:
+    """Python twin of ``functions.text.tokens_ws`` (lower + trim +
+    collapse whitespace + split) — kept in lockstep so the streaming
+    filter and the batch operator flag exactly the same documents;
+    parity is asserted by the converged==batch test."""
+    if not text:
+        return []
+    return re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+
+
+def stream_decontaminate(
+    sdf: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Continuous n-gram decontamination: flag (and by default drop)
+    arriving documents sharing at least one word ``shingle_n``-gram
+    with the static benchmark set — GPT-3/Pile-style decontamination
+    as an ingest filter.
+
+    The benchmark's distinct shingle set is collected once at query
+    construction (bounded by ``_MAX_BENCHMARK_SHINGLES``, loud refusal
+    past it) and captured by an Arrow-batched ``mapInPandas`` that
+    emits each document with its contaminated-shingle count — per
+    batch the work is tokenize + set probes, map-only. Output:
+    the stream's columns plus ``n_hits``; rows with hits are dropped
+    unless ``keep_contaminated=True`` (then they pass through tagged,
+    for quarantine sinks). Same n_hits definition as the batch
+    operator: DISTINCT contaminated shingles per document.
+    """
+    import pandas as pd
+
+    from flink_join_scaling_spark.functions.text import exploded_shingles
+
+    bench_rows = (
+        exploded_shingles(benchmark, id_col, text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+        .collect()
+    )
+    if len(bench_rows) > _MAX_BENCHMARK_SHINGLES:
+        raise ValueError(
+            f"benchmark has {len(bench_rows)} distinct shingles "
+            f"(> {_MAX_BENCHMARK_SHINGLES}); that is a corpus, not an "
+            "eval set — use the batch equi-join path "
+            "(operators.dedup.ngram_contamination with "
+            "broadcast_benchmark=False)"
+        )
+    bench = frozenset(r.shingle for r in bench_rows)
+    cols = sdf.columns
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # a fresh StructType: StructType.add mutates self in PySpark, and
+    # sdf.schema must stay what it was
+    out_schema = StructType(
+        list(sdf.schema.fields) + [StructField("n_hits", LongType())]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hits = []
+            for text in pdf[text_col]:
+                toks = _norm_tokens_py(text)
+                seen = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+                hits.append(len(seen & bench))
+            out = pdf[cols].copy()
+            out["n_hits"] = pd.Series(hits, index=pdf.index, dtype="int64")
+            yield out
+
+    tagged = sdf.mapInPandas(probe, out_schema)
+    if keep_contaminated:
+        return tagged
+    return tagged.where(F.col("n_hits") == 0).drop("n_hits")

@@ -133,14 +133,17 @@ def ivf_growth_probe(spark) -> None:
         idx = os.path.join(ROOT, f"ivf_growth_{tag}")
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
-        ivf_index_build(e, idx, num_cells=cells, train=False)
+        ivf_index_build(e, idx, num_cells=cells, train=False, pq={"m": 8, "nbits": 4})
         build = time.perf_counter() - t0
         q = timed(lambda: ivf_index_topk(queries, idx, k=5, nprobe=2).count())
-        rows.append((tag, cells, build, q))
-    print("| index | cells | build | query (50q, nprobe=2) |")
-    print("|---|---|---|---|")
-    for tag, cells, build, q in rows:
-        print(f"| {tag} | {cells} | {build:.2f} s | {q:.2f} s |")
+        adc = timed(
+            lambda: ivf_index_topk(queries, idx, k=5, nprobe=2, adc=True).count()
+        )
+        rows.append((tag, cells, build, q, adc))
+    print("| index | cells | build | query (50q, nprobe=2) | adc query |")
+    print("|---|---|---|---|---|")
+    for tag, cells, build, q, adc in rows:
+        print(f"| {tag} | {cells} | {build:.2f} s | {q:.2f} s | {adc:.2f} s |")
 
 
 def timed(fn, warmup: int = 1, passes: int = 3) -> float:

@@ -153,8 +153,8 @@ def test_orc_roundtrip(spark, tmp_path):
     engine reads natively (no extra packages)."""
     n = load_table(spark, SF_SMALL, "nation")
     path = str(tmp_path / "nation_orc")
-    n.write.orc(path)
-    back = spark.read.orc(path)
+    io.write_orc(n, path)
+    back = io.read_orc(spark, path)
     assert back.schema == n.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
     # predicate pushdown reaches the ORC scan like parquet

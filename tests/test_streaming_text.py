@@ -309,3 +309,43 @@ def test_stream_hll_rollup_converges_to_batch_and_unions(
         ).alias("g")
     ).collect()
     assert abs(u.g - g.g) <= max(1, 0.05 * g.g), (u.g, g.g)
+
+
+def test_stream_decontaminate_matches_batch(streaming_spark, tmp_path):
+    """Streaming ingest decontamination drops exactly the documents
+    the batch operator (ngram_contamination anti-join) flags — the
+    Python tokenizer twin and the JVM expression path cannot drift —
+    and the tagged mode reports the same DISTINCT-hit counts."""
+    from flink_join_scaling_spark.operators.dedup import ngram_contamination
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import stream_decontaminate
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # benchmark: substrings of real docs (guaranteed overlap) plus a
+    # disjoint sentence (guaranteed miss)
+    bench = spark.createDataFrame(
+        [(1, r.text[: len(r.text) // 2]) for r in docs.where("doc_id < 5").collect()]
+        + [(99, "zz qq xx ww vv uu tt")],
+        "doc_id long, text string",
+    )
+    batch_hits = {
+        r.doc_id: r.n_hits
+        for r in ngram_contamination(docs, bench, "doc_id", "text").collect()
+    }
+    assert batch_hits, "fixture must produce contamination"
+
+    sdf = chunked_parquet_stream(spark, docs, str(tmp_path / "chunks"), n_chunks=4)
+    kept = run_to_memory(
+        stream_decontaminate(sdf, bench), output_mode="append"
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - set(batch_hits)
+    tagged = run_to_memory(
+        stream_decontaminate(sdf, bench, keep_contaminated=True),
+        output_mode="append",
+    )
+    got_hits = {r.doc_id: r.n_hits for r in tagged.where("n_hits > 0").collect()}
+    assert got_hits == batch_hits
