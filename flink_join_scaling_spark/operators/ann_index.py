@@ -301,23 +301,26 @@ def ivf_index_topk(
 
         qids, luts = _pq_query_luts(queries, meta["pq"], id_col, vec_col)
         shortlist = max(k, refine_factor * k)
+        # pin the shortlist: it feeds both the refine join and (as a
+        # broadcast) the float fetch — without the pin the ADC scan
+        # would run twice
         ranked = _adc_shortlist(
             pruned.select(F.col(id_col), "codes"),
             qids, luts, meta["pq"]["m"], shortlist,
             id_col=id_col, exclude_self=exclude_self,
-        )
-        short_ids = sorted(
-            {r.vec_id for r in ranked.select("vec_id").distinct().collect()}
-        )
+        ).localCheckpoint(eager=True)
         cand = F.broadcast(ranked.select("query_id", "vec_id"))
-        # fetch-by-id inside the probed cells: the id IN (...) filter
-        # reaches the parquet scan (row-group stats skip), and only
-        # this shortlist-sized scan touches the float column
-        fetched = pruned.where(F.col(id_col).isin(short_ids)).select(
+        # fetch-by-id inside the probed cells: a broadcast semi-join
+        # restricts the float column to shortlist rows right behind the
+        # scan (a literal id IN (...) predicate would push into parquet
+        # row-group stats, but a thousands-element literal costs more
+        # in planning than it saves on scattered ids; a table format
+        # with point lookups subsumes this fetch in production)
+        fetched = pruned.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vc"),
             F.col("l2_norm").alias("nc"),
-        )
+        ).join(F.broadcast(ranked.select("vec_id").distinct()), "vec_id", "semi")
         qdf = queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq")
         ).withColumn("nq", l2_norm_expr("vq"))
