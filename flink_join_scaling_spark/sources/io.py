@@ -231,3 +231,74 @@ def compact_parquet(
         "bytes": total,
         "rows": rows,
     }
+
+
+_TSV_MAX_ROWS = 100_000
+
+
+def tsv_lines(
+    df: DataFrame,
+    tag: str,
+    sort_cols: Sequence[str] | None = None,
+    max_rows: int = _TSV_MAX_ROWS,
+) -> list[str]:
+    """Deterministic tagged-TSV debug rendering — the engine's form of
+    the reference's O18 debug printers (GenJoinInput.scala:139-220
+    print/printAB/printABSeq/printBC/printC), completing that last
+    reference surface: every line is ``tag \\t row_index \\t fields...``
+    with rows sorted DETERMINISTICALLY first by null-presence of the
+    sort columns (absent before present — the reference's
+    ``isDefined`` boolean ordering), then by their values nulls-first;
+    None renders as the empty string, arrays render ``,``-joined with
+    struct fields ``|``-joined (the reference's stringOfA/stringOfB
+    convention for nested Seqs).
+
+    Driver-side BY DESIGN — this is a debug/diff printer for test-size
+    frames (the reference's printers are test-only dead code in
+    production too), so it refuses loudly past ``max_rows`` instead of
+    silently truncating a diff surface.
+    """
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    cols = list(sort_cols) if sort_cols else list(df.columns)
+    order = []
+    for c in cols:
+        order.append(F.col(c).isNotNull().asc())
+        order.append(F.col(c).asc_nulls_first())
+    rows = df.orderBy(*order).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"tsv_lines({tag!r}) got more than {max_rows} rows — this "
+            "is a test-size debug printer; filter or raise max_rows "
+            "explicitly"
+        )
+
+    def render(v) -> str:
+        if v is None:
+            return ""
+        # Row before tuple: Row IS a tuple subclass, but structs join
+        # with '|' (stringOfA/B) while arrays join with ','
+        if isinstance(v, Row):
+            return "|".join("" if x is None else str(x) for x in v)
+        if isinstance(v, (list, tuple)):
+            return ",".join(render(x) for x in v)
+        return str(v)
+
+    out_cols = df.columns
+    return [
+        "\t".join([tag, str(i), *(render(r[c]) for c in out_cols)])
+        for i, r in enumerate(rows)
+    ]
+
+
+def debug_print_tsv(
+    df: DataFrame,
+    tag: str,
+    sort_cols: Sequence[str] | None = None,
+    max_rows: int = _TSV_MAX_ROWS,
+) -> None:
+    """Print :func:`tsv_lines` to stdout — the drop-in for the
+    reference's ``GenJoinInput.print*`` call sites."""
+    for line in tsv_lines(df, tag, sort_cols, max_rows):
+        print(line)

@@ -242,3 +242,32 @@ def test_compact_parquet_sorted_narrows_file_envelopes(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo  # disjoint envelopes: range-clustered files
+
+
+def test_tsv_lines_reference_printer_semantics(spark):
+    """O18 parity: tag + 0-based index prefix, null-presence-first
+    deterministic ordering (absent rows sort before present — the
+    reference's isDefined ordering), '' for None, '|'-joined struct
+    fields inside ','-joined arrays, and a loud refusal past max_rows."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (2, "x", [(20, "b"), (21, "c")]),
+            (1, "y", [(10, "a")]),
+            (3, None, []),
+        ],
+        "id long, name string, items array<struct<n: long, s: string>>",
+    ).withColumn(
+        "name", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("name"))
+    )
+    lines = io.tsv_lines(df, "tagA", sort_cols=["name", "id"])
+    assert lines == [
+        "tagA\t0\t3\t\t",           # null name sorts first (absent-first)
+        "tagA\t1\t2\tx\t20|b,21|c",
+        "tagA\t2\t1\ty\t10|a",
+    ]
+    with pytest.raises(ValueError, match="debug printer"):
+        io.tsv_lines(df, "tagA", max_rows=2)
