@@ -618,12 +618,25 @@ def _duplicated_cover(
             )
         ).alias("pos", "g"),
     )
-    dfreq = (
-        grams.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
-        .where(F.col("__ndocs") >= min_docs)
-        .select("g")
-    )
+    if min_docs == 2:
+        # "appears in ≥2 distinct docs" ⟺ min(id) ≠ max(id): a
+        # single-phase agg with 2-long state, where count_distinct
+        # plans an Expand + two aggregate phases (an extra exchange
+        # over the corpus-sized gram set — measured 44.9 s → 27.0 s at
+        # the 100x prod-shape probe, 21.1x → 13.2x vs 1x)
+        dfreq = (
+            grams.groupBy("g")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .where(F.col("__lo") != F.col("__hi"))
+            .select("g")
+        )
+    else:
+        dfreq = (
+            grams.groupBy("g")
+            .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+            .where(F.col("__ndocs") >= min_docs)
+            .select("g")
+        )
     dup = grams.join(dfreq, "g").select(id_col, "pos")
     return toks, dup
 
