@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from flink_join_scaling_spark import plans  # noqa: E402
 from flink_join_scaling_spark.operators import dedup as dd  # noqa: E402
+from flink_join_scaling_spark.operators import embeddings as emb_ops  # noqa: E402
 from flink_join_scaling_spark.session import get_spark  # noqa: E402
 from flink_join_scaling_spark.sources.catalog import load_table  # noqa: E402
 
@@ -258,6 +259,12 @@ def main() -> None:
         # and triangles all grow linearly — the probe measures that the
         # 3-way join stays pair-set-sized
         "q_graph_triangles": plan_probe("q_graph_triangles"),
+        # r7: distributed PCA fit — the one-scan partial-moment reduce
+        # collects d²+d+1 doubles PER TASK regardless of rows, so 10x
+        # rows should cost ~the scan; the driver eigh is volume-blind
+        "pca_fit (k=16)": lambda sf: emb_ops.pca_fit(
+            load_table(spark, sf, "embeddings"), "embedding", k=16
+        ),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")

@@ -54,6 +54,45 @@ def test_sql_cosine_matches_vector_exprs(spark):
     assert abs(got - exp) < 1e-12
 
 
+def test_sql_text_family_matches_dataframe_builders(spark):
+    """Every generated text-family SQL function equals its DataFrame
+    twin row-for-row on the documents fixture (exact equality — the
+    bodies are generated from the same canonical constants)."""
+    register_sql_surface(spark, SF_SMALL)
+    got = spark.sql(
+        """
+        SELECT doc_id,
+               fjs_n_tokens_bpe(text) AS nb,
+               fjs_punct_count(text) AS pc,
+               fjs_lang_id(text) AS lg,
+               fjs_quality_score(text) AS q,
+               fjs_pii_count(text) AS pii,
+               fjs_redact_pii(text) AS red,
+               fjs_shingles3(fjs_tokens_ws(text)) AS sh
+        FROM documents ORDER BY doc_id LIMIT 100
+        """
+    ).collect()
+    c = F.col("text")
+    exp = (
+        spark.table("documents")
+        .withColumn("__t", tx.tokens_ws(c))
+        .select(
+            "doc_id",
+            tx.n_tokens_bpe_ish(c).alias("nb"),
+            tx.punct_count(c).alias("pc"),
+            tx.lang_id(c).alias("lg"),
+            tx.quality_score(c).alias("q"),
+            tx.pii_count(c).alias("pii"),
+            tx.redact_pii(c).alias("red"),
+            tx.shingles_from_tokens("__t", 3).alias("sh"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
 def test_sql_functions_stay_jvm_side(spark):
     register_sql_surface(spark, SF_SMALL)
     plan = (
