@@ -105,9 +105,12 @@ def lang_id(col: Column) -> Column:
     return F.when(best == 0, "und").otherwise(out)
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic [0,1]-ish quality heuristic: favors moderate
-    length, real word lengths, some stopwords, low punctuation noise."""
+def quality_score_raw(col: Column) -> Column:
+    """Unrounded quality heuristic. The raw double is bit-identical
+    across engines (pure IEEE +,*,/ and min/max in a fixed order), so
+    ORDERING by it is engine-stable; only the decimal display rounding
+    of :func:`quality_score` carries a cross-engine midpoint risk —
+    rank on this, display via round or an e4 integer quantization."""
     n_chars = F.length(col).cast("double")
     toks = tokens_ws(col)
     n_toks = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
@@ -118,9 +121,13 @@ def quality_score(col: Column) -> Column:
     wlen_term = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
     stop_term = F.least(stop_ratio * 5.0, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
-    return F.round(
-        0.3 * len_term + 0.2 * wlen_term + 0.3 * stop_term + 0.2 * punct_term, 4
-    )
+    return 0.3 * len_term + 0.2 * wlen_term + 0.3 * stop_term + 0.2 * punct_term
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1]-ish quality heuristic: favors moderate
+    length, real word lengths, some stopwords, low punctuation noise."""
+    return F.round(quality_score_raw(col), 4)
 
 
 #: modulus for the rolling fingerprint (fits comfortably in int64 sums)

@@ -160,7 +160,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d JOIN qual q ON q.doc_id = d.doc_id
     WHERE q.quality >= 0.55 AND d.n_chars BETWEEN 100 AND 5000
     """,
-    tags=("corpus", "quality"),
+    tags=("corpus", "quality", "float-boundary-sensitive"),
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The selection stage of a corpus pipeline: quality ≥ 0.55 and
@@ -185,7 +185,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d JOIN qual q ON q.doc_id = d.doc_id
     GROUP BY d.source
     """,
-    tags=("corpus", "quality"),
+    tags=("corpus", "quality", "float-boundary-sensitive"),
 )
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (doc count, volume, mean quality,
@@ -1558,4 +1558,157 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("lm_logprob").alias("min_logprob"),
         F.max("lm_logprob").alias("max_logprob"),
+    )
+
+
+# ------------------------------- temperature mixture + per-source caps
+
+
+@query(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    doc_tok AS (
+        SELECT d.doc_id, d.source, count(*) AS n_tok
+        FROM words w JOIN documents d USING (doc_id)
+        GROUP BY d.doc_id, d.source
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tok
+        FROM doc_tok GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(tok) AS BIGINT) AS t FROM per_source),
+    q AS (
+        SELECT source, n_docs, tok, t,
+               CAST(round(pow(CAST(tok AS DOUBLE) / CAST(t AS DOUBLE), 0.7)
+                          * 1000000000) AS BIGINT) AS q9
+        FROM per_source, tot
+    ),
+    s AS (SELECT CAST(sum(q9) AS BIGINT) AS sq FROM q)
+    SELECT source, n_docs, tok,
+           CAST(round(CAST(q9 AS DOUBLE) / CAST(sq AS DOUBLE) * 1000000)
+                AS BIGINT) AS weight_e6,
+           CAST(round(CAST(q9 * t AS DOUBLE) / CAST(sq * tok AS DOUBLE)
+                      * 1000000) AS BIGINT) AS upsample_e6
+    FROM q, s
+    """,
+    tags=("corpus", "mixture"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling
+    rule of mBERT/XLM-R and the Pile's source weighting): sampling
+    weight ∝ p^α with α = 0.7, where p is the source's natural token
+    share. α < 1 flattens the mixture — upsampling tail sources and
+    damping the head — without the hard caps of q_mixture_budget or
+    the full equalization of q_mixture_weights; ``upsample_e6`` is the
+    effective repetition factor w/p each source sees at a fixed token
+    budget.
+
+    Comparability: the only cross-engine float risk is ``pow``, so
+    p^α is quantized to an e9 BIGINT immediately (an ulp on a 0.x
+    double is ~1e-17 vs the 5e-10 rounding margin); every later step
+    divides or multiplies EXACT integers in one shared float op before
+    the e6 quantization, so round-trip equality is by construction.
+
+    Scale shape: per-doc token counts collapse map-side into the
+    source-keyed rollup (sources-sized); the two scalar totals
+    broadcast back. Nothing after the word explode is corpus-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = d.select(
+        "source", F.size(tx.tokens_ws(F.col("text"))).alias("n_tok")
+    )
+    per_source = doc_tok.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok"),
+    )
+    tot = per_source.agg(F.sum("tok").cast("bigint").alias("t"))
+    q = per_source.join(F.broadcast(tot)).withColumn(
+        "q9",
+        F.round(
+            F.pow(F.col("tok").cast("double") / F.col("t").cast("double"), F.lit(0.7))
+            * F.lit(1_000_000_000.0)
+        ).cast("bigint"),
+    )
+    s = q.agg(F.sum("q9").cast("bigint").alias("sq"))
+    return q.join(F.broadcast(s)).select(
+        "source",
+        "n_docs",
+        "tok",
+        F.round(
+            F.col("q9").cast("double") / F.col("sq").cast("double") * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("weight_e6"),
+        F.round(
+            (F.col("q9") * F.col("t")).cast("double")
+            / (F.col("sq") * F.col("tok")).cast("double")
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("upsample_e6"),
+    )
+
+
+_SOURCE_CAP = 50
+
+
+@query(
+    "q_source_cap",
+    oracle=f"""
+    WITH {_quality_cte()}
+    SELECT doc_id, source, quality_e4, rank_in_source FROM (
+        SELECT d.doc_id, d.source,
+               CAST(round(q.quality_raw * 10000) AS BIGINT) AS quality_e4,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY q.quality_raw DESC, d.doc_id ASC) AS BIGINT)
+                   AS rank_in_source
+        FROM documents d JOIN qraw q ON q.doc_id = d.doc_id
+    ) WHERE rank_in_source <= {_SOURCE_CAP}
+    """,
+    tags=("corpus", "sampling"),
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep each source's top-N documents by
+    quality (deterministic doc_id tiebreak) — the "no single domain
+    dominates" rule every crawl-curation pipeline applies (C4's
+    per-domain caps, RefinedWeb's url-level budgets). Quality is the
+    shared heuristic score, so the cap composes with q_quality_filter
+    and q_mixture_budget as successive curation stages.
+
+    Comparability: ranking uses the RAW quality double (bit-identical
+    IEEE arithmetic in both engines — no rounding in the order key);
+    the exposed score is the e4 integer quantization, per the
+    engine-stable round discipline. The decimal round(…,4) display
+    form hits a cross-engine midpoint at sf0.001 (doc 234) — exactly
+    the flake class the FLOAT_BOUNDARY manifest exists for, avoided
+    here by construction.
+
+    Scale shape: the rank<=N filter over the source-partitioned window
+    compiles to WindowGroupLimit (asserted in tests/test_plans.py) —
+    each task keeps a local top-N per source BEFORE the exchange, so
+    the shuffle carries at most N rows per (task, source) rather than
+    the corpus, and the post-shuffle sort touches ≤ tasks×N rows per
+    source. A mega-source therefore costs bounded memory; no global
+    sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", tx.quality_score_raw(F.col("text")).alias("qraw")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("qraw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank_in_source", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_in_source") <= _SOURCE_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("qraw") * 10000).cast("bigint").alias("quality_e4"),
+            "rank_in_source",
+        )
     )

@@ -168,15 +168,18 @@ def _quality_cte() -> str:
                {_lang_score_sql(tx.LANG_MARKERS["en"])} AS s_en
         FROM documents
     ),
-    qual AS (
+    qraw AS (
         SELECT doc_id,
-               round(0.3 * least(n_chars / 500.0, 1.0)
+               0.3 * least(n_chars / 500.0, 1.0)
                    + 0.2 * (CASE WHEN n_chars / n_toks >= 3.0 AND n_chars / n_toks <= 10.0
                                  THEN 1.0 ELSE 0.5 END)
                    + 0.3 * least(CAST(s_en AS DOUBLE) / n_toks * 5.0, 1.0)
-                   + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0)),
-                   4) AS quality
+                   + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10.0, 1.0))
+                   AS quality_raw
         FROM qbase
+    ),
+    qual AS (
+        SELECT doc_id, round(quality_raw, 4) AS quality FROM qraw
     )
     """
 
@@ -184,7 +187,7 @@ def _quality_cte() -> str:
 @query(
     "q_quality_score",
     oracle=f"WITH {_quality_cte()} SELECT doc_id, quality FROM qual",
-    tags=("llmdata", "text"),
+    tags=("llmdata", "text", "float-boundary-sensitive"),
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -467,7 +470,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked r JOIN stats s ON s.component_id = r.component_id
     WHERE r.rn = 1
     """,
-    tags=("llmdata", "dedup"),
+    tags=("llmdata", "dedup", "float-boundary-sensitive"),
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection: per duplicate group, keep
@@ -2145,3 +2148,88 @@ def q_dedup_ensemble_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score(F.col("text")).alias("__q"),
     )
     return dd.dedup_apply(docs, fused, "doc_id", "__q").drop("__q")
+
+
+# ------------------------------------------- kNN label propagation
+
+
+_KNN_K = 5
+_KNN_HOLDOUT = 20
+
+
+@query(
+    "q_knn_labels",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NORM_SQL} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.vec_id AS vec_id, c.label AS nbr_label,
+               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6)
+                   AS cosine
+        FROM n q JOIN n c
+          ON q.vec_id < {_KNN_HOLDOUT} AND c.vec_id >= {_KNN_HOLDOUT}
+    ),
+    nbrs AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM pairs
+        ) WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT query_id, true_label, nbr_label,
+               CAST(count(*) AS BIGINT) AS n_votes
+        FROM nbrs GROUP BY query_id, true_label, nbr_label
+    )
+    SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(nbr_label AS BIGINT) AS pred_label, n_votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, nbr_label ASC) AS vr
+        FROM votes
+    ) WHERE vr = 1
+    """,
+    tags=("llmdata", "similarity"),
+)
+def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: classify each held-out vector (vec_id <
+    20 treated as unlabeled) by majority vote of its 5 nearest LABELED
+    neighbors under cosine — the semi-supervised labeling step a
+    curation pipeline uses to spread a small set of human quality /
+    domain labels across the corpus (and, with true_label exposed,
+    the standard embedding-quality eval: kNN-accuracy).
+
+    Determinism: neighbor rank orders by (round-6 cosine DESC, vec_id
+    ASC) and the vote by (count DESC, label ASC) — total orders on
+    both engines. Scale shape: neighbor search is the exact top-k
+    broadcast equi-join of cosine_topk (holdout side is the broadcast;
+    the labeled corpus streams once, map-side); at production scale
+    the same query swaps in ann_ivf/persisted-index search — votes and
+    the argmax are holdout-keyed and tiny either way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    holdout = e.where(F.col("vec_id") < _KNN_HOLDOUT)
+    labeled = e.where(F.col("vec_id") >= _KNN_HOLDOUT)
+    nbrs = sim.cosine_topk(labeled, holdout, k=_KNN_K).join(
+        labeled.select("vec_id", F.col("label").alias("nbr_label")), "vec_id"
+    )
+    votes = nbrs.groupBy("query_id", "nbr_label").agg(
+        F.count("*").cast("bigint").alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"), "n_votes")
+    )
+    return pred.join(
+        holdout.select(F.col("vec_id").alias("query_id"), "label"), "query_id"
+    ).select(
+        "query_id",
+        F.col("label").cast("bigint").alias("true_label"),
+        F.col("pred_label").cast("bigint").alias("pred_label"),
+        "n_votes",
+    )

@@ -71,6 +71,7 @@ _QUADRATIC_OK = {
     "q_lm_score",  # corpus token total rides a broadcast 1-row aggregate
     "q_ppl_buckets",  # same 1-row token total as q_lm_score (shared model)
     "q_mixture_weights",  # 1-row (total, n_sources) aggregate broadcast
+    "q_mixture_temperature",  # 1-row token-total and pow-sum broadcasts
     "q_bm25",  # corpus stats (N, avgdl, dfs) ride broadcast 1-row aggregates
     "q_gapfill",  # grid generation: 1-row min/max bounds broadcast to types
     "q_collocations",  # 1-row (N_uni, N_bi) totals broadcast to the top-k
@@ -113,3 +114,12 @@ def test_oracle_keys_subset_of_queries():
     """Every oracle key must name a registered query (the driver pairs
     them by name; an orphan oracle would silently never be checked)."""
     assert set(plans.oracle_sqls()) <= set(plans.QUERIES)
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """The rank<=N per-source cap must compile to WindowGroupLimit —
+    Spark's map-side partial top-N per window key — so a mega-source
+    never needs its full row set sorted or shuffled (SURVEY §4 scale
+    argument for q_source_cap)."""
+    plan = _plan(spark, "q_source_cap")
+    assert "WindowGroupLimit" in plan
