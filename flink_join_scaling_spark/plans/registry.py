@@ -214,10 +214,12 @@ _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
         # q18, q6 — joined the round-8 deferral late in round 7 to
         # make window room for the four new queries
         # (q_mixture_temperature, q_source_cap, q_knn_labels,
-        # q_bpe_tokens): single-shape relational plans untouched since
-        # their r4 green rows, the lowest-risk deferrals available.)
+        # q_bpe_train/q_bpe_encode): single-shape relational plans
+        # untouched since their r4 green rows, the lowest-risk
+        # deferrals available. q_join_semi/q_join_anti joined the
+        # deferral when the trained-BPE pair landed — same rationale.)
         "q_decontaminate", "q_funnel",
-        "q_join_anti", "q_join_asof", "q_join_range", "q_join_semi",
+        "q_join_asof", "q_join_range",
         "q_pii_redact",
         "q_sessionize", "q_stream_dedup", "q_stream_session",
         "q_stream_sliding", "q_stream_tumbling",
