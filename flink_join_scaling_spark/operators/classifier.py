@@ -1,0 +1,111 @@
+"""Model-based quality filtering: a distributed-trained logistic
+quality classifier (the fasttext/GPT-3-style "model-based filter"
+step of an LLM curation pipeline, on engine-native primitives).
+
+Beyond-reference operator (the reference's surface stops at versioned
+joins); the novel part is that the full-batch gradient-descent
+training loop is ENGINE-EXACT and therefore oracle-checkable:
+
+- the link function is the "fast sigmoid" ``p = 0.5 + 0.5 * z/(1+|z|)``
+  — pure IEEE +,*,/,abs in a pinned order, bit-identical across
+  Spark and DuckDB (no ``exp``, whose libm/JDK implementations may
+  disagree by an ulp);
+- per-example gradient contributions are e6-quantized to BIGINT
+  before summation, so the reduce is EXACT integer math — immune to
+  accumulation order, partitioning, and engine;
+- the weight update is a fixed scalar double expression of those
+  integers, so the whole training trajectory (not just the final
+  weights) is reproducible bit-for-bit in SQL.
+
+Scale shape: one corpus-sized pass computes the (n_docs × d) feature
+frame (narrow, text dropped immediately); the frame is pinned with
+``localCheckpoint`` and each of the K iterations is one exact-integer
+aggregation over it — an all-reduce of d+1 BIGINTs. Only the d+1
+gradient sums reach the driver per round; the weight vector is the
+same driver-resident artifact any distributed LR trainer carries.
+Apply is map-only: the trained weights inline as literals into one
+codegen projection over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions import text as tx
+
+#: feature names in model order (x0 is the bias, implicit 1.0)
+FEATURES = ("x1", "x2", "x3", "x4", "x5")
+
+
+def feature_columns(text_col: Column) -> dict[str, Column]:
+    """Bounded [0,1] doubles from exact integer text statistics; every
+    expression is pure IEEE arithmetic in a pinned order (the
+    ``quality_score_raw`` discipline), so values are bit-identical
+    cross-engine."""
+    n_chars = F.length(text_col).cast("double")
+    n_toks = F.greatest(F.size(tx.tokens_ws(text_col)).cast("double"), F.lit(1.0))
+    n_punct = tx.punct_count(text_col).cast("double")
+    n_digit = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, "[0-9]", ""))
+    ).cast("double")
+    s_en = tx.lang_scores(text_col)["en"].cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    return {
+        "x1": F.least(n_chars / 500.0, F.lit(1.0)),
+        "x2": F.least(n_chars / n_toks / 10.0, F.lit(1.0)),
+        "x3": F.least(s_en / n_toks * 5.0, F.lit(1.0)),
+        "x4": F.least(n_punct / safe_chars * 10.0, F.lit(1.0)),
+        "x5": F.least(n_digit / safe_chars * 5.0, F.lit(1.0)),
+    }
+
+
+def logit(weights: list[float]) -> Column:
+    """z = w0 + w1*x1 + ... — strictly left-to-right adds, matching
+    the SQL twin's parse order."""
+    z = F.lit(float(weights[0]))
+    for w, name in zip(weights[1:], FEATURES):
+        z = z + F.lit(float(w)) * F.col(name)
+    return z
+
+
+def fast_sigmoid(z: Column) -> Column:
+    return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+
+
+def train_lr(
+    labeled: DataFrame, iterations: int = 8, lr: float = 2.0
+) -> list[float]:
+    """Full-batch GD over a (y, x1..x5) frame; returns [w0..w5].
+
+    ``labeled`` must carry ``y`` as DOUBLE 0.0/1.0. Each round is one
+    exact-integer aggregation (e6-quantized per-row gradients); the
+    driver holds only the d+1 gradient sums and the weight vector.
+    """
+    labeled = labeled.localCheckpoint(eager=True)  # features only, no text
+    n = labeled.count()
+    if n == 0:
+        raise ValueError("train_lr: empty training frame")
+    w = [0.0] * (len(FEATURES) + 1)
+    for _ in range(iterations):
+        p = fast_sigmoid(logit(w))
+        resid = p - F.col("y")
+        aggs = [
+            F.sum(F.round(resid * F.lit(1000000.0)).cast("bigint")).alias("g0")
+        ]
+        for j, name in enumerate(FEATURES, start=1):
+            aggs.append(
+                F.sum(
+                    F.round((resid * F.col(name)) * F.lit(1000000.0)).cast(
+                        "bigint"
+                    )
+                ).alias(f"g{j}")
+            )
+        row = labeled.agg(*aggs).first()
+        # the exact scalar chain the SQL twin replays:
+        # w_j - lr * (g_j / 1e6) / n, all IEEE doubles in this order
+        w = [
+            wj - lr * (int(row[f"g{j}"]) / 1000000.0) / float(n)
+            for j, wj in enumerate(w)
+        ]
+    return w

@@ -99,6 +99,63 @@ def cosine_topk(
     return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query, the top-k most
+    cosine-similar corpus vectors carrying a DIFFERENT label —
+    the standard negative-sampling step when building contrastive
+    training pairs for embedding models (high similarity + wrong
+    class = the informative negatives).
+
+    Same synthetic-cell broadcast equi-join shape as
+    :func:`cosine_topk` (corpus streams once map-side, queries × 16
+    broadcast rows, WindowGroupLimit partial top-k before the single
+    ranking exchange); the label-mismatch predicate filters BEFORE
+    ranking, so negatives are ranked within the mismatching set.
+    Returns (query_id, query_label, vec_id, neg_label, cosine, rank).
+    """
+    c = with_l2_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_TOPK_CELLS)).cast("int").alias("__cell"),
+    )
+    q = (
+        with_l2_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("vq"),
+            F.col("l2_norm").alias("nq"),
+        )
+        .withColumn("__cell", F.explode(F.sequence(F.lit(0), F.lit(_TOPK_CELLS - 1))))
+    )
+    pairs = (
+        c.join(F.broadcast(q), "__cell")
+        .where(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("query_label") != F.col("neg_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k).select(
+        "query_id", "query_label", "vec_id", "neg_label", "cosine", "rank"
+    )
+
+
 #: cosine_topk_pandas collects the query side into a driver NumPy
 #: matrix; past this bound, an unbounded collect is a silent driver OOM
 #: at scale, so the operator refuses loudly instead.

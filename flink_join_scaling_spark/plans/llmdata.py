@@ -2233,3 +2233,59 @@ def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pred_label").cast("bigint").alias("pred_label"),
         "n_votes",
     )
+
+
+# ------------------------------------------- hard-negative mining
+
+
+_HN_K = 3
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NORM_SQL} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+               c.vec_id AS vec_id, CAST(c.label AS BIGINT) AS neg_label,
+               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6)
+                   AS cosine
+        FROM n q JOIN n c
+          ON q.vec_id < {_KNN_HOLDOUT} AND c.vec_id <> q.vec_id
+         AND c.label <> q.label
+    )
+    SELECT query_id, query_label, vec_id, neg_label,
+           CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6,
+           rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+            AS rank
+        FROM pairs
+    ) WHERE rank <= {_HN_K}
+    """,
+    tags=("llmdata", "similarity"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each of the 20 holdout
+    vectors, the 3 most-similar vectors with a DIFFERENT label — the
+    negative-sampling step that turns an embedded corpus into
+    contrastive training pairs (highly similar + wrong class = the
+    negatives a trainer learns most from).
+
+    Scale shape: identical to q_knn_labels' exact top-k broadcast
+    equi-join (query side broadcast, corpus streams once map-side,
+    partial top-k before the single ranking exchange); the label
+    predicate is applied pre-rank, map-side. The ANN siblings swap in
+    unchanged for the search stage at production scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < _KNN_HOLDOUT)
+    hn = sim.hard_negatives(e, queries_df, k=_HN_K)
+    return hn.select(
+        "query_id",
+        F.col("query_label").cast("bigint").alias("query_label"),
+        "vec_id",
+        F.col("neg_label").cast("bigint").alias("neg_label"),
+        F.round(F.col("cosine") * 1000000.0).cast("bigint").alias("cosine_e6"),
+        "rank",
+    )

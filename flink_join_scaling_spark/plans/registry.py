@@ -217,15 +217,17 @@ _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
         # q_bpe_train/q_bpe_encode): single-shape relational plans
         # untouched since their r4 green rows, the lowest-risk
         # deferrals available. q_join_semi/q_join_anti joined the
-        # deferral when the trained-BPE pair landed — same rationale.)
+        # deferral when the trained-BPE pair landed, and
+        # q_join_asof/q_join_range when the trained-classifier pair
+        # landed — same rationale.)
         "q_decontaminate", "q_funnel",
-        "q_join_asof", "q_join_range",
         "q_pii_redact",
+        # (q_value_outliers deferred likewise when q_hard_negatives
+        # landed.)
         "q_sessionize", "q_stream_dedup", "q_stream_session",
         "q_stream_sliding", "q_stream_tumbling",
         "q_tpch_q3_shipping",
         "q_tpch_q5_local_supplier",
-        "q_value_outliers",
     }
 )
 

@@ -139,6 +139,23 @@ def test_cosine_topk_pandas_equals_jvm(planted_vecs):
     assert jvm == pnd
 
 
+def test_hard_negatives_excludes_same_label(planted_vecs):
+    # label = parity of vec_id; the planted near-neighbor 30 of query 0
+    # is even (same label) → must NOT appear among 0's negatives, while
+    # unrestricted top-1 IS 30
+    lv = planted_vecs.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    q = lv.where(F.col("vec_id") == 0)
+    neg = sim.hard_negatives(lv, q, k=5).collect()
+    assert len(neg) == 5
+    assert all(r.neg_label != r.query_label for r in neg)
+    assert all(r.vec_id != 30 and r.vec_id % 2 == 1 for r in neg)
+    top = sim.cosine_topk(lv, q, k=1).collect()
+    assert top[0].vec_id == 30
+    # ranked by descending cosine with the rank column 1..k
+    cosines = [r.cosine for r in sorted(neg, key=lambda r: r.rank)]
+    assert cosines == sorted(cosines, reverse=True)
+
+
 def test_embedding_dedup_finds_planted_pair(planted_vecs):
     pairs = {
         (r.id_a, r.id_b): r.cosine

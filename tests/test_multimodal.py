@@ -51,7 +51,14 @@ def test_real_decoder_rejects_non_wav_payload(media):
     with pytest.raises(Exception) as exc_info:
         mm.decode_media(media, decoder="real").collect()
     msg = str(exc_info.value)
-    assert "NotImplementedError" in msg or "RIFF" in msg or "PNG" in msg
+    # message set tracks the real decoders: RIFF/PNG/JPEG structure
+    # validation errors, or the NotImplementedError codec gate
+    assert (
+        "NotImplementedError" in msg
+        or "RIFF" in msg
+        or "PNG" in msg
+        or "JPEG" in msg
+    )
 
 
 def _wav_bytes(
