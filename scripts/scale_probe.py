@@ -259,6 +259,21 @@ def main() -> None:
         # and triangles all grow linearly — the probe measures that the
         # 3-way join stays pair-set-sized
         "q_graph_triangles": plan_probe("q_graph_triangles"),
+        # r7 trainers: BPE training cost is VOCAB-bounded — identical
+        # copies keep the word table fixed (same words, 10x wc) so the
+        # merge loop re-learns the identical sequence over the same
+        # table; only the one corpus-sized word-count pass grows.
+        # Encode is the map-only chained-replace scan (wall tracks the
+        # scan). The classifier's per-iteration all-reduce grows with
+        # the labeled slice (half the corpus here; a bounded sample in
+        # production); apply is one map-only scan with literal weights.
+        "q_bpe_train": plan_probe("q_bpe_train"),
+        "q_bpe_encode": plan_probe("q_bpe_encode"),
+        "q_quality_classifier": plan_probe("q_quality_classifier"),
+        "q_quality_classifier_apply": plan_probe("q_quality_classifier_apply"),
+        # hard negatives: fixed 20-query broadcast, corpus streams 10x
+        # map-side — same growth law as the exact-top-k join it reuses
+        "q_hard_negatives": plan_probe("q_hard_negatives"),
         # r7: distributed PCA fit — the one-scan partial-moment reduce
         # collects d²+d+1 doubles PER TASK regardless of rows, so 10x
         # rows should cost ~the scan; the driver eigh is volume-blind
