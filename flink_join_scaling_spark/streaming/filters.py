@@ -106,3 +106,44 @@ def stream_decontaminate(
     if keep_contaminated:
         return tagged
     return tagged.where(F.col("n_hits") == 0).drop("n_hits")
+
+
+def stream_quality_score(
+    sdf: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    threshold: float = 0.0,
+    keep_rejected: bool = False,
+) -> DataFrame:
+    """Continuous model-based quality filtering: score arriving
+    documents with a batch-trained classifier
+    (``operators.classifier.train_lr``) and drop the ones whose logit
+    falls below ``threshold`` — the train-once / score-forever split
+    every production quality filter runs (the model retrains offline
+    on the backfill; ingest only evaluates it).
+
+    The trained weights inline as literals into the SAME pure-JVM
+    column expressions the batch apply uses
+    (``classifier.feature_columns`` + ``classifier.logit``), so this
+    is stateless whole-stage-codegen map work: no state store, no
+    shuffle, no watermark, append mode — and converged output is
+    byte-identical to the batch ``q_quality_classifier_apply`` algebra
+    by construction. Output: the stream's columns plus ``logit``;
+    below-threshold rows are dropped unless ``keep_rejected=True``
+    (then they pass through tagged, for quarantine sinks).
+    """
+    from flink_join_scaling_spark.operators import classifier as clf
+
+    feats = clf.feature_columns(F.col(text_col))
+    scored = sdf
+    for name, col in feats.items():
+        scored = scored.withColumn(f"__{name}", col)
+    z = F.lit(float(weights[0]))
+    for w, name in zip(weights[1:], clf.FEATURES):
+        z = z + F.lit(float(w)) * F.col(f"__{name}")
+    scored = scored.withColumn("logit", z).drop(
+        *[f"__{name}" for name in clf.FEATURES]
+    )
+    if keep_rejected:
+        return scored
+    return scored.where(F.col("logit") >= threshold)

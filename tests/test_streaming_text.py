@@ -349,3 +349,45 @@ def test_stream_decontaminate_matches_batch(streaming_spark, tmp_path):
     )
     got_hits = {r.doc_id: r.n_hits for r in tagged.where("n_hits > 0").collect()}
     assert got_hits == batch_hits
+
+
+def test_stream_quality_score_matches_batch_apply(streaming_spark, tmp_path):
+    """Continuous classifier scoring keeps exactly the documents the
+    batch-trained model accepts, with bit-identical logits — the
+    stateless expressions are shared with the batch apply, so the
+    stream cannot drift from the model."""
+    from flink_join_scaling_spark.operators import classifier as clf
+    from flink_join_scaling_spark.plans.classifier_q import (
+        _labeled_frame,
+        _LR_ITERS,
+        _LR_RATE,
+    )
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import stream_quality_score
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    w = clf.train_lr(
+        _labeled_frame(spark, SF_SMALL).select("y", *clf.FEATURES),
+        _LR_ITERS,
+        _LR_RATE,
+    )
+    feats = clf.feature_columns(F.col("text"))
+    batch = {
+        r.doc_id: r.logit
+        for r in docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .withColumn("logit", clf.logit(w))
+        .where(F.col("logit") >= 0)
+        .collect()
+    }
+    assert 0 < len(batch) < docs.count(), "threshold must split the fixture"
+
+    sdf = chunked_parquet_stream(spark, docs, str(tmp_path / "chunks"), n_chunks=4)
+    kept = run_to_memory(stream_quality_score(sdf, w), output_mode="append")
+    got = {r.doc_id: r.logit for r in kept.select("doc_id", "logit").collect()}
+    assert got == batch  # same ids AND bit-identical logits
+    tagged = run_to_memory(
+        stream_quality_score(sdf, w, keep_rejected=True), output_mode="append"
+    )
+    assert tagged.count() == docs.count()
