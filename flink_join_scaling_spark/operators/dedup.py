@@ -25,7 +25,7 @@ Scale design notes (the point of each operator at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.functions.text import exploded_shingles, norm_text, tokens_ws
@@ -581,6 +581,79 @@ def ngram_contamination(
         csh.join(bsh, "shingle")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: corpus documents
+    whose shingle-Jaccard against SOME benchmark document reaches
+    ``threshold`` — the fuzzy sibling of :func:`ngram_contamination`
+    (exact n-gram overlap misses paraphrased/lightly-edited benchmark
+    leaks; Llama/GPT-4-style contamination reports run both).
+
+    Bipartite MinHash+LSH: signatures on both sides (same md5 hash
+    family as :func:`minhash_dedup_pairs`), candidates from a
+    corpus-bands × benchmark-bands equi-join — the benchmark side is
+    eval-suite-sized, so its band table broadcasts and the corpus
+    streams once map-side — then exact Jaccard verified candidate-
+    first (the intersection join touches only candidate docs'
+    shingles, never the corpus shingle self-join). Returns one row per
+    contaminated corpus doc: (id, bench_id, jaccard) for its
+    HIGHEST-Jaccard benchmark match (bench_id tiebreak).
+    """
+    sig_aggs = [F.min(_sig_slice(k)).alias(f"h{k}") for k in range(num_hashes)]
+    sh_a = exploded_shingles(corpus, id_col, text_col, shingle_n)
+    sh_b = exploded_shingles(benchmark, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    sigc = _md5_pair_projected(sh_a).groupBy(id_col).agg(
+        *sig_aggs, F.count("*").alias("n_a")
+    )
+    sigb = _md5_pair_projected(sh_b).groupBy("bench_id").agg(
+        *sig_aggs, F.count("*").alias("n_b")
+    )
+    bands_c = minhash_bands(sigc, id_col, num_hashes, band_size)
+    bands_b = minhash_bands(sigb, "bench_id", num_hashes, band_size)
+    cand = (
+        bands_c.join(F.broadcast(bands_b), ["band_idx", "band_hash"])
+        .select(id_col, "bench_id")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh_a, id_col)
+        .join(sh_b, ["bench_id", "shingle"])
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(sigc.select(id_col, "n_a"), id_col)
+        .join(sigb.select("bench_id", "n_b"), "bench_id")
+        .select(
+            id_col,
+            "bench_id",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("jaccard"), F.asc("bench_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
     )
 
 

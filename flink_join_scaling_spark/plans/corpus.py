@@ -1712,3 +1712,69 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_in_source",
         )
     )
+
+
+# ------------------------------------ length-bucketed batching stats
+
+_LB_WIDTH = 64
+_LB_CAP = 15
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT least(n_tok // {_LB_WIDTH}, {_LB_CAP}) AS bucket, n_tok
+        FROM tok
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           CAST(round((count(*) * max(n_tok) - sum(n_tok))
+                      / CAST(count(*) * max(n_tok) AS DOUBLE) * 1000000)
+                AS BIGINT) AS pad_overhead_e6
+    FROM b GROUP BY 1
+    """,
+    tags=("corpus", "batching"),
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching manifest: documents grouped into
+    64-token-wide length buckets (capped at 15+), with the padding
+    overhead each bucket pays if batched to its max length — the
+    bucketing an inference/training dataloader uses to avoid padding
+    short sequences against long ones (dynamic batching). Overhead is
+    the e6 fraction of padded positions; exact-integer counts make the
+    single division engine-stable.
+
+    Scale shape: map-only token count + one ≤16-group aggregation with
+    map-side partials — output-sized, no window, no sort."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = tx.n_tokens_ws(F.col("text"))
+    b = d.select(
+        F.least(
+            F.floor(n_tok / _LB_WIDTH), F.lit(_LB_CAP).cast("bigint")
+        ).cast("bigint").alias("bucket"),
+        n_tok.alias("n_tok"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+    )
+    return g.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        "max_tokens",
+        F.round(
+            (F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens"))
+            / (F.col("n_docs") * F.col("max_tokens")).cast("double")
+            * 1000000.0
+        ).cast("bigint").alias("pad_overhead_e6"),
+    )

@@ -1133,6 +1133,152 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fuzzy-decontamination benchmark slice: wider than the exact path's
+#: %50 so near-dup crossings exist at test scale; Jaccard gate 0.5
+_FUZZY_BENCH_MOD = 10
+
+
+def _fuzzy_decontam_oracle() -> str:
+    """Bipartite MinHash chain: corpus-vs-benchmark candidates by
+    band equi-join, candidate-first exact-Jaccard verify, per-doc
+    argmax — the SQL twin of ``dedup.fuzzy_contamination``."""
+    sig_cols = ", ".join(
+        "min(substr(md5({src}), {off}, 8)) AS h{k}".format(
+            src="shingle" if k < 4 else "'#' || shingle",
+            off=1 + 8 * (k % 4),
+            k=k,
+        )
+        for k in range(_MINHASH_K)
+    )
+    n_bands = _MINHASH_K // _MINHASH_BAND
+    sep = " || '|' || "
+
+    def band_selects(src: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {idc}, {b} AS band_idx, "
+            f"md5({sep.join(f'h{k}' for k in range(b * _MINHASH_BAND, (b + 1) * _MINHASH_BAND))})"
+            f" AS band_hash FROM {src}"
+            for b in range(n_bands)
+        )
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    shc AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_FUZZY_BENCH_MOD} != 0),
+    shb AS (SELECT doc_id AS bench_id, shingle FROM sh
+            WHERE doc_id % {_FUZZY_BENCH_MOD} = 0),
+    sigc AS (SELECT doc_id, {sig_cols}, count(*) AS n_a FROM shc GROUP BY doc_id),
+    sigb AS (SELECT bench_id, {sig_cols}, count(*) AS n_b FROM shb GROUP BY bench_id),
+    bandc AS ({band_selects("sigc", "doc_id")}),
+    bandb AS ({band_selects("sigb", "bench_id")}),
+    cand AS (
+        SELECT DISTINCT a.doc_id, b.bench_id
+        FROM bandc a JOIN bandb b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+    ),
+    inter AS (
+        SELECT c.doc_id, c.bench_id, count(*) AS n_inter
+        FROM cand c
+        JOIN shc a ON a.doc_id = c.doc_id
+        JOIN shb b ON b.bench_id = c.bench_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.doc_id, i.bench_id,
+               round(n_inter / (sa.n_a + sb.n_b - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sigc sa ON sa.doc_id = i.doc_id
+        JOIN sigb sb ON sb.bench_id = i.bench_id
+        WHERE round(n_inter / (sa.n_a + sb.n_b - n_inter), 6) >= 0.5
+    )
+    SELECT doc_id, bench_id, CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY jaccard DESC, bench_id ASC) AS rk
+        FROM scored
+    ) WHERE rk = 1
+    """
+
+
+@query(
+    "q_decontaminate_fuzzy",
+    oracle=_fuzzy_decontam_oracle(),
+    tags=("llmdata", "decontam", "dedup"),
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: corpus docs whose
+    shingle-Jaccard vs some benchmark doc (doc_id % 10 == 0 slice)
+    reaches 0.5, each with its highest-Jaccard benchmark match —
+    catches the paraphrased/lightly-edited leaks the exact n-gram
+    check (q_decontaminate) can't see. Bipartite MinHash: benchmark
+    band table broadcasts, corpus streams map-side, exact verify only
+    on candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % _FUZZY_BENCH_MOD == 0)
+    corp = d.where(F.col("doc_id") % _FUZZY_BENCH_MOD != 0)
+    hits = dd.fuzzy_contamination(
+        corp, bench, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    )
+    return hits.select(
+        "doc_id",
+        "bench_id",
+        F.round(F.col("jaccard") * 1000000.0).cast("bigint").alias("jaccard_e6"),
+    )
+
+
+@query(
+    "q_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    {_EDGES_REACH_CTES},
+    csize AS (
+        SELECT component_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM comp GROUP BY component_id
+    ),
+    per_doc AS (
+        SELECT c.node AS doc_id, s.n_dups
+        FROM comp c JOIN csize s ON s.component_id = c.component_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_dups, CAST(1 AS BIGINT)) AS n_dups,
+           CAST(round(1000000.0 / coalesce(p.n_dups, 1)) AS BIGINT) AS weight_e6
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware loss weighting (soft dedup): instead of
+    dropping near-duplicates, weight every document by 1/|its
+    duplicate family| so each family contributes one document's worth
+    of loss — the down-weighting alternative to q_dedup_apply's hard
+    drop. Uniques keep weight 1.
+
+    Scale shape: component labels come from the pair-set-sized CC
+    (the q_dedup_components algebra); family sizes are a
+    component-keyed count; the corpus joins the doc-sized label table
+    once on its id, map-side broadcastable when the flagged set is
+    small."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
+    ).select("id_a", "id_b")
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("n_dups")
+    )
+    per_doc = comp.join(sizes, "component_id").select(
+        F.col("node").alias("doc_id"), "n_dups"
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_dups"), F.lit(1).cast("bigint")).alias("n_dups"),
+        F.round(
+            1000000.0 / F.coalesce(F.col("n_dups"), F.lit(1))
+        ).cast("bigint").alias("weight_e6"),
+    )
+
+
 _MIX_BUDGET_TOKENS = 600
 
 

@@ -220,13 +220,15 @@ _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
         # deferral when the trained-BPE pair landed, and
         # q_join_asof/q_join_range when the trained-classifier pair
         # landed — same rationale.)
-        "q_decontaminate", "q_funnel",
+        "q_decontaminate",
         "q_pii_redact",
         # (q_value_outliers deferred likewise when q_hard_negatives
-        # landed.)
-        "q_sessionize", "q_stream_dedup", "q_stream_session",
+        # landed; q_funnel/q_sessionize/q_tpch_q3_shipping when the
+        # fuzzy-decontam / dedup-weights / length-buckets trio did —
+        # the r7-new queries have never held a driver row, which
+        # outranks re-attesting r4 rows that still stand.)
+        "q_stream_dedup", "q_stream_session",
         "q_stream_sliding", "q_stream_tumbling",
-        "q_tpch_q3_shipping",
         "q_tpch_q5_local_supplier",
     }
 )
