@@ -11,17 +11,32 @@ scalar update chain — so the driver hash attests the whole training
 trajectory, final weights included, not merely downstream counts.
 
 Weak labels are the standard bootstrap: top-quartile documents by the
-heuristic quality score are positives, bottom-quartile negatives
-(ntile over the (quality_raw DESC, doc_id) total order — engine-
-identical bucketing, the q_ppl_buckets discipline). At 100 TB the
-train frame is a bounded labeled sample (the global ntile runs over
-that sample, not the corpus); apply stays a map-only scan of the full
-corpus with the weights inlined.
+heuristic quality score are positives, bottom-quartile negatives —
+quartiles of the (qraw_e6 DESC, doc_id ASC) total order, where
+qraw_e6 is the e6-integer quantization of the raw score (bounded
+domain [0, 1e6] because the score is a convex combination in [0,1]).
+
+The Spark side derives quartile MEMBERSHIP without any window: a
+two-level value histogram (coarse e2 buckets → fine e6 values inside
+the two boundary buckets — both aggregations have domain-bounded
+output, ≤101 and ≤10⁴ rows, independent of corpus size) locates the
+exact cutoff values and tie splits, and labeling is then a map-side
+filter against four broadcast literals. The earlier global
+``ntile(4)`` window ranked the ENTIRE corpus on one partition (Spark
+warns ``WindowExec: No Partition Defined``) — the one corpus-sized
+single-task sort in the repo; this replaces it with three bounded
+1-pass aggregations over a slim checkpointed feature frame. The
+DuckDB oracle keeps the declarative ``ntile(4)`` form (oracle
+efficiency is irrelevant); membership is provably identical: ntile
+bucket 1 is exactly the first ⌈n/4⌉-ish rows of the total order and
+bucket 4 exactly the last ⌊n/4⌋, which is what the cutoffs select.
+Apply stays a map-only scan of the full corpus with the weights
+inlined.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.functions import text as tx
@@ -63,7 +78,9 @@ def _train_ctes(k: int, lr: float) -> str:
         FROM documents
     ),
     lab0 AS (
-        SELECT doc_id, ntile(4) OVER (ORDER BY quality_raw DESC, doc_id) AS qt
+        SELECT doc_id, ntile(4) OVER (
+            ORDER BY CAST(round(quality_raw * 1000000) AS BIGINT) DESC, doc_id
+        ) AS qt
         FROM qraw
     ),
     train AS MATERIALIZED (
@@ -96,20 +113,131 @@ def _train_ctes(k: int, lr: float) -> str:
     return ",".join(parts)
 
 
+#: coarse histogram bucket width over the e6 score domain [0, 1e6]:
+#: ≤ 101 coarse buckets, ≤ _QCOARSE fine values per bucket — both
+#: bounded by the VALUE DOMAIN, never by corpus size.
+_QCOARSE = 10_000
+
+
+def _kth_cut(fine: dict[int, int], buckets: list[int], start: int, k: int):
+    """Walk ``buckets`` (an ordered coarse→fine traversal of e6 score
+    values) until cumulative count reaches rank ``k``; returns
+    (cut_value, n_strictly_before, tie_count)."""
+    cum = start
+    for v in buckets:
+        if cum + fine[v] >= k:
+            return v, cum, fine[v]
+        cum += fine[v]
+    raise AssertionError("rank walked past the histogram")  # pragma: no cover
+
+
+def _quartile_conditions(base: DataFrame):
+    """Exact ntile(4)-membership conditions for buckets 1 and 4 of the
+    (``__qe6`` DESC, ``doc_id`` ASC) total order, as map-side filters.
+
+    Three bounded jobs replace the single-partition global sort:
+    (1) a coarse histogram on ``__qe6 // 10000`` (≤101 rows — the raw
+    quality score is a convex combination in [0,1]); (2) a fine
+    histogram restricted to the two coarse buckets holding the
+    quartile boundaries (≤2·10⁴ rows); (3) when a boundary value is
+    tied, a TakeOrdered over just that tie group to find the doc_id
+    split (bounded by the tie-group size; score ties at e6 granularity
+    are a vanishing fraction of a real corpus — a degenerate
+    all-one-score corpus would make this quartile-sized, at which
+    point quartile labels are meaningless anyway). Every output row
+    count is domain- or tie-bounded, so the shape is unchanged at
+    100 TB; no WindowExec anywhere."""
+    coarse_rows = (
+        base.groupBy(F.floor(F.col("__qe6") / _QCOARSE).alias("b"))
+        .count()
+        .collect()
+    )
+    coarse = {int(r["b"]): int(r["count"]) for r in coarse_rows}
+    n = sum(coarse.values())
+    if n < 8:
+        raise ValueError(
+            f"quartile labeling needs >= 8 documents, got {n}: bucket 4 "
+            "would be empty or the train set degenerate"
+        )
+    # ntile(4) bucket sizes: the first n%4 buckets carry one extra row
+    k1 = n // 4 + (1 if n % 4 >= 1 else 0)  # rows in bucket 1 (top)
+    k4 = n // 4  # rows in bucket 4 (bottom)
+
+    def coarse_walk(order_desc: bool, k: int):
+        cum = 0
+        for b in sorted(coarse, reverse=order_desc):
+            if cum + coarse[b] >= k:
+                return b, cum
+            cum += coarse[b]
+        raise AssertionError("rank walked past the histogram")  # pragma: no cover
+
+    b_top, before_top = coarse_walk(True, k1)
+    b_bot, before_bot = coarse_walk(False, k4)
+    fine_rows = (
+        base.where(F.floor(F.col("__qe6") / _QCOARSE).isin(b_top, b_bot))
+        .groupBy("__qe6")
+        .count()
+        .collect()
+    )
+    fine = {int(r["__qe6"]): int(r["count"]) for r in fine_rows}
+    top_vals = sorted((v for v in fine if v // _QCOARSE == b_top), reverse=True)
+    bot_vals = sorted(v for v in fine if v // _QCOARSE == b_bot)
+    c1, gt1, tie1 = _kth_cut(fine, top_vals, before_top, k1)
+    c4, lt4, tie4 = _kth_cut(fine, bot_vals, before_bot, k4)
+    r1, r4 = k1 - gt1, k4 - lt4  # rows taken from each boundary tie group
+
+    qe6, did = F.col("__qe6"), F.col("doc_id")
+    # bucket 1 = top k1 rows: all above c1, plus the r1 LOWEST doc_ids
+    # at c1 (the total order breaks score ties by doc_id ASC)
+    if r1 == tie1:
+        pos = qe6 >= c1
+    else:
+        d1 = (
+            base.where(qe6 == c1)
+            .orderBy("doc_id")
+            .limit(r1)
+            .agg(F.max("doc_id"))
+            .first()[0]
+        )
+        pos = (qe6 > c1) | ((qe6 == c1) & (did <= d1))
+    # bucket 4 = bottom k4 rows = top k4 of the REVERSED order
+    # (qe6 ASC, doc_id DESC): all below c4, plus the r4 HIGHEST doc_ids
+    if r4 == tie4:
+        neg = qe6 <= c4
+    else:
+        d4 = (
+            base.where(qe6 == c4)
+            .orderBy(F.desc("doc_id"))
+            .limit(r4)
+            .agg(F.min("doc_id"))
+            .first()[0]
+        )
+        neg = (qe6 < c4) | ((qe6 == c4) & (did >= d4))
+    # disjoint by construction: c1 > c4, or c1 == c4 with a tie group
+    # spanning both boundaries — then r1 < tie1 and r4 < tie4 (the
+    # group extends past both ranks since k1 <= n - k4), so both sides
+    # take the doc_id-cut form and r1 + r4 <= tie keeps them apart
+    return pos, neg
+
+
 def _labeled_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, y, x1..x5) for the quartile-labeled training slice."""
+    """(doc_id, y, x1..x5) for the quartile-labeled training slice.
+    The slim feature frame (7 numerics + id, text dropped) is pinned
+    with localCheckpoint so the histogram/cut jobs and the training
+    loop never recompute the regex-heavy text features."""
     d = load_table(spark, sf_dir, "documents")
     feats = clf.feature_columns(F.col("text"))
     base = d.select(
         "doc_id",
-        tx.quality_score_raw(F.col("text")).alias("__qraw"),
+        F.round(tx.quality_score_raw(F.col("text")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("__qe6"),
         *[c.alias(n) for n, c in feats.items()],
-    )
-    qt = F.ntile(4).over(Window.orderBy(F.desc("__qraw"), F.asc("doc_id")))
+    ).localCheckpoint(eager=True)
+    pos, neg = _quartile_conditions(base)
     return (
-        base.withColumn("qt", qt)
-        .where(F.col("qt").isin(1, 4))
-        .withColumn("y", F.when(F.col("qt") == 1, 1.0).otherwise(0.0))
+        base.where(pos | neg)
+        .withColumn("y", F.when(pos, 1.0).otherwise(0.0))
         .select("doc_id", "y", *clf.FEATURES)
     )
 

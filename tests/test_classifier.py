@@ -54,3 +54,66 @@ def test_registry_classifier_accuracy(spark):
 
     row = q_quality_classifier(spark, "/root/testdata/sf0.001").first()
     assert row.n_correct / row.n_train >= 0.9
+
+
+def test_labeled_frame_matches_ntile_membership(spark):
+    """The window-free quartile labeling (histogram cutoffs + map-side
+    filter) must reproduce EXACTLY the membership of the global
+    ntile(4) window it replaced — same doc_ids, same y."""
+    from pyspark.sql import Window
+
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.plans.classifier_q import _labeled_frame
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.y) for r in _labeled_frame(spark, sf).select("doc_id", "y").collect()
+    }
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.round(tx.quality_score_raw(F.col("text")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("qe6"),
+    )
+    qt = F.ntile(4).over(Window.orderBy(F.desc("qe6"), F.asc("doc_id")))
+    want = {
+        (r.doc_id, 1.0 if r.qt == 1 else 0.0)
+        for r in d.withColumn("qt", qt).where(F.col("qt").isin(1, 4)).collect()
+    }
+    assert got == want
+
+
+def test_labeled_frame_plan_has_no_global_window(spark):
+    """The scale-killer this round removed: no WindowExec (partitioned
+    or not) may appear anywhere in the labeling plan."""
+    from flink_join_scaling_spark.plans.classifier_q import _labeled_frame
+
+    plan = _labeled_frame(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_quartile_conditions_tie_split(spark):
+    """Boundary score ties split by doc_id exactly as the total order
+    (qe6 DESC, doc_id ASC) dictates: with 8 rows all sharing one score,
+    bucket 1 = two lowest ids, bucket 4 = two highest."""
+    from flink_join_scaling_spark.plans.classifier_q import _quartile_conditions
+
+    base = spark.createDataFrame(
+        [(i, 500_000) for i in range(1, 9)], ["doc_id", "__qe6"]
+    ).localCheckpoint()
+    pos, neg = _quartile_conditions(base)
+    pos_ids = sorted(r.doc_id for r in base.where(pos).collect())
+    neg_ids = sorted(r.doc_id for r in base.where(neg).collect())
+    assert pos_ids == [1, 2]
+    assert neg_ids == [7, 8]
+
+
+def test_quartile_conditions_refuses_tiny_corpus(spark):
+    from flink_join_scaling_spark.plans.classifier_q import _quartile_conditions
+
+    base = spark.createDataFrame(
+        [(i, i * 1000) for i in range(5)], ["doc_id", "__qe6"]
+    ).localCheckpoint()
+    with pytest.raises(ValueError):
+        _quartile_conditions(base)
