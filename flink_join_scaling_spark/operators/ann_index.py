@@ -31,8 +31,8 @@ read path expressed as lakehouse layout + Catalyst pruning.
 Same determinism contract as the similarity module: assignments rank
 cells by round-6 cosine with ties to the lower cell id, centroid
 training is the deterministic md5-sampled spherical k-means, and
-query scoring reuses the round-6 cosine with (query_id, -cosine,
-vec_id) total-order ranking.
+query scoring reuses the Arrow-vectorized e6-integer cosine with
+(query_id, cosine_e6 DESC, vec_id) total-order ranking.
 """
 
 from __future__ import annotations
@@ -294,7 +294,7 @@ def ivf_index_topk(
                 "adc=True requires an index built with pq= codebooks"
             )
         from flink_join_scaling_spark.functions.vectors import (
-            cosine_expr,
+            cosine_e6_pandas,
             l2_norm_expr,
         )
         from flink_join_scaling_spark.operators.similarity import _ranked
@@ -330,10 +330,10 @@ def ivf_index_topk(
             .select(
                 "query_id",
                 "vec_id",
-                F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+                cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
             )
         )
-        return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+        return _ranked(pairs, k).select("query_id", "vec_id", "cosine_e6", "rank")
     idx = pruned.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vc"),

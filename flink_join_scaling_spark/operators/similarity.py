@@ -29,14 +29,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.functions.vectors import (
-    cosine_expr,
+    cosine_e6_pandas,
     l2_norm_expr,
     with_l2_norm,
 )
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_e6").desc(), F.col("vec_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
@@ -58,7 +58,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Exact top-k by cosine: (query_id, vec_id, cosine, rank).
+    """Exact top-k by cosine: (query_id, vec_id, cosine_e6, rank).
 
     Brute force is inherent to EXACT top-k (every pair must be
     scored; the sub-linear siblings are ann_lsh/ivf/pq), but the plan
@@ -70,9 +70,15 @@ def cosine_topk(
     shuffle; the hash table holds queries × 16 tiny rows), while the
     plan stays inside the no-cartesian guard the rest of the registry
     is swept by. Per-query partial top-k happens map-side via
-    WindowGroupLimit before the single ranking exchange. cosine is
-    rounded to 6 decimals before ranking, with vec_id as tiebreak, so
-    ranking is a deterministic total order.
+    WindowGroupLimit before the single ranking exchange.
+
+    Pair scoring runs through the Arrow-vectorized
+    :func:`~flink_join_scaling_spark.functions.vectors.cosine_e6_pandas`
+    (one NumPy multiply-sum per batch) — the interpreted Catalyst
+    higher-order fold it replaced cost ~30µs/pair and dominated the
+    corpus-streaming stage. Scores are e6-quantized BIGINTs, so the
+    (cosine_e6 DESC, vec_id ASC) rank is exact integer math on every
+    engine — a deterministic total order.
     """
     c = with_l2_norm(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"),
@@ -93,10 +99,10 @@ def cosine_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+            cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
         )
     )
-    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine_e6", "rank")
 
 
 def hard_negatives(
@@ -116,9 +122,10 @@ def hard_negatives(
     Same synthetic-cell broadcast equi-join shape as
     :func:`cosine_topk` (corpus streams once map-side, queries × 16
     broadcast rows, WindowGroupLimit partial top-k before the single
-    ranking exchange); the label-mismatch predicate filters BEFORE
-    ranking, so negatives are ranked within the mismatching set.
-    Returns (query_id, query_label, vec_id, neg_label, cosine, rank).
+    ranking exchange, Arrow-vectorized e6 cosine); the label-mismatch
+    predicate filters BEFORE ranking, so negatives are ranked within
+    the mismatching set. Returns (query_id, query_label, vec_id,
+    neg_label, cosine_e6, rank).
     """
     c = with_l2_norm(corpus, vec_col).select(
         F.col(id_col).alias("vec_id"),
@@ -148,11 +155,11 @@ def hard_negatives(
             "query_label",
             "vec_id",
             "neg_label",
-            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+            cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
         )
     )
     return _ranked(pairs, k).select(
-        "query_id", "query_label", "vec_id", "neg_label", "cosine", "rank"
+        "query_id", "query_label", "vec_id", "neg_label", "cosine_e6", "rank"
     )
 
 
@@ -209,16 +216,18 @@ def cosine_topk_pandas(
             out = {
                 "query_id": np.repeat(q_ids, top),
                 "vec_id": pdf[id_col].to_numpy()[idx.T.ravel()],
-                "cosine": np.round(cos[idx.T.ravel(), np.repeat(np.arange(n_q), top)], 6),
+                "cosine_e6": np.round(
+                    cos[idx.T.ravel(), np.repeat(np.arange(n_q), top)] * 1e6
+                ).astype(np.int64),
             }
             yield pd.DataFrame(out)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, vec_id long, cosine double"
+        score, schema="query_id long, vec_id long, cosine_e6 long"
     )
     return (
         _ranked(partial.where(F.col("query_id") != F.col("vec_id")), k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", "cosine_e6", "rank")
     )
 
 
@@ -354,10 +363,10 @@ def ann_lsh_topk(
             "query_id",
             "vec_id",
             F.col("bucket"),
-            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+            cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
         )
     )
-    return _ranked(pairs, k).select("query_id", "vec_id", "bucket", "cosine", "rank")
+    return _ranked(pairs, k).select("query_id", "vec_id", "bucket", "cosine_e6", "rank")
 
 
 # ------------------------------------------------------------ IVF ANN
@@ -563,7 +572,8 @@ def _probe_and_rank(
     idx: DataFrame, probes: DataFrame, k: int, exclude_self: bool = True
 ) -> DataFrame:
     """Shared IVF scoring tail: broadcast the probe batch into the
-    cell equi-join, round-6 cosine, total-order top-k. ``idx`` carries
+    cell equi-join, Arrow-vectorized e6 cosine, total-order top-k
+    on exact integers. ``idx`` carries
     (vec_id, vc, nc, cell); ``probes`` carries (query_id, vq, nq,
     cell). Used by :func:`ann_ivf_topk` (in-session) and
     ``operators.ann_index.ivf_index_topk`` (persisted index) so the
@@ -578,9 +588,9 @@ def _probe_and_rank(
     pairs = pairs.select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+        cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
     )
-    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine_e6", "rank")
 
 
 def ivf_cells_pandas(
@@ -894,7 +904,7 @@ def ann_pq_topk(
     returns (query_id, vec_id, adist_e6, rank) on the e6-quantized
     approximate squared L2 distance (unit vectors: adist = 2 −
     2·cos_approx); with refining the output is (query_id, vec_id,
-    cosine, rank) like every other top-k here. Compose with the IVF
+    cosine_e6, rank) like every other top-k here. Compose with the IVF
     cell layout (prune cells, ADC inside probed cells) for the
     sublinear FAISS IVF-PQ shape. Ties break on vec_id.
     """
@@ -930,7 +940,7 @@ def ann_pq_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr("vq", "vc", "nq", "nc"), 6).alias("cosine"),
+            cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
         )
     )
-    return _ranked(pairs, k).select("query_id", "vec_id", "cosine", "rank")
+    return _ranked(pairs, k).select("query_id", "vec_id", "cosine_e6", "rank")

@@ -709,12 +709,13 @@ _TOPK_ORACLE = f"""
     WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
     pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+               CAST(round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
         FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id
     )
-    SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine_e6, rank FROM (
         SELECT *, CAST(row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+            PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS BIGINT) AS rank
         FROM pairs
     ) WHERE rank <= 5
     """
@@ -754,13 +755,14 @@ def _ann_oracle() -> str:
     ),
     pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.bucket AS bucket,
-               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+               CAST(round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
         FROM n q JOIN n c ON q.bucket = c.bucket
          AND q.vec_id < 10 AND q.vec_id != c.vec_id
     )
-    SELECT query_id, vec_id, bucket, cosine, rank FROM (
+    SELECT query_id, vec_id, bucket, cosine_e6, rank FROM (
         SELECT *, CAST(row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+            PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS BIGINT) AS rank
         FROM pairs
     ) WHERE rank <= 5
     """
@@ -799,13 +801,13 @@ def _ivf_oracle() -> str:
                WHERE crank <= {_IVF_NPROBE} AND vec_id < 10),
     pairs AS (
         SELECT p.query_id, i.vec_id,
-               round({_dot_sql('p.embedding', 'i.embedding')} / (p.nrm * i.nrm), 6)
-                   AS cosine
+               CAST(round({_dot_sql('p.embedding', 'i.embedding')} / (p.nrm * i.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
         FROM idx i JOIN probes p ON i.cell = p.cell AND p.query_id != i.vec_id
     )
-    SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine_e6, rank FROM (
         SELECT *, CAST(row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+            PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS BIGINT) AS rank
         FROM pairs
     ) WHERE rank <= 5
     """
@@ -2310,15 +2312,15 @@ _KNN_HOLDOUT = 20
     pairs AS (
         SELECT q.vec_id AS query_id, q.label AS true_label,
                c.vec_id AS vec_id, c.label AS nbr_label,
-               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6)
-                   AS cosine
+               CAST(round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
         FROM n q JOIN n c
           ON q.vec_id < {_KNN_HOLDOUT} AND c.vec_id >= {_KNN_HOLDOUT}
     ),
     nbrs AS (
         SELECT * FROM (
             SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rk
+                PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS rk
             FROM pairs
         ) WHERE rk <= {_KNN_K}
     ),
@@ -2345,9 +2347,9 @@ def q_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain labels across the corpus (and, with true_label exposed,
     the standard embedding-quality eval: kNN-accuracy).
 
-    Determinism: neighbor rank orders by (round-6 cosine DESC, vec_id
-    ASC) and the vote by (count DESC, label ASC) — total orders on
-    both engines. Scale shape: neighbor search is the exact top-k
+    Determinism: neighbor rank orders by (e6-integer cosine DESC,
+    vec_id ASC) and the vote by (count DESC, label ASC) — exact
+    total orders on both engines. Scale shape: neighbor search is the exact top-k
     broadcast equi-join of cosine_topk (holdout side is the broadcast;
     the labeled corpus streams once, map-side); at production scale
     the same query swaps in ann_ivf/persisted-index search — votes and
@@ -2394,18 +2396,16 @@ _HN_K = 3
     pairs AS (
         SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
                c.vec_id AS vec_id, CAST(c.label AS BIGINT) AS neg_label,
-               round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6)
-                   AS cosine
+               CAST(round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
         FROM n q JOIN n c
           ON q.vec_id < {_KNN_HOLDOUT} AND c.vec_id <> q.vec_id
          AND c.label <> q.label
     )
-    SELECT query_id, query_label, vec_id, neg_label,
-           CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6,
-           rank
+    SELECT query_id, query_label, vec_id, neg_label, cosine_e6, rank
     FROM (
         SELECT *, CAST(row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT)
+            PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS BIGINT)
             AS rank
         FROM pairs
     ) WHERE rank <= {_HN_K}
@@ -2432,6 +2432,6 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_label").cast("bigint").alias("query_label"),
         "vec_id",
         F.col("neg_label").cast("bigint").alias("neg_label"),
-        F.round(F.col("cosine") * 1000000.0).cast("bigint").alias("cosine_e6"),
+        "cosine_e6",
         "rank",
     )

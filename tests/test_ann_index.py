@@ -387,7 +387,7 @@ def test_pq_index_adc_path(spark, tmp_path):
     # ADC result stays inside what the non-ADC path could see: same
     # probed cells, so exact-rerank output schema matches
     plain = ivf_index_topk(q, idx, k=5, nprobe=4)
-    assert set(plain.columns) == {"query_id", "vec_id", "cosine", "rank"}
+    assert set(plain.columns) == {"query_id", "vec_id", "cosine_e6", "rank"}
     # a non-PQ index refuses the ADC path loudly
     idx2 = str(tmp_path / "plain")
     ivf_index_build(e, idx2, num_cells=4, train=False)

@@ -129,13 +129,13 @@ def test_cosine_topk_finds_planted_neighbor(planted_vecs):
     q = planted_vecs.where(F.col("vec_id") == 0)
     top = sim.cosine_topk(planted_vecs, q, k=1).collect()
     assert len(top) == 1
-    assert top[0].vec_id == 30 and top[0].cosine > 0.99
+    assert top[0].vec_id == 30 and top[0].cosine_e6 > 990_000
 
 
 def test_cosine_topk_pandas_equals_jvm(planted_vecs):
     q = planted_vecs.where(F.col("vec_id") < 3)
-    jvm = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in sim.cosine_topk(planted_vecs, q, k=5).collect()}
-    pnd = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in sim.cosine_topk_pandas(planted_vecs, q, k=5).collect()}
+    jvm = {(r.query_id, r.rank): (r.vec_id, r.cosine_e6) for r in sim.cosine_topk(planted_vecs, q, k=5).collect()}
+    pnd = {(r.query_id, r.rank): (r.vec_id, r.cosine_e6) for r in sim.cosine_topk_pandas(planted_vecs, q, k=5).collect()}
     assert jvm == pnd
 
 
@@ -152,7 +152,7 @@ def test_hard_negatives_excludes_same_label(planted_vecs):
     top = sim.cosine_topk(lv, q, k=1).collect()
     assert top[0].vec_id == 30
     # ranked by descending cosine with the rank column 1..k
-    cosines = [r.cosine for r in sorted(neg, key=lambda r: r.rank)]
+    cosines = [r.cosine_e6 for r in sorted(neg, key=lambda r: r.rank)]
     assert cosines == sorted(cosines, reverse=True)
 
 
@@ -338,7 +338,7 @@ def test_ann_ivf_queries_use_corpus_cell_space(planted_vecs):
     q = planted_vecs.where(F.col("vec_id") == 30)
     top = sim.ann_ivf_topk(planted_vecs, q, k=3, num_cells=4, nprobe=2).collect()
     assert top and top[0].query_id == 30
-    assert top[0].vec_id == 0 and top[0].cosine > 0.99
+    assert top[0].vec_id == 0 and top[0].cosine_e6 > 990_000
 
 
 def test_connected_components_long_chain_converges(spark):
