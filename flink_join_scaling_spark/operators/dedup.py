@@ -1226,7 +1226,12 @@ def dedup_keep_best(
     """Representative selection over duplicate groups: per connected
     component of ``pairs``, keep the member with the highest
     ``score_col`` (ties → lowest id). Returns one row per component:
-    (component_id, keeper_id, n_members, best_score).
+    (component_id, keeper_id, n_members, best_score). ``best_score``
+    is the UNROUNDED max — ordering and the exposed value both use the
+    bit-identical raw double; callers wanting a display form quantize
+    it themselves (e4 integers per the engine-stable discipline —
+    decimal round() of a double is the one step the engines disagree
+    on at midpoints).
 
     ``score_col`` is a column name or expression evaluated against
     ``docs``. The component set is pair-sized, so the score join
@@ -1251,7 +1256,7 @@ def dedup_keep_best(
             F.row_number().over(worder).alias("__rn"),
             F.col("node").alias("keeper_id"),
             F.count("*").over(wcomp).alias("n_members"),
-            F.round(F.max("__score").over(wcomp), 4).alias("best_score"),
+            F.max("__score").over(wcomp).alias("best_score"),
         )
         .where(F.col("__rn") == 1)
         .select("component_id", "keeper_id", "n_members", "best_score")

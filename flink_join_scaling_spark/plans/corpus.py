@@ -156,51 +156,86 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_quality_filter",
     oracle=f"""
     WITH {_quality_cte()}
-    SELECT d.doc_id, q.quality, d.n_chars
-    FROM documents d JOIN qual q ON q.doc_id = d.doc_id
-    WHERE q.quality >= 0.55 AND d.n_chars BETWEEN 100 AND 5000
+    SELECT d.doc_id,
+           CAST(round(q.quality_raw * 10000) AS BIGINT) AS quality_e4,
+           d.n_chars
+    FROM documents d JOIN qraw q ON q.doc_id = d.doc_id
+    WHERE q.quality_raw >= 0.55 AND d.n_chars BETWEEN 100 AND 5000
     """,
-    tags=("corpus", "quality", "float-boundary-sensitive"),
+    tags=("corpus", "quality"),
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The selection stage of a corpus pipeline: quality ≥ 0.55 and
     length in [100, 5000]. Pure narrow projection + filter (the
     quality score is a built-in-expression composite) — map-only, no
-    shuffle, sits in front of every downstream stage."""
+    shuffle, sits in front of every downstream stage. The predicate
+    compares the RAW score (bit-identical IEEE double on both
+    engines) and the display column is the e4 integer quantization —
+    no decimal double rounding, which is what kept this query
+    float-boundary-flagged through round 7."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", tx.quality_score(F.col("text")).alias("quality"), "n_chars"
-    ).where((F.col("quality") >= 0.55) & F.col("n_chars").between(100, 5000))
+        "doc_id", tx.quality_score_raw(F.col("text")).alias("__qraw"), "n_chars"
+    ).where((F.col("__qraw") >= 0.55) & F.col("n_chars").between(100, 5000)).select(
+        "doc_id",
+        F.round(F.col("__qraw") * 10000).cast("bigint").alias("quality_e4"),
+        "n_chars",
+    )
 
 
 @query(
     "q_source_stats",
     oracle=f"""
     WITH {_quality_cte()}
-    SELECT d.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
-           round(avg(q.quality), 4) AS avg_quality,
-           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
-    FROM documents d JOIN qual q ON q.doc_id = d.doc_id
-    GROUP BY d.source
+    SELECT source, n_docs, total_chars,
+           CAST(round(CAST(q_sum_e6 AS DOUBLE) / 1000000.0
+                      / CAST(n_docs AS DOUBLE) * 10000) AS BIGINT)
+               AS avg_quality_e4,
+           n_langs
+    FROM (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CAST(round(q.quality_raw * 1000000) AS BIGINT))
+                    AS BIGINT) AS q_sum_e6,
+               CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+        FROM documents d JOIN qraw q ON q.doc_id = d.doc_id
+        GROUP BY d.source
+    )
     """,
-    tags=("corpus", "quality", "float-boundary-sensitive"),
+    tags=("corpus", "quality"),
 )
 def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (doc count, volume, mean quality,
     language spread) — the monitoring/reporting aggregate over the
-    crawl. One shuffle keyed by source with map-side partials."""
+    crawl. One shuffle keyed by source with map-side partials.
+
+    The mean quality uses the classifier-gradient discipline: per-row
+    scores are e6-quantized to BIGINT BEFORE summation (exact integer
+    reduce — immune to accumulation order, partitioning, and engine),
+    and the display value is one pinned double expression of that
+    exact sum — replacing the float avg + decimal round that kept this
+    query in the float-boundary manifest through round 7."""
     d = load_table(spark, sf_dir, "documents")
     withq = d.select(
-        "source", "n_chars", "lang", tx.quality_score(F.col("text")).alias("quality")
+        "source", "n_chars", "lang",
+        F.round(tx.quality_score_raw(F.col("text")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("__q_e6"),
     )
     return withq.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-        F.countDistinct("lang").alias("n_langs"),
-    )
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("__q_e6").cast("double")
+            / F.lit(1_000_000.0)
+            / F.count("*").cast("double")
+            * F.lit(10_000.0)
+        )
+        .cast("bigint")
+        .alias("avg_quality_e4"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    ).select("source", "n_docs", "total_chars", "avg_quality_e4", "n_langs")
 
 
 # --------------------------------------------------------- embeddings
@@ -1590,7 +1625,8 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, n_docs, tok,
            CAST(round(CAST(q9 AS DOUBLE) / CAST(sq AS DOUBLE) * 1000000)
                 AS BIGINT) AS weight_e6,
-           CAST(round(CAST(q9 * t AS DOUBLE) / CAST(sq * tok AS DOUBLE)
+           CAST(round((CAST(q9 AS DOUBLE) / CAST(sq AS DOUBLE))
+                      * (CAST(t AS DOUBLE) / CAST(tok AS DOUBLE))
                       * 1000000) AS BIGINT) AS upsample_e6
     FROM q, s
     """,
@@ -1609,8 +1645,13 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     Comparability: the only cross-engine float risk is ``pow``, so
     p^α is quantized to an e9 BIGINT immediately (an ulp on a 0.x
     double is ~1e-17 vs the 5e-10 rounding margin); every later step
-    divides or multiplies EXACT integers in one shared float op before
-    the e6 quantization, so round-trip equality is by construction.
+    is a pinned-order double expression of those exact integers, so
+    round-trip equality is by construction. The upsample factor is
+    (q9/sq)·(t/tok) with each ratio cast to double BEFORE the product
+    — the naive BIGINT products q9·t and sq·tok overflow int64 once
+    total corpus tokens pass ~9e9 (q9 is ~1e9-scale), i.e. at exactly
+    the 100 TB regime this engine targets; both engines compute the
+    division-first form identically.
 
     Scale shape: per-doc token counts collapse map-side into the
     source-keyed rollup (sources-sized); the two scalar totals
@@ -1643,8 +1684,8 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weight_e6"),
         F.round(
-            (F.col("q9") * F.col("t")).cast("double")
-            / (F.col("sq") * F.col("tok")).cast("double")
+            (F.col("q9").cast("double") / F.col("sq").cast("double"))
+            * (F.col("t").cast("double") / F.col("tok").cast("double"))
             * F.lit(1_000_000.0)
         )
         .cast("bigint")

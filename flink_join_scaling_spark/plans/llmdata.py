@@ -186,12 +186,25 @@ def _quality_cte() -> str:
 
 @query(
     "q_quality_score",
-    oracle=f"WITH {_quality_cte()} SELECT doc_id, quality FROM qual",
-    tags=("llmdata", "text", "float-boundary-sensitive"),
+    oracle=f"""WITH {_quality_cte()}
+    SELECT doc_id, CAST(round(quality_raw * 10000) AS BIGINT) AS quality_e4
+    FROM qraw""",
+    tags=("llmdata", "text"),
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document, exposed as an e4 integer
+    (the q_source_cap discipline: the raw double is bit-identical
+    cross-engine, and round(raw*1e4) of the SAME double is exact
+    integer agreement — unlike the decimal round(raw, 4) display form,
+    which hit a cross-engine midpoint on some fixtures and kept this
+    query in the float-boundary manifest through round 7)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
+    return d.select(
+        "doc_id",
+        F.round(tx.quality_score_raw(F.col("text")) * 10000)
+        .cast("bigint")
+        .alias("quality_e4"),
+    )
 
 
 @query(
@@ -452,37 +465,47 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_quality_cte()},
     {_EDGES_REACH_CTES},
     members AS (
-        SELECT c.component_id, c.node, q.quality
-        FROM comp c JOIN qual q ON q.doc_id = c.node
+        SELECT c.component_id, c.node, q.quality_raw
+        FROM comp c JOIN qraw q ON q.doc_id = c.node
     ),
     ranked AS (
-        SELECT component_id, node, quality,
+        SELECT component_id, node,
                row_number() OVER (PARTITION BY component_id
-                                  ORDER BY quality DESC, node ASC) AS rn
+                                  ORDER BY quality_raw DESC, node ASC) AS rn
         FROM members
     ),
     stats AS (
         SELECT component_id, CAST(count(*) AS BIGINT) AS n_members,
-               round(max(quality), 4) AS best_score
+               CAST(round(max(quality_raw) * 10000) AS BIGINT) AS best_score_e4
         FROM members GROUP BY component_id
     )
-    SELECT r.component_id, r.node AS keeper_id, s.n_members, s.best_score
+    SELECT r.component_id, r.node AS keeper_id, s.n_members, s.best_score_e4
     FROM ranked r JOIN stats s ON s.component_id = r.component_id
     WHERE r.rn = 1
     """,
-    tags=("llmdata", "dedup", "float-boundary-sensitive"),
+    tags=("llmdata", "dedup"),
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection: per duplicate group, keep
     the highest-quality member (ties → lowest doc_id). The full
     dedup pipeline a training corpus actually runs: pairs → groups →
-    one survivor per group."""
+    one survivor per group. Election and max use the RAW quality
+    double (bit-identical cross-engine); the exposed best score is the
+    e4 integer quantization of that max — no decimal double rounding
+    anywhere, which is what kept this query float-boundary-flagged
+    through round 7."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5
     )
-    docs = d.select("doc_id", tx.quality_score(F.col("text")).alias("quality"))
-    return dd.dedup_keep_best(docs, pairs, "doc_id", "quality")
+    docs = d.select("doc_id", tx.quality_score_raw(F.col("text")).alias("quality"))
+    best = dd.dedup_keep_best(docs, pairs, "doc_id", "quality")
+    return best.select(
+        "component_id",
+        "keeper_id",
+        "n_members",
+        F.round(F.col("best_score") * 10000).cast("bigint").alias("best_score_e4"),
+    )
 
 
 @query(
@@ -492,13 +515,13 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_quality_cte()},
     {_EDGES_REACH_CTES},
     members AS (
-        SELECT c.component_id, c.node, q.quality
-        FROM comp c JOIN qual q ON q.doc_id = c.node
+        SELECT c.component_id, c.node, q.quality_raw
+        FROM comp c JOIN qraw q ON q.doc_id = c.node
     ),
     ranked AS (
         SELECT component_id, node,
                row_number() OVER (PARTITION BY component_id
-                                  ORDER BY quality DESC, node ASC) AS rn
+                                  ORDER BY quality_raw DESC, node ASC) AS rn
         FROM members
     ),
     losers AS (SELECT node FROM ranked WHERE rn > 1)
@@ -511,14 +534,17 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus itself — every document except the
     non-keeper members of near-dup groups (a LEFT ANTI join against
-    the pair-sized loser set; the corpus shuffles once, on its id)."""
+    the pair-sized loser set; the corpus shuffles once, on its id).
+    The keeper election orders by the RAW quality double — the
+    round-4 display form it previously ranked on can flip a
+    cross-engine midpoint tie."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_dedup_pairs(
         d, "doc_id", "text", num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5
     )
     docs = d.select(
         "doc_id", "lang", "source", "n_chars",
-        tx.quality_score(F.col("text")).alias("__q"),
+        tx.quality_score_raw(F.col("text")).alias("__q"),
     )
     return dd.dedup_apply(docs, pairs, "doc_id", "__q").drop("__q")
 
@@ -2260,13 +2286,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u_comp AS (SELECT node, min(r) AS component_id FROM u_reach GROUP BY node),
     memb AS (
-        SELECT c.component_id, c.node, q.quality
-        FROM u_comp c JOIN qual q ON q.doc_id = c.node
+        SELECT c.component_id, c.node, q.quality_raw
+        FROM u_comp c JOIN qraw q ON q.doc_id = c.node
     ),
     ranked AS (
         SELECT component_id, node,
                row_number() OVER (PARTITION BY component_id
-                                  ORDER BY quality DESC, node ASC) AS rn
+                                  ORDER BY quality_raw DESC, node ASC) AS rn
         FROM memb
     ),
     losers AS (SELECT node FROM ranked WHERE rn > 1)
@@ -2283,7 +2309,9 @@ def q_dedup_ensemble_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = quality argmax with lowest-id tiebreak (the
     q_dedup_apply election over q_dedup_ensemble's graph). Same
     algebra as the single-signal apply: component labels computed
-    once, a pair-sized loser list, one LEFT ANTI corpus shuffle."""
+    once, a pair-sized loser list, one LEFT ANTI corpus shuffle; the
+    election orders by the raw quality double (q_dedup_apply's
+    discipline)."""
     d = load_table(spark, sf_dir, "documents")
     lex = dd.minhash_dedup_pairs(
         d, "doc_id", "text",
@@ -2293,7 +2321,7 @@ def q_dedup_ensemble_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = lex.unionByName(sem)
     docs = d.select(
         "doc_id", "lang", "source", "n_chars",
-        tx.quality_score(F.col("text")).alias("__q"),
+        tx.quality_score_raw(F.col("text")).alias("__q"),
     )
     return dd.dedup_apply(docs, fused, "doc_id", "__q").drop("__q")
 

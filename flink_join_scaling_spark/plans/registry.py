@@ -51,23 +51,20 @@ QUERIES: dict[str, QuerySpec] = {}
 FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     "q_dedup_embedding",
     "q_sim_ann_lsh",
-    # quality-display cohort: the heuristic quality score's decimal
-    # round(…,4) hits a cross-engine midpoint on some fixtures (doc
-    # 234 at sf0.001 rounds 0.7596 in Spark's BigDecimal path, 0.7595
-    # in DuckDB's float path); green at the driver's sf0.01. Ordering
-    # by quality is NOT affected (rank keys use the raw double —
-    # quality_score_raw — which is bit-identical cross-engine);
-    # q_source_cap demonstrates the safe discipline (raw order key +
-    # e4 integer display).
-    "q_quality_score",
-    "q_quality_filter",
-    "q_source_stats",
-    "q_dedup_keep_best",
-    # the SemDeDup/ensemble family left this manifest in round 7: its
-    # pair thresholds, argmin keys, and exposed centroid cosines are
-    # now e6-quantized BIGINTs (functions/vectors.cosine_e6_pandas) —
-    # exact integer compares on both engines, residual risk narrowed
-    # to a true cosine within an ulp of an exact .5e-6 midpoint
+    # History of this manifest (each cohort left by adopting integer
+    # quantization): the SemDeDup/ensemble family left in round 7
+    # (pair thresholds, argmin keys, and exposed centroid cosines
+    # became e6 BIGINTs — functions/vectors.cosine_e6_pandas); the
+    # quality-display cohort (q_quality_score/filter, q_source_stats,
+    # q_dedup_keep_best) left in round 8 (raw-double predicates/order
+    # keys + e4/e6 integer display, the q_source_cap discipline —
+    # their decimal round(…,4) display hit a cross-engine midpoint on
+    # some fixtures, e.g. doc 234 at sf0.001); and the whole
+    # similarity top-k family ranks on e6 BIGINTs since round 8. The
+    # two residents stay because their SCORING (q_dedup_embedding's
+    # round-6 pair threshold) or ASSIGNMENT (q_sim_ann_lsh's dot>0
+    # bucket sign on pairwise-vs-sequential summation) still crosses
+    # a float boundary the oracle folds differently by ulps.
 )
 
 
