@@ -88,6 +88,12 @@ def merge_expr(state_col: Column, a: str, b: str) -> Column:
     return F.replace(state_col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
 
 
+#: merge rounds between localCheckpoint pins of the evolving word
+#: table — caps plan depth (and per-round recompute) at this constant
+#: instead of growing linearly with the merge count
+_RECHECKPOINT_EVERY = 32
+
+
 def train(words: DataFrame, num_merges: int) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from a (word, wc, state) table.
 
@@ -96,10 +102,20 @@ def train(words: DataFrame, num_merges: int) -> list[tuple[str, str, int]]:
     (count DESC, a ASC, b ASC) tiebreak, then a narrow replace. Only
     the single best row per round reaches the driver — the collected
     merge list is bounded by ``num_merges``, not by data size.
+
+    ``cur`` is re-localCheckpointed every ``_RECHECKPOINT_EVERY``
+    merges: without the pin, round r's aggregation re-executes r
+    chained replace expressions over the checkpointed base — O(K²)
+    expression work and ever-deeper plans, invisible at K=12 but fatal
+    at real-tokenizer K (tens of thousands). The checkpoint is
+    vocab-sized (the word table), so the pin costs one small
+    materialization per window.
     """
     cur = words.localCheckpoint(eager=True)  # vocab-sized; pins lineage
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
+        if merges and len(merges) % _RECHECKPOINT_EVERY == 0:
+            cur = cur.localCheckpoint(eager=True)
         pairs = cur.select(
             "wc", F.explode(adjacent_pairs(F.col("state"))).alias("p")
         )

@@ -293,6 +293,8 @@ def minhash_dedup_pairs(
     over the shingle explosion (the corpus-sized pass happens once for
     the signature side; the verify stage re-reads only candidate docs'
     shingles)."""
+    if num_hashes > 8:
+        raise ValueError("hash family provides 8 members (two md5 × four slices)")
     sh = _md5_pair_projected(exploded_shingles(df, id_col, text_col, shingle_n))
     sig_aggs = [F.min(_sig_slice(k)).alias(f"h{k}") for k in range(num_hashes)]
     sigs = sh.groupBy(id_col).agg(*sig_aggs, F.count("*").alias("n_sh"))
@@ -610,6 +612,11 @@ def fuzzy_contamination(
     contaminated corpus doc: (id, bench_id, jaccard) for its
     HIGHEST-Jaccard benchmark match (bench_id tiebreak).
     """
+    if num_hashes > 8:
+        # same bound minhash_signatures enforces: _sig_slice wraps at
+        # k % 4 per digest, so hash 9+ would silently DUPLICATE a
+        # slice and weaken the LSH signature with no error
+        raise ValueError("hash family provides 8 members (two md5 × four slices)")
     sig_aggs = [F.min(_sig_slice(k)).alias(f"h{k}") for k in range(num_hashes)]
     sh_a = exploded_shingles(corpus, id_col, text_col, shingle_n)
     sh_b = exploded_shingles(benchmark, id_col, text_col, shingle_n).select(

@@ -130,7 +130,10 @@ def stream_quality_score(
     byte-identical to the batch ``q_quality_classifier_apply`` algebra
     by construction. Output: the stream's columns plus ``logit``;
     below-threshold rows are dropped unless ``keep_rejected=True``
-    (then they pass through tagged, for quarantine sinks).
+    (then every row passes through carrying an explicit ``accepted``
+    boolean — ``logit >= threshold`` evaluated HERE, so quarantine
+    sinks route on the filter's own decision instead of re-deriving
+    the comparison and risking threshold drift).
     """
     from flink_join_scaling_spark.operators import classifier as clf
 
@@ -145,5 +148,5 @@ def stream_quality_score(
         *[f"__{name}" for name in clf.FEATURES]
     )
     if keep_rejected:
-        return scored
+        return scored.withColumn("accepted", F.col("logit") >= threshold)
     return scored.where(F.col("logit") >= threshold)

@@ -848,3 +848,14 @@ def test_pq_refined_topk_beats_recall_bound(spark):
     rows = pure.collect()
     assert len(rows) == 50  # 10 queries x top-5
     assert all(r.query_id != r.vec_id for r in rows)
+
+
+def test_minhash_family_refuses_oversized_hash_family(spark):
+    """num_hashes > 8 would silently duplicate _sig_slice members
+    (k % 4 wrap) and weaken the LSH signature — every signature
+    builder must refuse loudly instead."""
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="8 members"):
+        dd.minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=9)
+    with pytest.raises(ValueError, match="8 members"):
+        dd.fuzzy_contamination(docs, docs, "doc_id", "text", num_hashes=9)

@@ -391,3 +391,8 @@ def test_stream_quality_score_matches_batch_apply(streaming_spark, tmp_path):
         stream_quality_score(sdf, w, keep_rejected=True), output_mode="append"
     )
     assert tagged.count() == docs.count()
+    # quarantine routing decision is explicit: accepted == (logit >= 0)
+    # and the accepted set IS the filtered stream's id set
+    trows = tagged.select("doc_id", "logit", "accepted").collect()
+    assert all(r.accepted == (r.logit >= 0) for r in trows)
+    assert {r.doc_id for r in trows if r.accepted} == set(batch)
