@@ -22,6 +22,19 @@ Records are carried as JSON payloads so one processor serves any
 schema; callers wrap/unwrap with ``to_json``/``from_json``. At scale
 the payload column rides the one shuffle to the grouping key; state
 lives in the executor-local state store (RocksDB on a real cluster).
+
+State-write cost, stated plainly: ``GroupState`` holds ONE value per
+group, so a micro-batch that changes a key's maps rewrites that key's
+full serialized state — O(live ids under the key), NOT O(versions
+ever seen) (keep-latest compaction discards superseded versions on
+arrival, and ``scripts/scale_probe.py --streaming-state`` measures
+per-arrival cost flat in version count). Micro-batches that change
+nothing (stale/duplicate versions) skip the write entirely. A true
+one-row-per-(side, id) layout needs a keyed MapState — that is
+exactly ``transformWithStateInPandas``, whose protocol requires the
+unavailable ``protobuf`` package (SURVEY §4.3); revisit if the
+environment gains it. Keys with very many live ids are bounded by the
+same ``ttl_ms`` eviction that bounds state growth overall.
 """
 
 from __future__ import annotations
@@ -52,6 +65,16 @@ _STATE_SCHEMA = "xs string, ys string"
 _TS_NULL_SENTINEL = -(1 << 63)
 
 
+def _dump_state(xs: dict, ys: dict) -> tuple[str, str]:
+    """Serialize the two id→latest maps compactly (no separator
+    whitespace — the write is O(state bytes), so the encoding is the
+    constant factor on every state-changing arrival)."""
+    return (
+        json.dumps(xs, separators=(",", ":")),
+        json.dumps(ys, separators=(",", ":")),
+    )
+
+
 def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
     """Normalize one input to the tagged-union shape. ``key``/``id_``/
     ``ts`` are column names or Column expressions — the reference's
@@ -77,15 +100,17 @@ def tag_side(df: DataFrame, key, id_, ts, side: int) -> DataFrame:
 
 def _fold_latest(
     xs: dict[str, list], ys: dict[str, list], pdfs: Iterator[pd.DataFrame]
-) -> None:
+) -> bool:
     """Fold a micro-batch of tagged rows into the two id→[ts, payload]
     maps, last-writer-wins on (ts, payload). Vectorized: the batch is
     reduced to one row per (side, id) with pandas sort + groupby-tail
     (mirroring the batch cogroup), so Python-level work is O(touched
-    ids), not O(rows)."""
+    ids), not O(rows). Returns True iff any map entry changed — a
+    batch of stale versions leaves state untouched, and the caller
+    skips the O(state) serialize + store write."""
     frames = [pdf for pdf in pdfs if len(pdf)]
     if not frames:
-        return
+        return False
     allp = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     if allp["ts"].isna().any():
         # defense for callers that bypass tag_side (which maps null ts
@@ -101,6 +126,7 @@ def _fold_latest(
         .groupby(["side", "id"], sort=False)
         .tail(1)
     )
+    changed = False
     for side, id_, ts, payload in latest[["side", "id", "ts", "payload"]].itertuples(
         index=False, name=None
     ):
@@ -109,6 +135,8 @@ def _fold_latest(
         new = [int(ts), payload]
         if cur is None or (cur[0], cur[1]) < (new[0], new[1]):
             m[id_] = new
+            changed = True
+    return changed
 
 
 def _join_fn(how: str, ttl_ms: int | None = None):
@@ -135,8 +163,9 @@ def _join_fn(how: str, ttl_ms: int | None = None):
         if state.exists:
             sx, sy = state.get
             xs, ys = json.loads(sx), json.loads(sy)
-        _fold_latest(xs, ys, pdfs)
-        state.update((json.dumps(xs), json.dumps(ys)))
+        changed = _fold_latest(xs, ys, pdfs)
+        if changed or not state.exists:
+            state.update(_dump_state(xs, ys))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         k = key[0]
@@ -175,8 +204,9 @@ def _grouped_join_fn(how: str):
         if state.exists:
             sx, sy = state.get
             xs, ys = json.loads(sx), json.loads(sy)
-        _fold_latest(xs, ys, pdfs)
-        state.update((json.dumps(xs), json.dumps(ys)))
+        changed = _fold_latest(xs, ys, pdfs)
+        if changed or not state.exists:
+            state.update(_dump_state(xs, ys))
         if how == "left_outer_seq" and not xs:
             return
         # deterministic order: by entity id

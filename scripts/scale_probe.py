@@ -164,11 +164,108 @@ def components_forced(spark, sf_dir: str) -> None:
     dd.connected_components(pairs, driver_threshold=0).count()
 
 
+def streaming_state_probe(spark) -> None:
+    """Growth law of the keyed versioned join's per-arrival state cost
+    (streaming/joins.py module note): FLAT in versions retained —
+    keep-latest discards superseded versions on arrival, so an id that
+    upserts 8x more often costs the same per arrival — and LINEAR in
+    live ids per key, because GroupState holds one value per group and
+    a changing batch rewrites the key's full maps. The y side is an
+    empty stream and how='inner', so nothing is emitted: wall isolates
+    fold + state read/serialize/write.
+
+    Three cases, identical micro-batch count (8): B has 8x the
+    versions of A at the same live-id state; C has 8x the live ids of
+    A at the same version count (and B's total arrival count).
+    Expect per-arrival µs(B) ≈ µs(A) and µs(C) > µs(B)."""
+    import tempfile
+
+    from flink_join_scaling_spark.streaming import joins as sj
+    from flink_join_scaling_spark.streaming.harness import chunked_parquet_stream
+
+    def run(n_keys: int, n_ids: int, n_versions: int):
+        rows = [
+            (f"k{k}", f"id{i}", t, f"payload-{k}-{i}-{t}")
+            for k in range(n_keys)
+            for i in range(n_ids)
+            for t in range(n_versions)
+        ]
+        df = spark.createDataFrame(rows, "k string, id string, ts long, v string")
+        empty = spark.createDataFrame([], "k string, id string, ts long, v string")
+        with tempfile.TemporaryDirectory() as td:
+            sx = chunked_parquet_stream(spark, df, td, n_chunks=8)
+            sy = chunked_parquet_stream(spark, empty, td, n_chunks=1)
+            out = sj.stream_join_versioned(
+                sx, sy, "k", "k", "id", "id", "ts", "ts", how="inner"
+            )
+            t0 = time.perf_counter()
+            q = (
+                out.writeStream.format("noop")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+        return wall, len(rows)
+
+    run(4, 2, 2)  # warm the streaming machinery once
+    cases = {
+        "A: 32 keys x 8 ids x 4 versions": (32, 8, 4),
+        "B: versions x8 (32 x 8 x 32)": (32, 8, 32),
+        "C: live ids x8 (32 x 64 x 4)": (32, 64, 4),
+    }
+    print("| case | arrivals | wall | µs/arrival |")
+    print("|---|---|---|---|")
+    for label, args in cases.items():
+        wall, n = run(*args)
+        print(f"| {label} | {n} | {wall:.2f} s | {wall / n * 1e6:.0f} |")
+
+    # The streaming walls above are dominated by fixed micro-batch
+    # overhead at probe scale (8 availableNow batches ≈ constant),
+    # which is itself the finding: 8x versions and 8x live ids both
+    # disappear into it. The O(live ids) serialization term the module
+    # note documents only registers at much larger per-key state, so
+    # measure the per-arrival Python work (state round-trip + fold)
+    # directly:
+    import json as _json
+
+    import pandas as pd
+
+    from flink_join_scaling_spark.streaming.joins import (
+        _dump_state,
+        _fold_latest,
+    )
+
+    batch = pd.DataFrame(
+        {"side": [0], "id": ["id0"], "ts": [10], "payload": ["newer"]}
+    )
+    print()
+    print("| live ids in key state | per-arrival fold + state round-trip |")
+    print("|---|---|")
+    for n_ids in (1_000, 10_000, 100_000):
+        xs = {f"id{i}": [1, f"payload-{i}"] for i in range(n_ids)}
+        sx, sy = _dump_state(xs, {})
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x2, y2 = _json.loads(sx), _json.loads(sy)
+            _fold_latest(x2, y2, iter([batch]))
+            _dump_state(x2, y2)
+        per = (time.perf_counter() - t0) / reps
+        print(f"| {n_ids} | {per * 1e3:.2f} ms |")
+
+
 def main() -> None:
     spark = get_spark(
         app_name="fjss-scale-probe", cpus=32, shuffle_partitions=32,
         max_partition_bytes="8m",
     )
+    if "--streaming-state" in sys.argv or os.environ.get(
+        "PROBE_STREAMING_STATE"
+    ) == "1":
+        streaming_state_probe(spark)
+        return
     if os.environ.get("PROBE_PROD") != "1":
         inflate(spark)
 
