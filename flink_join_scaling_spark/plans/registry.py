@@ -151,6 +151,18 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
         "q_sim_ann_persisted", "q_snapshot_diff", "q_source_drift",
         "q_source_overlap", "q_split_leakage_safe", "q_tfidf",
         "q_zorder_layout",
+        # round-7 rotation greens: CORRECTNESS_r07.json — 50/50 hash
+        # green: the r7-new trainers (BPE, classifier), spans census,
+        # mixture temperature, source cap, knn/hard-negatives, fuzzy
+        # decontamination, length buckets, dedup weights, plus fresh
+        # re-attestations for the r3/r4-stale llmdata cohort and the
+        # streaming four.
+        "q_bpe_encode", "q_bpe_train", "q_decontaminate_fuzzy",
+        "q_dedup_latest", "q_dedup_spans", "q_dedup_spans_apply",
+        "q_dedup_weights", "q_hard_negatives", "q_knn_labels",
+        "q_length_buckets", "q_mixture_temperature",
+        "q_quality_classifier", "q_quality_classifier_apply",
+        "q_sim_ann_pq", "q_source_cap",
     }
 )
 
@@ -160,73 +172,68 @@ _DRIVER_GREEN: frozenset[str] = frozenset(
 #: round's last commit, so it can only be folded next round); two
 #: newer rounds mean the rotation went stale — the starvation bug this
 #: machinery exists to prevent — and the test fails loudly.
-ROTATION_FOLDED_THROUGH = 6
+ROTATION_FOLDED_THROUGH = 7
 
 # Queries whose output CHANGED this round, invalidating their prior
-# green rows outright (not merely aging them): the SemDeDup/ensemble
-# family's e6-quantization renamed/retyped exposed columns and moved
-# every cosine compare to integer math, so the r6 hashes no longer
-# describe the current code. Ordered before even the stalest
-# re-attestations — a changed query with an old green row is the one
-# kind of entry whose CORRECTNESS record is actively wrong.
+# green rows outright (not merely aging them). Round 8: the similarity
+# family now ranks and exposes e6-integer cosines (cosine → cosine_e6
+# BIGINT, raw-product quantization instead of round-6-then-scale); the
+# classifier pair labels over e6-quantized quartiles derived without
+# the global window; the quality-display cohort switched to raw-double
+# compares + e4/e6 integer display; the two keeper elections rank on
+# the raw score; q_mixture_temperature's upsample divides before
+# multiplying. Ordered before even the stalest re-attestations — a
+# changed query with an old green row is the one kind of entry whose
+# CORRECTNESS record is actively wrong.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
     {
-        "q_dedup_semantic", "q_dedup_semantic_apply",
-        "q_dedup_ensemble", "q_dedup_ensemble_apply",
+        "q_sim_topk", "q_sim_topk_pandas", "q_sim_ann_lsh", "q_sim_ann_ivf",
+        "q_knn_labels", "q_hard_negatives",
+        "q_quality_classifier", "q_quality_classifier_apply",
+        "q_quality_score", "q_quality_filter", "q_source_stats",
+        "q_dedup_keep_best", "q_dedup_apply", "q_dedup_ensemble_apply",
+        "q_mixture_temperature",
     }
 )
 
 # Queries whose latest driver row is stale and must be re-attested
-# before never-recorded queries. Round 7 targets freshness (the r6
-# verdict's #1 task): every query is green in SOME round, but 24 names
-# last held a driver row in round 3 and 24 more in round 4 — before the
-# r4 vectorized-cosine hot path, r5 catalog memoization, and r6
-# registry reshuffles that now execute under them. 48 + the 4 changed
-# names ≈ the ~50-slot window; the freshest r4 names are the ones a
-# time-budget cutoff may defer (their unchanged rows still stand).
+# before never-recorded queries. Round 8 targets the r7 verdict's
+# item 3: the 17 names whose latest green row is round 4, then the
+# round-5 cohort living in files refactored since (tpch_full.py and
+# temporal_q.py). 15 changed + 17 r4-stale + 17 r5 = 49 ≈ the driver's
+# ~50-slot window; the relational_ext.py r5 cohort (skew-salted pair,
+# JSON/HOF, histogram, entity resolution, fuzzy match, DQ pair,
+# approx pair, window distribution) is the explicit round-9 deferral —
+# their unchanged r5 rows still stand and they are the freshest of the
+# stale set.
 #: Subset of ``_NEEDS_FRESH_ROW`` with the OLDEST last-green round;
 #: ordered ahead of the rest of group 1 so a time-budget cutoff starves
 #: the freshest names, not the stalest.
 _NEEDS_FRESH_ROW_FIRST: frozenset[str] = frozenset(
     {
-        "q_dedup_apply", "q_dedup_components", "q_dedup_embedding",
-        "q_dedup_embedding_ivf", "q_dedup_exact_apply", "q_dedup_keep_best",
-        "q_dedup_ngram", "q_dedup_simhash", "q_embed_centroids",
-        "q_inverted_index", "q_multimodal_features", "q_multimodal_frames",
-        "q_multimodal_meta", "q_pack_sequences", "q_quality_filter",
-        "q_repetition", "q_sample_hash", "q_sample_stratified",
-        "q_sim_ann_ivf", "q_sim_ann_lsh", "q_sim_topk", "q_sim_topk_pandas",
-        "q_source_stats", "q_vocab_df",
+        # last green in round 4 (every other query is r5+ at its latest
+        # attestation)
+        "q_join_semi", "q_join_anti", "q_pivot", "q_unpivot",
+        "q_percentiles", "q_tpch_q3_shipping", "q_tpch_q6_forecast",
+        "q_tpch_q10_returns", "q_tpch_q14_promo",
+        "q_tpch_q18_large_orders", "q_join_asof", "q_join_range",
+        "q_sessionize", "q_value_outliers", "q_funnel",
+        "q_decontaminate_apply", "q_mixture_budget",
     }
 )
 
 _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
     {
-        # last green in round 4. q_decontaminate_apply,
-        # q_mixture_budget, q_unpivot, q_pivot, and q_percentiles are
-        # deferred to round 8: the 4 _CHANGED_THIS_ROUND names and this
-        # round's NEW queries took their window slots; the deferred
-        # five hold the cohort's newest rows / most trivial unchanged
-        # plans — their rows stand. (Four more TPC-H names — q10, q14,
-        # q18, q6 — joined the round-8 deferral late in round 7 to
-        # make window room for the four new queries
-        # (q_mixture_temperature, q_source_cap, q_knn_labels,
-        # q_bpe_train/q_bpe_encode): single-shape relational plans
-        # untouched since their r4 green rows, the lowest-risk
-        # deferrals available. q_join_semi/q_join_anti joined the
-        # deferral when the trained-BPE pair landed, and
-        # q_join_asof/q_join_range when the trained-classifier pair
-        # landed — same rationale.)
-        "q_decontaminate",
-        "q_pii_redact",
-        # (q_value_outliers deferred likewise when q_hard_negatives
-        # landed; q_funnel/q_sessionize/q_tpch_q3_shipping when the
-        # fuzzy-decontam / dedup-weights / length-buckets trio did —
-        # the r7-new queries have never held a driver row, which
-        # outranks re-attesting r4 rows that still stand.)
-        "q_stream_dedup", "q_stream_session",
-        "q_stream_sliding", "q_stream_tumbling",
-        "q_tpch_q5_local_supplier",
+        # round-5 rows in files refactored since: all 11 tpch_full.py
+        # shapes and the temporal_q.py six
+        "q_tpch_q2_min_cost_supplier", "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
+        "q_tpch_q12_priority_class", "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_counts", "q_tpch_q19_disjunctive_rev",
+        "q_tpch_q20_excess_suppliers", "q_tpch_q21_waiting_suppliers",
+        "q_tpch_q22_dormant_customers",
+        "q_ema", "q_gapfill", "q_scd2_intervals", "q_cohort_retention",
+        "q_transition_matrix", "q_rollup_multires",
     }
 )
 
