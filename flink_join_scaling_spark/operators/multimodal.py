@@ -19,8 +19,21 @@ decoders (:func:`_parse_wav`: RIFF chunk walk + PCM statistics;
 None/Sub/Up/Average/Paeth scanline unfiltering), value-checked in
 tests against hand-built bytes. ``image/jpeg`` has a real STRUCTURE
 decoder (:func:`_parse_jpeg_header`: marker-segment walk to SOFn for
-exact width/height/components, ``mean_byte`` null) — only its pixel
-statistics remain gated.
+exact width/height/components, ``mean_byte`` null).
+
+JPEG PIXEL statistics and video frame decode are a PERMANENT gate in
+this environment, not a TODO: entropy decode (Huffman + dequant +
+IDCT + chroma upsampling, with the restart/progressive variants real
+corpora contain) is a codec, and a from-scratch reimplementation
+would be exactly the slow, subtly-wrong path ``libjpeg[-turbo]`` /
+``ffmpeg`` exist to avoid — a "mostly works" decoder that silently
+miscomputes pixel stats on edge-case files is worse for a curation
+pipeline than a loud refusal. The design stance: structure fields a
+parser can know are decoded for real (and value-tested); anything
+requiring the codec raises ``NotImplementedError`` at the decode
+step, and the production deployment plugs the real library into
+``_real_decode`` — a one-function seam, with the Spark-side schema,
+batching, and partitioning already real and tested around it.
 """
 
 from __future__ import annotations

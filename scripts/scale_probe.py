@@ -371,6 +371,14 @@ def main() -> None:
         # hard negatives: fixed 20-query broadcast, corpus streams 10x
         # map-side — same growth law as the exact-top-k join it reuses
         "q_hard_negatives": plan_probe("q_hard_negatives"),
+        # r8: the exact-search family after the e6 vectorization —
+        # fixed query broadcast (10 / 20 vectors), corpus streams once
+        # through the Arrow cosine, WindowGroupLimit partial top-k
+        # before the single ranking exchange; wall should track the
+        # corpus scan, and the constant is now the NumPy multiply-sum,
+        # not the interpreted HOF fold
+        "q_sim_topk": plan_probe("q_sim_topk"),
+        "q_knn_labels": plan_probe("q_knn_labels"),
         # r7: distributed PCA fit — the one-scan partial-moment reduce
         # collects d²+d+1 doubles PER TASK regardless of rows, so 10x
         # rows should cost ~the scan; the driver eigh is volume-blind
