@@ -17,3 +17,4 @@ from flink_join_scaling_spark.plans import corpus  # noqa: F401,E402
 from flink_join_scaling_spark.plans import layout  # noqa: F401,E402
 from flink_join_scaling_spark.plans import bpe_q  # noqa: F401,E402
 from flink_join_scaling_spark.plans import classifier_q  # noqa: F401,E402
+from flink_join_scaling_spark.plans import select_q  # noqa: F401,E402

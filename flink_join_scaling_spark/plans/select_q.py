@@ -1,0 +1,370 @@
+"""Model-based scoring & selection queries: a trained multinomial
+Naive Bayes language classifier (train + apply) and DSIR-style
+importance-resampling weights over hashed token features.
+
+Both are *trained-model* operators in the bpe_q / classifier_q family:
+the DuckDB oracle re-derives the full model from the same tables, so
+the driver hash attests the training, not just downstream counts. The
+NB model is exact integer counts (the easiest trainer to oracle); the
+transcendental scoring rides the q_lm_score discipline — per-row log
+inputs sorted ascending, folded strictly left-to-right, compared as
+e6-quantized BIGINTs.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): weight each raw-corpus document by
+Σ_t [ln p_target(feat(t)) − ln p_raw(feat(t))] over HASHED token
+features — the fixed-width feature space (4096 md5 buckets here) is
+what makes the method corpus-size-independent: both "models" are
+4096-row count tables regardless of volume. Target distribution =
+the English slice (a stand-in for "looks like the high-quality target
+domain"); the bigram extension hashes into the same bucket space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.functions import text as tx
+from flink_join_scaling_spark.operators import nb
+from flink_join_scaling_spark.plans.llmdata import _NORM, _TOKS_CTE
+from flink_join_scaling_spark.plans.registry import query
+from flink_join_scaling_spark.sources.catalog import load_table
+
+#: the documents.lang domain, ascending — class order IS the argmax
+#: tiebreak, so it is part of the operator contract
+_NB_LANGS = ("de", "en", "es", "fr", "zh")
+
+_WL_CTE = f"""
+    {_TOKS_CTE},
+    wl AS (
+        SELECT w.doc_id, w.w, d.lang
+        FROM words w JOIN documents d USING (doc_id)
+    )"""
+
+
+@query(
+    "q_nb_lang_train",
+    oracle=f"""
+    WITH {_WL_CTE},
+    cls AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_class_vocab
+        FROM wl GROUP BY lang
+    ),
+    dc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+    v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab FROM wl)
+    SELECT c.lang, d.n_docs, c.n_tokens, c.n_class_vocab, v.vocab
+    FROM cls c JOIN dc d USING (lang), v
+    """,
+    tags=("llmdata", "classifier", "trained"),
+)
+def q_nb_lang_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted Naive Bayes model's per-class summary: doc prior
+    count, token total, class vocabulary, shared smoothing vocabulary.
+    Every value is an exact BIGINT from one token-keyed pass + one
+    documents pass — a hash match attests the entire model (the
+    per-token count table is a GROUP BY away from these totals and is
+    re-derived identically by the apply oracle).
+
+    Scale shape: token explode → class-conditional sums with map-side
+    partials; output is classes-sized. Nothing collected."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    )
+    cls = words.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("w").cast("bigint").alias("n_class_vocab"),
+    )
+    dc = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    v = words.agg(F.countDistinct("w").cast("bigint").alias("vocab"))
+    return cls.join(dc, "lang").crossJoin(F.broadcast(v)).select(
+        "lang", "n_docs", "n_tokens", "n_class_vocab", "vocab"
+    )
+
+
+def _nb_apply_oracle() -> str:
+    model_cols = ", ".join(
+        f"CAST(sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{c}"
+        for c in _NB_LANGS
+    )
+    tot_cols = ", ".join(
+        f"CAST(sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{c}"
+        for c in _NB_LANGS
+    )
+    prior_cols = ", ".join(
+        f"CAST(sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS d_{c}"
+        for c in _NB_LANGS
+    )
+    arrs = ", ".join(
+        f"list_sort(list(CAST(m.c_{c} AS DOUBLE))) AS a_{c}" for c in _NB_LANGS
+    )
+    scores = ", ".join(
+        f"""CAST(round((ln(CAST(d_{c} AS DOUBLE)) - ln(CAST(dd AS DOUBLE))
+            + list_reduce(list_transform(a_{c}, x -> ln(x + 1.0)), (a, b) -> a + b)
+            - CAST(n_toks AS DOUBLE) * ln(CAST(n_{c} + v AS DOUBLE)))
+            * 1000000) AS BIGINT) AS s_{c}"""
+        for c in _NB_LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{c}" for c in _NB_LANGS) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{c} = best THEN '{c}'" for c in _NB_LANGS)
+        + " END"
+    )
+    return f"""
+    WITH {_WL_CTE},
+    model AS (SELECT w, {model_cols} FROM wl GROUP BY w),
+    tot AS (SELECT {tot_cols}, CAST(count(DISTINCT w) AS BIGINT) AS v FROM wl),
+    prior AS (SELECT {prior_cols}, CAST(count(*) AS BIGINT) AS dd FROM documents),
+    per AS (
+        SELECT wl.doc_id, wl.lang,
+               CAST(count(*) AS BIGINT) AS n_toks, {arrs}
+        FROM wl JOIN model m USING (w)
+        GROUP BY wl.doc_id, wl.lang
+    ),
+    scored AS (SELECT doc_id, lang, {scores} FROM per, tot, prior)
+    SELECT doc_id, lang AS true_lang, {case} AS pred_lang,
+           best AS score_e6
+    FROM (SELECT *, {best} AS best FROM scored)
+    """
+
+
+@query(
+    "q_nb_lang_apply",
+    oracle=_nb_apply_oracle(),
+    headline=True,
+    tags=("llmdata", "classifier", "trained"),
+)
+def q_nb_lang_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the trained NB model and emit the
+    argmax class next to the true label — lang-ID as a TRAINED
+    classifier (vs q_lang_id's fixed marker heuristic), and the
+    standard weak-supervision pattern: fit on the labeled corpus,
+    apply to route/score incoming text.
+
+    Engine-exactness: the model is exact counts; each class score
+    folds ln(count+1) over the doc's SORTED class counts then applies
+    the pinned prior/denominator terms (q_lm_score's rule), and the
+    argmax compares e6 BIGINTs with class-ascending ties — DuckDB's
+    ordered CASE over greatest() ≡ Spark's array_sort over
+    (−score, class) structs.
+
+    Scale shape: ONE vocab-keyed model aggregation (map-side partials)
+    + ONE token-keyed corpus⋈model join (co-partitioned with the
+    build) + a doc-keyed fold whose state is bounded by document
+    length; priors/totals broadcast as 1-row frames. No windows, no
+    driver artifacts beyond the two 1-row frames."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    )
+    model = nb.nb_model(words, _NB_LANGS)
+    tot = nb.nb_totals(words, _NB_LANGS)
+    prior = nb.nb_priors(d, _NB_LANGS)
+    per = (
+        words.join(model, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            *[
+                F.array_sort(
+                    F.collect_list(F.col(f"c_{c}").cast("double"))
+                ).alias(f"a_{c}")
+                for c in _NB_LANGS
+            ],
+        )
+    )
+    scored = per.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(prior))
+    for c in _NB_LANGS:
+        scored = scored.withColumn(
+            f"s_{c}",
+            F.round(nb.nb_score_expr(c) * 1_000_000.0).cast("bigint"),
+        )
+    return nb.nb_predict(scored, _NB_LANGS).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "pred_lang",
+        "score_e6",
+    )
+
+
+# ------------------------------------------------------------- DSIR
+
+_DSIR_B = 4096  # hashed-feature buckets: the model is 2×4096 counts at ANY corpus size
+_DSIR_TOP = 200
+
+_HEX = "0123456789abcdef"
+
+
+def _bucket_spark(col: str) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+
+
+def _bucket_duck(col: str) -> str:
+    def nib(i: int) -> str:
+        return f"(strpos('{_HEX}', substr(md5({col}), {i}, 1)) - 1)"
+
+    v = nib(1)
+    for i in range(2, 9):
+        v = f"({v} * 16 + {nib(i)})"
+    return f"({v} % {_DSIR_B})"
+
+
+_DSIR_CTES = f"""
+    {_TOKS_CTE},
+    wb AS (
+        SELECT w.doc_id, {_bucket_duck('w.w')} AS b, d.lang
+        FROM words w JOIN documents d USING (doc_id)
+    ),
+    tcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM wb
+             WHERE lang = 'en' GROUP BY b),
+    rcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM wb GROUP BY b),
+    ntot AS (
+        SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS nr
+        FROM wb
+    ),
+    per AS (
+        SELECT wb.doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               list_sort(list(CAST(COALESCE(t.ct, 0) AS DOUBLE))) AS a_t,
+               list_sort(list(CAST(r.cr AS DOUBLE))) AS a_r
+        FROM wb
+        LEFT JOIN tcnt t USING (b)
+        JOIN rcnt r USING (b)
+        GROUP BY wb.doc_id
+    ),
+    weights AS (
+        SELECT doc_id, n_toks,
+               CAST(round((
+                   list_reduce(list_transform(a_t, x -> ln(x + 1.0)), (a, b) -> a + b)
+                   - list_reduce(list_transform(a_r, x -> ln(x + 1.0)), (a, b) -> a + b)
+                   + CAST(n_toks AS DOUBLE)
+                     * (ln(CAST(nr + {_DSIR_B} AS DOUBLE))
+                        - ln(CAST(nt + {_DSIR_B} AS DOUBLE)))
+               ) * 1000000) AS BIGINT) AS weight_e6
+        FROM per, ntot
+    )"""
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wb = d.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    ).select("doc_id", "lang", _bucket_spark("w").alias("b"))
+    tcnt = (
+        wb.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    rcnt = wb.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    ntot = wb.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.count("*").cast("bigint").alias("nr"),
+    )
+    per = (
+        wb.join(F.broadcast(tcnt), "b", "left")
+        .join(F.broadcast(rcnt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.array_sort(
+                F.collect_list(F.coalesce(F.col("ct"), F.lit(0)).cast("double"))
+            ).alias("a_t"),
+            F.array_sort(F.collect_list(F.col("cr").cast("double"))).alias("a_r"),
+        )
+    )
+
+    def fold_ln1(col: str) -> F.Column:
+        return F.aggregate(
+            F.transform(F.col(col), lambda x: F.log(x + F.lit(1.0))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return per.crossJoin(F.broadcast(ntot)).select(
+        "doc_id",
+        "n_toks",
+        F.round(
+            (
+                fold_ln1("a_t")
+                - fold_ln1("a_r")
+                + F.col("n_toks").cast("double")
+                * (
+                    F.log((F.col("nr") + _DSIR_B).cast("double"))
+                    - F.log((F.col("nt") + _DSIR_B).cast("double"))
+                )
+            )
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("weight_e6"),
+    )
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_toks, weight_e6 FROM weights
+    """,
+    tags=("llmdata", "sampling", "trained"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight: how much more likely the
+    document's hashed-unigram features are under the target
+    distribution (the English slice) than under the raw corpus —
+    Σ ln((ct+1)/(Nt+B)) − Σ ln((cr+1)/(Nr+B)) over the doc's feature
+    buckets, e6-quantized.
+
+    The two "models" are 4096-row bucket-count tables (hashed
+    features: corpus-size-INDEPENDENT model width — DSIR's point), so
+    both broadcast into the corpus pass at any scale; the per-doc fold
+    state is bounded by document length. The transcendental sum rides
+    the q_lm_score discipline (sorted inputs, sequential fold, pinned
+    scalar terms)."""
+    return _dsir_weights(spark, sf_dir)
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    top AS (
+        SELECT doc_id, n_toks, weight_e6 FROM weights
+        ORDER BY weight_e6 DESC, doc_id ASC
+        LIMIT {_DSIR_TOP}
+    )
+    SELECT doc_id, n_toks, weight_e6,
+           CAST(row_number() OVER (ORDER BY weight_e6 DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM top
+    """,
+    tags=("llmdata", "sampling", "trained"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step: the top-{TOP} documents by importance
+    weight with deterministic (weight_e6 DESC, doc_id ASC) ranking —
+    the data actually kept for target-domain training.
+
+    Global-rank discipline (q_retrieval_rrf): the top-N comes from
+    orderBy+limit — Spark's distributed TakeOrdered, a partial top-N
+    per partition merged on the driver, NO corpus-wide single-partition
+    sort — and row_number then runs over the N-row bounded result."""
+    from pyspark.sql import Window
+
+    w = _dsir_weights(spark, sf_dir)
+    top = w.orderBy(F.desc("weight_e6"), F.asc("doc_id")).limit(_DSIR_TOP)
+    rank_w = Window.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("bigint")
+    ).select("doc_id", "n_toks", "weight_e6", "rank")
