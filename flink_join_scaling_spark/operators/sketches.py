@@ -105,3 +105,57 @@ def heavy_hitters(
         .select("token", "n_occurrences")
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
     )
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+#: CMS geometry: D independent hash rows × W counters. Error bound:
+#: estimate ∈ [true, true + 2·N/W] with prob ≥ 1 − (1/2)^D over the
+#: hash draw (here the hash family is FIXED md5 slices, so for given
+#: data the sketch — and therefore every estimate — is deterministic
+#: and engine-reproducible).
+CMS_D = 3
+CMS_W = 1024
+
+
+def cms_positions(key) -> list[F.Column]:
+    """D counter positions from ONE md5: disjoint 8-nibble slices
+    (the MinHash/bloom hash-family discipline — one digest, sliced)."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(key.cast("string"))
+    return [
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("bigint") % CMS_W
+        for j in range(CMS_D)
+    ]
+
+
+def cms_build(df: DataFrame, col: str) -> DataFrame:
+    """The sketch itself as a (d, pos, cnt) table — ≤ D×W rows
+    regardless of input size. ONE map-only pass explodes each item to
+    its D positions; the only shuffle is keyed by (d, pos), collapsing
+    map-side to ≤ partitions × D × W partial rows. The table is
+    MERGEABLE by construction: sketches of disjoint data union by
+    summing counters (exact integer adds), which is also why the
+    identical shape runs continuously as a streaming update-mode agg
+    (``streaming.sketches.stream_cms``)."""
+    return (
+        df.select(F.posexplode(F.array(*cms_positions(col))).alias("d", "pos"))
+        .groupBy("d", "pos")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
+    """Point-frequency estimates: per key, min over the D rows of its
+    counters — adds ``cms_est`` to ``keys``. The sketch (≤ D×W rows)
+    broadcasts; the probe is an equi-join on (d, pos), never a scan of
+    the original stream."""
+    probes = keys.select(
+        "*", F.posexplode(F.array(*cms_positions(key_col))).alias("d", "pos")
+    )
+    others = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy(*others)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )

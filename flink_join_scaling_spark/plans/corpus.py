@@ -1248,6 +1248,105 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "w", theta=_HH_THETA)
 
 
+# ------------------------------------------------ Count-Min sketch
+
+_CMS_TOP = 20
+
+
+def _cms_oracle() -> str:
+    from flink_join_scaling_spark.operators.sketches import CMS_D, CMS_W
+
+    def horner(off: int) -> str:
+        def nib(i: int) -> str:
+            return f"(strpos('0123456789abcdef', substr(h, {off + i}, 1)) - 1)"
+
+        v = nib(1)
+        for i in range(2, 9):
+            v = f"({v} * 16 + {nib(i)})"
+        return f"({v} % {CMS_W})"
+
+    pos_cols = ", ".join(f"{horner(8 * j)} AS p{j}" for j in range(CMS_D))
+    cms_union = " UNION ALL ".join(
+        f"SELECT {j} AS d, p{j} AS pos FROM wpos" for j in range(CMS_D)
+    )
+    epos_union = " UNION ALL ".join(
+        f"SELECT token, exact_cnt, {j} AS d, p{j} AS pos FROM expos"
+        for j in range(CMS_D)
+    )
+    return f"""
+    WITH {_TOKS_CTE},
+    wpos AS (SELECT {pos_cols} FROM (SELECT md5(w) AS h FROM words)),
+    cms AS (
+        SELECT d, pos, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({cms_union}) GROUP BY d, pos
+    ),
+    ex AS (
+        SELECT w AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM words GROUP BY w
+        ORDER BY exact_cnt DESC, token ASC LIMIT {_CMS_TOP}
+    ),
+    expos AS (SELECT token, exact_cnt, {pos_cols}
+              FROM (SELECT token, exact_cnt, md5(token) AS h FROM ex)),
+    est AS (
+        SELECT token, exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_est
+        FROM ({epos_union}) e JOIN cms c USING (d, pos)
+        GROUP BY token, exact_cnt
+    )
+    SELECT token, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS overestimates
+    FROM est
+    """
+
+
+@query(
+    "q_cms_freq",
+    oracle=_cms_oracle(),
+    tags=("corpus", "sketch", "scale"),
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates, FULLY oracle-checked: the
+    sketch build is pure integer GROUP BYs over deterministic md5-slice
+    positions, so DuckDB rebuilds the identical D×W counter table and
+    the driver hash covers the sketch itself, the estimates, AND the
+    never-undercounts guarantee (the ``overestimates`` flags). Probed
+    keys = the exact top-20 tokens, so the output pairs every
+    estimate with its exact truth.
+
+    Why CMS next to Misra-Gries and HLL: MG answers "which items are
+    heavy" (exact after reverify), HLL answers "how many distinct" —
+    CMS answers point frequency for ANY key after one pass, in D×W
+    integers regardless of cardinality, and its mergeability is plain
+    counter addition (partial aggs ARE sketch merges, and the same
+    shape runs continuously — ``streaming.sketches.stream_cms``).
+
+    Scale shape: one map-only explode to D positions per token, one
+    (d, pos)-keyed shuffle collapsing map-side to ≤ partitions×D×W
+    rows; estimation broadcasts the ≤D×W sketch into the probe set.
+    The exact-count side exists only because the probe keys here are
+    top-k (TakeOrdered, no global sort)."""
+    from flink_join_scaling_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    sketch = cms_build(words, "w")
+    top = (
+        words.groupBy(F.col("w").alias("token"))
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(_CMS_TOP)
+    )
+    est = cms_estimate(sketch, top, "token")
+    return est.select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimates"),
+    )
+
+
 # ------------------------------------------------- distribution drift
 
 _DRIFT_BINS = 6  # n_chars // 100, capped → bins 0..5

@@ -352,7 +352,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llmdata", "sampling", "trained"),
 )
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The selection step: the top-{TOP} documents by importance
+    """The selection step: the top-200 documents by importance
     weight with deterministic (weight_e6 DESC, doc_id ASC) ranking —
     the data actually kept for target-domain training.
 

@@ -139,3 +139,25 @@ def stream_hll_rollup(
         ),
         "sketch",
     )
+
+
+def stream_cms(sdf: DataFrame, col: str) -> DataFrame:
+    """Continuous Count-Min sketch: the streaming sibling of the batch
+    ``operators.sketches.cms_build``. A plain update-mode streaming
+    aggregation on (d, pos) — the D×W counter table is the aggregate
+    state (bounded by the sketch geometry, NOT by stream volume or key
+    cardinality, which is the whole point of sketching an unbounded
+    token stream), and each micro-batch re-emits the counters it
+    touched. The converged last-emission-per-(d, pos) table equals the
+    batch sketch on the same data under any arrival order (exact
+    integer sums — asserted in tests), so a downstream probe runs
+    ``cms_estimate`` against the maintained table without re-reading
+    the stream."""
+    from flink_join_scaling_spark.operators.sketches import cms_positions
+
+    return (
+        sdf.where(F.col(col).isNotNull())
+        .select(F.posexplode(F.array(*cms_positions(col))).alias("d", "pos"))
+        .groupBy("d", "pos")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )

@@ -206,3 +206,73 @@ def test_pagerank_matches_hand_replay_and_prefers_hub(spark):
     assert set(got) == set(rr)
     assert all(abs(got[n] - rr[n]) < 1e-9 for n in rr)
     assert all(got[1] > got[leaf] for leaf in (2, 3, 4))
+
+
+def test_cms_never_undercounts_any_token(spark):
+    """The CMS guarantee holds for EVERY token, not just the top-k the
+    registered query probes: est(token) >= exact(token) for all."""
+    from flink_join_scaling_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = d.select(F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    sketch = cms_build(words, "w").localCheckpoint()
+    exact = words.groupBy(F.col("w").alias("token")).agg(
+        F.count("*").alias("exact_cnt")
+    )
+    est = cms_estimate(sketch, exact, "token")
+    bad = est.where(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Union-by-summing two halves' sketches equals the whole-stream
+    sketch — exact integer counters, the mergeability the streaming
+    sibling relies on."""
+    from flink_join_scaling_spark.operators.sketches import cms_build
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    whole = cms_build(words, "w")
+    a = cms_build(words.where(F.col("doc_id") % 2 == 0), "w")
+    b = cms_build(words.where(F.col("doc_id") % 2 == 1), "w")
+    merged = (
+        a.unionByName(b)
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    got = {(r.d, r.pos): r.cnt for r in merged.collect()}
+    want = {(r.d, r.pos): r.cnt for r in whole.collect()}
+    assert got == want
+
+
+def test_stream_cms_converged_equals_batch(spark, tmp_path):
+    """Continuous CMS: the converged last-emission-per-(d,pos) counter
+    table equals the batch sketch on the same data regardless of
+    micro-batch split."""
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.operators.sketches import cms_build
+    from flink_join_scaling_spark.sources.catalog import load_table
+    from flink_join_scaling_spark.streaming.harness import (
+        chunked_parquet_stream,
+        collect_emissions,
+        converged,
+    )
+    from flink_join_scaling_spark.streaming.sketches import stream_cms
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    words = d.select(F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    batch = {(r.d, r.pos): r.cnt for r in cms_build(words, "w").collect()}
+    s = chunked_parquet_stream(spark, words, str(tmp_path), n_chunks=4)
+    em = collect_emissions(stream_cms(s, "w"), output_mode="update")
+    conv = converged(em, ["d", "pos"])
+    got = {
+        (int(r.d), int(r.pos)): int(r.cnt) for _, r in conv.iterrows()
+    }
+    assert got == batch
