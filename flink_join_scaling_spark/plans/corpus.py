@@ -691,6 +691,122 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- interpolated bigram LM score
+
+#: Jelinek-Mercer interpolation weight on the bigram term; the
+#: repr of the literal must match the SQL text exactly
+_LM2_LAMBDA = 0.7
+
+
+@query(
+    "q_lm_bigram",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+    big AS (
+        SELECT a.w AS prev, b.w AS cur, CAST(count(*) AS BIGINT) AS cb
+        FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY a.w, b.w
+    ),
+    occ AS (
+        SELECT a.doc_id,
+               {_LM2_LAMBDA} * (CAST(g.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+               + (1.0 - {_LM2_LAMBDA})
+                 * (CAST(uc.cu AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS term
+        FROM words a
+        JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        JOIN big g ON g.prev = a.w AND g.cur = b.w
+        JOIN uni up ON up.w = a.w
+        JOIN uni uc ON uc.w = b.w, tot
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               list_sort(list(term)) AS terms
+        FROM occ GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(list_reduce(list_transform(terms, x -> ln(x)), (a, b) -> a + b)
+                 / CAST(n_bigrams AS DOUBLE), 6) AS lm2_logprob
+    FROM per
+    """,
+    tags=("corpus", "text"),
+)
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model score — the next rung above
+    q_lm_score's unigram model on the KenLM ladder CCNet actually
+    climbs: per bigram position, p = λ·(c(prev,cur)/c(prev)) +
+    (1−λ)·(c(cur)/N) (Jelinek-Mercer smoothing, λ=0.7), and the
+    document score is the mean log-probability over its bigram
+    positions. Low scorers are word-salad candidates that unigram
+    frequency alone cannot see (every token common, transitions
+    nonsense).
+
+    Comparability: the q_lm_score transcendental rule — each doc's
+    interpolated terms are IEEE rationals of exact BIGINT counts
+    (identical doubles cross-engine), SORTED ascending, ln-folded
+    strictly left-to-right, mean rounded to 6.
+
+    Scale shape: the bigram model is one (prev,cur)-keyed aggregation
+    with map-side partials (bigram-vocab-sized, never collected); the
+    corpus's bigram occurrences come from a NARROW array zip (slice +
+    arrays_zip + explode — no positional self-join on the Spark side),
+    then join the two models on their keys — the same co-partitioned
+    big-big exchanges as TF-IDF/LM-score. Per-doc fold state is
+    bounded by document length. Docs with <2 tokens have no bigram
+    positions and are absent, same as the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens_ws(F.col("text")).alias("ws"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))).alias("prev"),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))).alias("cur"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").cast("bigint").alias("cu"))
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("t"))
+    big = pairs.groupBy("prev", "cur").agg(
+        F.count("*").cast("bigint").alias("cb")
+    )
+    lam = F.lit(_LM2_LAMBDA)
+    occ = (
+        pairs.join(big, ["prev", "cur"])
+        .join(uni.select(F.col("w").alias("prev"), F.col("cu").alias("cup")), "prev")
+        .join(uni.select(F.col("w").alias("cur"), F.col("cu").alias("cuc")), "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                lam * (F.col("cb").cast("double") / F.col("cup").cast("double"))
+                + (F.lit(1.0) - lam)
+                * (F.col("cuc").cast("double") / F.col("t").cast("double"))
+            ).alias("term"),
+        )
+    )
+    per = occ.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.array_sort(F.collect_list("term")).alias("terms"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.aggregate(
+                F.transform(F.col("terms"), lambda x: F.log(x)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("lm2_logprob"),
+    )
+
+
 # --------------------------------------- mixture reweighting (DoReMi-lite)
 
 

@@ -100,7 +100,8 @@ def _nb_apply_oracle() -> str:
         for c in _NB_LANGS
     )
     arrs = ", ".join(
-        f"list_sort(list(CAST(m.c_{c} AS DOUBLE))) AS a_{c}" for c in _NB_LANGS
+        f"list_sort(list(CAST(COALESCE(m.c_{c}, 0) AS DOUBLE))) AS a_{c}"
+        for c in _NB_LANGS
     )
     scores = ", ".join(
         f"""CAST(round((ln(CAST(d_{c} AS DOUBLE)) - ln(CAST(dd AS DOUBLE))
@@ -123,7 +124,7 @@ def _nb_apply_oracle() -> str:
     per AS (
         SELECT wl.doc_id, wl.lang,
                CAST(count(*) AS BIGINT) AS n_toks, {arrs}
-        FROM wl JOIN model m USING (w)
+        FROM wl LEFT JOIN model m USING (w)
         GROUP BY wl.doc_id, wl.lang
     ),
     scored AS (SELECT doc_id, lang, {scores} FROM per, tot, prior)
@@ -165,14 +166,21 @@ def q_nb_lang_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = nb.nb_model(words, _NB_LANGS)
     tot = nb.nb_totals(words, _NB_LANGS)
     prior = nb.nb_priors(d, _NB_LANGS)
+    # LEFT join + coalesce-to-0: an out-of-vocab token contributes
+    # ln(0+1) − ln(N_c+V) = the exact add-1 unseen probability (on the
+    # training corpus itself every token is in-vocab, so this equals
+    # the inner form — but the streaming sibling scores NEW text with
+    # the same algebra)
     per = (
-        words.join(model, "w")
+        words.join(model, "w", "left")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("bigint").alias("n_toks"),
             *[
                 F.array_sort(
-                    F.collect_list(F.col(f"c_{c}").cast("double"))
+                    F.collect_list(
+                        F.coalesce(F.col(f"c_{c}"), F.lit(0)).cast("double")
+                    )
                 ).alias(f"a_{c}")
                 for c in _NB_LANGS
             ],

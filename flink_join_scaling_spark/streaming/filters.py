@@ -150,3 +150,71 @@ def stream_quality_score(
     if keep_rejected:
         return scored.withColumn("accepted", F.col("logit") >= threshold)
     return scored.where(F.col("logit") >= threshold)
+
+
+def stream_nb_lang(
+    sdf: DataFrame,
+    model: DataFrame,
+    totals: dict,
+    priors: dict,
+    classes: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous Naive-Bayes classification: score arriving documents
+    with a batch-trained NB model (``operators.nb``) — the
+    train-once / score-forever split, with the NEW streaming shape the
+    logistic scorer cannot show: the model here is a TABLE (per-token
+    class counts), not six scalars, so scoring is a stream-static
+    LEFT join of the exploded token stream against the static model
+    frame, then an update-mode streaming aggregation per document
+    whose state is the document's accumulated count arrays.
+
+    ``totals``/``priors`` are the trainer's 1-row driver artifacts
+    (``nb_totals``/``nb_priors`` rows as dicts) inlined as literals;
+    the score/argmax algebra is literally ``nb_score_expr`` +
+    ``nb_predict``, so the converged output (last emission per id) is
+    bit-identical to the batch apply on the same data — asserted in
+    tests. Out-of-vocab tokens (null join) coalesce to count 0 and
+    contribute the exact add-1 unseen probability ln(1) − ln(N_c+V).
+
+    Output: (id, pred_lang, score_e6) per touched document per
+    micro-batch (update mode). State per document is bounded by its
+    token count; the model side is static and re-broadcast per
+    micro-batch by Spark's stream-static join machinery."""
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.operators import nb
+
+    words = sdf.select(
+        F.col(id_col), F.explode(tx.tokens_ws(F.col(text_col))).alias("w")
+    )
+    per = (
+        words.join(model, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.coalesce(F.col(f"c_{c}"), F.lit(0)).cast("double")
+                    )
+                ).alias(f"a_{c}")
+                for c in classes
+            ],
+        )
+    )
+    scored = per
+    for c in classes:
+        scored = scored.withColumn(f"n_{c}", F.lit(int(totals[f"n_{c}"])))
+        scored = scored.withColumn(f"d_{c}", F.lit(int(priors[f"d_{c}"])))
+    scored = scored.withColumn("v", F.lit(int(totals["v"]))).withColumn(
+        "dd", F.lit(int(priors["dd"]))
+    )
+    for c in classes:
+        scored = scored.withColumn(
+            f"s_{c}",
+            F.round(nb.nb_score_expr(c) * 1_000_000.0).cast("bigint"),
+        )
+    return nb.nb_predict(scored, classes).select(
+        id_col, "pred_lang", "score_e6"
+    )

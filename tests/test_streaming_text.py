@@ -396,3 +396,73 @@ def test_stream_quality_score_matches_batch_apply(streaming_spark, tmp_path):
     trows = tagged.select("doc_id", "logit", "accepted").collect()
     assert all(r.accepted == (r.logit >= 0) for r in trows)
     assert {r.doc_id for r in trows if r.accepted} == set(batch)
+
+def test_stream_nb_lang_converged_equals_batch(streaming_spark, tmp_path):
+    """Train-once / score-forever for the NB classifier, with the
+    streaming shape the logistic scorer can't show: the model is a
+    TABLE riding a stream-static left join, and per-doc state
+    accumulates count arrays across micro-batches. The converged (last
+    emission per doc) predictions + e6 scores must be bit-identical to
+    the same (model, scalars) algebra evaluated in batch — even though
+    each document's tokens never co-arrive with the model."""
+    from flink_join_scaling_spark.operators import nb
+    from flink_join_scaling_spark.plans.select_q import _NB_LANGS
+    from flink_join_scaling_spark.streaming.filters import stream_nb_lang
+    from flink_join_scaling_spark.streaming.harness import converged
+
+    spark = streaming_spark
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "text"
+    ).limit(150)
+    words = d.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    )
+    model = nb.nb_model(words, _NB_LANGS).localCheckpoint(eager=True)
+    totals = nb.nb_totals(words, _NB_LANGS).first().asDict()
+    priors = nb.nb_priors(d, _NB_LANGS).first().asDict()
+
+    # batch reference: identical algebra on the same model + scalars
+    per = (
+        words.select("doc_id", "w")
+        .join(model, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            *[
+                F.array_sort(F.collect_list(
+                    F.coalesce(F.col(f"c_{c}"), F.lit(0)).cast("double")
+                )).alias(f"a_{c}")
+                for c in _NB_LANGS
+            ],
+        )
+    )
+    scored = per
+    for c in _NB_LANGS:
+        scored = scored.withColumn(f"n_{c}", F.lit(int(totals[f"n_{c}"])))
+        scored = scored.withColumn(f"d_{c}", F.lit(int(priors[f"d_{c}"])))
+    scored = scored.withColumn("v", F.lit(int(totals["v"]))).withColumn(
+        "dd", F.lit(int(priors["dd"]))
+    )
+    for c in _NB_LANGS:
+        scored = scored.withColumn(
+            f"s_{c}", F.round(nb.nb_score_expr(c) * 1_000_000.0).cast("bigint")
+        )
+    want = {
+        int(r.doc_id): (r.pred_lang, int(r.score_e6))
+        for r in nb.nb_predict(scored, _NB_LANGS)
+        .select("doc_id", "pred_lang", "score_e6").collect()
+    }
+
+    s = chunked_parquet_stream(
+        spark, d.select("doc_id", "text"), str(tmp_path), n_chunks=4
+    )
+    em = collect_emissions(
+        stream_nb_lang(s, model, totals, priors, _NB_LANGS),
+        output_mode="update",
+    )
+    conv = converged(em, ["doc_id"])
+    got = {
+        int(r.doc_id): (r.pred_lang, int(r.score_e6))
+        for _, r in conv.iterrows()
+    }
+    assert got == want and len(want) == 150
