@@ -371,6 +371,18 @@ def main() -> None:
         # hard negatives: fixed 20-query broadcast, corpus streams 10x
         # map-side — same growth law as the exact-top-k join it reuses
         "q_hard_negatives": plan_probe("q_hard_negatives"),
+        # r8 trained/sketch additions: NB's model is one vocab-keyed
+        # agg (identical copies keep the vocab FIXED while counts grow
+        # 10x) and scoring is the token-keyed model join; DSIR's two
+        # "models" are 4096-row bucket tables at ANY volume (the probe
+        # measures that only the corpus passes grow); CMS state is DxW
+        # counters regardless of cardinality; the bigram LM's model is
+        # bigram-vocab-keyed (fixed under copies) while occurrence rows
+        # grow 10x
+        "q_nb_lang_apply": plan_probe("q_nb_lang_apply"),
+        "q_dsir_weights": plan_probe("q_dsir_weights"),
+        "q_cms_freq": plan_probe("q_cms_freq"),
+        "q_lm_bigram": plan_probe("q_lm_bigram"),
         # r8: the exact-search family after the e6 vectorization —
         # fixed query broadcast (10 / 20 vectors), corpus streams once
         # through the Arrow cosine, WindowGroupLimit partial top-k

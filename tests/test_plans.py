@@ -84,6 +84,15 @@ _QUADRATIC_OK = {
     "q_sim_ann_pq",
     "q_heavy_hitters",  # 1-row token total crossed with candidate counts
     "q_graph_triangles",  # 1-row triangle and wedge counts crossed
+    # NB classifier: the 1-row totals (n_c, v) and priors (d_c, dd)
+    # frames broadcast-cross into the scoring pass — scalar model
+    # artifacts, same class as q_lm_score's token total
+    "q_nb_lang_train",
+    "q_nb_lang_apply",
+    # DSIR: the 1-row (nt, nr) token totals broadcast into the weights
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_lm_bigram",  # 1-row corpus token total, as q_lm_score
 }
 
 
