@@ -86,7 +86,13 @@ def q_nb_lang_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_apply_oracle() -> str:
+def _nb_pred_ctes() -> str:
+    """NB model + per-doc prediction as a reusable CTE chain (assumes
+    ``wl`` from ``_WL_CTE`` is in scope) ending in
+    ``nbpred(doc_id, lang, pred_lang, score_e6)`` — shared by the
+    standalone apply oracle and the trained-pipeline compose, so the
+    two cannot drift. All CTE names are nb-prefixed to compose safely
+    next to the classifier's and DSIR's chains."""
     model_cols = ", ".join(
         f"CAST(sum(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{c}"
         for c in _NB_LANGS
@@ -117,20 +123,27 @@ def _nb_apply_oracle() -> str:
         + " END"
     )
     return f"""
-    WITH {_WL_CTE},
-    model AS (SELECT w, {model_cols} FROM wl GROUP BY w),
-    tot AS (SELECT {tot_cols}, CAST(count(DISTINCT w) AS BIGINT) AS v FROM wl),
-    prior AS (SELECT {prior_cols}, CAST(count(*) AS BIGINT) AS dd FROM documents),
-    per AS (
+    nbmodel AS (SELECT w, {model_cols} FROM wl GROUP BY w),
+    nbtot AS (SELECT {tot_cols}, CAST(count(DISTINCT w) AS BIGINT) AS v FROM wl),
+    nbprior AS (SELECT {prior_cols}, CAST(count(*) AS BIGINT) AS dd FROM documents),
+    nbper AS (
         SELECT wl.doc_id, wl.lang,
                CAST(count(*) AS BIGINT) AS n_toks, {arrs}
-        FROM wl LEFT JOIN model m USING (w)
+        FROM wl LEFT JOIN nbmodel m USING (w)
         GROUP BY wl.doc_id, wl.lang
     ),
-    scored AS (SELECT doc_id, lang, {scores} FROM per, tot, prior)
-    SELECT doc_id, lang AS true_lang, {case} AS pred_lang,
-           best AS score_e6
-    FROM (SELECT *, {best} AS best FROM scored)
+    nbscored AS (SELECT doc_id, lang, {scores} FROM nbper, nbtot, nbprior),
+    nbpred AS (
+        SELECT doc_id, lang, {case} AS pred_lang, best AS score_e6
+        FROM (SELECT *, {best} AS best FROM nbscored)
+    )"""
+
+
+def _nb_apply_oracle() -> str:
+    return f"""
+    WITH {_WL_CTE},
+    {_nb_pred_ctes()}
+    SELECT doc_id, lang AS true_lang, pred_lang, score_e6 FROM nbpred
     """
 
 
@@ -159,6 +172,18 @@ def q_nb_lang_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     build) + a doc-keyed fold whose state is bounded by document
     length; priors/totals broadcast as 1-row frames. No windows, no
     driver artifacts beyond the two 1-row frames."""
+    return _nb_pred_frame(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "pred_lang",
+        "score_e6",
+    )
+
+
+def _nb_pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, pred_lang, score_e6) under the corpus-trained NB
+    model — the Spark twin of the oracle's ``nbpred`` CTE, shared by
+    the standalone apply and the trained-pipeline compose."""
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
@@ -193,10 +218,7 @@ def q_nb_lang_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nb.nb_score_expr(c) * 1_000_000.0).cast("bigint"),
         )
     return nb.nb_predict(scored, _NB_LANGS).select(
-        "doc_id",
-        F.col("lang").alias("true_lang"),
-        "pred_lang",
-        "score_e6",
+        "doc_id", "lang", "pred_lang", "score_e6"
     )
 
 
@@ -225,8 +247,10 @@ def _bucket_duck(col: str) -> str:
     return f"({v} % {_DSIR_B})"
 
 
-_DSIR_CTES = f"""
-    {_TOKS_CTE},
+#: DSIR chain WITHOUT the tokenization prefix (assumes
+#: norm/toks/words from ``_TOKS_CTE`` in scope) — reusable by the
+#: trained-pipeline compose next to the classifier/NB chains
+_DSIR_BODY = f"""
     wb AS (
         SELECT w.doc_id, {_bucket_duck('w.w')} AS b, d.lang
         FROM words w JOIN documents d USING (doc_id)
@@ -239,7 +263,7 @@ _DSIR_CTES = f"""
                CAST(count(*) AS BIGINT) AS nr
         FROM wb
     ),
-    per AS (
+    dper AS (
         SELECT wb.doc_id,
                CAST(count(*) AS BIGINT) AS n_toks,
                list_sort(list(CAST(COALESCE(t.ct, 0) AS DOUBLE))) AS a_t,
@@ -249,7 +273,7 @@ _DSIR_CTES = f"""
         JOIN rcnt r USING (b)
         GROUP BY wb.doc_id
     ),
-    weights AS (
+    dweights AS (
         SELECT doc_id, n_toks,
                CAST(round((
                    list_reduce(list_transform(a_t, x -> ln(x + 1.0)), (a, b) -> a + b)
@@ -258,8 +282,12 @@ _DSIR_CTES = f"""
                      * (ln(CAST(nr + {_DSIR_B} AS DOUBLE))
                         - ln(CAST(nt + {_DSIR_B} AS DOUBLE)))
                ) * 1000000) AS BIGINT) AS weight_e6
-        FROM per, ntot
+        FROM dper, ntot
     )"""
+
+_DSIR_CTES = f"""
+    {_TOKS_CTE},
+    {_DSIR_BODY}"""
 
 
 def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +351,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dsir_weights",
     oracle=f"""
     WITH {_DSIR_CTES}
-    SELECT doc_id, n_toks, weight_e6 FROM weights
+    SELECT doc_id, n_toks, weight_e6 FROM dweights
     """,
     tags=("llmdata", "sampling", "trained"),
 )
@@ -348,7 +376,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DSIR_CTES},
     top AS (
-        SELECT doc_id, n_toks, weight_e6 FROM weights
+        SELECT doc_id, n_toks, weight_e6 FROM dweights
         ORDER BY weight_e6 DESC, doc_id ASC
         LIMIT {_DSIR_TOP}
     )
@@ -374,5 +402,128 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = w.orderBy(F.desc("weight_e6"), F.asc("doc_id")).limit(_DSIR_TOP)
     rank_w = Window.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
     return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("bigint")
+    ).select("doc_id", "n_toks", "weight_e6", "rank")
+
+
+# ----------------------------------- trained curation pipeline (compose)
+
+_PIPE_TOP = 50
+
+
+def _pipeline_trained_oracle() -> str:
+    from flink_join_scaling_spark.plans.classifier_q import (
+        _LR_ITERS,
+        _LR_RATE,
+        _Z_SQL,
+        _train_ctes,
+    )
+    from flink_join_scaling_spark.plans.llmdata import _quality_cte
+
+    return f"""
+    WITH {_WL_CTE},
+    {_quality_cte()},
+    {_train_ctes(_LR_ITERS, _LR_RATE)},
+    {_nb_pred_ctes()},
+    {_DSIR_BODY},
+    gate AS (
+        SELECT t.doc_id FROM feat t, w{_LR_ITERS} w WHERE ({_Z_SQL}) >= 0
+    ),
+    route AS (
+        SELECT g.doc_id FROM gate g JOIN nbpred p USING (doc_id)
+        WHERE p.pred_lang = 'en'
+    ),
+    keeper AS (
+        SELECT doc_id FROM (
+            SELECT r.doc_id,
+                   row_number() OVER (PARTITION BY n.t ORDER BY r.doc_id) AS rn
+            FROM route r JOIN norm n USING (doc_id)
+        ) WHERE rn = 1
+    ),
+    sel AS (
+        SELECT k.doc_id, dw.n_toks, dw.weight_e6
+        FROM keeper k JOIN dweights dw USING (doc_id)
+        ORDER BY dw.weight_e6 DESC, k.doc_id ASC
+        LIMIT {_PIPE_TOP}
+    )
+    SELECT doc_id, n_toks, weight_e6,
+           CAST(row_number() OVER (ORDER BY weight_e6 DESC, doc_id ASC)
+                AS BIGINT) AS rank
+    FROM sel
+    """
+
+
+@query(
+    "q_pipeline_trained",
+    oracle=_pipeline_trained_oracle(),
+    headline=True,
+    tags=("llmdata", "pipeline", "trained"),
+)
+def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE trained models composed into one curation pipeline —
+    the trained twin of q_pipeline_e2e's heuristic chain: (1) the
+    logistic quality classifier gates the corpus (logit ≥ 0); (2) the
+    Naive Bayes classifier routes survivors to the English line
+    (pred = 'en'); (3) exact dedup keeps the min-id document per
+    normalized text among the routed set; (4) DSIR importance weights
+    select the final top-50 for target-domain training. A hash match
+    here attests that three independently-trained models and their
+    composition all reproduce in SQL end to end — training runs
+    included.
+
+    Stage order is pinned by the oracle (gate before route before
+    dedup before selection). Every model is trained on the FULL corpus
+    (stable artifacts — a gated training set would couple the stages);
+    each apply stage is the registered operator's exact algebra, so
+    the composition introduces no new comparability surface.
+
+    Scale shape: the three training passes are the registered
+    trainers' shapes (bounded labeled slice + 8 integer all-reduces;
+    one vocab-keyed count agg; two 4096-bucket tables); the composed
+    apply is gate (map-only scan, weights inlined) → route (one
+    model join + doc-keyed fold, computed corpus-wide here because
+    predictions are per-doc — a production plan pushes the gate below
+    the score join) → keeper (one text-keyed exchange) → top-50
+    (TakeOrdered + bounded rank window)."""
+    from pyspark.sql import Window
+
+    from flink_join_scaling_spark.operators import classifier as clf
+    from flink_join_scaling_spark.plans.classifier_q import (
+        _labeled_frame,
+        _LR_ITERS,
+        _LR_RATE,
+    )
+
+    lab = _labeled_frame(spark, sf_dir)
+    w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
+    d = load_table(spark, sf_dir, "documents")
+    feats = clf.feature_columns(F.col("text"))
+    gate = (
+        d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .withColumn("__z", clf.logit(w))
+        .where(F.col("__z") >= 0)
+        .select("doc_id")
+    )
+    route = gate.join(
+        _nb_pred_frame(spark, sf_dir).where(F.col("pred_lang") == "en"),
+        "doc_id",
+    ).select("doc_id")
+    wdup = Window.partitionBy("t").orderBy("doc_id")
+    keeper = (
+        route.join(
+            d.select("doc_id", tx.norm_text(F.col("text")).alias("t")),
+            "doc_id",
+        )
+        .withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    sel = (
+        keeper.join(_dsir_weights(spark, sf_dir), "doc_id")
+        .orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+        .limit(_PIPE_TOP)
+    )
+    rank_w = Window.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+    return sel.withColumn(
         "rank", F.row_number().over(rank_w).cast("bigint")
     ).select("doc_id", "n_toks", "weight_e6", "rank")

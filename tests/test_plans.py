@@ -93,6 +93,7 @@ _QUADRATIC_OK = {
     "q_dsir_weights",
     "q_dsir_select",
     "q_lm_bigram",  # 1-row corpus token total, as q_lm_score
+    "q_pipeline_trained",  # composes the NB/DSIR scalar broadcasts above
 }
 
 

@@ -90,3 +90,66 @@ def test_select_q_oracle_parity(spark, name):
 
     spec = QUERIES[name]
     assert_parity(spec.fn(spark, SF_SMALL), spec.oracle, SF_SMALL)
+
+
+def test_pipeline_trained_stage_invariants(spark):
+    """The composed trained pipeline's output must lie inside every
+    stage's survivor set: selected docs pass the classifier gate, are
+    NB-routed English, are their normalized text's min-id keeper, and
+    carry their own DSIR weight; rank is the (weight DESC, id) total
+    order."""
+    from flink_join_scaling_spark.operators import classifier as clf
+    from flink_join_scaling_spark.plans.classifier_q import (
+        _labeled_frame,
+        _LR_ITERS,
+        _LR_RATE,
+    )
+    from flink_join_scaling_spark.plans.select_q import (
+        _dsir_weights,
+        _nb_pred_frame,
+    )
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.sources.catalog import load_table
+
+    sel = QUERIES["q_pipeline_trained"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(sel) <= 50
+    rows = sorted(sel, key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r.weight_e6, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    ids = {r.doc_id for r in sel}
+
+    lab = _labeled_frame(spark, SF_SMALL)
+    w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
+    d = load_table(spark, SF_SMALL, "documents")
+    feats = clf.feature_columns(F.col("text"))
+    gate = {
+        r.doc_id
+        for r in d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .where(clf.logit(w) >= 0)
+        .collect()
+    }
+    assert ids <= gate
+    en = {
+        r.doc_id
+        for r in _nb_pred_frame(spark, SF_SMALL)
+        .where(F.col("pred_lang") == "en")
+        .collect()
+    }
+    assert ids <= en
+    # weights in the output are each doc's own DSIR weight
+    wts = {
+        r.doc_id: r.weight_e6
+        for r in _dsir_weights(spark, SF_SMALL)
+        .join(d.select("doc_id"), "doc_id")
+        .collect()
+    }
+    assert all(r.weight_e6 == wts[r.doc_id] for r in sel)
+    # keeper: no two selected docs share a normalized text
+    texts = {
+        r.doc_id: r.t
+        for r in d.select("doc_id", tx.norm_text(F.col("text")).alias("t"))
+        .where(F.col("doc_id").isin(list(ids)))
+        .collect()
+    }
+    assert len(set(texts.values())) == len(texts)
