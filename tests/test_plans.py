@@ -12,6 +12,7 @@ to a cartesian product).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_join_scaling_spark import plans
 from tests.conftest import SF_SMALL
@@ -133,3 +134,83 @@ def test_source_cap_uses_window_group_limit(spark):
     argument for q_source_cap)."""
     plan = _plan(spark, "q_source_cap")
     assert "WindowGroupLimit" in plan
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window exec lines whose partition spec is empty. A Window node
+    prints up to three top-level bracket groups —
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — and OMITS empty
+    trailing specs, so both an unpartitioned ranking window
+    (``[exprs], [order]``) and a partitioned unordered aggregate
+    window (``[exprs], [partition]``) print TWO groups. Disambiguate
+    by content: an order spec carries ``ASC``/``DESC`` direction
+    markers, a partition spec never does. Groups are parsed by bracket
+    DEPTH (expressions nest brackets freely)."""
+    bad = []
+    for line in plan.splitlines():
+        s = line.strip()
+        idx = s.find("Window [")
+        if idx < 0 or s[:idx].strip(" +:-"):
+            continue
+        rest = s[idx + len("Window ") :]
+        depth, groups, buf = 0, [], []
+        for ch in rest:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    buf = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        if len(groups) >= 3:
+            continue  # explicit partition + order specs
+        last = groups[-1] if len(groups) == 2 else ""
+        if len(groups) < 2 or " ASC" in last or " DESC" in last:
+            bad.append(s)  # ordered (or spec-less) with no partition
+    return bad
+
+
+def test_unpartitioned_window_detector_fixture(spark):
+    """The detector itself: flags an unpartitioned ranking window,
+    passes a partitioned one AND a partitioned unordered aggregate
+    window (the shape that two-group counting misreads)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    up = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    pt = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    agg = df.withColumn("m", F.min("id").over(Window.partitionBy("g")))
+    get = lambda d: _unpartitioned_windows(  # noqa: E731
+        d._jdf.queryExecution().executedPlan().toString()
+    )
+    assert get(up) and not get(pt) and not get(agg)
+
+
+#: Queries allowed an unpartitioned Window: every one ranks a
+#: LIMIT-bounded input (TakeOrdered upstream caps the rows reaching
+#: the single partition), never the corpus — the global-rank
+#: discipline (q_retrieval_rrf's docstring). The round-7 classifier
+#: labeling bug (a corpus-sized unpartitioned ntile) is the regression
+#: class this sweep exists to block.
+_BOUNDED_GLOBAL_RANK_OK = {
+    "q_retrieval_rrf",  # two 50-row ranker lists
+    "q_dsir_select",  # rank over the top-200 TakeOrdered result
+    "q_pipeline_trained",  # rank over the top-50 TakeOrdered result
+    "q_bm25",  # rank over the top-20 TakeOrdered result
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in plans.QUERIES if n not in _BOUNDED_GLOBAL_RANK_OK)
+)
+def test_no_unpartitioned_window_per_query(spark, name):
+    plan = _plan(spark, name)
+    bad = _unpartitioned_windows(plan)
+    assert not bad, f"{name}: unpartitioned Window (single-task global sort): {bad[:2]}"
