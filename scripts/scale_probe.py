@@ -380,6 +380,7 @@ def main() -> None:
         # bigram-vocab-keyed (fixed under copies) while occurrence rows
         # grow 10x
         "q_nb_lang_apply": plan_probe("q_nb_lang_apply"),
+        "q_pipeline_trained": plan_probe("q_pipeline_trained"),
         "q_dsir_weights": plan_probe("q_dsir_weights"),
         "q_cms_freq": plan_probe("q_cms_freq"),
         "q_lm_bigram": plan_probe("q_lm_bigram"),
