@@ -307,18 +307,47 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nt"),
         F.count("*").cast("bigint").alias("nr"),
     )
-    per = (
-        wb.join(F.broadcast(tcnt), "b", "left")
-        .join(F.broadcast(rcnt), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_toks"),
-            F.array_sort(
-                F.collect_list(F.coalesce(F.col("ct"), F.lit(0)).cast("double"))
-            ).alias("a_t"),
-            F.array_sort(F.collect_list(F.col("cr").cast("double"))).alias("a_r"),
-        )
+    per = _dsir_per_doc(wb, "doc_id")
+    return per.crossJoin(F.broadcast(ntot)).select(
+        "doc_id", "n_toks", dsir_weight_e6_expr()
     )
+
+
+def _dsir_per_doc(wb: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc sorted count arrays against the two bucket models —
+    shared by the batch weights and the streaming sibling. ``wb``
+    carries (id, b) plus the model columns after the caller's joins,
+    or raw (id, b) rows here, where the models are joined in."""
+    tcnt = (
+        wb.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    rcnt = wb.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    return dsir_fold_frame(
+        wb.join(F.broadcast(tcnt), "b", "left").join(F.broadcast(rcnt), "b"),
+        id_col,
+    )
+
+
+def dsir_fold_frame(joined: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_toks, a_t, a_r) from rows already joined to the bucket
+    models: one keyed aggregation, fold state bounded by doc length.
+    Works identically under batch groupBy and update-mode streaming
+    aggregation (the converged==batch test pins that)."""
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_toks"),
+        F.array_sort(
+            F.collect_list(F.coalesce(F.col("ct"), F.lit(0)).cast("double"))
+        ).alias("a_t"),
+        F.array_sort(F.collect_list(F.col("cr").cast("double"))).alias("a_r"),
+    )
+
+
+def dsir_weight_e6_expr() -> F.Column:
+    """The pinned weight expression over (n_toks, a_t, a_r, nt, nr) —
+    one definition for the batch query, the compose, and the streaming
+    sibling."""
 
     def fold_ln1(col: str) -> F.Column:
         return F.aggregate(
@@ -327,9 +356,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    return per.crossJoin(F.broadcast(ntot)).select(
-        "doc_id",
-        "n_toks",
+    return (
         F.round(
             (
                 fold_ln1("a_t")
@@ -343,7 +370,7 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1_000_000.0
         )
         .cast("bigint")
-        .alias("weight_e6"),
+        .alias("weight_e6")
     )
 
 

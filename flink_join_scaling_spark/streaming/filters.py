@@ -218,3 +218,44 @@ def stream_nb_lang(
     return nb.nb_predict(scored, classes).select(
         id_col, "pred_lang", "score_e6"
     )
+
+
+def stream_dsir_weights(
+    sdf: DataFrame,
+    tcnt: DataFrame,
+    rcnt: DataFrame,
+    nt: int,
+    nr: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous DSIR importance weighting: score arriving documents
+    against batch-fitted target/raw bucket models — importance-based
+    selection at ingest, the train-once / score-forever split for the
+    resampling step. The two models are 4096-row STATIC tables riding
+    stream-static left joins (the corpus-size-independent width that
+    makes DSIR streamable at all); per-doc count arrays accumulate in
+    update-mode aggregation state bounded by document length, and the
+    weight expression is literally the batch query's
+    (``plans.select_q.dsir_weight_e6_expr``), so converged output is
+    bit-identical to batch weights on the same data — asserted in
+    tests. ``nt``/``nr`` are the trainer's scalar token totals.
+
+    Output: (id, n_toks, weight_e6) per touched document per
+    micro-batch; a threshold filter or top-k selection runs downstream
+    on the converged values."""
+    from flink_join_scaling_spark.functions import text as tx
+    from flink_join_scaling_spark.plans.select_q import (
+        _bucket_spark,
+        dsir_fold_frame,
+        dsir_weight_e6_expr,
+    )
+
+    wb = sdf.select(
+        F.col(id_col), F.explode(tx.tokens_ws(F.col(text_col))).alias("w")
+    ).select(id_col, _bucket_spark("w").alias("b"))
+    joined = wb.join(tcnt, "b", "left").join(rcnt, "b")
+    per = dsir_fold_frame(joined, id_col)
+    return per.withColumn("nt", F.lit(int(nt))).withColumn(
+        "nr", F.lit(int(nr))
+    ).select(id_col, "n_toks", dsir_weight_e6_expr())

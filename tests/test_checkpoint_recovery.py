@@ -468,3 +468,39 @@ def test_hll_rollup_state_survives_restart(streaming_spark, tmp_path):
     # estimate covers BOTH chunks — state loss would leave ~300 —
     # attested with the same 5% band the batch q_hll_rollup uses.
     assert abs(final - 500) <= 25, final
+
+
+def test_cms_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous Count-Min sketch: counter
+    state rehydrates from the checkpoint, so the converged post-restart
+    sketch EXACTLY equals the batch sketch over both chunks' union
+    (integer counters — unlike HLL there is no merge tolerance; state
+    loss would leave chunk 1's counts missing)."""
+    from flink_join_scaling_spark.operators.sketches import cms_build
+    from flink_join_scaling_spark.streaming.sketches import stream_cms
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    schema_str = "w string"
+    rows1 = [(f"tok{i % 40}",) for i in range(400)]
+    df1 = spark.createDataFrame(rows1, schema_str)
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(stream_cms(_read_stream(spark, src, df1.schema), "w"), sink, ckpt)
+
+    rows2 = [(f"tok{i % 55}",) for i in range(300)]
+    df2 = spark.createDataFrame(rows2, schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(stream_cms(_read_stream(spark, src, df1.schema), "w"), sink, ckpt)
+
+    em = _emissions(sink)
+    last = em.groupby(["d", "pos"], as_index=False).last()
+    got = {(int(r.d), int(r.pos)): int(r.cnt) for r in last.itertuples(index=False)}
+    batch = {
+        (r.d, r.pos): r.cnt
+        for r in cms_build(df1.unionByName(df2), "w").collect()
+    }
+    assert got == batch

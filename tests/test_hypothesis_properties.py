@@ -521,3 +521,129 @@ def test_cosine_e6_jvm_vs_numpy_agree_on_current_fixtures(spark):
         .count()
     )
     assert diff == 0
+
+
+# ------------------------------------------------ Count-Min sketch laws
+
+cms_word = st.sampled_from([f"w{i}" for i in range(12)])
+
+
+@SET
+@given(words=st.lists(cms_word, min_size=1, max_size=40))
+def test_cms_never_undercounts_and_merges(spark, words):
+    """For ANY multiset: (a) every key's estimate >= its exact count
+    (the CMS guarantee under the fixed md5-slice hash family); (b) the
+    sketch of the whole equals the counter-sum of any split's sketches
+    (exact-integer mergeability — what the streaming sibling and
+    distributed partial aggregation both rely on)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, w string")
+    sketch = cms_build(df, "w").localCheckpoint()
+    exact = Counter(words)
+    keys = spark.createDataFrame([(k,) for k in exact], "w string")
+    est = {
+        r.w: r.cms_est for r in cms_estimate(sketch, keys, "w").collect()
+    }
+    assert all(est[k] >= c for k, c in exact.items())
+    half_a = cms_build(df.where(F.col("i") % 2 == 0), "w")
+    half_b = cms_build(df.where(F.col("i") % 2 == 1), "w")
+    merged = {
+        (r.d, r.pos): r.cnt
+        for r in half_a.unionByName(half_b)
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.d, r.pos): r.cnt for r in sketch.collect()}
+    assert merged == whole
+
+
+# ------------------------------------- Naive Bayes prediction laws
+
+nb_tok = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["de", "en"]), st.lists(nb_tok, min_size=1, max_size=6)),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_nb_scores_match_pure_python(spark, docs):
+    """The engine's NB class scores equal a pure-Python replay of the
+    same smoothed algebra (ln-sum order-independent up to float assoc;
+    compared at e6 after rounding) for ANY small corpus — priors,
+    smoothing denominators, and out-of-vocab handling included."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.operators import nb
+
+    classes = ("de", "en")
+    rows = [
+        (i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)
+    ]
+    if len({r[1] for r in rows}) < 2:
+        return  # need both priors nonzero (ln(0) undefined by design)
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    model = nb.nb_model(words, classes)
+    tot = nb.nb_totals(words, classes).first()
+    prior = nb.nb_priors(d, classes).first()
+    per = words.join(model, "w", "left").groupBy("doc_id", "lang").agg(
+        F.count("*").cast("bigint").alias("n_toks"),
+        *[
+            F.array_sort(F.collect_list(
+                F.coalesce(F.col(f"c_{c}"), F.lit(0)).cast("double")
+            )).alias(f"a_{c}")
+            for c in classes
+        ],
+    )
+    scored = per
+    for c in classes:
+        scored = scored.withColumn(f"n_{c}", F.lit(int(tot[f"n_{c}"])))
+        scored = scored.withColumn(f"d_{c}", F.lit(int(prior[f"d_{c}"])))
+    scored = scored.withColumn("v", F.lit(int(tot["v"]))).withColumn(
+        "dd", F.lit(int(prior["dd"]))
+    )
+    for c in classes:
+        scored = scored.withColumn(
+            f"s_{c}", F.round(nb.nb_score_expr(c) * 1e6).cast("bigint")
+        )
+    got = {
+        r.doc_id: (r.s_de, r.s_en) for r in scored.collect()
+    }
+    # pure-Python oracle
+    cnt = {c: {} for c in classes}
+    n_c = {c: 0 for c in classes}
+    d_c = {c: 0 for c in classes}
+    vocab = set()
+    for _i, (lang, toks) in enumerate(docs):
+        d_c[lang] += 1
+        for t in toks:
+            cnt[lang][t] = cnt[lang].get(t, 0) + 1
+            n_c[lang] += 1
+            vocab.add(t)
+    V, D = len(vocab), len(docs)
+    for i, (_lang, toks) in enumerate(docs):
+        for j, c in enumerate(classes):
+            counts = sorted(float(cnt[c].get(t, 0)) for t in toks)
+            s = math.log(d_c[c]) - math.log(D)
+            for x in counts:
+                s += math.log(x + 1.0)
+            s -= len(toks) * math.log(n_c[c] + V)
+            assert got[i][j] == round(s * 1e6)

@@ -466,3 +466,46 @@ def test_stream_nb_lang_converged_equals_batch(streaming_spark, tmp_path):
         for _, r in conv.iterrows()
     }
     assert got == want and len(want) == 150
+
+
+def test_stream_dsir_weights_converged_equals_batch(streaming_spark, tmp_path):
+    """Continuous DSIR: converged per-doc weights equal the batch
+    q_dsir_weights bit-for-bit — the bucket models ride stream-static
+    joins and the weight expression is shared with the batch query."""
+    from flink_join_scaling_spark.plans.registry import QUERIES
+    from flink_join_scaling_spark.plans.select_q import _bucket_spark
+    from flink_join_scaling_spark.streaming.filters import stream_dsir_weights
+    from flink_join_scaling_spark.streaming.harness import converged
+
+    spark = streaming_spark
+    sf = SF_SMALL
+    want = {
+        r.doc_id: (r.n_toks, r.weight_e6)
+        for r in QUERIES["q_dsir_weights"].fn(spark, sf).collect()
+    }
+    d = load_table(spark, sf, "documents")
+    wb = d.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    ).select("doc_id", "lang", _bucket_spark("w").alias("b"))
+    tcnt = (
+        wb.where(F.col("lang") == "en")
+        .groupBy("b").agg(F.count("*").cast("bigint").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    rcnt = wb.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr")
+    ).localCheckpoint(eager=True)
+    nt = wb.where(F.col("lang") == "en").count()
+    nr = wb.count()
+    s = chunked_parquet_stream(
+        spark, d.select("doc_id", "text"), str(tmp_path), n_chunks=4
+    )
+    em = collect_emissions(
+        stream_dsir_weights(s, tcnt, rcnt, nt, nr), output_mode="update"
+    )
+    conv = converged(em, ["doc_id"])
+    got = {
+        int(r.doc_id): (int(r.n_toks), int(r.weight_e6))
+        for _, r in conv.iterrows()
+    }
+    assert got == want and len(want) > 0
