@@ -705,6 +705,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: repr of the literal must match the SQL text exactly
 _LM2_LAMBDA = 0.7
 
+#: minimum bigram count retained in the model — the KenLM singleton
+#: prune. Bigram TYPES grow with corpus volume (Heaps-law regime; the
+#: prod-shape 100× probe measured the unpruned model join at 28.9×),
+#: and singletons are typically the majority of types while carrying
+#: the least signal; a pruned bigram backs off to the unigram term
+#: (the interpolation's (1−λ) leg) via LEFT join + count 0.
+_LM2_MIN_COUNT = 2
+
 
 @query(
     "q_lm_bigram",
@@ -716,15 +724,17 @@ _LM2_LAMBDA = 0.7
         SELECT a.w AS prev, b.w AS cur, CAST(count(*) AS BIGINT) AS cb
         FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
         GROUP BY a.w, b.w
+        HAVING count(*) >= {_LM2_MIN_COUNT}
     ),
     occ AS (
         SELECT a.doc_id,
-               {_LM2_LAMBDA} * (CAST(g.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+               {_LM2_LAMBDA} * (CAST(COALESCE(g.cb, 0) AS DOUBLE)
+                                / CAST(up.cu AS DOUBLE))
                + (1.0 - {_LM2_LAMBDA})
                  * (CAST(uc.cu AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS term
         FROM words a
         JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-        JOIN big g ON g.prev = a.w AND g.cur = b.w
+        LEFT JOIN big g ON g.prev = a.w AND g.cur = b.w
         JOIN uni up ON up.w = a.w
         JOIN uni uc ON uc.w = b.w, tot
     ),
@@ -757,13 +767,19 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly left-to-right, mean rounded to 6.
 
     Scale shape: the bigram model is one (prev,cur)-keyed aggregation
-    with map-side partials (bigram-vocab-sized, never collected); the
-    corpus's bigram occurrences come from a NARROW array zip (slice +
-    arrays_zip + explode — no positional self-join on the Spark side),
-    then join the two models on their keys — the same co-partitioned
-    big-big exchanges as TF-IDF/LM-score. Per-doc fold state is
-    bounded by document length. Docs with <2 tokens have no bigram
-    positions and are absent, same as the oracle."""
+    with map-side partials, PRUNED to count ≥ 2 before anything joins
+    it — singleton bigram types are the majority of the model in the
+    Heaps-law regime where types grow with volume (prod-shape 100×
+    probe: 28.9× unpruned) and carry the least signal; a pruned (or
+    genuinely unseen) bigram LEFT-joins to count 0 and the
+    interpolation's (1−λ)·unigram leg carries it, which is exactly
+    Jelinek-Mercer backoff. The corpus's bigram occurrences come from
+    a NARROW array zip (slice + arrays_zip + explode — no positional
+    self-join on the Spark side), then join the models on their keys —
+    the same co-partitioned big-big exchanges as TF-IDF/LM-score.
+    Per-doc fold state is bounded by document length. Docs with <2
+    tokens have no bigram positions and are absent, same as the
+    oracle."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tx.tokens_ws(F.col("text")).alias("ws"))
     pairs = toks.select(
@@ -778,19 +794,25 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
     uni = words.groupBy("w").agg(F.count("*").cast("bigint").alias("cu"))
     tot = uni.agg(F.sum("cu").cast("bigint").alias("t"))
-    big = pairs.groupBy("prev", "cur").agg(
-        F.count("*").cast("bigint").alias("cb")
+    big = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count("*").cast("bigint").alias("cb"))
+        .where(F.col("cb") >= _LM2_MIN_COUNT)
     )
     lam = F.lit(_LM2_LAMBDA)
     occ = (
-        pairs.join(big, ["prev", "cur"])
+        pairs.join(big, ["prev", "cur"], "left")
         .join(uni.select(F.col("w").alias("prev"), F.col("cu").alias("cup")), "prev")
         .join(uni.select(F.col("w").alias("cur"), F.col("cu").alias("cuc")), "cur")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             (
-                lam * (F.col("cb").cast("double") / F.col("cup").cast("double"))
+                lam
+                * (
+                    F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+                    / F.col("cup").cast("double")
+                )
                 + (F.lit(1.0) - lam)
                 * (F.col("cuc").cast("double") / F.col("t").cast("double"))
             ).alias("term"),
