@@ -509,3 +509,65 @@ def test_stream_dsir_weights_converged_equals_batch(streaming_spark, tmp_path):
         for _, r in conv.iterrows()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_trained_gate_then_route_composes(streaming_spark, tmp_path):
+    """The trained pipeline's ingest half runs CONTINUOUSLY in one
+    streaming query: the stateless classifier gate (inlined weights)
+    filters arriving documents, and the NB router scores the survivors
+    through the stream-static model join — one stateful operator total,
+    so Spark accepts the composition. Converged (doc -> pred) equals
+    the batch gate∩route of q_pipeline_trained's first two stages."""
+    from flink_join_scaling_spark.operators import classifier as clf
+    from flink_join_scaling_spark.operators import nb
+    from flink_join_scaling_spark.plans.classifier_q import (
+        _labeled_frame,
+        _LR_ITERS,
+        _LR_RATE,
+    )
+    from flink_join_scaling_spark.plans.select_q import (
+        _NB_LANGS,
+        _nb_pred_frame,
+    )
+    from flink_join_scaling_spark.streaming.filters import (
+        stream_nb_lang,
+        stream_quality_score,
+    )
+    from flink_join_scaling_spark.streaming.harness import converged
+
+    spark = streaming_spark
+    sf = SF_SMALL
+    # batch-trained artifacts (the train-once half)
+    lab = _labeled_frame(spark, sf)
+    w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    )
+    model = nb.nb_model(words, _NB_LANGS).localCheckpoint(eager=True)
+    totals = nb.nb_totals(words, _NB_LANGS).first().asDict()
+    priors = nb.nb_priors(d, _NB_LANGS).first().asDict()
+
+    # batch reference: gate then route (q_pipeline_trained stages 1-2)
+    feats = clf.feature_columns(F.col("text"))
+    gate_ids = {
+        r.doc_id
+        for r in d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .where(clf.logit(w) >= 0)
+        .collect()
+    }
+    want = {
+        r.doc_id: r.pred_lang
+        for r in _nb_pred_frame(spark, sf).collect()
+        if r.doc_id in gate_ids
+    }
+
+    s = chunked_parquet_stream(
+        spark, d.select("doc_id", "text"), str(tmp_path), n_chunks=3
+    )
+    gated = stream_quality_score(s, w).drop("logit")
+    routed = stream_nb_lang(gated, model, totals, priors, _NB_LANGS)
+    em = collect_emissions(routed, output_mode="update")
+    conv = converged(em, ["doc_id"])
+    got = {int(r.doc_id): r.pred_lang for _, r in conv.iterrows()}
+    assert got == want and len(want) > 0
