@@ -2463,3 +2463,63 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine_e6",
         "rank",
     )
+
+
+# -------------------------------------------- cross-document novelty
+
+
+@query(
+    "q_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+           FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(round(CAST(sum(CASE WHEN f.n_docs = 1 THEN 1 ELSE 0 END)
+                           AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) * 10000) AS BIGINT)
+               AS novelty_e4
+    FROM sh s JOIN df f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    tags=("llmdata", "text"),
+)
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty score: the fraction of a document's
+    DISTINCT word trigrams that occur in no other document — the
+    uniqueness metric dataset analyses use to find templated /
+    boilerplate-heavy subsets (low novelty = the document is mostly
+    phrases the corpus repeats; the within-doc complement is
+    q_repetition). Docs with < 3 tokens have no trigrams and are
+    absent, same as the oracle.
+
+    Comparability: counts are exact BIGINTs; the ratio is ONE pinned
+    double expression e4-quantized — no decimal double rounding.
+
+    Scale shape: the trigram df table is one shingle-keyed aggregation
+    with map-side partials (shingle-vocab-sized, never collected); the
+    score joins each doc's distinct shingles back on the shingle key —
+    the same co-partitioned exchange as the inverted index — and the
+    final agg is doc-keyed. Nothing quadratic, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = tx.exploded_shingles(d, "doc_id", "text", 3)
+    df_tab = sh.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    uniq = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            uniq.alias("n_unique"),
+            F.round(
+                uniq.cast("double") / F.count("*").cast("double") * 10000
+            )
+            .cast("bigint")
+            .alias("novelty_e4"),
+        )
+    )
