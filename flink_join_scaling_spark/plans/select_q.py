@@ -564,3 +564,56 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.withColumn(
         "rank", F.row_number().over(rank_w).cast("bigint")
     ).select("doc_id", "n_toks", "weight_e6", "rank")
+
+
+@query(
+    "q_nb_confusion",
+    oracle=f"""
+    WITH {_WL_CTE},
+    {_nb_pred_ctes()},
+    cm AS (
+        SELECT lang AS true_lang, pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM nbpred GROUP BY lang, pred_lang
+    ),
+    tot AS (SELECT lang AS true_lang, CAST(count(*) AS BIGINT) AS n_true
+            FROM documents GROUP BY lang)
+    SELECT c.true_lang, c.pred_lang, c.n_docs,
+           CAST(round(CAST(c.n_docs AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+                      * 10000) AS BIGINT) AS frac_of_true_e4
+    FROM cm c JOIN tot t USING (true_lang)
+    """,
+    tags=("llmdata", "classifier", "trained"),
+)
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained NB classifier's confusion matrix — the EVAL half of
+    the train/apply/eval triple: per (true class, predicted class),
+    the doc count and its share of the true class (the diagonal's
+    frac_of_true_e4 is per-class recall). Model quality becomes a
+    hash-attested artifact, not a test-only number.
+
+    Derived entirely from the shared prediction frame
+    (``_nb_pred_frame`` ≙ the oracle's ``nbpred`` CTE), so eval cannot
+    drift from apply. Scale shape: the per-doc prediction pass (the
+    apply query's shape) collapsing into a ≤ classes² aggregation —
+    output is 25 rows at any corpus size; the ratio is exact integers
+    through one pinned e4-quantized expression."""
+    pred = _nb_pred_frame(spark, sf_dir)
+    cm = pred.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.groupBy(F.col("lang").alias("true_lang")).agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    return cm.join(tot, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_true").cast("double")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("frac_of_true_e4"),
+    )

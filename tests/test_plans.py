@@ -90,6 +90,7 @@ _QUADRATIC_OK = {
     # artifacts, same class as q_lm_score's token total
     "q_nb_lang_train",
     "q_nb_lang_apply",
+    "q_nb_confusion",  # eval over the same prediction frame
     # DSIR: the 1-row (nt, nr) token totals broadcast into the weights
     "q_dsir_weights",
     "q_dsir_select",
