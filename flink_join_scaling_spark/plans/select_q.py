@@ -1,6 +1,9 @@
 """Model-based scoring & selection queries: a trained multinomial
-Naive Bayes language classifier (train + apply) and DSIR-style
-importance-resampling weights over hashed token features.
+Naive Bayes language classifier (train + apply + confusion-matrix
+eval), DSIR-style importance-resampling weights over hashed token
+features (+ the top-N selection step), and the fully-composed trained
+curation pipeline (classifier gate → NB route → dedup keeper → DSIR
+selection) whose single SQL oracle re-trains all three models.
 
 Both are *trained-model* operators in the bpe_q / classifier_q family:
 the DuckDB oracle re-derives the full model from the same tables, so
