@@ -200,15 +200,17 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
 # before never-recorded queries. Round 8 targets the r7 verdict's
 # item 3: the 17 names whose latest green row is round 4, then the
 # round-5 cohort living in files refactored since (tpch_full.py and
-# temporal_q.py). 15 changed + 17 r4-stale + 11 r5 + 7 never-attested
-# r8-new (CMS, bigram LM, NB, DSIR, trained pipeline — group 2) = 50 =
-# the driver's window; the relational_ext.py r5 cohort (skew-salted
-# pair, JSON/HOF, histogram, entity resolution, fuzzy match, DQ pair,
-# approx pair, window distribution) plus the six temporal analytics
-# whose plans the r8 refactors did not touch (EMA, gap-fill, SCD2,
-# cohort retention, transition matrix, multires rollup) are the
-# explicit round-9 deferral — their unchanged r5 rows still stand and
-# they are the freshest of the stale set.
+# temporal_q.py). 15 changed + 17 r4-stale + 9 r5 + 9 never-attested
+# r8-new (CMS, bigram LM, novelty, NB trio, DSIR pair, trained
+# pipeline — group 2) = 50 = the driver's window; the
+# relational_ext.py r5 cohort (skew-salted pair, JSON/HOF, histogram,
+# entity resolution, fuzzy match, DQ pair, approx pair, window
+# distribution), the six temporal analytics whose plans the r8
+# refactors did not touch (EMA, gap-fill, SCD2, cohort retention,
+# transition matrix, multires rollup), and the TPC-H Q21/Q22 pair
+# (bumped when q_novelty and q_nb_confusion landed — never-attested
+# queries outrank re-attesting rows that still stand, the r7-new
+# precedent) are the explicit round-9 deferral.
 #: Subset of ``_NEEDS_FRESH_ROW`` with the OLDEST last-green round;
 #: ordered ahead of the rest of group 1 so a time-budget cutoff starves
 #: the freshest names, not the stalest.
@@ -233,8 +235,7 @@ _NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
         "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
         "q_tpch_q12_priority_class", "q_tpch_q15_top_supplier",
         "q_tpch_q16_supplier_counts", "q_tpch_q19_disjunctive_rev",
-        "q_tpch_q20_excess_suppliers", "q_tpch_q21_waiting_suppliers",
-        "q_tpch_q22_dormant_customers",
+        "q_tpch_q20_excess_suppliers",
     }
 )
 
