@@ -12,6 +12,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def np_round_half_away(c, decimals: int = 6):
+    """NumPy rounding that matches Spark ``F.round`` / DuckDB ``round()``
+    (half-AWAY-from-zero). ``np.round`` is half-to-even, so at an exact
+    .5 midpoint of the last kept digit the engines would deterministically
+    disagree by one ulp of the quantum — a different (and silent) failure
+    mode from the documented within-an-ulp accumulation risk. Safe for
+    cosine-scale magnitudes: |c|*10^decimals stays far below 2^53.
+    """
+    import numpy as np
+
+    scale = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(c) * scale + 0.5), c) / scale
+
+
+def np_quantize_e6(c):
+    """``CAST(round(c * 1e6) AS BIGINT)`` in NumPy, half-away-from-zero
+    to match both engines' ``round`` (see :func:`np_round_half_away`)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c).astype(np.int64)
+
+
 def dot_expr(a: str | Column, b: str | Column) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -67,7 +89,7 @@ def _cosine6_udf():
         denom = na.to_numpy() * nb.to_numpy()
         with np.errstate(divide="ignore", invalid="ignore"):
             c = np.where(denom == 0.0, 0.0, (A * B).sum(axis=1) / denom)
-        return pd.Series(np.round(c, 6))
+        return pd.Series(np_round_half_away(c, 6))
 
     _cos.__annotations__ = {
         "va": pd.Series, "vb": pd.Series, "na": pd.Series, "nb": pd.Series,
@@ -109,7 +131,7 @@ def _cosine_e6_udf():
         denom = na.to_numpy() * nb.to_numpy()
         with np.errstate(divide="ignore", invalid="ignore"):
             c = np.where(denom == 0.0, 0.0, (A * B).sum(axis=1) / denom)
-        return pd.Series(np.round(c * 1e6).astype(np.int64))
+        return pd.Series(np_quantize_e6(c))
 
     _cos_e6.__annotations__ = {
         "va": pd.Series, "vb": pd.Series, "na": pd.Series, "nb": pd.Series,

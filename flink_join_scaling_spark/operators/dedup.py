@@ -1303,6 +1303,7 @@ def embedding_dedup_pairs_ivf(
     import numpy as np
     import pandas as pd
 
+    from flink_join_scaling_spark.functions.vectors import np_round_half_away
     from flink_join_scaling_spark.operators.similarity import (
         ivf_cells,
         ivf_cells_pandas,
@@ -1343,7 +1344,9 @@ def embedding_dedup_pairs_ivf(
         # functions.vectors.cosine6_pandas / the DuckDB oracle
         denom = np.outer(ppdf["na"].to_numpy(), ipdf["nb"].to_numpy())
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.round(np.where(denom == 0.0, 0.0, (A @ B.T) / denom), 6)
+            cos = np_round_half_away(
+                np.where(denom == 0.0, 0.0, (A @ B.T) / denom), 6
+            )
         pi, ii = np.nonzero(cos >= threshold)
         if not len(pi):
             return empty

@@ -96,12 +96,17 @@ def nb_score_expr(cls: str) -> Column:
     )
 
 
-def nb_predict(scored: DataFrame, classes: tuple[str, ...]) -> DataFrame:
+def nb_predict(
+    scored: DataFrame,
+    classes: tuple[str, ...],
+    class_col: str = "lang",
+) -> DataFrame:
     """argmax over the per-class e6 scores ``s_{cls}`` with
-    first-class-ascending tiebreak: adds ``pred_{class_col}`` and
-    ``score_e6`` (the winning class's score). Pure array expressions —
-    sort (negated score, class) structs, take the head — matching the
-    oracle's ``greatest`` + ordered ``CASE``."""
+    first-class-ascending tiebreak: adds ``pred_{class_col}`` (so
+    ``pred_lang`` by default) and ``score_e6`` (the winning class's
+    score). Pure array expressions — sort (negated score, class)
+    structs, take the head — matching the oracle's ``greatest`` +
+    ordered ``CASE``."""
     cands = F.array(
         *[
             F.struct(
@@ -112,5 +117,5 @@ def nb_predict(scored: DataFrame, classes: tuple[str, ...]) -> DataFrame:
     )
     best = F.array_sort(cands)[0]
     return scored.withColumn("__best", best).withColumn(
-        "pred_lang", F.col("__best.cls")
+        f"pred_{class_col}", F.col("__best.cls")
     ).withColumn("score_e6", -F.col("__best.neg")).drop("__best")

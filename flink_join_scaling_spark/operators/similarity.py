@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from flink_join_scaling_spark.functions.vectors import (
     cosine_e6_pandas,
     l2_norm_expr,
+    np_quantize_e6,
+    np_round_half_away,
     with_l2_norm,
 )
 
@@ -216,9 +218,9 @@ def cosine_topk_pandas(
             out = {
                 "query_id": np.repeat(q_ids, top),
                 "vec_id": pdf[id_col].to_numpy()[idx.T.ravel()],
-                "cosine_e6": np.round(
-                    cos[idx.T.ravel(), np.repeat(np.arange(n_q), top)] * 1e6
-                ).astype(np.int64),
+                "cosine_e6": np_quantize_e6(
+                    cos[idx.T.ravel(), np.repeat(np.arange(n_q), top)]
+                ),
             }
             yield pd.DataFrame(out)
 
@@ -642,7 +644,9 @@ def ivf_cells_pandas(
             # real scores, silently diverging from ivf_cells
             denom = vnorm[:, None] * cnorm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(np.where(denom == 0.0, 0.0, (V @ C.T) / denom), 6)
+                sims = np_round_half_away(
+                    np.where(denom == 0.0, 0.0, (V @ C.T) / denom), 6
+                )
             # stable sort on -sim: ties keep ascending centroid order
             # (cell_ids is ascending by construction) = the expression
             # version's (negsim, cell) rank

@@ -154,8 +154,17 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         "*", F.posexplode(F.array(*cms_positions(key_col))).alias("d", "pos")
     )
     others = [c for c in keys.columns]
+    # LEFT join + coalesce-0: a probe key whose counter position was
+    # never touched means that counter is 0, so it must participate in
+    # the min (and a key with ALL D positions absent estimates 0, not
+    # vanish) — an inner join would both inflate the min and silently
+    # drop unseen keys, breaking the "adds cms_est to keys" contract.
     return (
-        probes.join(F.broadcast(sketch), ["d", "pos"])
+        probes.join(F.broadcast(sketch), ["d", "pos"], "left")
         .groupBy(*others)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )

@@ -1434,8 +1434,12 @@ def _cms_oracle() -> str:
     expos AS (SELECT token, exact_cnt, {pos_cols}
               FROM (SELECT token, exact_cnt, md5(token) AS h FROM ex)),
     est AS (
-        SELECT token, exact_cnt, CAST(min(c.cnt) AS BIGINT) AS cms_est
-        FROM ({epos_union}) e JOIN cms c USING (d, pos)
+        -- LEFT JOIN + COALESCE 0 mirrors cms_estimate: an untouched
+        -- counter is 0 and participates in the min (identity here,
+        -- where probe keys come from the sketched corpus itself)
+        SELECT token, exact_cnt,
+               CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+        FROM ({epos_union}) e LEFT JOIN cms c USING (d, pos)
         GROUP BY token, exact_cnt
     )
     SELECT token, exact_cnt, cms_est,

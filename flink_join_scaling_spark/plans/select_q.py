@@ -298,12 +298,8 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = d.select(
         "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
     ).select("doc_id", "lang", _bucket_spark("w").alias("b"))
-    tcnt = (
-        wb.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count("*").cast("bigint").alias("ct"))
-    )
-    rcnt = wb.groupBy("b").agg(F.count("*").cast("bigint").alias("cr"))
+    # the bucket models themselves (tcnt/rcnt) are fitted inside
+    # _dsir_per_doc — only the scalar token totals are built here
     ntot = wb.agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
         .cast("bigint")
@@ -343,7 +339,14 @@ def dsir_fold_frame(joined: DataFrame, id_col: str) -> DataFrame:
         F.array_sort(
             F.collect_list(F.coalesce(F.col("ct"), F.lit(0)).cast("double"))
         ).alias("a_t"),
-        F.array_sort(F.collect_list(F.col("cr").cast("double"))).alias("a_r"),
+        # cr coalesces like ct: buckets unseen by the batch-fitted raw
+        # model (possible only when scoring NEW text, i.e. the streaming
+        # sibling) contribute ln(0+1)=0 — add-1 OOV, not a dropped row.
+        # In batch the model is fitted on the same corpus, so cr is
+        # never null and this is the identity.
+        F.array_sort(
+            F.collect_list(F.coalesce(F.col("cr"), F.lit(0)).cast("double"))
+        ).alias("a_r"),
     )
 
 

@@ -254,7 +254,13 @@ def stream_dsir_weights(
     wb = sdf.select(
         F.col(id_col), F.explode(tx.tokens_ws(F.col(text_col))).alias("w")
     ).select(id_col, _bucket_spark("w").alias("b"))
-    joined = wb.join(tcnt, "b", "left").join(rcnt, "b")
+    # BOTH models left-join: a new streaming document can hash tokens
+    # into buckets the batch-fitted models never saw. coalesce(…, 0)
+    # inside dsir_fold_frame makes the unseen contribution ln(0+1)=0 —
+    # the exact add-1 OOV discipline — instead of silently dropping the
+    # token row (an inner rcnt join would undercount n_toks and delete
+    # all-unseen documents from the output entirely).
+    joined = wb.join(tcnt, "b", "left").join(rcnt, "b", "left")
     per = dsir_fold_frame(joined, id_col)
     return per.withColumn("nt", F.lit(int(nt))).withColumn(
         "nr", F.lit(int(nr))

@@ -276,3 +276,31 @@ def test_stream_cms_converged_equals_batch(spark, tmp_path):
         (int(r.d), int(r.pos)): int(r.cnt) for _, r in conv.iterrows()
     }
     assert got == batch
+
+
+def test_cms_estimate_preserves_unseen_keys(spark):
+    """Contract regression: cms_estimate ADDS cms_est to every probe
+    key. A key whose counter positions were never touched gets those
+    counters as 0 (participating in the min), and a key with all D
+    positions absent estimates exactly 0 — before the left-join fix it
+    inflated the min or vanished from the output."""
+    from flink_join_scaling_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    data = spark.createDataFrame([("aaa",)] * 5 + [("bbb",)] * 2, "w string")
+    sketch = cms_build(data, "w")
+    # probe one seen key and one key never inserted; md5 collisions
+    # into ALL THREE of a seen key's rows are impossible here (only 2
+    # distinct seen keys, W=1024), so the unseen key must estimate 0
+    probes = spark.createDataFrame(
+        [("aaa",), ("never-inserted-key",)], "token string"
+    )
+    got = {
+        r.token: int(r.cms_est)
+        for r in cms_estimate(sketch, probes, "token").collect()
+    }
+    assert set(got) == {"aaa", "never-inserted-key"}
+    assert got["aaa"] >= 5          # never undercounts
+    assert got["never-inserted-key"] == 0

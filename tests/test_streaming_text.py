@@ -571,3 +571,67 @@ def test_stream_trained_gate_then_route_composes(streaming_spark, tmp_path):
     conv = converged(em, ["doc_id"])
     got = {int(r.doc_id): r.pred_lang for _, r in conv.iterrows()}
     assert got == want and len(want) > 0
+
+
+def test_stream_dsir_weights_scores_unseen_buckets(streaming_spark, tmp_path):
+    """Train-once / score-forever regression: a streaming document whose
+    tokens hash to buckets ABSENT from the batch-fitted models must
+    still be scored, with each unseen bucket contributing ln(0+1)=0 on
+    both model sides (add-1 OOV). Before the left-join fix an absent
+    rcnt bucket silently DROPPED the token row — undercounting n_toks —
+    and a document made only of unseen buckets vanished from the output
+    entirely. The converged==batch test can't see this because it
+    scores the training corpus itself."""
+    import math
+
+    from flink_join_scaling_spark.plans.select_q import _DSIR_B, _bucket_spark
+    from flink_join_scaling_spark.streaming.filters import stream_dsir_weights
+    from flink_join_scaling_spark.streaming.harness import converged
+
+    spark = streaming_spark
+    # batch-fitted models over a 2-doc corpus: en "aaa aaa", de "bbb".
+    # Buckets: aaa=1479, bbb=38, foo=2267, bar=3353 (md5[:8] % 4096) —
+    # foo/bar are unseen by BOTH models.
+    train = spark.createDataFrame(
+        [(1, "en", "aaa aaa"), (2, "de", "bbb")], "doc_id long, lang string, text string"
+    )
+    wb = train.select(
+        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    ).select("doc_id", "lang", _bucket_spark("w").alias("b"))
+    tcnt = (
+        wb.where(F.col("lang") == "en")
+        .groupBy("b").agg(F.count("*").cast("bigint").alias("ct"))
+        .localCheckpoint(eager=True)
+    )
+    rcnt = wb.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("cr")
+    ).localCheckpoint(eager=True)
+    nt, nr = 2, 3
+
+    new = spark.createDataFrame(
+        [(10, "foo bar"), (11, "aaa foo")], "doc_id long, text string"
+    )
+    s = chunked_parquet_stream(spark, new, str(tmp_path), n_chunks=1)
+    em = collect_emissions(
+        stream_dsir_weights(s, tcnt, rcnt, nt, nr), output_mode="update"
+    )
+    conv = converged(em, ["doc_id"])
+    got = {
+        int(r.doc_id): (int(r.n_toks), int(r.weight_e6))
+        for _, r in conv.iterrows()
+    }
+
+    def w_e6(a_t, a_r, n):
+        v = (
+            sum(math.log(x + 1.0) for x in a_t)
+            - sum(math.log(x + 1.0) for x in a_r)
+            + n * (math.log(nr + _DSIR_B) - math.log(nt + _DSIR_B))
+        ) * 1e6
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    # doc 10: both tokens unseen by both models; doc 11: one seen
+    # (ct=2, cr=2), one unseen — n_toks counts ALL tokens either way
+    assert got == {
+        10: (2, w_e6([0, 0], [0, 0], 2)),
+        11: (2, w_e6([0, 2], [0, 2], 2)),
+    }
