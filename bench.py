@@ -83,28 +83,49 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # 3 measured passes per query; report the per-query median so
-    # round-over-round deltas under ~25% are signal, not run noise
+    # 3 measured passes per query, then SUB-SECOND queries get 4 more
+    # (median-of-7): near the noise floor a single slow pass can read
+    # as a 2× regression (the r8 q_sim_topk driver outlier — 1.73 s
+    # attested vs 0.69–1.00 s on every rerun), and extra repetitions
+    # are cheap exactly where they're needed. Per-query spread
+    # (max−min over the measured passes) is published so a noisy
+    # median is visible as such in the round artifact.
     passes: dict[str, list[float]] = {n: [] for n in names if n not in errors}
+
+    def one_pass(name: str) -> None:
+        fn = plans.QUERIES[name].fn
+        t0 = time.perf_counter()
+        try:
+            force(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            passes.pop(name, None)
+            return
+        passes[name].append(time.perf_counter() - t0)
+
     for _ in range(3):
         for name in names:
             if name in errors:
                 continue
-            fn = plans.QUERIES[name].fn
-            t0 = time.perf_counter()
-            try:
-                force(fn(spark, sf_dir))
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                passes.pop(name, None)
-                continue
-            passes[name].append(time.perf_counter() - t0)
+            one_pass(name)
+    _SUBSEC = 1.5  # seconds: below this, noise-floor variance dominates
+    for _ in range(4):
+        for name in list(passes):
+            ts = passes.get(name)
+            if ts and sorted(ts)[len(ts) // 2] < _SUBSEC:
+                one_pass(name)
 
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3)
         for name, ts in passes.items()
         if ts
     }
+    spread = {
+        name: round(max(ts) - min(ts), 3)
+        for name, ts in passes.items()
+        if ts
+    }
+    reps = {name: len(ts) for name, ts in passes.items() if ts}
     out = {
         "metric": "headline_total",
         # forcing action for every query; "noop" from r7 on, "count"
@@ -119,6 +140,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3) if not errors else None,
         "unit": "sec",
         "queries": timings,
+        # per-query max−min over the measured passes (7 for sub-second
+        # queries, 3 otherwise — "reps") — the variance evidence the
+        # median claims rest on
+        "spread": spread,
+        "reps": reps,
         "sf": sf,
     }
     if errors:

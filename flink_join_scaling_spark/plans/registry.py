@@ -83,183 +83,176 @@ def query(
     return deco
 
 
-# Queries with a driver-green CORRECTNESS row in rounds 1–4
-# (CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04). The driver replays ~50
-# entries of query_fns() per round under a time budget; ordering queries
-# that need a fresh row first rotates the window onto them so every
-# query eventually holds a driver-green row in some round.
-_DRIVER_GREEN: frozenset[str] = frozenset(
-    {
-        "q_agg_cube", "q_agg_distinct", "q_agg_group", "q_agg_grouping_sets",
-        "q_agg_rollup", "q_array_explode", "q_array_funcs", "q_date_funcs",
-        "q_dedup_exact", "q_dedup_latest", "q_dedup_latest_by_key",
-        "q_dedup_minhash", "q_fingerprint", "q_funnel", "q_join_anti",
-        "q_join_asof", "q_join_full_outer", "q_join_full_outer_seq",
-        "q_join_inner", "q_join_left_outer", "q_join_left_outer_seq",
-        "q_join_range", "q_join_semi", "q_lang_id", "q_math_funcs",
-        "q_percentiles", "q_pivot", "q_quality_score", "q_scalar_subquery",
-        "q_scan_filter_project", "q_sessionize", "q_set_except",
-        "q_set_intersect", "q_set_union", "q_stream_dedup",
-        "q_stream_session", "q_stream_sliding", "q_stream_tumbling",
-        "q_string_funcs", "q_text_chunks", "q_text_stats", "q_token_count",
-        "q_topk", "q_tpch_q10_returns", "q_tpch_q14_promo",
-        "q_tpch_q18_large_orders", "q_tpch_q1_pricing", "q_tpch_q3_shipping",
-        "q_tpch_q5_local_supplier", "q_tpch_q6_forecast", "q_unpivot",
-        "q_value_outliers", "q_window_analytic", "q_window_range_frame",
-        "q_window_rank",
-        # round-3 rotation greens
-        "q_dedup_exact_apply", "q_dedup_components", "q_dedup_keep_best",
-        "q_dedup_apply", "q_dedup_simhash", "q_dedup_ngram",
-        "q_dedup_embedding", "q_dedup_embedding_ivf", "q_sim_topk",
-        "q_sim_topk_pandas", "q_sim_ann_lsh", "q_sim_ann_ivf",
-        "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
-        "q_vocab_df", "q_inverted_index", "q_sample_hash",
-        "q_quality_filter", "q_source_stats", "q_embed_centroids",
-        "q_pack_sequences", "q_sample_stratified", "q_repetition",
-        # round-4 rotation greens (first rows for the r4-new operators;
-        # fresh re-attestations for the 13 events-reading queries)
-        "q_decontaminate", "q_decontaminate_apply", "q_mixture_budget",
-        "q_pii_redact",
-        # round-5 rotation greens: CORRECTNESS_r05.json — 50/50 hash
-        # green, including the 11 post-regeneration re-attestations and
-        # the two converted-to-self-attesting entries.
-        "q_agg_skew_salted", "q_approx_distinct", "q_approx_quantiles",
-        "q_cohort_retention", "q_dedup_containment", "q_dedup_lines",
-        "q_dedup_minhash_ml", "q_dq_profile", "q_dq_rules", "q_ema",
-        "q_entity_resolution", "q_fuzzy_match", "q_gapfill",
-        "q_higher_order_funcs", "q_histogram", "q_join_skew_salted",
-        "q_json_funcs", "q_quantize_embeddings", "q_rollup_multires",
-        "q_scd2_intervals", "q_sim_ann_ivf_trained", "q_stream_join",
-        "q_tpch_q11_important_stock", "q_tpch_q12_priority_class",
-        "q_tpch_q13_order_distribution", "q_tpch_q15_top_supplier",
-        "q_tpch_q16_supplier_counts", "q_tpch_q17_small_quantity",
-        "q_tpch_q19_disjunctive_rev", "q_tpch_q20_excess_suppliers",
-        "q_tpch_q21_waiting_suppliers", "q_tpch_q22_dormant_customers",
-        "q_tpch_q2_min_cost_supplier", "q_tpch_q4_late_orders",
-        "q_tpch_q7_nation_volume", "q_tpch_q8_market_share",
-        "q_tpch_q9_product_profit", "q_transition_matrix",
-        "q_window_distribution",
-        # round-6 rotation greens: CORRECTNESS_r06.json — 50/50 hash
-        # green, including all 17 previously never-attested names and
-        # the round-6-new semantic/ensemble/triangles/persisted-ANN ops.
-        "q_bm25", "q_collocations", "q_dedup_canonical_rank",
-        "q_dedup_ensemble", "q_dedup_ensemble_apply", "q_dedup_semantic",
-        "q_dedup_semantic_apply", "q_embed_outliers", "q_graph_triangles",
-        "q_heavy_hitters", "q_hll_rollup", "q_join_bloom_reduced",
-        "q_lm_score", "q_mixture_weights", "q_pipeline_e2e",
-        "q_ppl_buckets", "q_retrieval_rrf", "q_shard_assignment",
-        "q_sim_ann_persisted", "q_snapshot_diff", "q_source_drift",
-        "q_source_overlap", "q_split_leakage_safe", "q_tfidf",
-        "q_zorder_layout",
-        # round-7 rotation greens: CORRECTNESS_r07.json — 50/50 hash
-        # green: the r7-new trainers (BPE, classifier), spans census,
-        # mixture temperature, source cap, knn/hard-negatives, fuzzy
-        # decontamination, length buckets, dedup weights, plus fresh
-        # re-attestations for the r3/r4-stale llmdata cohort and the
-        # streaming four.
-        "q_bpe_encode", "q_bpe_train", "q_decontaminate_fuzzy",
-        "q_dedup_latest", "q_dedup_spans", "q_dedup_spans_apply",
-        "q_dedup_weights", "q_hard_negatives", "q_knn_labels",
-        "q_length_buckets", "q_mixture_temperature",
-        "q_quality_classifier", "q_quality_classifier_apply",
-        "q_sim_ann_pq", "q_source_cap",
-    }
-)
+# ------------------------------------------------------------------
+# Driver-window rotation (round 9 policy: stalest-first, mechanically)
+#
+# The driver replays the first ~50 entries of ``query_fns()`` each
+# round under a time budget. ``_LAST_GREEN`` maps every query to the
+# round of its LATEST hash-green CORRECTNESS row, folded through
+# ``ROTATION_FOLDED_THROUGH``; ordering ascends on that round so the
+# window always lands on the stalest attestations automatically — the
+# hand-curated ``_NEEDS_FRESH_ROW`` lists of rounds 5-8 are retired
+# (they required re-deriving the cohort every round and twice deferred
+# names past 3-rounds-stale). ``tests/test_registry_rotation.py``
+# recomputes this map from the CORRECTNESS files on disk and fails on
+# any divergence, and enforces the standing policy: after each round's
+# window runs, no query's latest green row may be older than
+# ``ROTATION_FOLDED_THROUGH - 2`` (every ≥3-rounds-stale name must
+# rank inside the window).
+_LAST_GREEN: dict[str, int] = {
+    "q_agg_cube": 6, "q_agg_distinct": 6, "q_agg_group": 6,
+    "q_agg_grouping_sets": 5, "q_agg_rollup": 6,
+    "q_agg_skew_salted": 5, "q_approx_distinct": 6,
+    "q_approx_quantiles": 5, "q_array_explode": 6,
+    "q_array_funcs": 6, "q_bm25": 6, "q_bpe_encode": 7,
+    "q_bpe_train": 7, "q_cms_freq": 8, "q_cohort_retention": 5,
+    "q_collocations": 6, "q_date_funcs": 6, "q_decontaminate": 7,
+    "q_decontaminate_apply": 8, "q_decontaminate_fuzzy": 7,
+    "q_dedup_apply": 8, "q_dedup_canonical_rank": 6,
+    "q_dedup_components": 7, "q_dedup_containment": 5,
+    "q_dedup_embedding": 7, "q_dedup_embedding_ivf": 7,
+    "q_dedup_ensemble": 7, "q_dedup_ensemble_apply": 8,
+    "q_dedup_exact": 5, "q_dedup_exact_apply": 7,
+    "q_dedup_keep_best": 8, "q_dedup_latest": 7,
+    "q_dedup_latest_by_key": 6, "q_dedup_lines": 5,
+    "q_dedup_minhash": 5, "q_dedup_minhash_ml": 5,
+    "q_dedup_ngram": 7, "q_dedup_semantic": 7,
+    "q_dedup_semantic_apply": 7, "q_dedup_simhash": 7,
+    "q_dedup_spans": 7, "q_dedup_spans_apply": 7,
+    "q_dedup_weights": 7, "q_dq_profile": 5, "q_dq_rules": 5,
+    "q_dsir_select": 8, "q_dsir_weights": 8, "q_ema": 5,
+    "q_embed_centroids": 7, "q_embed_outliers": 6,
+    "q_entity_resolution": 5, "q_fingerprint": 5, "q_funnel": 8,
+    "q_fuzzy_match": 5, "q_gapfill": 5, "q_graph_triangles": 6,
+    "q_hard_negatives": 8, "q_heavy_hitters": 6,
+    "q_higher_order_funcs": 5, "q_histogram": 5, "q_hll_rollup": 6,
+    "q_inverted_index": 7, "q_join_anti": 8, "q_join_asof": 8,
+    "q_join_bloom_reduced": 6, "q_join_full_outer": 6,
+    "q_join_full_outer_seq": 6, "q_join_inner": 6,
+    "q_join_left_outer": 6, "q_join_left_outer_seq": 6,
+    "q_join_range": 8, "q_join_semi": 8, "q_join_skew_salted": 5,
+    "q_json_funcs": 5, "q_knn_labels": 8, "q_lang_id": 5,
+    "q_length_buckets": 7, "q_lm_bigram": 8, "q_lm_score": 6,
+    "q_math_funcs": 6, "q_mixture_budget": 8,
+    "q_mixture_temperature": 8, "q_mixture_weights": 6,
+    "q_multimodal_features": 7, "q_multimodal_frames": 7,
+    "q_multimodal_meta": 7, "q_nb_confusion": 8,
+    "q_nb_lang_apply": 8, "q_nb_lang_train": 8, "q_novelty": 8,
+    "q_pack_sequences": 7, "q_percentiles": 8, "q_pii_redact": 7,
+    "q_pipeline_e2e": 6, "q_pipeline_trained": 8, "q_pivot": 8,
+    "q_ppl_buckets": 6, "q_quality_classifier": 8,
+    "q_quality_classifier_apply": 8, "q_quality_filter": 8,
+    "q_quality_score": 8, "q_quantize_embeddings": 5,
+    "q_repetition": 7, "q_retrieval_rrf": 6, "q_rollup_multires": 5,
+    "q_sample_hash": 7, "q_sample_stratified": 7,
+    "q_scalar_subquery": 5, "q_scan_filter_project": 6,
+    "q_scd2_intervals": 5, "q_sessionize": 8, "q_set_except": 6,
+    "q_set_intersect": 6, "q_set_union": 6, "q_shard_assignment": 6,
+    "q_sim_ann_ivf": 8, "q_sim_ann_ivf_trained": 5,
+    "q_sim_ann_lsh": 8, "q_sim_ann_persisted": 6, "q_sim_ann_pq": 7,
+    "q_sim_topk": 8, "q_sim_topk_pandas": 8, "q_snapshot_diff": 6,
+    "q_source_cap": 7, "q_source_drift": 6, "q_source_overlap": 6,
+    "q_source_stats": 8, "q_split_leakage_safe": 6,
+    "q_stream_dedup": 7, "q_stream_join": 5, "q_stream_session": 7,
+    "q_stream_sliding": 7, "q_stream_tumbling": 7,
+    "q_string_funcs": 6, "q_text_chunks": 5, "q_text_stats": 5,
+    "q_tfidf": 6, "q_token_count": 5, "q_topk": 6,
+    "q_tpch_q10_returns": 8, "q_tpch_q11_important_stock": 8,
+    "q_tpch_q12_priority_class": 8,
+    "q_tpch_q13_order_distribution": 5, "q_tpch_q14_promo": 8,
+    "q_tpch_q15_top_supplier": 8, "q_tpch_q16_supplier_counts": 8,
+    "q_tpch_q17_small_quantity": 5, "q_tpch_q18_large_orders": 8,
+    "q_tpch_q19_disjunctive_rev": 8, "q_tpch_q1_pricing": 6,
+    "q_tpch_q20_excess_suppliers": 8,
+    "q_tpch_q21_waiting_suppliers": 5,
+    "q_tpch_q22_dormant_customers": 5,
+    "q_tpch_q2_min_cost_supplier": 8, "q_tpch_q3_shipping": 8,
+    "q_tpch_q4_late_orders": 5, "q_tpch_q5_local_supplier": 7,
+    "q_tpch_q6_forecast": 8, "q_tpch_q7_nation_volume": 5,
+    "q_tpch_q8_market_share": 8, "q_tpch_q9_product_profit": 8,
+    "q_transition_matrix": 5, "q_unpivot": 8, "q_value_outliers": 8,
+    "q_vocab_df": 7, "q_window_analytic": 6,
+    "q_window_distribution": 5, "q_window_range_frame": 5,
+    "q_window_rank": 6, "q_zorder_layout": 6,
+}
+
+#: Back-compat view used by tests: the set of queries holding ANY
+#: driver-green row through the folded round.
+_DRIVER_GREEN: frozenset[str] = frozenset(_LAST_GREEN)
 
 #: Highest CORRECTNESS round whose greens are folded into
-#: ``_DRIVER_GREEN``. The rotation-hygiene test allows exactly ONE
+#: ``_LAST_GREEN``. The rotation-hygiene test allows exactly ONE
 #: newer round file on disk (the driver writes r{N+1} after the
 #: round's last commit, so it can only be folded next round); two
 #: newer rounds mean the rotation went stale — the starvation bug this
 #: machinery exists to prevent — and the test fails loudly.
-ROTATION_FOLDED_THROUGH = 7
+ROTATION_FOLDED_THROUGH = 8
 
 # Queries whose output CHANGED this round, invalidating their prior
-# green rows outright (not merely aging them). Round 8: the similarity
-# family now ranks and exposes e6-integer cosines (cosine → cosine_e6
-# BIGINT, raw-product quantization instead of round-6-then-scale); the
-# classifier pair labels over e6-quantized quartiles derived without
-# the global window; the quality-display cohort switched to raw-double
-# compares + e4/e6 integer display; the two keeper elections rank on
-# the raw score; q_mixture_temperature's upsample divides before
-# multiplying. Ordered before even the stalest re-attestations — a
-# changed query with an old green row is the one kind of entry whose
-# CORRECTNESS record is actively wrong.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
+# green rows outright (not merely aging them). Round 9: EMPTY — the
+# post-r8-attestation advisor fixes (commit 7c95acc) provably did not
+# change any attested sf0.01 output: the np.round→half-away-from-zero
+# quantization sites only differ at an exact .5e-6 midpoint, and every
+# affected query was hash-GREEN against the half-away DuckDB round()
+# under the old rounding — a green row is a proof no midpoint occurs
+# in its fixture; cms_estimate's inner→left probe join is an identity
+# when probe keys come from the sketched corpus (q_cms_freq's shape),
+# and its oracle changed in lockstep. The touched names are still
+# promoted within their staleness cohort via _TOUCHED_SINCE_GREEN.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+
+#: Names whose operator code changed after their latest green row was
+#: recorded (the 7c95acc advisor fixes), with an argument — not a
+#: proof by re-execution — that outputs are unchanged. Promoted ahead
+#: of their same-staleness peers so the window re-executes the
+#: argument cheaply.
+_TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {
-        "q_sim_topk", "q_sim_topk_pandas", "q_sim_ann_lsh", "q_sim_ann_ivf",
-        "q_knn_labels", "q_hard_negatives",
-        "q_quality_classifier", "q_quality_classifier_apply",
-        "q_quality_score", "q_quality_filter", "q_source_stats",
-        "q_dedup_keep_best", "q_dedup_apply", "q_dedup_ensemble_apply",
-        "q_mixture_temperature",
+        "q_cms_freq", "q_sim_topk_pandas", "q_sim_ann_ivf",
+        "q_dedup_embedding", "q_dedup_embedding_ivf",
+        "q_sim_ann_ivf_trained", "q_sim_ann_persisted", "q_sim_ann_pq",
     }
 )
 
-# Queries whose latest driver row is stale and must be re-attested
-# before never-recorded queries. Round 8 targets the r7 verdict's
-# item 3: the 17 names whose latest green row is round 4, then the
-# round-5 cohort living in files refactored since (tpch_full.py and
-# temporal_q.py). 15 changed + 17 r4-stale + 9 r5 + 9 never-attested
-# r8-new (CMS, bigram LM, novelty, NB trio, DSIR pair, trained
-# pipeline — group 2) = 50 = the driver's window; the
-# relational_ext.py r5 cohort (skew-salted pair, JSON/HOF, histogram,
-# entity resolution, fuzzy match, DQ pair, approx pair, window
-# distribution), the six temporal analytics whose plans the r8
-# refactors did not touch (EMA, gap-fill, SCD2, cohort retention,
-# transition matrix, multires rollup), and the TPC-H Q21/Q22 pair
-# (bumped when q_novelty and q_nb_confusion landed — never-attested
-# queries outrank re-attesting rows that still stand, the r7-new
-# precedent) are the explicit round-9 deferral.
-#: Subset of ``_NEEDS_FRESH_ROW`` with the OLDEST last-green round;
-#: ordered ahead of the rest of group 1 so a time-budget cutoff starves
-#: the freshest names, not the stalest.
-_NEEDS_FRESH_ROW_FIRST: frozenset[str] = frozenset(
+#: Names the round-8 closing commit (1c006ae) explicitly deferred to
+#: round 9, plus the dedup family whose shared ``operators/dedup.py``
+#: changed in r7-r8 — ordered at the very front of their staleness
+#: cohort so a driver time-budget cutoff starves the freshest names,
+#: never these.
+_PRIORITY_FIRST: frozenset[str] = frozenset(
     {
-        # last green in round 4 (every other query is r5+ at its latest
-        # attestation)
-        "q_join_semi", "q_join_anti", "q_pivot", "q_unpivot",
-        "q_percentiles", "q_tpch_q3_shipping", "q_tpch_q6_forecast",
-        "q_tpch_q10_returns", "q_tpch_q14_promo",
-        "q_tpch_q18_large_orders", "q_join_asof", "q_join_range",
-        "q_sessionize", "q_value_outliers", "q_funnel",
-        "q_decontaminate_apply", "q_mixture_budget",
+        "q_tpch_q21_waiting_suppliers", "q_tpch_q22_dormant_customers",
+        "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_ml",
+        "q_dedup_containment", "q_dedup_lines",
     }
 )
 
-_NEEDS_FRESH_ROW: frozenset[str] = _NEEDS_FRESH_ROW_FIRST | frozenset(
-    {
-        # round-5 rows in files refactored since: all 11 tpch_full.py
-        # shapes and the temporal_q.py six
-        "q_tpch_q2_min_cost_supplier", "q_tpch_q8_market_share",
-        "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
-        "q_tpch_q12_priority_class", "q_tpch_q15_top_supplier",
-        "q_tpch_q16_supplier_counts", "q_tpch_q19_disjunctive_rev",
-        "q_tpch_q20_excess_suppliers",
-    }
+#: Computed stale set (kept for the hygiene tests): every query whose
+#: latest green row is ≥3 rounds older than the folded-through round —
+#: the cohort this round's window MUST cover.
+_NEEDS_FRESH_ROW: frozenset[str] = frozenset(
+    n for n, r in _LAST_GREEN.items() if r <= ROTATION_FOLDED_THROUGH - 3
 )
 
 
 def query_fns() -> dict[str, QueryFn]:
-    """Driver iteration order. Groups, stable registration order
-    within each: (0) queries whose output changed this round (their
-    old rows are invalid, not just stale); (1) queries needing a fresh
-    CORRECTNESS row this round (stale or never recorded) — the
-    driver's ~50-entry window must land on these, oracle-bearing
-    before rows-only; (2) oracle-bearing
-    queries with no green row yet; (3) oracle-bearing queries already
-    green in a prior round (their rows stand); (4) remaining rows-only
-    queries last — a cutoff shadowing them loses nothing, they can
-    never hash-match anyway."""
+    """Driver iteration order. Tiers: (0) queries whose output changed
+    this round (their old rows are invalid, not just stale); (1)
+    oracle-bearing queries with no green row yet (new registrations);
+    (2) everything else ascending by latest-green round — stalest
+    first — with ``_PRIORITY_FIRST`` then ``_TOUCHED_SINCE_GREEN``
+    leading each cohort; rows-only queries sort after oracle-bearing
+    peers (a cutoff shadowing them loses nothing — they can never
+    hash-match); stable registration order breaks remaining ties."""
     order = list(QUERIES)
 
-    def rank(s: QuerySpec) -> tuple[int, int, int, int, int, int]:
+    def rank(s: QuerySpec) -> tuple:
         return (
             s.name not in _CHANGED_THIS_ROUND,  # invalidated rows first
-            s.name not in _NEEDS_FRESH_ROW,  # stale/missing rows next
-            s.name not in _NEEDS_FRESH_ROW_FIRST,  # stalest first in group 1
             s.oracle is None,  # rows-only after oracle-bearing
-            s.name in _DRIVER_GREEN,  # never-recorded before re-verified
+            _LAST_GREEN.get(s.name, 0),  # never-green (0), then stalest
+            s.name not in _PRIORITY_FIRST,  # explicit leads per cohort
+            s.name not in _TOUCHED_SINCE_GREEN,  # then touched code
             order.index(s.name),
         )
 

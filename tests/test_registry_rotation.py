@@ -128,6 +128,47 @@ def test_unattested_oracle_queries_fit_the_driver_window():
             )
 
 
+def test_last_green_map_matches_correctness_files():
+    """``_LAST_GREEN`` must be a mechanical transcript of the
+    CORRECTNESS files through the folded round — a hand-maintained map
+    that drifts from disk would silently mis-rank the window."""
+    folded = registry.ROTATION_FOLDED_THROUGH
+    latest: dict[str, int] = {}
+    for name, stems in _correctness_rows(max_round=folded).items():
+        if name in registry.QUERIES:
+            latest[name] = max(_round_no(s) for s in stems)
+    assert latest == registry._LAST_GREEN, {
+        "missing_from_map": sorted(set(latest) - set(registry._LAST_GREEN)),
+        "extra_in_map": sorted(set(registry._LAST_GREEN) - set(latest)),
+        "wrong_round": sorted(
+            n for n in set(latest) & set(registry._LAST_GREEN)
+            if latest[n] != registry._LAST_GREEN[n]
+        ),
+    }
+
+
+def test_staleness_policy_no_query_three_rounds_stale_outside_window():
+    """Standing rotation policy (round-9 verdict item 7): after each
+    round's window runs, no registered query's latest green row may be
+    older than ``ROTATION_FOLDED_THROUGH - 2``. Equivalently, every
+    query whose row is already ≥3 rounds stale must rank inside the
+    window THIS round, so the driver re-attests it before it ages
+    further. A growing stale cohort that overflows the window fails
+    here — the fix is registering fewer new queries that round, never
+    letting old ones starve."""
+    order = list(registry.query_fns())
+    horizon = registry.ROTATION_FOLDED_THROUGH - 3
+    stale = [
+        n for n, r in registry._LAST_GREEN.items()
+        if r <= horizon and registry.QUERIES[n].oracle is not None
+    ]
+    outside = [n for n in stale if order.index(n) >= WINDOW]
+    assert not outside, (
+        f"{len(outside)} queries ≥3 rounds stale rank outside the "
+        f"{WINDOW}-slot window: {sorted(outside)}"
+    )
+
+
 def test_float_boundary_manifest_matches_tags():
     """The ulp-risk manifest and the query tags must agree, so a flake
     triage can trust either one."""
