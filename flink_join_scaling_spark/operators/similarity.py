@@ -165,6 +165,73 @@ def hard_negatives(
     )
 
 
+def hard_negatives_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    train: bool = True,
+) -> DataFrame:
+    """:func:`hard_negatives` with the IVF index as the search stage —
+    the production form of contrastive negative mining: at 100 TB the
+    exact form's per-query cost is the whole corpus (honest-linear,
+    10.1× at the 100× probe), while this one probes ``nprobe`` of
+    ``num_cells`` trained cells, so cost ∝ corpus/num_cells per query
+    with recall bounded by the probe set (a negative is missed only
+    when the query doesn't probe its home cell).
+
+    The label rides the cell assignment via ``keep_cols`` — no
+    corpus-sized join-back — and the mismatch predicate filters INSIDE
+    the probed cells BEFORE ranking (filtered ANN search, not
+    overfetch-then-filter: candidates sharing the query's label can
+    never crowd the shortlist). Same trained-centroid, broadcast-probe,
+    Arrow-cosine, total-order-rank contract as :func:`ann_ivf_topk`.
+    """
+    cents_fn = ivf_centroids_kmeans if train else ivf_centroids
+    cents = cents_fn(corpus, id_col, vec_col, num_cells)
+    idx = ivf_cells_pandas(
+        corpus, id_col, vec_col, num_cells,
+        nprobe=1, centroids=cents, keep_cols=(label_col,),
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        "cell",
+    )
+    probes = ivf_cells_pandas(
+        queries, id_col, vec_col, num_cells,
+        nprobe=nprobe, centroids=cents, keep_cols=(label_col,),
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("vq"),
+        F.col("l2_norm").alias("nq"),
+        "cell",
+    )
+    pairs = (
+        idx.join(F.broadcast(probes), "cell")
+        .where(
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("query_label") != F.col("neg_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
+        )
+    )
+    return _ranked(pairs, k).select(
+        "query_id", "query_label", "vec_id", "neg_label", "cosine_e6", "rank"
+    )
+
+
 #: cosine_topk_pandas collects the query side into a driver NumPy
 #: matrix; past this bound, an unbounded collect is a silent driver OOM
 #: at scale, so the operator refuses loudly instead.
@@ -602,6 +669,7 @@ def ivf_cells_pandas(
     num_cells: int = 8,
     nprobe: int = 1,
     centroids: list | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The many-cells variant of :func:`ivf_cells`: same assignment
     semantics (rank cells by cosine rounded to 6, ties → lower cell
@@ -615,6 +683,11 @@ def ivf_cells_pandas(
     cells can scale with the corpus (bounded cell occupancy at 100 TB)
     while the operator stays narrow — still no shuffle, and still one
     pass over the corpus.
+
+    ``keep_cols`` names extra input columns to pass through unchanged
+    (repeated per probe, like the vector) — this is how attribute
+    columns (e.g. a label for filtered ANN search) ride the cell
+    assignment without a corpus-sized join-back afterwards.
     """
     import math
 
@@ -629,8 +702,12 @@ def ivf_cells_pandas(
 
     id_t = vectors.schema[id_col].dataType.simpleString()
     vec_t = vectors.schema[vec_col].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {vectors.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
     out_schema = (
-        f"{id_col} {id_t}, {vec_col} {vec_t}, l2_norm double, crank int, cell long"
+        f"{id_col} {id_t}, {vec_col} {vec_t}{keep_schema}, "
+        "l2_norm double, crank int, cell long"
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -652,17 +729,20 @@ def ivf_cells_pandas(
             # version's (negsim, cell) rank
             order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             n, p = order.shape
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
-                    "l2_norm": np.repeat(vnorm, p),
-                    "crank": np.tile(np.arange(p, dtype=np.int32), n),
-                    "cell": cell_ids[order].ravel(),
-                }
-            )
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+            }
+            for c in keep_cols:
+                out[c] = [v for v in pdf[c] for _ in range(p)]
+            out["l2_norm"] = np.repeat(vnorm, p)
+            out["crank"] = np.tile(np.arange(p, dtype=np.int32), n)
+            out["cell"] = cell_ids[order].ravel()
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return vectors.select(id_col, vec_col, *keep_cols).mapInPandas(
+        assign, out_schema
+    )
 
 
 # -------------------------------------------------- product quantization

@@ -837,6 +837,168 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- hashed-feature bigram LM
+
+#: fixed bucket widths: the WHOLE model is ≤ (16384 + 4096 + 1) rows
+#: at ANY corpus size — the DSIR hashed-feature treatment applied to
+#: the bigram LM, retiring q_lm_bigram's Heaps-law model growth (its
+#: prod-shape 100× probe read 14.0× even singleton-pruned; a
+#: fixed-width table cannot grow with volume at all)
+_LM2H_B2 = 16_384  # bigram (prev,cur) buckets
+_LM2H_U = 4_096  # unigram buckets (context denominators + backoff leg)
+
+_LM2H_HEX = "0123456789abcdef"
+
+
+def _lm2h_bucket_spark(expr: F.Column, width: int) -> F.Column:
+    """First 8 md5 nibbles as an integer, mod ``width`` — identical
+    arithmetic to select_q's DSIR bucketer, parameterized on width."""
+    return (
+        F.conv(F.substring(F.md5(expr), 1, 8), 16, 10).cast("bigint")
+        % width
+    )
+
+
+def _lm2h_bucket_duck(sql_expr: str, width: int) -> str:
+    def nib(i: int) -> str:
+        return f"(strpos('{_LM2H_HEX}', substr(md5({sql_expr}), {i}, 1)) - 1)"
+
+    v = nib(1)
+    for i in range(2, 9):
+        v = f"({v} * 16 + {nib(i)})"
+    return f"({v} % {width})"
+
+
+@query(
+    "q_lm_bigram_hashed",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    wu AS (SELECT doc_id, w, i,
+                  {_lm2h_bucket_duck('w', _LM2H_U)} AS u
+           FROM words),
+    ucnt AS (SELECT u, CAST(count(*) AS BIGINT) AS cu FROM wu GROUP BY u),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM ucnt),
+    occ0 AS (
+        SELECT a.doc_id, a.u AS up, b.u AS uc,
+               {_lm2h_bucket_duck("a.w || chr(31) || b.w", _LM2H_B2)} AS b2
+        FROM wu a JOIN wu b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bcnt AS (SELECT b2, CAST(count(*) AS BIGINT) AS cb
+             FROM occ0 GROUP BY b2),
+    occ AS (
+        SELECT o.doc_id,
+               {_LM2_LAMBDA} * (CAST(g.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+               + (1.0 - {_LM2_LAMBDA})
+                 * (CAST(uc.cu AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS term
+        FROM occ0 o
+        JOIN bcnt g ON g.b2 = o.b2
+        JOIN ucnt up ON up.u = o.up
+        JOIN ucnt uc ON uc.u = o.uc, tot
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               list_sort(list(term)) AS terms
+        FROM occ GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(list_reduce(list_transform(terms, x -> ln(x)), (a, b) -> a + b)
+                 / CAST(n_bigrams AS DOUBLE), 6) AS lm2h_logprob
+    FROM per
+    """,
+    headline=True,
+    tags=("corpus", "text"),
+)
+def q_lm_bigram_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature interpolated bigram LM — q_lm_bigram's scoring
+    semantics over a VOLUME-INDEPENDENT model: (prev,cur) hashes into
+    one of 16384 md5 buckets and each unigram into one of 4096 (the
+    DSIR hashed-n-gram construction, Xie et al. 2023, applied to the
+    Jelinek-Mercer bigram score). p = λ·(c[b2(prev,cur)]/c[u(prev)]) +
+    (1−λ)·(c[u(cur)]/N); the document score is the mean log-prob over
+    its bigram positions. Collisions trade a bounded score bias for a
+    model that CANNOT grow with the corpus — no singleton prune
+    needed, and no unseen-key path either: every scored position
+    contributed to its own buckets, so all model joins are inner.
+
+    Comparability: bucket ids are exact integer md5-nibble arithmetic
+    on both engines; terms are IEEE rationals of exact BIGINT counts,
+    SORTED ascending, ln-folded left-to-right, mean rounded to 6 (the
+    q_lm_score transcendental rule).
+
+    Scale shape: THE fix for q_lm_bigram's one named scale constant
+    (model types grow with volume — 14.0× at the prod-shape 100×
+    probe even after singleton pruning). Here the three model tables
+    are ≤ 16384 + 4096 + 1 rows at ANY corpus size, so they BROADCAST
+    and the entire scoring pass is map-only over the narrow
+    array-zipped bigram stream — zero corpus-sized exchanges after
+    the two bounded model aggregations (which are themselves map-side
+    partial counts into ≤16k cells). The exact-count q_lm_bigram
+    stays registered as the oracle-documented reference path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens_ws(F.col("text")).alias("ws"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))
+                ).alias("prev"),
+                F.slice(
+                    F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                ).alias("cur"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        _lm2h_bucket_spark(
+            F.concat(F.col("p.prev"), F.lit("\x1f"), F.col("p.cur")),
+            _LM2H_B2,
+        ).alias("b2"),
+        _lm2h_bucket_spark(F.col("p.prev"), _LM2H_U).alias("up"),
+        _lm2h_bucket_spark(F.col("p.cur"), _LM2H_U).alias("uc"),
+    )
+    words = d.select(
+        "doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    ).select(_lm2h_bucket_spark(F.col("w"), _LM2H_U).alias("u"))
+    ucnt = words.groupBy("u").agg(F.count("*").cast("bigint").alias("cu"))
+    tot = ucnt.agg(F.sum("cu").cast("bigint").alias("t"))
+    bcnt = pairs.groupBy("b2").agg(F.count("*").cast("bigint").alias("cb"))
+    lam = F.lit(_LM2_LAMBDA)
+    occ = (
+        pairs.join(F.broadcast(bcnt), "b2")
+        .join(F.broadcast(ucnt.withColumnsRenamed({"u": "up", "cu": "cup"})), "up")
+        .join(F.broadcast(ucnt.withColumnsRenamed({"u": "uc", "cu": "cuc"})), "uc")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                lam * (F.col("cb").cast("double") / F.col("cup").cast("double"))
+                + (F.lit(1.0) - lam)
+                * (F.col("cuc").cast("double") / F.col("t").cast("double"))
+            ).alias("term"),
+        )
+    )
+    per = occ.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.array_sort(F.collect_list("term")).alias("terms"),
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.aggregate(
+                F.transform(F.col("terms"), lambda x: F.log(x)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("lm2h_logprob"),
+    )
+
+
 # --------------------------------------- mixture reweighting (DoReMi-lite)
 
 

@@ -2465,6 +2465,63 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: recall-attestation oracle over the EXACT hard-negative pair set
+#: (same shape as _RECALL_ORACLE, different reference query)
+_HN_RECALL_ORACLE = f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NORM_SQL} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               CAST(round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
+        FROM n q JOIN n c
+          ON q.vec_id < {_KNN_HOLDOUT} AND c.vec_id <> q.vec_id
+         AND c.label <> q.label
+    ),
+    topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= {_HN_K}
+    )
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM topk
+    """
+
+
+@query(
+    "q_hard_negatives_ann",
+    oracle=_HN_RECALL_ORACLE,
+    tags=("llmdata", "similarity"),
+)
+def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining on the trained IVF index — the PRODUCTION
+    search stage for q_hard_negatives (whose exact form is the
+    eval/baseline path: honest-linear per query, 10.1× at the 100×
+    probe). SELF-ATTESTING like q_sim_ann_ivf_trained: trained
+    centroids aren't SQL-expressible, so the query emits the exact
+    hard-negative pair stats plus a boolean asserting the ANN-mined
+    pairs recall ≥ 0.5 of the exact top-3 mismatched-label neighbors
+    (measured 0.80/0.68 at sf0.001/sf0.01 with nprobe=2 of 8 cells).
+    The label predicate filters INSIDE the probed cells before ranking
+    (filtered ANN search — same-label candidates can never crowd the
+    shortlist), and the label rides the cell assignment as a
+    mapInPandas pass-through column, so there is no corpus-sized
+    join-back between index and attributes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < _KNN_HOLDOUT)
+    exact = sim.hard_negatives(e, queries_df, k=_HN_K).select(
+        "query_id", "vec_id"
+    )
+    approx = sim.hard_negatives_ann(
+        e, queries_df, k=_HN_K,
+        num_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, train=True,
+    ).select("query_id", "vec_id")
+    return _recall_attest(exact, approx)
+
+
 # -------------------------------------------- cross-document novelty
 
 

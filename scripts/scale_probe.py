@@ -371,6 +371,12 @@ def main() -> None:
         # hard negatives: fixed 20-query broadcast, corpus streams 10x
         # map-side — same growth law as the exact-top-k join it reuses
         "q_hard_negatives": plan_probe("q_hard_negatives"),
+        # r9: its IVF production sibling — cost ∝ probed cells per
+        # query instead of the whole corpus; under prod-shape blocks
+        # cells grow in COUNT (disjoint blocks), occupancy fixed, so
+        # the probe should grow with the index-build pass, not the
+        # exact family's full-scan constant
+        "q_hard_negatives_ann": plan_probe("q_hard_negatives_ann"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
@@ -384,6 +390,11 @@ def main() -> None:
         "q_dsir_weights": plan_probe("q_dsir_weights"),
         "q_cms_freq": plan_probe("q_cms_freq"),
         "q_lm_bigram": plan_probe("q_lm_bigram"),
+        # r9: the hashed bigram LM — the model is ≤ 16k+4k+1 rows at
+        # ANY volume (broadcast, map-only scoring), so the probe should
+        # read pure corpus-pass growth (the q_dsir_weights regime),
+        # retiring q_lm_bigram's vocabulary-shaped 14x prod constant
+        "q_lm_bigram_hashed": plan_probe("q_lm_bigram_hashed"),
         # r8: the exact-search family after the e6 vectorization —
         # fixed query broadcast (10 / 20 vectors), corpus streams once
         # through the Arrow cosine, WindowGroupLimit partial top-k

@@ -156,6 +156,31 @@ def test_hard_negatives_excludes_same_label(planted_vecs):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_cells_pandas_keep_cols_pass_through(planted_vecs):
+    lv = planted_vecs.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    out = sim.ivf_cells_pandas(
+        lv, "vec_id", "embedding", num_cells=4, nprobe=2, keep_cols=("label",)
+    ).collect()
+    # every probe row carries its vector's own label, verbatim
+    assert len(out) == 2 * lv.count()
+    assert all(r.label == r.vec_id % 2 for r in out)
+
+
+def test_hard_negatives_ann_filters_labels_and_recalls(planted_vecs):
+    lv = planted_vecs.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    q = lv.where(F.col("vec_id") < 4)
+    ann = sim.hard_negatives_ann(lv, q, k=3, num_cells=4, nprobe=2).collect()
+    # label mismatch enforced inside the probed cells, never the query itself
+    assert ann and all(r.neg_label != r.query_label for r in ann)
+    assert all(r.vec_id != r.query_id for r in ann)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.hard_negatives(lv, q, k=3).collect()
+    }
+    hits = sum((r.query_id, r.vec_id) in exact for r in ann)
+    assert hits >= 0.5 * len(exact)
+
+
 def test_embedding_dedup_finds_planted_pair(planted_vecs):
     pairs = {
         (r.id_a, r.id_b): r.cosine

@@ -51,7 +51,7 @@ def test_no_nested_loop_anywhere():
     """Whole registry sweep: no CartesianProduct / BroadcastNestedLoop
     in any registered query plan except explicitly-quadratic baselines
     (brute-force similarity + embedding pair joins)."""
-    # evaluated in test_no_nested_loop_per_query via parametrize
+    # evaluated in test_plan_shape_per_query via parametrize
     pass
 
 
@@ -95,17 +95,10 @@ _QUADRATIC_OK = {
     "q_dsir_weights",
     "q_dsir_select",
     "q_lm_bigram",  # 1-row corpus token total, as q_lm_score
+    "q_lm_bigram_hashed",  # 1-row corpus token total (hashed model)
     "q_pipeline_trained",  # composes the NB/DSIR scalar broadcasts above
+    "q_hard_negatives_ann",  # self-attesting recall: two 1-row aggs crossed
 }
-
-
-@pytest.mark.parametrize(
-    "name", sorted(n for n in plans.QUERIES if n not in _QUADRATIC_OK)
-)
-def test_no_nested_loop_per_query(spark, name):
-    plan = _plan(spark, name)
-    assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_registry_rotation_sets_name_real_queries():
@@ -204,11 +197,43 @@ def test_unpartitioned_window_detector_fixture(spark):
 #: regression class this sweep exists to block.
 _BOUNDED_GLOBAL_RANK_OK: set[str] = set()
 
+#: Largest limit a registered plan may carry in a CollectLimit /
+#: GlobalLimit / TakeOrderedAndProject node. Anything bigger is a
+#: driver-sized materialization hiding behind a "limit" — the
+#: third anti-pattern class (after nested-loop joins and
+#: unpartitioned windows) the registry-wide sweep machine-checks.
+#: Exemption list: none. The actual limits in the registry today are
+#: ≤ 200 (top-k ranks, DSIR/select budgets, layout samples).
+_PLAN_LIMIT_BOUND = 100_000
 
-@pytest.mark.parametrize(
-    "name", sorted(n for n in plans.QUERIES if n not in _BOUNDED_GLOBAL_RANK_OK)
-)
-def test_no_unpartitioned_window_per_query(spark, name):
+
+@pytest.mark.parametrize("name", sorted(plans.QUERIES))
+def test_plan_shape_per_query(spark, name):
+    """One plan build, all three registry-wide anti-pattern sweeps:
+
+    1. no CartesianProduct / BroadcastNestedLoopJoin (exempt: the
+       audited 1-row scalar-broadcast crosses in _QUADRATIC_OK);
+    2. no unpartitioned ranking window — a corpus-sized single-task
+       sort, the round-7 classifier-labeling regression class
+       (exemption list: none);
+    3. every CollectLimit / GlobalLimit / TakeOrderedAndProject limit
+       bounded by _PLAN_LIMIT_BOUND (exemption list: none).
+    """
+    import re
+
     plan = _plan(spark, name)
-    bad = _unpartitioned_windows(plan)
-    assert not bad, f"{name}: unpartitioned Window (single-task global sort): {bad[:2]}"
+    if name not in _QUADRATIC_OK:
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    if name not in _BOUNDED_GLOBAL_RANK_OK:
+        bad = _unpartitioned_windows(plan)
+        assert not bad, (
+            f"{name}: unpartitioned Window (single-task global sort): {bad[:2]}"
+        )
+    for m in re.finditer(
+        r"(?:CollectLimit|GlobalLimit|TakeOrderedAndProject\(limit=)\s*(\d+)",
+        plan,
+    ):
+        assert int(m.group(1)) <= _PLAN_LIMIT_BOUND, (
+            f"{name}: unbounded driver-sized limit: {m.group(0)}"
+        )

@@ -169,6 +169,26 @@ def test_staleness_policy_no_query_three_rounds_stale_outside_window():
     )
 
 
+def test_survey_counts_match_registry():
+    """SURVEY.md's §7 inventory line must state the registry's actual
+    counts — the doc-drift class the r8 verdict flagged (claimed 50
+    headline when the registry had 49)."""
+    import re
+
+    text = (REPO / "SURVEY.md").read_text()
+    m = re.search(r"(\d+) registered queries", text)
+    assert m and int(m.group(1)) == len(registry.QUERIES), (
+        f"SURVEY.md says {m and m.group(1)} registered queries; "
+        f"registry has {len(registry.QUERIES)}"
+    )
+    m = re.search(r"bench covers (\d+) headline queries", text)
+    headline = sum(1 for s in registry.QUERIES.values() if s.headline)
+    assert m and int(m.group(1)) == headline, (
+        f"SURVEY.md says {m and m.group(1)} headline queries; "
+        f"registry has {headline}"
+    )
+
+
 def test_float_boundary_manifest_matches_tags():
     """The ulp-risk manifest and the query tags must agree, so a flake
     triage can trust either one."""

@@ -131,15 +131,26 @@ def test_stream_dedup_within_watermark_in_order(streaming_spark, tmp_path):
     assert got == expected
 
 
+from flink_join_scaling_spark.streaming.joins import mapstate_available
+
+#: both state engines where the runtime supports them; in this
+#: sandbox (no protobuf) only the GroupState fallback runs, and a
+#: dedicated test asserts the auto-fallback + loud mapstate refusal
+_ENGINES = ["groupstate"] + (["mapstate"] if mapstate_available() else [])
+
+
+@pytest.mark.parametrize("engine", _ENGINES)
 @pytest.mark.parametrize("how", ["full_outer", "left_outer", "inner"])
-def test_stream_join_matches_batch(streaming_spark, tmp_path, how):
+def test_stream_join_matches_batch(streaming_spark, tmp_path, how, engine):
     spark = streaming_spark
     a = spark.createDataFrame(_gen_a(6, 3), A_SCHEMA)
     b = spark.createDataFrame(_gen_b(10, 3, ida_max=9), B_SCHEMA)
 
     sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=3)
     sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=3)
-    out = stream_join_versioned(sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how)
+    out = stream_join_versioned(
+        sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how, engine=engine
+    )
     em = collect_emissions(out)
     got = converged(em, ["k"])
     # decode converged pairs (x_tag, y_tag); None = outer null padding
@@ -160,6 +171,31 @@ def test_stream_join_matches_batch(streaming_spark, tmp_path, how):
     exp_pairs = {(r.x_tag, r.y_tag) for r in batch.collect()}
     assert got_pairs == exp_pairs
     assert len(em) >= len(got)  # changelog re-emission property
+
+
+def test_engine_probe_and_routing(streaming_spark):
+    """The engine feature-probe must (a) agree with the actual
+    protobuf availability, (b) resolve engine='auto' to the supported
+    path, and (c) refuse engine='mapstate' LOUDLY where the wire
+    protocol is absent — never silently fall back when a caller
+    forced a path."""
+    from flink_join_scaling_spark.streaming.joins import _resolve_engine
+
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+    assert mapstate_available() == has_proto
+    expected = "mapstate" if has_proto else "groupstate"
+    assert _resolve_engine("auto") == expected
+    assert _resolve_engine("groupstate") == "groupstate"
+    if not has_proto:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            _resolve_engine("mapstate")
+    with pytest.raises(ValueError):
+        _resolve_engine("rocksdb")
 
 
 def test_stream_join_typed_structs_end_to_end(streaming_spark, tmp_path):
@@ -195,8 +231,9 @@ def test_stream_join_typed_structs_end_to_end(streaming_spark, tmp_path):
     assert got_pairs == exp_pairs
 
 
+@pytest.mark.parametrize("engine", _ENGINES)
 @pytest.mark.parametrize("how", ["full_outer_seq", "left_outer_seq"])
-def test_stream_join_grouped_matches_batch(streaming_spark, tmp_path, how):
+def test_stream_join_grouped_matches_batch(streaming_spark, tmp_path, how, engine):
     """O8/O9 streaming: converged grouped changelog equals the batch
     Seq-variant joins (element sets per key, both sides)."""
     from flink_join_scaling_spark.operators.joins import (
@@ -211,7 +248,9 @@ def test_stream_join_grouped_matches_batch(streaming_spark, tmp_path, how):
     sa = chunked_parquet_stream(spark, a, str(tmp_path / "a"), n_chunks=3)
     sb = chunked_parquet_stream(spark, b, str(tmp_path / "b"), n_chunks=3)
     em = collect_emissions(
-        stream_join_versioned_grouped(sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how)
+        stream_join_versioned_grouped(
+            sa, sb, "id", "ida", "id", "id", "ts", "ts", how=how, engine=engine
+        )
     )
     def tags(arr_json: str) -> tuple:
         return tuple(sorted(json.loads(p)["tag"] for p in json.loads(arr_json)))
