@@ -232,6 +232,95 @@ def hard_negatives_ann(
     )
 
 
+def triplet_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    margin_e6: int = 200_000,
+) -> DataFrame:
+    """Batch-hard triplet mining (Schroff et al. 2015, FaceNet; the
+    in-batch variant of Hermans et al. 2017): per anchor, the HARDEST
+    positive (least-similar same-label vector — the pair the model
+    most needs to pull together) and the HARDEST negative
+    (most-similar different-label vector — the pair it most needs to
+    push apart), plus the margin-violation flag
+    ``neg_cos + margin > pos_cos`` that selects the triplets with
+    non-zero loss. This is the step that turns a labeled embedded
+    corpus into contrastive training triplets.
+
+    One corpus pass: the same synthetic-cell broadcast equi-join as
+    :func:`cosine_topk` scores every (anchor, corpus) pair with the
+    Arrow e6 cosine, then a SINGLE anchor-keyed aggregation extracts
+    both argmins/argmaxes via ``min_by``/``max_by`` on (cosine_e6,
+    vec_id) struct keys (map-side partials; no second scan, no
+    ranking window). Ties break to the lower vec_id on both sides —
+    exact integer compares, so the DuckDB oracle's row_number form
+    matches hash-for-hash.
+    """
+    c = with_l2_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("vc"),
+        F.col("l2_norm").alias("nc"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(_TOPK_CELLS)).cast("int").alias("__cell"),
+    )
+    q = (
+        with_l2_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("vq"),
+            F.col("l2_norm").alias("nq"),
+        )
+        .withColumn("__cell", F.explode(F.sequence(F.lit(0), F.lit(_TOPK_CELLS - 1))))
+    )
+    pairs = (
+        c.join(F.broadcast(q), "__cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "c_label",
+            cosine_e6_pandas("vq", "vc", "nq", "nc").alias("cosine_e6"),
+        )
+    )
+    same = F.col("c_label") == F.col("query_label")
+    cand = F.struct(F.col("vec_id"), F.col("cosine_e6"))
+    t = pairs.groupBy("query_id", "query_label").agg(
+        # hardest positive: min (cosine, vec_id) among same-label
+        F.min_by(
+            F.when(same, cand),
+            F.when(same, F.struct(F.col("cosine_e6"), F.col("vec_id"))),
+        ).alias("pos"),
+        # hardest negative: max cosine among diff-label, tie → lower
+        # vec_id (negated id inside the max key)
+        F.max_by(
+            F.when(~same, cand),
+            F.when(
+                ~same, F.struct(F.col("cosine_e6"), (-F.col("vec_id")).alias("nv"))
+            ),
+        ).alias("neg"),
+    )
+    return (
+        t.where(F.col("pos").isNotNull() & F.col("neg").isNotNull())
+        .select(
+            "query_id",
+            F.col("query_label").cast("bigint").alias("label"),
+            F.col("pos.vec_id").alias("pos_id"),
+            F.col("pos.cosine_e6").alias("pos_cosine_e6"),
+            F.col("neg.vec_id").alias("neg_id"),
+            F.col("neg.cosine_e6").alias("neg_cosine_e6"),
+            (
+                F.col("neg.cosine_e6") + F.lit(margin_e6)
+                > F.col("pos.cosine_e6")
+            ).alias("violates_margin"),
+        )
+    )
+
+
 #: cosine_topk_pandas collects the query side into a driver NumPy
 #: matrix; past this bound, an unbounded collect is a silent driver OOM
 #: at scale, so the operator refuses loudly instead.

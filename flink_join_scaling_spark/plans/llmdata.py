@@ -2522,6 +2522,67 @@ def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_attest(exact, approx)
 
 
+_TRIPLET_MARGIN_E6 = 200_000
+
+
+@query(
+    "q_triplet_mining",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NORM_SQL} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS label,
+               c.vec_id AS vec_id, c.label AS c_label, q.label AS q_label,
+               CAST(round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
+        FROM n q JOIN n c
+          ON q.vec_id < {_KNN_HOLDOUT} AND c.vec_id <> q.vec_id
+    ),
+    pos AS (
+        SELECT query_id, label, vec_id AS pos_id, cosine_e6 AS pos_cosine_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_e6 ASC, vec_id ASC) AS rn
+            FROM pairs WHERE c_label = q_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT query_id, vec_id AS neg_id, cosine_e6 AS neg_cosine_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS rn
+            FROM pairs WHERE c_label <> q_label
+        ) WHERE rn = 1
+    )
+    SELECT query_id, label, pos_id, pos_cosine_e6, neg_id, neg_cosine_e6,
+           (neg_cosine_e6 + {_TRIPLET_MARGIN_E6} > pos_cosine_e6)
+               AS violates_margin
+    FROM pos JOIN neg USING (query_id)
+    """,
+    tags=("llmdata", "similarity"),
+)
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining for contrastive training: per holdout
+    anchor, the hardest positive (least-similar same-label vector),
+    the hardest negative (most-similar different-label vector), and
+    the margin-violation flag selecting the triplets with non-zero
+    loss (Schroff et al. 2015 / Hermans et al. 2017) — the third leg
+    of the contrastive-data family next to q_knn_labels and
+    q_hard_negatives.
+
+    Scale shape: ONE corpus pass (the exact top-k broadcast equi-join
+    + Arrow e6 cosine), then a single anchor-keyed aggregation pulls
+    both extremes with min_by/max_by struct keys — map-side partials,
+    no ranking window, no second scan. Exact integer compares with
+    vec_id tiebreaks make the oracle's row_number form hash-identical.
+    At 100 TB the ANN index replaces the scan exactly as in
+    q_hard_negatives_ann."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < _KNN_HOLDOUT)
+    return sim.triplet_mining(
+        e, queries_df, margin_e6=_TRIPLET_MARGIN_E6
+    )
+
+
 # -------------------------------------------- cross-document novelty
 
 
