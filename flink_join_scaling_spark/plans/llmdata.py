@@ -207,6 +207,153 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher rule thresholds (Rae et al. 2021 §A1.1), adapted to this
+#: corpus (no newlines → no line-based rules; the duplicate-content
+#: rule runs on within-doc bigram occurrences). All compares are
+#: integer cross-multiplications, so no float threshold exists.
+_GOPHER_MIN_WORDS = 20
+_GOPHER_MAX_WORDS = 100_000
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm),
+    base AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(length(replace(t, ' ', '')) AS BIGINT) AS sum_wlen,
+               CAST(length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(ws,
+                    x -> x IN ('the','and','of','to','in','a','is')))
+                    AS BIGINT) AS n_stop,
+               CAST(CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END
+                    AS BIGINT) AS n_bigrams,
+               CAST(CASE WHEN len(ws) >= 2
+                    THEN (len(ws) - 1) - len(list_distinct(
+                        list_transform(range(1, len(ws)),
+                                       i -> ws[i] || chr(31) || ws[i + 1])))
+                    ELSE 0 END AS BIGINT) AS n_dup_bigram
+        FROM toks
+    ),
+    rules AS (
+        SELECT doc_id, n_words,
+               (n_words >= {_GOPHER_MIN_WORDS}
+                AND n_words <= {_GOPHER_MAX_WORDS}) AS ok_word_count,
+               (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+                   AS ok_mean_wlen,
+               (10 * n_punct <= n_words) AS ok_symbol_ratio,
+               (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+               (n_stop >= 2) AS ok_stopwords,
+               (16 * n_dup_bigram <= n_bigrams) AS ok_repetition
+        FROM base
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_wlen, ok_symbol_ratio,
+           ok_alpha_words, ok_stopwords, ok_repetition,
+           CAST((CASE WHEN ok_word_count THEN 0 ELSE 1 END)
+              + (CASE WHEN ok_mean_wlen THEN 0 ELSE 1 END)
+              + (CASE WHEN ok_symbol_ratio THEN 0 ELSE 1 END)
+              + (CASE WHEN ok_alpha_words THEN 0 ELSE 1 END)
+              + (CASE WHEN ok_stopwords THEN 0 ELSE 1 END)
+              + (CASE WHEN ok_repetition THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_rules_failed,
+           (ok_word_count AND ok_mean_wlen AND ok_symbol_ratio
+            AND ok_alpha_words AND ok_stopwords AND ok_repetition) AS keep
+    FROM rules
+    """,
+    tags=("llmdata", "text", "quality"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 §A1.1, the
+    rule-based gate MassiveWeb/FineWeb-class pipelines apply before
+    any model-based scoring) adapted to this corpus: word-count
+    bounds, mean word length in [3,10], symbol-to-word ≤ 0.1,
+    ≥80% alphabetic words, ≥2 stopwords, and repeated bigram
+    occurrences ≤ 1/16 (the duplicate-content family — no newlines
+    here, so the line-based rules run on bigram occurrences, and the
+    threshold is tightened from the paper's 0.2 character-fraction so
+    this clean synthetic fixture exercises BOTH branches; production
+    dials it back to the paper's value). Emits every per-rule
+    boolean plus n_rules_failed and the composite keep flag, the
+    shape a curation pipeline filters or audits on.
+
+    Comparability: every threshold is an integer cross-multiplication
+    of exact BIGINT counts (3n ≤ Σlen ≤ 10n, 10·punct ≤ n, 5·alpha ≥
+    4n, 16·dup ≤ bigrams) — no float ever exists, so the oracle
+    matches bit-for-bit by construction.
+
+    Scale shape: ONE map-only scan — all counts are per-doc bounded
+    JVM expressions (size/filter/transform over the token array),
+    zero exchanges of any kind; at 100 TB this is scan-speed, the
+    same class as q_quality_score/q_pii_redact."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tx.norm_text(F.col("text"))
+    ws = F.split(t, " ")
+    n_words = F.size(ws).cast("bigint")
+    sum_wlen = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint")
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin("the", "and", "of", "to", "in", "a", "is"))
+    ).cast("bigint")
+    bigrams = F.expr(
+        "CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), "
+        "i -> concat(__ws[i], '\\u001f', __ws[i + 1])) ELSE array() END"
+    )
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_wlen.alias("sum_wlen"),
+        n_punct.alias("n_punct"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        ws.alias("__ws"),
+    ).select(
+        "doc_id", "n_words", "sum_wlen", "n_punct", "n_alpha", "n_stop",
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+        .cast("bigint")
+        .alias("n_dup_bigram"),
+    )
+    rules = base.select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("n_words") >= _GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= _GOPHER_MAX_WORDS)
+        ).alias("ok_word_count"),
+        (
+            (3 * F.col("n_words") <= F.col("sum_wlen"))
+            & (F.col("sum_wlen") <= 10 * F.col("n_words"))
+        ).alias("ok_mean_wlen"),
+        (10 * F.col("n_punct") <= F.col("n_words")).alias("ok_symbol_ratio"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("ok_alpha_words"),
+        (F.col("n_stop") >= 2).alias("ok_stopwords"),
+        (16 * F.col("n_dup_bigram") <= F.col("n_bigrams")).alias("ok_repetition"),
+    )
+    oks = [
+        "ok_word_count", "ok_mean_wlen", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_stopwords", "ok_repetition",
+    ]
+    failed = sum(
+        (F.when(F.col(c), 0).otherwise(1) for c in oks), F.lit(0)
+    )
+    keep = F.lit(True)
+    for c in oks:
+        keep = keep & F.col(c)
+    return rules.select(
+        "*",
+        failed.cast("bigint").alias("n_rules_failed"),
+        keep.alias("keep"),
+    )
+
+
 @query(
     "q_fingerprint",
     oracle=f"""
