@@ -37,6 +37,70 @@ from flink_join_scaling_spark.functions import text as tx
 #: feature names in model order (x0 is the bias, implicit 1.0)
 FEATURES = ("x1", "x2", "x3", "x4", "x5")
 
+#: Gopher rule thresholds (Rae et al. 2021 §A1.1) — shared by the
+#: batch q_gopher_rules plan and streaming.filters.stream_gopher_rules
+#: so the two faces cannot drift. All compares below are integer
+#: cross-multiplications; no float threshold exists.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_RULES = (
+    "ok_word_count", "ok_mean_wlen", "ok_symbol_ratio",
+    "ok_alpha_words", "ok_stopwords", "ok_repetition",
+)
+
+
+def gopher_rules_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher rule battery to ``df``: the six per-rule
+    booleans (``GOPHER_RULES``), ``n_words``, ``n_rules_failed``, and
+    the composite ``keep``. Pure per-row JVM array expressions — one
+    map-only projection, zero exchanges, batch and streaming alike.
+    See ``plans/llmdata.q_gopher_rules`` for the rule definitions,
+    thresholds, and the oracle that pins them."""
+    t = tx.norm_text(F.col(text_col))
+    ws = F.split(t, " ")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat(
+                F.element_at(ws, i + 1), F.lit("\x1f"), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_words = F.size(ws).cast("bigint")
+    sum_wlen = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint")
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin("the", "and", "of", "to", "in", "a", "is"))
+    ).cast("bigint")
+    n_bigrams = F.size(bigrams).cast("bigint")
+    n_dup = (F.size(bigrams) - F.size(F.array_distinct(bigrams))).cast("bigint")
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS),
+            "ok_mean_wlen": (3 * n_words <= sum_wlen)
+            & (sum_wlen <= 10 * n_words),
+            "ok_symbol_ratio": 10 * n_punct <= n_words,
+            "ok_alpha_words": 5 * n_alpha >= 4 * n_words,
+            "ok_stopwords": n_stop >= 2,
+            "ok_repetition": 16 * n_dup <= n_bigrams,
+        }
+    )
+    failed = sum(
+        (F.when(F.col(c), 0).otherwise(1) for c in GOPHER_RULES), F.lit(0)
+    )
+    keep = F.lit(True)
+    for c in GOPHER_RULES:
+        keep = keep & F.col(c)
+    return out.withColumns(
+        {"n_rules_failed": failed.cast("bigint"), "keep": keep}
+    )
+
 
 def feature_columns(text_col: Column) -> dict[str, Column]:
     """Bounded [0,1] doubles from exact integer text statistics; every

@@ -207,12 +207,18 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Gopher rule thresholds (Rae et al. 2021 §A1.1), adapted to this
-#: corpus (no newlines → no line-based rules; the duplicate-content
-#: rule runs on within-doc bigram occurrences). All compares are
-#: integer cross-multiplications, so no float threshold exists.
-_GOPHER_MIN_WORDS = 20
-_GOPHER_MAX_WORDS = 100_000
+# Gopher rule thresholds (Rae et al. 2021 §A1.1), adapted to this
+# corpus (no newlines → no line-based rules; the duplicate-content
+# rule runs on within-doc bigram occurrences). All compares are
+# integer cross-multiplications, so no float threshold exists. The
+# values live in operators.classifier next to the shared rule
+# expressions so the batch oracle and the streaming face agree.
+from flink_join_scaling_spark.operators.classifier import (  # noqa: E402
+    GOPHER_MAX_WORDS as _GOPHER_MAX_WORDS,
+)
+from flink_join_scaling_spark.operators.classifier import (  # noqa: E402
+    GOPHER_MIN_WORDS as _GOPHER_MIN_WORDS,
+)
 
 
 @query(
@@ -289,69 +295,17 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-only scan — all counts are per-doc bounded
     JVM expressions (size/filter/transform over the token array),
     zero exchanges of any kind; at 100 TB this is scan-speed, the
-    same class as q_quality_score/q_pii_redact."""
+    same class as q_quality_score/q_pii_redact. The rule expressions
+    are shared with the continuous ingest face
+    (``streaming.filters.stream_gopher_rules``) via
+    ``operators.classifier.gopher_rules_frame``, so the two cannot
+    drift."""
+    from flink_join_scaling_spark.operators.classifier import (
+        gopher_rules_frame,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    t = tx.norm_text(F.col("text"))
-    ws = F.split(t, " ")
-    n_words = F.size(ws).cast("bigint")
-    sum_wlen = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("bigint")
-    n_punct = (
-        F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
-    ).cast("bigint")
-    n_alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]"))).cast("bigint")
-    n_stop = F.size(
-        F.filter(ws, lambda x: x.isin("the", "and", "of", "to", "in", "a", "is"))
-    ).cast("bigint")
-    bigrams = F.expr(
-        "CASE WHEN size(__ws) >= 2 THEN transform(sequence(0, size(__ws) - 2), "
-        "i -> concat(__ws[i], '\\u001f', __ws[i + 1])) ELSE array() END"
-    )
-    base = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        sum_wlen.alias("sum_wlen"),
-        n_punct.alias("n_punct"),
-        n_alpha.alias("n_alpha"),
-        n_stop.alias("n_stop"),
-        ws.alias("__ws"),
-    ).select(
-        "doc_id", "n_words", "sum_wlen", "n_punct", "n_alpha", "n_stop",
-        F.size(bigrams).cast("bigint").alias("n_bigrams"),
-        (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
-        .cast("bigint")
-        .alias("n_dup_bigram"),
-    )
-    rules = base.select(
-        "doc_id",
-        "n_words",
-        (
-            (F.col("n_words") >= _GOPHER_MIN_WORDS)
-            & (F.col("n_words") <= _GOPHER_MAX_WORDS)
-        ).alias("ok_word_count"),
-        (
-            (3 * F.col("n_words") <= F.col("sum_wlen"))
-            & (F.col("sum_wlen") <= 10 * F.col("n_words"))
-        ).alias("ok_mean_wlen"),
-        (10 * F.col("n_punct") <= F.col("n_words")).alias("ok_symbol_ratio"),
-        (5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("ok_alpha_words"),
-        (F.col("n_stop") >= 2).alias("ok_stopwords"),
-        (16 * F.col("n_dup_bigram") <= F.col("n_bigrams")).alias("ok_repetition"),
-    )
-    oks = [
-        "ok_word_count", "ok_mean_wlen", "ok_symbol_ratio",
-        "ok_alpha_words", "ok_stopwords", "ok_repetition",
-    ]
-    failed = sum(
-        (F.when(F.col(c), 0).otherwise(1) for c in oks), F.lit(0)
-    )
-    keep = F.lit(True)
-    for c in oks:
-        keep = keep & F.col(c)
-    return rules.select(
-        "*",
-        failed.cast("bigint").alias("n_rules_failed"),
-        keep.alias("keep"),
-    )
+    return gopher_rules_frame(d.select("doc_id", "text")).drop("text")
 
 
 @query(

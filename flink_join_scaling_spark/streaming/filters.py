@@ -152,6 +152,33 @@ def stream_quality_score(
     return scored.where(F.col("logit") >= threshold)
 
 
+def stream_gopher_rules(
+    sdf: DataFrame,
+    text_col: str = "text",
+    keep_rejected: bool = False,
+) -> DataFrame:
+    """Continuous Gopher rule-based quality gate: arriving documents
+    evaluated against the same six integer-threshold rules as the
+    batch ``q_gopher_rules`` (shared expressions —
+    ``operators.classifier.gopher_rules_frame`` — so the two faces
+    cannot drift), failing rows dropped unless ``keep_rejected=True``
+    (then every row passes through carrying the per-rule booleans +
+    ``keep`` for quarantine routing).
+
+    Stateless whole-stage-codegen map work: no state store, no
+    shuffle, no watermark, append mode — the rule-based pre-filter
+    runs BEFORE anything stateful sees the stream, exactly where
+    MassiveWeb/FineWeb-class pipelines place it."""
+    from flink_join_scaling_spark.operators.classifier import (
+        gopher_rules_frame,
+    )
+
+    scored = gopher_rules_frame(sdf, text_col)
+    if keep_rejected:
+        return scored
+    return scored.where(F.col("keep"))
+
+
 def stream_nb_lang(
     sdf: DataFrame,
     model: DataFrame,

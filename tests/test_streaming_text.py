@@ -468,6 +468,40 @@ def test_stream_nb_lang_converged_equals_batch(streaming_spark, tmp_path):
     assert got == want and len(want) == 150
 
 
+def test_stream_gopher_rules_matches_batch(streaming_spark, tmp_path):
+    """Continuous Gopher gate keeps exactly the documents the batch
+    q_gopher_rules keeps, with identical per-rule booleans — the rule
+    expressions are shared, so the faces cannot drift."""
+    from flink_join_scaling_spark.plans.registry import QUERIES
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import stream_gopher_rules
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    batch = {
+        r.doc_id: (r.n_rules_failed, r.keep)
+        for r in QUERIES["q_gopher_rules"].fn(spark, SF_SMALL).collect()
+    }
+    kept_ids = {i for i, (_, k) in batch.items() if k}
+    assert 0 < len(kept_ids) < len(batch), "gate must split the fixture"
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    sdf = chunked_parquet_stream(spark, docs, str(tmp_path / "chunks"), n_chunks=4)
+    # drop mode: exactly the batch keep set survives
+    got = run_to_memory(stream_gopher_rules(sdf), output_mode="append")
+    assert {r.doc_id for r in got.select("doc_id").collect()} == kept_ids
+    # quarantine mode: every row passes through with the batch booleans
+    sdf2 = chunked_parquet_stream(spark, docs, str(tmp_path / "chunks2"), n_chunks=4)
+    tagged = run_to_memory(
+        stream_gopher_rules(sdf2, keep_rejected=True), output_mode="append"
+    )
+    got2 = {
+        r.doc_id: (r.n_rules_failed, r.keep)
+        for r in tagged.select("doc_id", "n_rules_failed", "keep").collect()
+    }
+    assert got2 == batch
+
+
 def test_stream_dsir_weights_converged_equals_batch(streaming_spark, tmp_path):
     """Continuous DSIR: converged per-doc weights equal the batch
     q_dsir_weights bit-for-bit — the bucket models ride stream-static
