@@ -147,3 +147,78 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pre.alias("n_pretokens"),
         n_bpe.alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH {_train_ctes(_BPE_K)},
+    wtok AS (
+        SELECT word,
+               CAST(length(state) - length(replace(state, '  ', ' ')) + 1
+                    AS BIGINT) AS ntok
+        FROM w{_BPE_K}
+    ),
+    dpre AS (
+        SELECT doc_id, lower(w) AS lw,
+               regexp_matches(w, '{bpe.LETTER_RUN}') AS is_letter
+        FROM pre
+    ),
+    dcnt AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_pre,
+               CAST(sum(CASE WHEN is_letter THEN t.ntok ELSE 1 END)
+                    AS BIGINT) AS n_bpe
+        FROM dpre LEFT JOIN wtok t ON dpre.is_letter AND dpre.lw = t.word
+        GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(c.n_bpe, 0)) AS BIGINT) AS tok_bpe,
+           CAST(sum(coalesce(c.n_pre, 0)) AS BIGINT) AS tok_pre,
+           CAST(round(CAST(sum(coalesce(c.n_bpe, 0)) AS DOUBLE)
+                      / CAST(sum(coalesce(c.n_pre, 0)) AS DOUBLE) * 10000)
+                AS BIGINT) AS fertility_e4
+    FROM documents d LEFT JOIN dcnt c ON d.doc_id = c.doc_id
+    GROUP BY d.source
+    """,
+    tags=("llmdata", "text", "iterative"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-tokenizer fertility by source: BPE tokens per pre-token
+    under the corpus-trained merge table — the tokenizer-health
+    diagnostic a curation pipeline tracks per corpus slice (fertility
+    creep on a source means its text sits away from the tokenizer's
+    training distribution: fewer merges fire, more tokens per word,
+    worse packing density downstream). Uses the trained tokenizer
+    rather than the fixed pre-tokenizer precisely so the metric
+    DISCRIMINATES: merge coverage differs per source vocabulary.
+
+    Comparability: both token counts are exact BIGINTs from the same
+    trained merges the q_bpe_train oracle re-learns from scratch; the
+    fertility divides the two exact sums once, e4-quantized.
+
+    Scale shape: q_bpe_encode's shape exactly (vocab-bounded training
+    + one map-only chained-replace scan), then a source-keyed agg
+    with map-side partials collapsing to ≤ sources rows."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.train(bpe.word_table(d, "text"), _BPE_K)
+    n_pre, n_bpe = bpe.token_count(F.col("text"), merges)
+    per = d.select("source", n_pre.alias("tp"), n_bpe.alias("tb"))
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tb").cast("bigint").alias("tok_bpe"),
+        F.sum("tp").cast("bigint").alias("tok_pre"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tok_bpe",
+        "tok_pre",
+        F.round(
+            F.col("tok_bpe").cast("double") / F.col("tok_pre").cast("double")
+            * 10000
+        )
+        .cast("bigint")
+        .alias("fertility_e4"),
+    )
