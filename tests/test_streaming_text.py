@@ -596,10 +596,27 @@ def test_stream_trained_gate_then_route_composes(streaming_spark, tmp_path):
         if r.doc_id in gate_ids
     }
 
+    # the rule-based Gopher gate composes in front (the order real
+    # pipelines run: cheap rules, then the trained gate, then routing)
+    from flink_join_scaling_spark.operators.classifier import (
+        gopher_rules_frame,
+    )
+    from flink_join_scaling_spark.streaming.filters import stream_gopher_rules
+
+    gopher_ids = {
+        r.doc_id
+        for r in gopher_rules_frame(d.select("doc_id", "text"))
+        .where(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    want = {i: p for i, p in want.items() if i in gopher_ids}
+
     s = chunked_parquet_stream(
         spark, d.select("doc_id", "text"), str(tmp_path), n_chunks=3
     )
-    gated = stream_quality_score(s, w).drop("logit")
+    pre = stream_gopher_rules(s).select("doc_id", "text")
+    gated = stream_quality_score(pre, w).drop("logit")
     routed = stream_nb_lang(gated, model, totals, priors, _NB_LANGS)
     em = collect_emissions(routed, output_mode="update")
     conv = converged(em, ["doc_id"])
