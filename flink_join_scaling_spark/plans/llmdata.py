@@ -2623,6 +2623,148 @@ def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_attest(exact, approx)
 
 
+# ------------------------------------------------ MMR diverse selection
+
+_MMR_POOL = 32  # candidate pool (top-N by relevance) — bounded by construction
+_MMR_K = 8  # selections
+_MMR_QUERY_ID = 0  # relevance anchor: cosine to this vector
+
+
+def _mmr_ctes() -> str:
+    """Unrolled greedy MMR chain (the q_bpe_train unrolled-CTE
+    pattern): cand = the bounded relevance pool with e6 cosines, sims
+    = its pairwise e6 cosines, then K rounds of
+    argmax(7·rel − 3·maxsim-to-selected) with (score DESC, id ASC)
+    tiebreak — λ=0.7 as EXACT integer arithmetic."""
+    head = f"""
+    n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    qv AS (SELECT embedding, nrm FROM n WHERE vec_id = {_MMR_QUERY_ID}),
+    cand AS MATERIALIZED (
+        SELECT c.vec_id AS id,
+               CAST(round({_dot_sql('qv.embedding', 'c.embedding')}
+                          / (qv.nrm * c.nrm) * 1000000) AS BIGINT) AS rel_e6
+        FROM n c, qv WHERE c.vec_id <> {_MMR_QUERY_ID}
+        ORDER BY rel_e6 DESC, c.vec_id ASC LIMIT {_MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib,
+               CAST(round({_dot_sql('na.embedding', 'nb.embedding')}
+                          / (na.nrm * nb.nrm) * 1000000) AS BIGINT) AS sim_e6
+        FROM cand a JOIN n na ON na.vec_id = a.id
+        JOIN cand b ON a.id <> b.id JOIN n nb ON nb.vec_id = b.id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT CAST(1 AS BIGINT) AS rank, id, rel_e6,
+               CAST(7 * rel_e6 AS BIGINT) AS mmr_score
+        FROM cand ORDER BY rel_e6 DESC, id ASC LIMIT 1
+    )"""
+    parts = [head]
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, r))
+        parts.append(f"""
+    sel{r} AS MATERIALIZED (
+        SELECT CAST({r} AS BIGINT) AS rank, c.id, c.rel_e6,
+               CAST(7 * c.rel_e6 - 3 * max(s.sim_e6) AS BIGINT) AS mmr_score
+        FROM cand c
+        JOIN sims s ON s.ia = c.id AND s.ib IN (SELECT id FROM ({prev}))
+        WHERE c.id NOT IN (SELECT id FROM ({prev}))
+        GROUP BY c.id, c.rel_e6
+        ORDER BY mmr_score DESC, c.id ASC LIMIT 1
+    )""")
+    return ",".join(parts)
+
+
+@query(
+    "q_mmr_select",
+    oracle=f"""
+    WITH {_mmr_ctes()}
+    SELECT rank, id AS vec_id, rel_e6, mmr_score
+    FROM ({" UNION ALL ".join(f"SELECT * FROM sel{r}" for r in range(1, _MMR_K + 1))})
+    """,
+    tags=("llmdata", "similarity", "iterative"),
+)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick 8 vectors from the top-32 relevance pool,
+    each round maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected — the diversity-aware selection step a curation
+    pipeline runs when near-duplicate high-relevance candidates would
+    otherwise crowd a budget (few-shot pools, eval suites, seed sets).
+
+    Comparability: λ=0.7 is EXACT integer arithmetic on e6 cosines
+    (mmr_score = 7·rel_e6 − 3·maxsim_e6 — no float exists), ties to
+    the lower vec_id, so the greedy trajectory is a total order both
+    engines share; the oracle replays all 8 rounds via the unrolled
+    CTE chain (the q_bpe_train pattern), so the hash covers the whole
+    selection sequence, not just the final set.
+
+    Scale shape: the corpus-sized work is the relevance scan (the
+    exact-top-k broadcast equi-join shape, or the ANN index at 100 TB)
+    producing a BOUNDED pool (32); pairwise sims among the pool are
+    ≤ pool² tiny rows; the greedy loop itself is driver-side over
+    ≤ 32+992 collected integers — the same bounded-driver-artifact
+    class as the BPE argmax and histogram cutoffs (documented, capped
+    by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == _MMR_QUERY_ID)
+    pool = (
+        sim.cosine_topk(e, qv, k=_MMR_POOL)
+        .select(
+            F.col("vec_id").alias("id"), F.col("cosine_e6").alias("rel_e6")
+        )
+    )
+    # pairwise e6 cosines among the bounded pool: equi-join pool ids
+    # back to vectors (pool is broadcast-sized), Arrow cosine
+    pv = e.join(F.broadcast(pool), e.vec_id == pool.id).select(
+        "id", "rel_e6", "embedding"
+    )
+    from flink_join_scaling_spark.functions.vectors import with_l2_norm
+
+    pn = with_l2_norm(pv, "embedding")
+    a = pn.select(
+        F.col("id").alias("ia"),
+        F.col("embedding").alias("va"),
+        F.col("l2_norm").alias("na"),
+    )
+    b = pn.select(
+        F.col("id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        F.col("l2_norm").alias("nb"),
+    )
+    from flink_join_scaling_spark.functions.vectors import cosine_e6_pandas
+
+    sims_df = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib", cosine_e6_pandas("va", "vb", "na", "nb").alias("sim_e6")
+        )
+    )
+    rel = {r.id: r.rel_e6 for r in pool.collect()}  # ≤ _MMR_POOL rows
+    sims = {
+        (r.ia, r.ib): r.sim_e6 for r in sims_df.collect()
+    }  # ≤ pool² rows
+    selected: list[tuple[int, int, int, int]] = []
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for cid, crel in rel.items():
+            if cid in chosen:
+                continue
+            if chosen:
+                score = 7 * crel - 3 * max(sims[(cid, s)] for s in chosen)
+            else:
+                score = 7 * crel
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, crel, score)
+        _, cid, crel, score = best
+        chosen.append(cid)
+        selected.append((rank, cid, crel, score))
+    return spark.createDataFrame(
+        selected, schema="rank bigint, vec_id bigint, rel_e6 bigint, mmr_score bigint"
+    )
+
+
 _TRIPLET_MARGIN_E6 = 200_000
 
 
