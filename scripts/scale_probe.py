@@ -377,6 +377,15 @@ def main() -> None:
         # the probe should grow with the index-build pass, not the
         # exact family's full-scan constant
         "q_hard_negatives_ann": plan_probe("q_hard_negatives_ann"),
+        # r9: triplet mining = one scored corpus pass + an anchor-keyed
+        # agg (20 groups); Gopher rules = pure map-only scan (wall
+        # should track the scan exactly); fertility = q_bpe_encode's
+        # training floor + scan + sources-sized agg; MMR = relevance
+        # scan into a bounded pool (the greedy tail is volume-blind)
+        "q_triplet_mining": plan_probe("q_triplet_mining"),
+        "q_gopher_rules": plan_probe("q_gopher_rules"),
+        "q_tokenizer_fertility": plan_probe("q_tokenizer_fertility"),
+        "q_mmr_select": plan_probe("q_mmr_select"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two

@@ -187,6 +187,12 @@ def test_survey_counts_match_registry():
         f"SURVEY.md says {m and m.group(1)} headline queries; "
         f"registry has {headline}"
     )
+    readme = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m and int(m.group(1)) == len(registry.QUERIES), (
+        f"README.md says {m and m.group(1)} registered queries; "
+        f"registry has {len(registry.QUERIES)}"
+    )
 
 
 def test_float_boundary_manifest_matches_tags():
