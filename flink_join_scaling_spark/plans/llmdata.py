@@ -149,9 +149,42 @@ def _lang_id_oracle() -> str:
 
 @query("q_lang_id", oracle=_lang_id_oracle(), tags=("llmdata", "text"))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword-marker language ID (deterministic heuristic)."""
+    """n-gram/stopword-marker language ID (deterministic heuristic).
+
+    Staged like gopher_rules_frame: the token array materializes once,
+    the 5 marker scores read it as columns in one projection, and the
+    argmax chain reads the score COLUMNS — the single-expression
+    ``tx.lang_id`` form expands every score into both the ``greatest``
+    and each when-branch (~30 re-derived tokenizations per row;
+    measured 1.15 s → 0.71 s on the sf0.1 scan, the residual being the
+    fixture's single-row-group scan parallelism). Same argmax/tiebreak
+    semantics, same oracle."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+    langs = list(tx.LANG_MARKERS)
+    toks = d.select(
+        "doc_id", "lang", tx.tokens_ws(F.col("text")).alias("__ws")
+    )
+
+    def member_of(markers):
+        return lambda x: x.isin(*markers)
+
+    scored = toks.select(
+        "doc_id", "lang",
+        *[
+            F.size(F.filter(F.col("__ws"), member_of(tx.LANG_MARKERS[lang])))
+            .cast("bigint")
+            .alias(f"__s_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when(F.col(f"__s_{lang}") == best, lang).otherwise(out)
+    pred = F.when(best == 0, "und").otherwise(out)
+    return scored.withColumn("lang_pred", pred).select(
+        "doc_id", "lang", "lang_pred"
+    )
 
 
 def _quality_cte() -> str:
