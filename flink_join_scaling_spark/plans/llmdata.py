@@ -728,6 +728,95 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the self-join's worst shuffle bucket at max_df² rows
 _NGRAM_MAX_DF = 50
 
+# ------------------------------------------------ winnowing dedup
+
+_WINNOW_K = 4  # gram width (tokens)
+_WINNOW_W = 5  # window width (grams); guarantee length = k+w-1
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_DF = 50
+
+_HEXD = "0123456789abcdef"
+
+
+def _md5_u32_duck(sql_expr: str) -> str:
+    """First 8 md5 nibbles of ``sql_expr`` as an exact 32-bit integer
+    (the DSIR bucket arithmetic without the modulus)."""
+    def nib(i: int) -> str:
+        return f"(strpos('{_HEXD}', substr(md5({sql_expr}), {i}, 1)) - 1)"
+
+    v = nib(1)
+    for i in range(2, 9):
+        v = f"({v} * 16 + {nib(i)})"
+    return v
+
+
+@query(
+    "q_dedup_winnow",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tw AS (
+        SELECT doc_id, ws,
+               greatest(len(ws) - {_WINNOW_K - 1}, 0) AS m
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, m,
+               list_transform(range(1, m + 1), i ->
+                   {_md5_u32_duck(
+                       "array_to_string(list_slice(ws, i, i + "
+                       + str(_WINNOW_K - 1) + "), chr(31))"
+                   )}) AS hs
+        FROM tw WHERE m >= 1
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(m - {_WINNOW_W - 1}, 1) + 1),
+                       j -> list_min(list_slice(hs, j, j + {_WINNOW_W - 1}))
+                   )) AS fp
+            FROM grams
+        )
+    ),
+    hot AS (SELECT fp FROM fps GROUP BY fp
+            HAVING count(DISTINCT doc_id) > {_WINNOW_MAX_DF}),
+    cold AS (SELECT doc_id, fp FROM fps
+             WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (Schleimer et al. 2003, the MOSS
+    algorithm): every 4-token gram hashes to an exact 32-bit md5
+    integer, a 5-gram window keeps each minimum, and documents
+    sharing ≥ 2 selected fingerprints pair up — POSITION-ROBUST local
+    dedup with the paper's guarantee (any shared run of ≥ k+w−1 = 8
+    tokens yields a shared fingerprint), the copied-passage niche
+    that global-similarity MinHash and whole-doc SimHash don't cover.
+
+    Comparability: gram hashes are the established 8-nibble md5
+    integer on both engines; window minima, distincts, df caps, and
+    share counts are exact integer operations throughout.
+
+    Scale shape: the minhash-band discipline exactly — fingerprints
+    form by one map-only staged projection chain (gram-hash array
+    materialized once per doc) + explode; candidates meet on a
+    fingerprint EQUI-JOIN (never all-pairs) after the stop-fingerprint
+    cap bounds the worst bucket at max_df²; output is pair-set-sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return dd.winnow_dedup_pairs(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
+    )
+
 
 @query(
     "q_dedup_ngram",

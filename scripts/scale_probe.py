@@ -386,6 +386,12 @@ def main() -> None:
         "q_gopher_rules": plan_probe("q_gopher_rules"),
         "q_tokenizer_fertility": plan_probe("q_tokenizer_fertility"),
         "q_mmr_select": plan_probe("q_mmr_select"),
+        # winnowing: token explode + two same-key window passes over
+        # one doc-keyed exchange, then the capped fingerprint
+        # equi-join — identical copies are the pair-join worst case
+        # (every fingerprint recurs in >= 10 docs, most hit the
+        # max_df cap and drop)
+        "q_dedup_winnow": plan_probe("q_dedup_winnow"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
