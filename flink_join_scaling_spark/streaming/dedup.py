@@ -307,6 +307,76 @@ def stream_dedup_minhash(
     )
 
 
+def stream_dedup_winnow(
+    sdf: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming winnowing near-dup detection (the continuous face of
+    ``operators.dedup.winnow_dedup_pairs``): each arriving document's
+    fingerprint set — window minima of exact 32-bit md5 gram hashes —
+    is computed WHERE THE DOCUMENT ARRIVES, and the same keyed
+    bucket-membership state as the MinHash detector emits a candidate
+    (id_a, id_b) the moment two documents ever share a fingerprint.
+    A pair's converged EMISSION COUNT equals the batch ``n_shared``
+    (one emission per shared fingerprint; asserted in
+    tests/test_streaming_text.py), so the batch query's
+    ``n_shared >= min_shared`` filter is one tiny aggregation
+    downstream.
+
+    The per-arrival fingerprinter is an Arrow-batched ``mapInPandas``
+    (hashlib md5 == Spark/DuckDB md5 byte-for-byte; the per-doc Python
+    loop is bounded by document length) rather than the batch path's
+    window functions — a stream has no doc-keyed exchange to amortize,
+    and the nested-HOF array form re-evaluates outer expressions per
+    lambda element (the O(m²) trap the batch operator documents).
+    State per fingerprint bucket is a capped id list (``max_bucket`` —
+    the stop-fingerprint cap's streaming face)."""
+    import hashlib
+    import re
+
+    sep = "\x1f"
+
+    def fp_fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ids: list[int] = []
+            fps: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = re.sub(r"\s+", " ", str(text).lower().strip()).split(" ")
+                m = len(toks) - (k - 1)
+                if m < 1:
+                    continue
+                hs = [
+                    int(
+                        hashlib.md5(
+                            sep.join(toks[i : i + k]).encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    for i in range(m)
+                ]
+                sel = {min(hs[j : j + w]) for j in range(max(m - w + 1, 1))}
+                ids.extend(int(did) for _ in sel)
+                fps.extend(sel)
+            yield pd.DataFrame({"__band_id": ids, "fp": fps})
+
+    fpdf = sdf.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fp_fn, "__band_id long, fp long"
+    )
+    return fpdf.groupBy("fp").applyInPandasWithState(
+        _band_members_fn(max_bucket),
+        outputStructType="id_a long, id_b long",
+        stateStructType="ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _sim_members_fn(max_bucket: int, max_hamming: int):
     """Per-(band_idx, band_val) state: membership (id, simhash) pairs;
     a new doc emits an exact-hamming-verified pair against each member

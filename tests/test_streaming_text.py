@@ -502,6 +502,39 @@ def test_stream_gopher_rules_matches_batch(streaming_spark, tmp_path):
     assert got2 == batch
 
 
+def test_stream_dedup_winnow_matches_batch(streaming_spark, tmp_path):
+    """Continuous winnowing: converged per-pair emission counts equal
+    the batch pair join's n_shared (one emission per shared
+    fingerprint, any arrival order), with both caps lifted so neither
+    side truncates. The Python-hashlib fingerprinter must agree with
+    the batch window-function form byte-for-byte — this test IS that
+    assertion."""
+    from collections import Counter
+
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_winnow
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    batch = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in dd.winnow_dedup_pairs(
+            docs, "doc_id", "text", min_shared=1, max_df=1 << 30
+        ).collect()
+    }
+    assert batch, "fixture must produce winnow pairs"
+
+    sdf = chunked_parquet_stream(spark, docs, str(tmp_path), n_chunks=4)
+    em = run_to_memory(
+        stream_dedup_winnow(sdf, "doc_id", "text", max_bucket=1 << 20),
+        output_mode="update",
+    )
+    got = Counter((r.id_a, r.id_b) for r in em.collect())
+    assert dict(got) == batch
+
+
 def test_stream_dsir_weights_converged_equals_batch(streaming_spark, tmp_path):
     """Continuous DSIR: converged per-doc weights equal the batch
     q_dsir_weights bit-for-bit — the bucket models ride stream-static
