@@ -232,6 +232,78 @@ def hard_negatives_ann(
     )
 
 
+#: semantic_contamination collects the benchmark side into a task
+#: NumPy matrix; past this bound an unbounded collect is a silent
+#: driver OOM at scale, so the operator refuses loudly instead (the
+#: cosine_topk_pandas / stream_decontaminate discipline).
+_SEMDECON_MAX_BENCH = 65_536
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_e6: int = 300_000,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: per corpus vector,
+    the MAX cosine against any benchmark vector (e6-quantized exact
+    integer) and the contamination flag ``max ≥ threshold`` — the
+    semantic complement to n-gram decontamination (paraphrased or
+    reformatted test items share no shingles but sit next to the
+    benchmark in embedding space; the screening step modern data
+    reports run alongside the lexical one).
+
+    Scale shape: the benchmark is BOUNDED by definition (an eval set,
+    not a corpus — loud refusal past 65536 rows), collects once into
+    a task-closure NumPy matrix, and the corpus streams through one
+    Arrow ``mapInPandas`` matmul-max — map-only, zero shuffle, no
+    join at all. Returns (id, max_bench_cos_e6, contaminated).
+    """
+    import numpy as np
+
+    n_bench = bench.count()
+    if n_bench > _SEMDECON_MAX_BENCH:
+        raise ValueError(
+            f"semantic_contamination: benchmark has {n_bench} rows, "
+            f"cap is {_SEMDECON_MAX_BENCH} — past that it's a corpus; "
+            "use the banded/IVF dedup paths instead"
+        )
+    B = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in bench.select(vec_col).collect()
+        ]
+    )
+    bnorm = np.sqrt((B * B).sum(axis=1))
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, max_bench_cos_e6 bigint, contaminated boolean"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            denom = vnorm[:, None] * bnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, (V @ B.T) / denom)
+            # quantize per pair THEN max: round is nondecreasing, so
+            # max(round(x)) == round(max(x)) — stated for the oracle,
+            # which maxes the quantized pair values the same way
+            mx = np_quantize_e6(cos).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_bench_cos_e6": mx,
+                    "contaminated": mx >= threshold_e6,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
 def triplet_mining(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1327,6 +1327,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_contamination(corp, bench, "doc_id", "text", shingle_n=3)
 
 
+_SEMDECON_T_E6 = 300_000
+
+
+@query(
+    "q_decontaminate_semantic",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    bench AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    corp AS (SELECT * FROM n WHERE vec_id % 50 != 0),
+    mx AS (
+        SELECT c.vec_id,
+               max(CAST(round({_dot_sql('c.embedding', 'b.embedding')}
+                              / (c.nrm * b.nrm) * 1000000) AS BIGINT))
+                   AS max_bench_cos_e6
+        FROM corp c, bench b
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, max_bench_cos_e6,
+           (max_bench_cos_e6 >= {_SEMDECON_T_E6}) AS contaminated
+    FROM mx
+    """,
+    tags=("llmdata", "decontam", "similarity"),
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: per corpus vector, the max
+    e6 cosine against the held-out benchmark slice (vec_id % 50 == 0,
+    the q_decontaminate convention) and the contamination flag at
+    0.30 — the embedding-space complement to the n-gram family
+    (paraphrased or reformatted test items share no shingles but sit
+    next to the benchmark in embedding space; the screening modern
+    data reports run alongside lexical decontamination).
+
+    Scale shape: the benchmark is bounded BY DEFINITION (an eval set;
+    the operator refuses loudly past 65536 rows), collects once into
+    a task-closure NumPy matrix, and the corpus streams through ONE
+    Arrow mapInPandas matmul-max — map-only, zero shuffle, no join
+    node at all (the stream_decontaminate closure discipline applied
+    to vectors). Quantize-then-max == max-then-quantize (round is
+    nondecreasing), so the oracle's pairwise form matches exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % 50 == 0)
+    corp = e.where(F.col("vec_id") % 50 != 0)
+    return sim.semantic_contamination(
+        corp, bench, threshold_e6=_SEMDECON_T_E6
+    )
+
+
 def _pii_oracle() -> str:
     # generated from the SAME pattern table as the Spark expressions —
     # the two engines cannot drift

@@ -392,6 +392,10 @@ def main() -> None:
         # (every fingerprint recurs in >= 10 docs, most hit the
         # max_df cap and drop)
         "q_dedup_winnow": plan_probe("q_dedup_winnow"),
+        # semantic decontamination: fixed benchmark matrix in the task
+        # closure, corpus streams once through the Arrow matmul-max —
+        # wall should track the scan (map-only, no exchange at all)
+        "q_decontaminate_semantic": plan_probe("q_decontaminate_semantic"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
