@@ -247,6 +247,70 @@ def stream_nb_lang(
     )
 
 
+def stream_lm_score(
+    sdf: DataFrame,
+    tf: DataFrame,
+    total: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous CCNet-style LM quality scoring: arriving documents
+    scored against the BATCH-fitted unigram frequency model (the
+    train-once / score-forever split, same as the NB/DSIR siblings) —
+    the exploded token stream LEFT-joins the static ``tf`` table
+    (token → corpus frequency), and an update-mode per-document
+    aggregation folds the mean token log-probability with the batch
+    query's exact discipline (tf values sorted ascending, ln folded
+    strictly left-to-right, round-6), so the converged score is
+    bit-identical to ``q_lm_score``'s algebra on the same model.
+
+    Out-of-vocab tokens (null join — text the fitted model never saw)
+    take add-1 smoothing: count 0 coalesces to 1, contributing
+    ln(1) − ln(total) — the OOV discipline the DSIR advisor fix
+    standardized. On the training corpus itself no OOV exists and the
+    converged==batch assertion is exact (tested).
+
+    Output: (id, n_tokens, lm_logprob) per touched doc per
+    micro-batch (update mode). State per doc is bounded by its token
+    count; the model is static, re-broadcast by Spark's stream-static
+    join machinery."""
+    from flink_join_scaling_spark.functions import text as tx
+
+    words = sdf.select(
+        F.col(id_col), F.explode(tx.tokens_ws(F.col(text_col))).alias("w")
+    )
+    per = (
+        words.join(tf, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.greatest(
+                        F.coalesce(F.col("tf"), F.lit(0)), F.lit(1)
+                    ).cast("double")
+                )
+            ).alias("tfs"),
+        )
+    )
+    return per.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(
+            (
+                F.aggregate(
+                    F.transform(F.col("tfs"), lambda x: F.log(x)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                - F.col("n_tokens").cast("double") * F.log(F.lit(float(total)))
+            )
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("lm_logprob"),
+    )
+
+
 def stream_dsir_weights(
     sdf: DataFrame,
     tcnt: DataFrame,

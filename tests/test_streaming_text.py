@@ -502,6 +502,52 @@ def test_stream_gopher_rules_matches_batch(streaming_spark, tmp_path):
     assert got2 == batch
 
 
+def test_stream_lm_score_converged_equals_batch(streaming_spark, tmp_path):
+    """Continuous LM quality scoring: converged per-doc scores equal
+    the batch q_lm_score bit-for-bit when the stream replays the
+    training corpus (no OOV), and an unseen-token doc takes the add-1
+    path instead of vanishing."""
+    from flink_join_scaling_spark.plans.registry import QUERIES
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import stream_lm_score
+    from flink_join_scaling_spark.streaming.harness import converged
+
+    spark = streaming_spark
+    want = {
+        r.doc_id: (r.n_tokens, r.lm_logprob)
+        for r in QUERIES["q_lm_score"].fn(spark, SF_SMALL).collect()
+    }
+    d = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
+    tf = words.groupBy("w").agg(F.count("*").alias("tf")).localCheckpoint(True)
+    total = tf.agg(F.sum("tf")).first()[0]
+
+    s = chunked_parquet_stream(spark, d, str(tmp_path / "a"), n_chunks=4)
+    em = collect_emissions(
+        stream_lm_score(s, tf, int(total)), output_mode="update"
+    )
+    conv = converged(em, ["doc_id"])
+    got = {
+        int(r.doc_id): (int(r.n_tokens), r.lm_logprob)
+        for _, r in conv.iterrows()
+    }
+    assert got == want
+
+    # all-unseen doc: every token OOV → score = -ln(total) exactly
+    import math
+
+    alien = spark.createDataFrame(
+        [(999_999, "zzqx vvwp qqrr")], "doc_id long, text string"
+    )
+    s2 = chunked_parquet_stream(spark, alien, str(tmp_path / "b"), n_chunks=1)
+    em2 = collect_emissions(
+        stream_lm_score(s2, tf, int(total)), output_mode="update"
+    )
+    row = em2.iloc[0]
+    assert int(row.n_tokens) == 3
+    assert row.lm_logprob == round(-math.log(float(total)), 6)
+
+
 def test_stream_dedup_winnow_matches_batch(streaming_spark, tmp_path):
     """Continuous winnowing: converged per-pair emission counts equal
     the batch pair join's n_shared (one emission per shared
