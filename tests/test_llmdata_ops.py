@@ -884,3 +884,92 @@ def test_minhash_family_refuses_oversized_hash_family(spark):
         dd.minhash_dedup_pairs(docs, "doc_id", "text", num_hashes=9)
     with pytest.raises(ValueError, match="8 members"):
         dd.fuzzy_contamination(docs, docs, "doc_id", "text", num_hashes=9)
+
+
+# ------------------------------------------------- winnowing guarantee
+
+
+def _rand_doc(rng, n):
+    return " ".join(f"t{rng.randrange(10_000)}x{i}" for i in range(n))
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """The Schleimer et al. guarantee, k=4 w=5: any shared token run of
+    length >= k+w-1 = 8 contains at least one full w-window of shared
+    grams, whose minimum is selected in BOTH documents regardless of
+    surrounding context — so the pair MUST appear. Tested across
+    several planted positions (start / middle / end of each doc)."""
+    rng = random.Random(17)
+    run = " ".join(f"shared{j}" for j in range(8))
+    docs = []
+    # pairs (2i, 2i+1) share the run at varying positions; vocab is
+    # otherwise position-tagged so no cross-doc grams collide
+    for i, (pa, pb) in enumerate([(0, 20), (10, 0), (25, 12)]):
+        a_pre, a_post = _rand_doc(rng, pa) + f" a{i} ", f" za{i} " + _rand_doc(rng, 18)
+        b_pre, b_post = _rand_doc(rng, pb) + f" b{i} ", f" zb{i} " + _rand_doc(rng, 9)
+        docs.append((2 * i, (a_pre + run + a_post).strip()))
+        docs.append((2 * i + 1, (b_pre + run + b_post).strip()))
+    # plus two documents sharing NOTHING (disjoint vocab, no run)
+    docs.append((100, _rand_doc(rng, 30)))
+    docs.append((101, " ".join(f"only{j}q" for j in range(30))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.winnow_dedup_pairs(
+            df, "doc_id", "text", min_shared=1, max_df=1 << 30
+        ).collect()
+    }
+    for i in range(3):
+        assert (2 * i, 2 * i + 1) in pairs, f"planted pair {i} missed"
+    assert not any(100 in p or 101 in p for p in pairs), (
+        "disjoint-vocab docs must share no fingerprint"
+    )
+
+
+def test_winnow_fingerprints_invariant_under_duplication(spark):
+    """A document's fingerprint SET is a deterministic function of its
+    text: identical texts (different ids) produce identical sets, and
+    every fingerprint is one of the doc's gram hashes."""
+    text = _rand_doc(random.Random(3), 40)
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    fp = dd.winnow_fingerprints(df, "doc_id", "text").collect()
+    by_id = {}
+    for r in fp:
+        by_id.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_id[1] == by_id[2] and by_id[1]
+
+
+# ------------------------------------------------- MMR / triplet props
+
+
+def test_triplet_mining_planted_structure(planted_vecs):
+    """Anchor 0's planted near-clone 30 shares its label (both even) —
+    so 30 can never be the negative, and the hardest positive must
+    score BELOW the clone's ~1.0 cosine (hardest = least similar)."""
+    lv = planted_vecs.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    q = lv.where(F.col("vec_id") == 0)
+    t = sim.triplet_mining(lv, q).collect()
+    assert len(t) == 1
+    row = t[0]
+    assert row.neg_id != 30 and row.neg_id % 2 == 1
+    assert row.pos_cosine_e6 < 990_000  # hardest positive, not the clone
+    assert row.pos_id % 2 == 0
+
+
+def test_semantic_contamination_flags_planted_clone(planted_vecs):
+    """vec 30 is a near-clone of vec 0: with 0 as the benchmark, 30
+    must flag contaminated and carry ~1.0 max cosine; near-orthogonal
+    gaussians stay below threshold."""
+    bench = planted_vecs.where(F.col("vec_id") == 0)
+    corp = planted_vecs.where(F.col("vec_id") != 0)
+    out = {
+        r.vec_id: (r.max_bench_cos_e6, r.contaminated)
+        for r in sim.semantic_contamination(
+            corp, bench, threshold_e6=900_000
+        ).collect()
+    }
+    assert out[30][1] and out[30][0] > 990_000
+    others = [v for k, (v, c) in out.items() if k != 30]
+    assert all(v < 900_000 for v in others)
