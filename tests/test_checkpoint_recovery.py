@@ -504,3 +504,53 @@ def test_cms_state_survives_restart(streaming_spark, tmp_path):
         for r in cms_build(df1.unionByName(df2), "w").collect()
     }
     assert got == batch
+
+
+def test_winnow_bucket_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous winnowing detector: the
+    fingerprint-bucket membership lists rehydrate from the checkpoint,
+    so a post-restart arrival sharing a pre-restart document's
+    fingerprints still emits the cross-chunk pair (state loss would
+    silently lose exactly these pairs), and total converged emission
+    counts equal the batch n_shared over both chunks' union."""
+    from collections import Counter
+
+    from flink_join_scaling_spark.operators.dedup import winnow_dedup_pairs
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_winnow
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    run = " ".join(f"sh{j}" for j in range(8))  # k+w-1 guarantee run
+    schema_str = "doc_id long, text string"
+    df1 = spark.createDataFrame(
+        [(1, run + " " + " ".join(f"a{j}" for j in range(12)))], schema_str
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_winnow(_read_stream(spark, src, df1.schema), "doc_id", "text"),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame(
+        [(2, " ".join(f"b{j}" for j in range(9)) + " " + run)], schema_str
+    )
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_winnow(_read_stream(spark, src, df1.schema), "doc_id", "text"),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = Counter((int(r.id_a), int(r.id_b)) for r in em.itertuples(index=False))
+    batch = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_dedup_pairs(
+            df1.unionByName(df2), "doc_id", "text", min_shared=1, max_df=1 << 30
+        ).collect()
+    }
+    assert (1, 2) in got, "cross-restart pair lost — bucket state not recovered"
+    assert dict(got) == batch
