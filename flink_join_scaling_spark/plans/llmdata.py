@@ -683,6 +683,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_apply(docs, pairs, "doc_id", "__q").drop("__q")
 
 
+
 def _simhash_oracle() -> str:
     # token hash: first 8 hex nibbles of md5 as a 32-bit int (Horner)
     def nib(i: int) -> str:
@@ -750,10 +751,10 @@ def _md5_u32_duck(sql_expr: str) -> str:
     return v
 
 
-@query(
-    "q_dedup_winnow",
-    oracle=f"""
-    WITH {_TOKS_CTE},
+#: winnowing CTE body (after _TOKS_CTE) ending in
+#: wpairs(id_a, id_b, n_shared) — shared by the pair census and the
+#: apply query so the two cannot drift
+_WINNOW_CTES = f"""
     tw AS (
         SELECT doc_id, ws,
                greatest(len(ws) - {_WINNOW_K - 1}, 0) AS m
@@ -782,12 +783,22 @@ def _md5_u32_duck(sql_expr: str) -> str:
     hot AS (SELECT fp FROM fps GROUP BY fp
             HAVING count(DISTINCT doc_id) > {_WINNOW_MAX_DF}),
     cold AS (SELECT doc_id, fp FROM fps
-             WHERE fp NOT IN (SELECT fp FROM hot))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-    FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+             WHERE fp NOT IN (SELECT fp FROM hot)),
+    wpairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    )"""
+
+
+@query(
+    "q_dedup_winnow",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {_WINNOW_CTES}
+    SELECT id_a, id_b, n_shared FROM wpairs
     """,
     tags=("llmdata", "dedup"),
 )
@@ -948,6 +959,59 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_dedup_pairs_ivf(
         e, "vec_id", "embedding", threshold=0.45,
         num_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+    )
+
+
+
+
+@query(
+    "q_dedup_winnow_apply",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    {_WINNOW_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM wpairs
+        UNION
+        SELECT id_b, id_a FROM wpairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS node, src AS r FROM edges
+        UNION
+        SELECT e.src, t.r FROM edges e JOIN reach t ON t.node = e.dst
+    ),
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node != component_id)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM losers)
+    """,
+    tags=("llmdata", "dedup"),
+)
+def q_dedup_winnow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnow-deduplicated corpus: connected components over the
+    shared-fingerprint pairs (copied-passage similarity is not
+    transitive), keep the MIN doc_id per component (the
+    q_dedup_exact_apply keeper rule — winnowing flags shared RUNS, so
+    unlike the whole-document families a quality election between the
+    members is not meaningful), drop the rest via LEFT ANTI against
+    the pair-sized loser set. Completes the census→apply symmetry the
+    other dedup families have.
+
+    Scale shape: the pair census's shapes plus min-label component
+    propagation over the PAIR SET only; the corpus shuffles once, on
+    its id, against a loser set bounded by the pair census."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.winnow_dedup_pairs(
+        d, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
+    )
+    comp = dd.connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.select("doc_id", "lang", "source", "n_chars").join(
+        losers, "doc_id", "left_anti"
     )
 
 
