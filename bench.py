@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -61,7 +62,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spark.range(1_000_000).count()
             times.append(time.perf_counter() - t0)
-        return round(sorted(times)[len(times) // 2], 4)
+        return round(statistics.median(times), 4)
 
     _calibrate()  # warm the range/count plan's codegen like any query
 
@@ -112,11 +113,15 @@ def main() -> None:
     for _ in range(4):
         for name in list(passes):
             ts = passes.get(name)
-            if ts and sorted(ts)[len(ts) // 2] < _SUBSEC:
+            if ts and statistics.median(ts) < _SUBSEC:
                 one_pass(name)
 
+    # statistics.median interpolates the two middle elements for even
+    # rep counts (a query crossing the 1.5 s threshold mid-loop can
+    # land on 4-6 reps) — the upper-middle pick of rounds ≤9 carried a
+    # small upward bias exactly there.
     timings = {
-        name: round(sorted(ts)[len(ts) // 2], 3)
+        name: round(statistics.median(ts), 3)
         for name, ts in passes.items()
         if ts
     }
@@ -126,31 +131,56 @@ def main() -> None:
         if ts
     }
     reps = {name: len(ts) for name, ts in passes.items() if ts}
-    out = {
-        "metric": "headline_total",
+    calibration = _calibrate()  # measured AFTER the query passes so it
+    # reflects the same system state the timings saw
+    # a partial sum is not comparable round-over-round (a crashed
+    # query would read as a speedup), so value is null when any
+    # headline query errored; per-query medians still carry signal
+    total = round(sum(timings.values()), 3) if not errors else None
+
+    # The driver records only the LAST ~2000 characters of stdout and
+    # parses the final JSON line. Round 9's single fat line (medians +
+    # spread + reps) exceeded that capture, truncating the medians away
+    # (BENCH_r09 parsed: null). So: the variance evidence (spread /
+    # reps / errors detail) goes on a PRECEDING line — free to be long,
+    # present in full in the repo-side log — and the FINAL line carries
+    # exactly the attestation payload (headline total + per-query
+    # medians + calibration), compact-separated and size-guarded by
+    # tests/test_bench_contract.py against the 2000-char capture.
+    detail = {
+        "detail": "bench-variance-evidence",
         # forcing action for every query; "noop" from r7 on, "count"
         # r1-r6 (see module docstring for why the switch)
         "action": "noop",
-        # measured AFTER the query passes so it reflects the same
-        # system state the timings saw
-        "calibration": _calibrate(),
-        # a partial sum is not comparable round-over-round (a crashed
-        # query would read as a speedup), so value is null when any
-        # headline query errored; per-query medians still carry signal
-        "value": round(sum(timings.values()), 3) if not errors else None,
-        "unit": "sec",
-        "queries": timings,
         # per-query max−min over the measured passes (7 for sub-second
         # queries, 3 otherwise — "reps") — the variance evidence the
         # median claims rest on
         "spread": spread,
         "reps": reps,
+    }
+    if errors:
+        detail["errors"] = errors
+        detail["partial_total"] = round(sum(timings.values()), 3)
+    print(json.dumps(detail, separators=(",", ":")))
+
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "calibration": calibration,
+        "queries": timings,
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
+        out["errors"] = sorted(errors)  # names only; messages on line 1
         out["partial_total"] = round(sum(timings.values()), 3)
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never ship an unparseable
+        # final line — drop per-query medians before the headline total
+        out["queries_truncated"] = len(timings)
+        del out["queries"]
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -182,6 +182,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN dcnt c ON d.doc_id = c.doc_id
     GROUP BY d.source
     """,
+    headline=True,
     tags=("llmdata", "text", "iterative"),
 )
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:

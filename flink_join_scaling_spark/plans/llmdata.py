@@ -304,6 +304,7 @@ from flink_join_scaling_spark.operators.classifier import (  # noqa: E402
             AND ok_alpha_words AND ok_stopwords AND ok_repetition) AS keep
     FROM rules
     """,
+    headline=True,
     tags=("llmdata", "text", "quality"),
 )
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,6 +801,7 @@ _WINNOW_CTES = f"""
     {_WINNOW_CTES}
     SELECT id_a, id_b, n_shared FROM wpairs
     """,
+    headline=True,
     tags=("llmdata", "dedup"),
 )
 def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
