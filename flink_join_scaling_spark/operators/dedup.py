@@ -1044,6 +1044,7 @@ def embedding_dedup_pairs(
     threshold: float = 0.45,
     exact_threshold: int = 65_536,
     nprobe: int = 2,
+    emit_e6: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold — size-adaptive,
     the same runtime dial as :func:`connected_components`.
@@ -1067,18 +1068,23 @@ def embedding_dedup_pairs(
     :func:`embedding_dedup_pairs_exact`.
 
     Cosine is rounded to 6 decimals *before* the threshold compare so
-    accumulation-order noise can't flip boundary pairs across engines.
+    accumulation-order noise can't flip boundary pairs across engines;
+    ``emit_e6=True`` strengthens this to the e6-BIGINT form (integer
+    scoring + integer threshold compare, column ``cosine_e6``) — the
+    oracle-parity recipe that retired the float-boundary manifest.
     """
     n = df.count()
     if n <= exact_threshold:
         # exact: full-probe cogroup; cells sized for parallelism only
         k = max(1, min(32, n // 256))
         return embedding_dedup_pairs_ivf(
-            df, id_col, vec_col, threshold, num_cells=k, nprobe=k
+            df, id_col, vec_col, threshold, num_cells=k, nprobe=k,
+            emit_e6=emit_e6,
         )
     num_cells = max(32, -(-n // 4096))  # ceil: ~4k rows/cell at scale
     return embedding_dedup_pairs_ivf(
-        df, id_col, vec_col, threshold, num_cells=num_cells, nprobe=nprobe
+        df, id_col, vec_col, threshold, num_cells=num_cells, nprobe=nprobe,
+        emit_e6=emit_e6,
     )
 
 
@@ -1087,6 +1093,7 @@ def embedding_dedup_pairs_exact(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
+    emit_e6: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold (exact pair join).
 
@@ -1096,13 +1103,20 @@ def embedding_dedup_pairs_exact(
     calls go through the size-adaptive entry point, whose plan is an
     equi-join on the IVF cell id (no cartesian node).
     Cosine is rounded to 6 decimals *before* the threshold compare so
-    accumulation-order noise can't flip boundary pairs across engines;
-    the per-pair dot product runs through the Arrow-vectorized
-    ``cosine6_pandas`` (value-identical to the expression form, but a
-    NumPy multiply-sum per batch instead of an interpreted HOF fold
-    per pair — on n² pairs that's the whole runtime).
+    accumulation-order noise can't flip boundary pairs across engines
+    (``emit_e6=True`` uses the stronger e6-BIGINT integer form, column
+    ``cosine_e6`` — mirroring the size-adaptive path's flag); the
+    per-pair dot product runs through the Arrow-vectorized
+    ``cosine6_pandas``/``cosine_e6_pandas`` (value-identical to the
+    expression form, but a NumPy multiply-sum per batch instead of an
+    interpreted HOF fold per pair — on n² pairs that's the whole
+    runtime).
     """
-    from flink_join_scaling_spark.functions.vectors import cosine6_pandas, with_l2_norm
+    from flink_join_scaling_spark.functions.vectors import (
+        cosine6_pandas,
+        cosine_e6_pandas,
+        with_l2_norm,
+    )
 
     a = with_l2_norm(df, vec_col).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("l2_norm").alias("na")
@@ -1110,15 +1124,17 @@ def embedding_dedup_pairs_exact(
     b = with_l2_norm(df, vec_col).select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("l2_norm").alias("nb")
     )
+    if emit_e6:
+        score = cosine_e6_pandas("va", "vb", "na", "nb").alias("cosine_e6")
+        keep = F.col("cosine_e6") >= int(round(threshold * 1_000_000))
+    else:
+        score = cosine6_pandas("va", "vb", "na", "nb").alias("cosine")
+        keep = F.col("cosine") >= threshold
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine6_pandas("va", "vb", "na", "nb").alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", score)
+        .where(keep)
     )
 
 
@@ -1374,6 +1390,7 @@ def embedding_dedup_pairs_ivf(
     num_cells: int = 8,
     nprobe: int = 2,
     assign: str = "pandas",
+    emit_e6: bool = False,
 ) -> DataFrame:
     """IVF-bucketed embedding near-dup pairs — the scale path next to
     the quadratic :func:`embedding_dedup_pairs` baseline.
@@ -1426,8 +1443,18 @@ def embedding_dedup_pairs_ivf(
         "cell",
     )
     id_t = df.schema[id_col].dataType.simpleString()
-    out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
-    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+    # ``emit_e6``: score/threshold on e6-BIGINT quantized cosines
+    # (CAST(round(cos * 1e6) AS BIGINT), half-away — the recipe every
+    # retired FLOAT_BOUNDARY_SENSITIVE cohort adopted). An integer
+    # compare only disagrees with the oracle at an exact .5e-6 midpoint
+    # of the UNROUNDED value; the legacy round-6 DOUBLE compare also
+    # carries a 1-ulp risk at every threshold-adjacent value because
+    # each engine's decimal rounding may land one ulp apart.
+    score_t = "cosine_e6 bigint" if emit_e6 else "cosine double"
+    score_col = "cosine_e6" if emit_e6 else "cosine"
+    thr_e6 = int(round(threshold * 1_000_000))
+    out_schema = f"id_a {id_t}, id_b {id_t}, {score_t}"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], score_col: []})
 
     def score_cell(
         _key: tuple, ppdf: pd.DataFrame, ipdf: pd.DataFrame
@@ -1436,14 +1463,17 @@ def embedding_dedup_pairs_ivf(
             return empty
         A = np.stack([np.asarray(v, dtype=np.float64) for v in ppdf["va"]])
         B = np.stack([np.asarray(v, dtype=np.float64) for v in ipdf["vb"]])
-        # same float64 math + zero-norm guard + round-6 as
+        # same float64 math + zero-norm guard + rounding as
         # functions.vectors.cosine6_pandas / the DuckDB oracle
         denom = np.outer(ppdf["na"].to_numpy(), ipdf["nb"].to_numpy())
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np_round_half_away(
-                np.where(denom == 0.0, 0.0, (A @ B.T) / denom), 6
-            )
-        pi, ii = np.nonzero(cos >= threshold)
+            raw = np.where(denom == 0.0, 0.0, (A @ B.T) / denom)
+        if emit_e6:
+            cos = np_round_half_away(raw * 1_000_000.0, 0).astype(np.int64)
+            pi, ii = np.nonzero(cos >= thr_e6)
+        else:
+            cos = np_round_half_away(raw, 6)
+            pi, ii = np.nonzero(cos >= threshold)
         if not len(pi):
             return empty
         pid = ppdf["probe_id"].to_numpy()[pi]
@@ -1453,7 +1483,7 @@ def embedding_dedup_pairs_ivf(
             {
                 "id_a": np.minimum(pid[keep], iid[keep]),
                 "id_b": np.maximum(pid[keep], iid[keep]),
-                "cosine": cos[pi[keep], ii[keep]],
+                score_col: cos[pi[keep], ii[keep]],
             }
         )
 

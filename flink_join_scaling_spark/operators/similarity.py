@@ -478,7 +478,13 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Bucket id = Σ_j (dot(v, plane_j) > 0) << j, all JVM-side."""
+    """Bucket id = Σ_j (round(dot(v, plane_j)·1e6) > 0) << j, all
+    JVM-side. The sign is taken on the e6-BIGINT quantized dot (Spark
+    ``round`` is HALF_UP = half-away-from-zero, matching DuckDB
+    ``round`` and ``np_round_half_away``): a raw ``dot > 0`` could
+    flip across engines when |dot| sits within accumulation-order
+    noise of zero — the last resident of the float-boundary manifest,
+    retired in round 10."""
     bucket = F.lit(0).cast("bigint")
     for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(w) for w in plane])
@@ -487,7 +493,8 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+        dot_e6 = F.round(dot * F.lit(1_000_000.0), 0).cast("bigint")
+        bucket = bucket + F.when(dot_e6 > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
     return bucket
 
 
@@ -499,13 +506,17 @@ def lsh_buckets_pandas(
 ) -> DataFrame:
     """(id, vec, l2_norm, bucket) via an Arrow-batched NumPy matmul
     against the plane matrix — the vectorized twin of
-    :func:`bucket_expr` + ``with_l2_norm``. Same sign rule (dot > 0 on
-    float64 math), so buckets agree with the expression/oracle path up
-    to last-ulp accumulation order. Catalyst's higher-order functions
+    :func:`bucket_expr` + ``with_l2_norm``. Same sign rule (e6-BIGINT
+    quantized dot > 0, half-away rounding) so buckets agree with the
+    expression/oracle path for any dot not exactly at a .5e-6 midpoint
+    — the quantization exists precisely so last-ulp accumulation order
+    can't flip a sign near zero. Catalyst's higher-order functions
     (``aggregate``/``zip_with``) are interpreted per element — at
     num_planes × dim ops per row they dominate the whole query, and a
     [batch × dim] @ [dim × planes] matmul replaces all of it."""
     import numpy as np
+
+    from flink_join_scaling_spark.functions.vectors import np_round_half_away
 
     P = np.asarray(planes, dtype=np.float64)  # planes × dim
     weights = 1 << np.arange(len(planes), dtype=np.int64)
@@ -523,7 +534,10 @@ def lsh_buckets_pandas(
                     id_col: pdf[id_col].to_numpy(),
                     vec_col: pdf[vec_col],
                     "l2_norm": np.sqrt((V * V).sum(axis=1)),
-                    "bucket": ((V @ P.T) > 0).astype(np.int64) @ weights,
+                    "bucket": (
+                        np_round_half_away((V @ P.T) * 1_000_000.0, 0) > 0
+                    ).astype(np.int64)
+                    @ weights,
                 }
             )
 

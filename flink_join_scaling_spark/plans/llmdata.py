@@ -908,18 +908,27 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embedding",
     oracle=f"""
-    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.45
+    WITH n AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                          * 1000000) AS BIGINT) AS cosine_e6
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_e6 FROM pairs WHERE cosine_e6 >= 450000
     """,
-    tags=("llmdata", "dedup", "float-boundary-sensitive"),
+    tags=("llmdata", "dedup"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.45 (exact pair join baseline)."""
+    """Embedding-cosine near-dup pairs ≥ 0.45 (exact pair join
+    baseline). Scores and thresholds on e6-BIGINT quantized cosines
+    (round-10 retirement of the float-boundary manifest: an integer
+    compare replaces the round-6 DOUBLE compare whose engine-specific
+    decimal rounding could land one ulp apart at the threshold)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_dedup_pairs(e, "vec_id", "embedding", threshold=0.45)
+    return dd.embedding_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.45, emit_e6=True
+    )
 
 
 def _embedding_ivf_oracle() -> str:
@@ -1061,7 +1070,15 @@ def _ann_oracle() -> str:
             f"list_sum(list_transform(list_zip(embedding, {lit}), "
             "p -> CAST(p[1] AS DOUBLE) * p[2]))"
         )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        # sign taken on the e6-BIGINT quantized dot (round-10 float-
+        # boundary retirement): a raw `dot > 0` can flip across engines
+        # when |dot| is within accumulation-order noise of zero; after
+        # CAST(round(dot*1e6) AS BIGINT) both engines see the same
+        # integer for any |dot| not exactly at a .5e-6 midpoint.
+        terms.append(
+            f"(CASE WHEN CAST(round({dot} * 1000000) AS BIGINT) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
     bucket = "CAST(" + " + ".join(terms) + " AS BIGINT)"
     return f"""
     WITH n AS (
@@ -1087,11 +1104,13 @@ def _ann_oracle() -> str:
     "q_sim_ann_lsh",
     oracle=_ann_oracle(),
     headline=True,
-    tags=("llmdata", "similarity", "float-boundary-sensitive"),
+    tags=("llmdata", "similarity"),
 )
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (sign-random-projection, 4
-    deterministic md5-derived hyperplanes → 16 buckets)."""
+    deterministic md5-derived hyperplanes → 16 buckets). Bucket signs
+    are taken on e6-BIGINT quantized plane dots (round-10 float-
+    boundary retirement — see ``similarity.bucket_expr``)."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.ann_lsh_topk(
         e, e.where(F.col("vec_id") < 10), k=5, num_planes=4, dim=_EMB_DIM

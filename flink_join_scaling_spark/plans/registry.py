@@ -49,8 +49,15 @@ QUERIES: dict[str, QuerySpec] = {}
 #: documented boundary, not a logic bug. Kept in sync with the
 #: "float-boundary-sensitive" query tag by a registry test.
 FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
-    "q_dedup_embedding",
-    "q_sim_ann_lsh",
+    # EMPTY since round 10: the last two residents adopted the
+    # e6-BIGINT recipe — q_dedup_embedding scores/thresholds on
+    # CAST(round(cos*1e6) AS BIGINT) (integer compare, no decimal-
+    # rounding ulp at the 0.45 boundary) and q_sim_ann_lsh takes its
+    # sign-random-projection bucket bits on the e6-quantized plane
+    # dots (a |dot| within summation noise of zero rounds to the same
+    # integer 0 in both engines). The documented ulp-risk class is
+    # closed; the manifest and tag machinery stay for any future
+    # query that reopens it.
     # History of this manifest (each cohort left by adopting integer
     # quantization): the SemDeDup/ensemble family left in round 7
     # (pair thresholds, argmin keys, and exposed centroid cosines
@@ -61,10 +68,8 @@ FLOAT_BOUNDARY_SENSITIVE: tuple[str, ...] = (
     # their decimal round(…,4) display hit a cross-engine midpoint on
     # some fixtures, e.g. doc 234 at sf0.001); and the whole
     # similarity top-k family ranks on e6 BIGINTs since round 8. The
-    # two residents stay because their SCORING (q_dedup_embedding's
-    # round-6 pair threshold) or ASSIGNMENT (q_sim_ann_lsh's dot>0
-    # bucket sign on pairwise-vs-sequential summation) still crosses
-    # a float boundary the oracle folds differently by ulps.
+    # last two residents (q_dedup_embedding's round-6 pair threshold,
+    # q_sim_ann_lsh's dot>0 bucket sign) left in round 10 as above.
 )
 
 
@@ -101,78 +106,79 @@ def query(
 # rank inside the window).
 _LAST_GREEN: dict[str, int] = {
     "q_agg_cube": 6, "q_agg_distinct": 6, "q_agg_group": 6,
-    "q_agg_grouping_sets": 5, "q_agg_rollup": 6,
-    "q_agg_skew_salted": 5, "q_approx_distinct": 6,
-    "q_approx_quantiles": 5, "q_array_explode": 6,
-    "q_array_funcs": 6, "q_bm25": 6, "q_bpe_encode": 7,
-    "q_bpe_train": 7, "q_cms_freq": 8, "q_cohort_retention": 5,
-    "q_collocations": 6, "q_date_funcs": 6, "q_decontaminate": 7,
+    "q_agg_grouping_sets": 9, "q_agg_rollup": 6,
+    "q_agg_skew_salted": 9, "q_approx_distinct": 6,
+    "q_approx_quantiles": 9, "q_array_explode": 6, "q_array_funcs":
+    6, "q_bm25": 6, "q_bpe_encode": 7, "q_bpe_train": 7,
+    "q_cms_freq": 8, "q_cohort_retention": 9, "q_collocations": 6,
+    "q_date_funcs": 6, "q_decontaminate": 7,
     "q_decontaminate_apply": 8, "q_decontaminate_fuzzy": 7,
-    "q_dedup_apply": 8, "q_dedup_canonical_rank": 6,
-    "q_dedup_components": 7, "q_dedup_containment": 5,
-    "q_dedup_embedding": 7, "q_dedup_embedding_ivf": 7,
-    "q_dedup_ensemble": 7, "q_dedup_ensemble_apply": 8,
-    "q_dedup_exact": 5, "q_dedup_exact_apply": 7,
-    "q_dedup_keep_best": 8, "q_dedup_latest": 7,
-    "q_dedup_latest_by_key": 6, "q_dedup_lines": 5,
-    "q_dedup_minhash": 5, "q_dedup_minhash_ml": 5,
-    "q_dedup_ngram": 7, "q_dedup_semantic": 7,
+    "q_decontaminate_semantic": 9, "q_dedup_apply": 8,
+    "q_dedup_canonical_rank": 6, "q_dedup_components": 7,
+    "q_dedup_containment": 9, "q_dedup_embedding": 7,
+    "q_dedup_embedding_ivf": 7, "q_dedup_ensemble": 7,
+    "q_dedup_ensemble_apply": 8, "q_dedup_exact": 9,
+    "q_dedup_exact_apply": 7, "q_dedup_keep_best": 8,
+    "q_dedup_latest": 7, "q_dedup_latest_by_key": 9,
+    "q_dedup_lines": 9, "q_dedup_minhash": 9, "q_dedup_minhash_ml":
+    9, "q_dedup_ngram": 7, "q_dedup_semantic": 7,
     "q_dedup_semantic_apply": 7, "q_dedup_simhash": 7,
-    "q_dedup_spans": 7, "q_dedup_spans_apply": 7,
-    "q_dedup_weights": 7, "q_dq_profile": 5, "q_dq_rules": 5,
-    "q_dsir_select": 8, "q_dsir_weights": 8, "q_ema": 5,
-    "q_embed_centroids": 7, "q_embed_outliers": 6,
-    "q_entity_resolution": 5, "q_fingerprint": 5, "q_funnel": 8,
-    "q_fuzzy_match": 5, "q_gapfill": 5, "q_graph_triangles": 6,
-    "q_hard_negatives": 8, "q_heavy_hitters": 6,
-    "q_higher_order_funcs": 5, "q_histogram": 5, "q_hll_rollup": 6,
-    "q_inverted_index": 7, "q_join_anti": 8, "q_join_asof": 8,
-    "q_join_bloom_reduced": 6, "q_join_full_outer": 6,
-    "q_join_full_outer_seq": 6, "q_join_inner": 6,
-    "q_join_left_outer": 6, "q_join_left_outer_seq": 6,
-    "q_join_range": 8, "q_join_semi": 8, "q_join_skew_salted": 5,
-    "q_json_funcs": 5, "q_knn_labels": 8, "q_lang_id": 5,
-    "q_length_buckets": 7, "q_lm_bigram": 8, "q_lm_score": 6,
-    "q_math_funcs": 6, "q_mixture_budget": 8,
-    "q_mixture_temperature": 8, "q_mixture_weights": 6,
+    "q_dedup_spans": 7, "q_dedup_spans_apply": 7, "q_dedup_weights":
+    7, "q_dedup_winnow": 9, "q_dedup_winnow_apply": 9,
+    "q_dq_profile": 9, "q_dq_rules": 9, "q_dsir_select": 8,
+    "q_dsir_weights": 8, "q_ema": 9, "q_embed_centroids": 7,
+    "q_embed_outliers": 6, "q_entity_resolution": 9,
+    "q_fingerprint": 9, "q_funnel": 8, "q_fuzzy_match": 9,
+    "q_gapfill": 9, "q_gopher_rules": 9, "q_graph_triangles": 6,
+    "q_hard_negatives": 8, "q_hard_negatives_ann": 9,
+    "q_heavy_hitters": 6, "q_higher_order_funcs": 9, "q_histogram":
+    9, "q_hll_rollup": 6, "q_inverted_index": 7, "q_join_anti": 8,
+    "q_join_asof": 8, "q_join_bloom_reduced": 6,
+    "q_join_full_outer": 6, "q_join_full_outer_seq": 6,
+    "q_join_inner": 6, "q_join_left_outer": 6,
+    "q_join_left_outer_seq": 6, "q_join_range": 8, "q_join_semi": 8,
+    "q_join_skew_salted": 9, "q_json_funcs": 9, "q_knn_labels": 8,
+    "q_lang_id": 9, "q_length_buckets": 7, "q_lm_bigram": 8,
+    "q_lm_bigram_hashed": 9, "q_lm_score": 6, "q_math_funcs": 6,
+    "q_mixture_budget": 8, "q_mixture_temperature": 8,
+    "q_mixture_weights": 6, "q_mmr_select": 9,
     "q_multimodal_features": 7, "q_multimodal_frames": 7,
-    "q_multimodal_meta": 7, "q_nb_confusion": 8,
-    "q_nb_lang_apply": 8, "q_nb_lang_train": 8, "q_novelty": 8,
-    "q_pack_sequences": 7, "q_percentiles": 8, "q_pii_redact": 7,
-    "q_pipeline_e2e": 6, "q_pipeline_trained": 8, "q_pivot": 8,
-    "q_ppl_buckets": 6, "q_quality_classifier": 8,
-    "q_quality_classifier_apply": 8, "q_quality_filter": 8,
-    "q_quality_score": 8, "q_quantize_embeddings": 5,
-    "q_repetition": 7, "q_retrieval_rrf": 6, "q_rollup_multires": 5,
-    "q_sample_hash": 7, "q_sample_stratified": 7,
-    "q_scalar_subquery": 5, "q_scan_filter_project": 6,
-    "q_scd2_intervals": 5, "q_sessionize": 8, "q_set_except": 6,
-    "q_set_intersect": 6, "q_set_union": 6, "q_shard_assignment": 6,
-    "q_sim_ann_ivf": 8, "q_sim_ann_ivf_trained": 5,
-    "q_sim_ann_lsh": 8, "q_sim_ann_persisted": 6, "q_sim_ann_pq": 7,
-    "q_sim_topk": 8, "q_sim_topk_pandas": 8, "q_snapshot_diff": 6,
-    "q_source_cap": 7, "q_source_drift": 6, "q_source_overlap": 6,
-    "q_source_stats": 8, "q_split_leakage_safe": 6,
-    "q_stream_dedup": 7, "q_stream_join": 5, "q_stream_session": 7,
-    "q_stream_sliding": 7, "q_stream_tumbling": 7,
-    "q_string_funcs": 6, "q_text_chunks": 5, "q_text_stats": 5,
-    "q_tfidf": 6, "q_token_count": 5, "q_topk": 6,
-    "q_tpch_q10_returns": 8, "q_tpch_q11_important_stock": 8,
-    "q_tpch_q12_priority_class": 8,
-    "q_tpch_q13_order_distribution": 5, "q_tpch_q14_promo": 8,
+    "q_multimodal_meta": 7, "q_nb_confusion": 8, "q_nb_lang_apply":
+    8, "q_nb_lang_train": 8, "q_novelty": 8, "q_pack_sequences": 7,
+    "q_percentiles": 8, "q_pii_redact": 7, "q_pipeline_e2e": 6,
+    "q_pipeline_trained": 8, "q_pivot": 8, "q_ppl_buckets": 6,
+    "q_quality_classifier": 8, "q_quality_classifier_apply": 8,
+    "q_quality_filter": 8, "q_quality_score": 8,
+    "q_quantize_embeddings": 9, "q_repetition": 7,
+    "q_retrieval_rrf": 6, "q_rollup_multires": 9, "q_sample_hash":
+    7, "q_sample_stratified": 7, "q_scalar_subquery": 9,
+    "q_scan_filter_project": 6, "q_scd2_intervals": 9,
+    "q_sessionize": 8, "q_set_except": 6, "q_set_intersect": 6,
+    "q_set_union": 6, "q_shard_assignment": 6, "q_sim_ann_ivf": 8,
+    "q_sim_ann_ivf_trained": 9, "q_sim_ann_lsh": 8,
+    "q_sim_ann_persisted": 9, "q_sim_ann_pq": 7, "q_sim_topk": 8,
+    "q_sim_topk_pandas": 8, "q_snapshot_diff": 6, "q_source_cap": 7,
+    "q_source_drift": 6, "q_source_overlap": 6, "q_source_stats": 8,
+    "q_split_leakage_safe": 6, "q_stream_dedup": 7, "q_stream_join":
+    9, "q_stream_session": 7, "q_stream_sliding": 7,
+    "q_stream_tumbling": 7, "q_string_funcs": 6, "q_text_chunks": 9,
+    "q_text_stats": 9, "q_tfidf": 6, "q_token_count": 9,
+    "q_tokenizer_fertility": 9, "q_topk": 6, "q_tpch_q10_returns":
+    8, "q_tpch_q11_important_stock": 8, "q_tpch_q12_priority_class":
+    8, "q_tpch_q13_order_distribution": 9, "q_tpch_q14_promo": 8,
     "q_tpch_q15_top_supplier": 8, "q_tpch_q16_supplier_counts": 8,
-    "q_tpch_q17_small_quantity": 5, "q_tpch_q18_large_orders": 8,
+    "q_tpch_q17_small_quantity": 9, "q_tpch_q18_large_orders": 8,
     "q_tpch_q19_disjunctive_rev": 8, "q_tpch_q1_pricing": 6,
     "q_tpch_q20_excess_suppliers": 8,
-    "q_tpch_q21_waiting_suppliers": 5,
-    "q_tpch_q22_dormant_customers": 5,
+    "q_tpch_q21_waiting_suppliers": 9,
+    "q_tpch_q22_dormant_customers": 9,
     "q_tpch_q2_min_cost_supplier": 8, "q_tpch_q3_shipping": 8,
-    "q_tpch_q4_late_orders": 5, "q_tpch_q5_local_supplier": 7,
-    "q_tpch_q6_forecast": 8, "q_tpch_q7_nation_volume": 5,
+    "q_tpch_q4_late_orders": 9, "q_tpch_q5_local_supplier": 7,
+    "q_tpch_q6_forecast": 8, "q_tpch_q7_nation_volume": 9,
     "q_tpch_q8_market_share": 8, "q_tpch_q9_product_profit": 8,
-    "q_transition_matrix": 5, "q_unpivot": 8, "q_value_outliers": 8,
-    "q_vocab_df": 7, "q_window_analytic": 6,
-    "q_window_distribution": 5, "q_window_range_frame": 5,
+    "q_transition_matrix": 9, "q_triplet_mining": 9, "q_unpivot": 8,
+    "q_value_outliers": 8, "q_vocab_df": 7, "q_window_analytic": 6,
+    "q_window_distribution": 9, "q_window_range_frame": 9,
     "q_window_rank": 6, "q_zorder_layout": 6,
 }
 
@@ -186,46 +192,40 @@ _DRIVER_GREEN: frozenset[str] = frozenset(_LAST_GREEN)
 #: round's last commit, so it can only be folded next round); two
 #: newer rounds mean the rotation went stale — the starvation bug this
 #: machinery exists to prevent — and the test fails loudly.
-ROTATION_FOLDED_THROUGH = 8
+ROTATION_FOLDED_THROUGH = 9
 
 # Queries whose output CHANGED this round, invalidating their prior
-# green rows outright (not merely aging them). Round 9: EMPTY — the
-# post-r8-attestation advisor fixes (commit 7c95acc) provably did not
-# change any attested sf0.01 output: the np.round→half-away-from-zero
-# quantization sites only differ at an exact .5e-6 midpoint, and every
-# affected query was hash-GREEN against the half-away DuckDB round()
-# under the old rounding — a green row is a proof no midpoint occurs
-# in its fixture; cms_estimate's inner→left probe join is an identity
-# when probe keys come from the sketched corpus (q_cms_freq's shape),
-# and its oracle changed in lockstep. The touched names are still
-# promoted within their staleness cohort via _TOUCHED_SINCE_GREEN.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+# green rows outright (not merely aging them). Round 10: the two
+# float-boundary retirees — their scoring/assignment moved from raw
+# doubles to e6-BIGINT quantization (the recipe every other cohort of
+# FLOAT_BOUNDARY_SENSITIVE history used), which changes output bytes
+# even where values are semantically identical, so their r7/r8 green
+# rows no longer attest the shipped code.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
+    {"q_dedup_embedding", "q_sim_ann_lsh"}
+)
 
 #: Names whose operator code changed after their latest green row was
 #: recorded (the 7c95acc advisor fixes), with an argument — not a
 #: proof by re-execution — that outputs are unchanged. Promoted ahead
 #: of their same-staleness peers so the window re-executes the
-#: argument cheaply.
+#: argument cheaply. Round 10: the r9 window re-attested
+#: q_sim_ann_ivf_trained / q_sim_ann_persisted (dropped here);
+#: q_dedup_embedding moved to _CHANGED_THIS_ROUND (e6 retirement).
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {
         "q_cms_freq", "q_sim_topk_pandas", "q_sim_ann_ivf",
-        "q_dedup_embedding", "q_dedup_embedding_ivf",
-        "q_sim_ann_ivf_trained", "q_sim_ann_persisted", "q_sim_ann_pq",
+        "q_dedup_embedding_ivf", "q_sim_ann_pq",
     }
 )
 
-#: Names the round-8 closing commit (1c006ae) explicitly deferred to
-#: round 9, plus the dedup family whose shared ``operators/dedup.py``
-#: changed in r7-r8 — ordered at the very front of their staleness
-#: cohort so a driver time-budget cutoff starves the freshest names,
-#: never these.
-_PRIORITY_FIRST: frozenset[str] = frozenset(
-    {
-        "q_tpch_q21_waiting_suppliers", "q_tpch_q22_dormant_customers",
-        "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_ml",
-        "q_dedup_containment", "q_dedup_lines",
-    }
-)
+#: Names explicitly deferred from the previous round, ordered at the
+#: very front of their staleness cohort so a driver time-budget cutoff
+#: starves the freshest names, never these. Round 10: EMPTY — every
+#: r9 deferral was attested in CORRECTNESS_r09; the r10 window is the
+#: 43 r6-stale names + this round's changed/new queries, all of which
+#: rank ahead mechanically.
+_PRIORITY_FIRST: frozenset[str] = frozenset()
 
 #: Computed stale set (kept for the hygiene tests): every query whose
 #: latest green row is ≥3 rounds older than the folded-through round —

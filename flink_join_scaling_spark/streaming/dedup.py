@@ -336,7 +336,8 @@ def stream_dedup_winnow(
     State per fingerprint bucket is a capped id list (``max_bucket`` —
     the stop-fingerprint cap's streaming face)."""
     import hashlib
-    import re
+
+    from flink_join_scaling_spark.streaming.filters import _norm_tokens_py
 
     sep = "\x1f"
 
@@ -347,7 +348,10 @@ def stream_dedup_winnow(
             ids: list[int] = []
             fps: list[int] = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = re.sub(r"\s+", " ", str(text).lower().strip()).split(" ")
+                # JVM-parity tokenizer (ASCII \s, space-only trim) —
+                # Python's Unicode-aware defaults silently diverge
+                # every gram hash from the batch norm_text path
+                toks = _norm_tokens_py(str(text) if text is not None else "")
                 m = len(toks) - (k - 1)
                 if m < 1:
                     continue

@@ -26,13 +26,25 @@ _MAX_BENCHMARK_SHINGLES = 2_000_000
 
 
 def _norm_tokens_py(text: str | None) -> list[str]:
-    """Python twin of ``functions.text.tokens_ws`` (lower + trim +
-    collapse whitespace + split) — kept in lockstep so the streaming
-    filter and the batch operator flag exactly the same documents;
-    parity is asserted by the converged==batch test."""
-    if not text:
+    """Python twin of ``functions.text.tokens_ws`` — i.e. of the JVM
+    expression ``regexp_replace(lower(trim(col)), '\\s+', ' ')`` +
+    split — kept in lockstep so the streaming filter and the batch
+    operator flag exactly the same documents; parity is asserted by
+    the converged==batch test.
+
+    The JVM semantics are narrower than Python's defaults, and the
+    twin must match them, not improve on them: Spark ``trim`` strips
+    SPACES only (not tabs/newlines — so ``"\\ttext"`` keeps a leading
+    empty token after collapse+split, in both paths), and Java's
+    ``\\s`` is the ASCII class ``[ \\t\\n\\x0b\\f\\r]`` (no U+00A0
+    etc.), where Python's ``\\s``/``str.strip()`` are Unicode-aware.
+    A Unicode-whitespace mismatch here silently diverges every gram
+    hash downstream. NULL maps to [] (the JVM expression yields NULL
+    and no gram survives); the EMPTY string maps to [''] exactly like
+    JVM ``split('', ' ')`` — the guard must not conflate the two."""
+    if text is None:
         return []
-    return re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower()).split(" ")
 
 
 def stream_decontaminate(

@@ -210,6 +210,37 @@ def test_embedding_dedup_adaptive_matches_exact_reference(planted_vecs):
     assert ref and ada == ref
 
 
+def test_embedding_dedup_e6_adaptive_matches_exact_reference(planted_vecs):
+    """The e6-BIGINT form (q_dedup_embedding's shipped scoring since
+    the round-10 float-boundary retirement) must agree between the
+    size-adaptive cogroup path and the crossJoin reference — integer
+    cosines included."""
+    ref = {
+        (r.id_a, r.id_b): r.cosine_e6
+        for r in dd.embedding_dedup_pairs_exact(
+            planted_vecs, "vec_id", "embedding", threshold=0.2, emit_e6=True
+        ).collect()
+    }
+    ada = {
+        (r.id_a, r.id_b): r.cosine_e6
+        for r in dd.embedding_dedup_pairs(
+            planted_vecs, "vec_id", "embedding", threshold=0.2, emit_e6=True
+        ).collect()
+    }
+    assert ref and ada == ref
+    assert all(isinstance(v, int) for v in ada.values())
+    # and the integer scores are exactly the round-6 doubles × 1e6
+    dbl = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_dedup_pairs(
+            planted_vecs, "vec_id", "embedding", threshold=0.2
+        ).collect()
+    }
+    assert set(dbl) == set(ada)
+    for k, v in dbl.items():
+        assert abs(ada[k] - v * 1_000_000) <= 1  # ulp at the e6 midpoint
+
+
 def test_embedding_dedup_above_threshold_goes_approximate(planted_vecs):
     """Past exact_threshold the dial flips to approximate IVF: the
     planted 0.99 pair quantizes to the same cell so it's still found."""

@@ -581,6 +581,40 @@ def test_stream_dedup_winnow_matches_batch(streaming_spark, tmp_path):
     assert dict(got) == batch
 
 
+def test_norm_tokens_py_matches_jvm_on_hostile_whitespace(streaming_spark):
+    """The Python tokenizer twin (used by stream_dedup_winnow and
+    stream_decontaminate) must reproduce the JVM
+    ``regexp_replace(lower(trim(col)), '\\s+', ' ')`` + split EXACTLY
+    on the inputs where Python's Unicode-aware defaults diverge:
+    leading tabs/newlines (Spark trim strips spaces only → leading
+    empty token), non-breaking and other Unicode whitespace (Java \\s
+    is ASCII-only → they stay inside tokens). Divergence here silently
+    shifts every downstream gram hash — the round-10 advisor finding."""
+    from flink_join_scaling_spark.functions.text import tokens_ws
+    from flink_join_scaling_spark.streaming.filters import _norm_tokens_py
+
+    spark = streaming_spark
+    nasty = [
+        "\tleading tab",
+        "\nleading newline\r",
+        "  spaces  both  ends  ",
+        "non\u00a0breaking\u00a0space",  # NBSP: token chars to Java \\s
+        "ideographic\u3000space",
+        "line\u2028sep\u2029para",
+        "mixed \t\n inner \x0b\x0c runs",
+        "UPPER Case MiX",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(nasty)], "i int, t string")
+    jvm = {
+        r.i: list(r.toks)
+        for r in df.select("i", tokens_ws(F.col("t")).alias("toks")).collect()
+    }
+    for i, t in enumerate(nasty):
+        assert _norm_tokens_py(t) == jvm[i], (i, t, _norm_tokens_py(t), jvm[i])
+
+
 def test_stream_dsir_weights_converged_equals_batch(streaming_spark, tmp_path):
     """Continuous DSIR: converged per-doc weights equal the batch
     q_dsir_weights bit-for-bit — the bucket models ride stream-static
