@@ -99,14 +99,18 @@ def nb_score_expr(cls: str) -> Column:
 def nb_predict(
     scored: DataFrame,
     classes: tuple[str, ...],
-    class_col: str = "lang",
 ) -> DataFrame:
     """argmax over the per-class e6 scores ``s_{cls}`` with
-    first-class-ascending tiebreak: adds ``pred_{class_col}`` (so
-    ``pred_lang`` by default) and ``score_e6`` (the winning class's
-    score). Pure array expressions — sort (negated score, class)
-    structs, take the head — matching the oracle's ``greatest`` +
-    ordered ``CASE``."""
+    first-class-ascending tiebreak: adds ``pred_lang`` and
+    ``score_e6`` (the winning class's score). Pure array expressions —
+    sort (negated score, class) structs, take the head — matching the
+    oracle's ``greatest`` + ordered ``CASE``.
+
+    The output column name is fixed: every NB caller in this repo is
+    the language classifier. A ``class_col`` knob existed briefly in
+    round 9 but no call site ever passed it — parameterize the output
+    name only when a non-language NB plan actually needs it."""
+    class_col = "lang"
     cands = F.array(
         *[
             F.struct(

@@ -262,19 +262,25 @@ def semantic_contamination(
     """
     import numpy as np
 
-    n_bench = bench.count()
-    if n_bench > _SEMDECON_MAX_BENCH:
+    # collect ONCE and size-check the collected rows themselves: a
+    # count()-then-collect() pair evaluates the benchmark twice, and a
+    # source that changes between the two actions could pass the count
+    # gate yet collect more rows than the cap
+    bench_rows = bench.select(vec_col).limit(_SEMDECON_MAX_BENCH + 1).collect()
+    if len(bench_rows) > _SEMDECON_MAX_BENCH:
         raise ValueError(
-            f"semantic_contamination: benchmark has {n_bench} rows, "
-            f"cap is {_SEMDECON_MAX_BENCH} — past that it's a corpus; "
+            f"semantic_contamination: benchmark exceeds the "
+            f"{_SEMDECON_MAX_BENCH}-row cap — past that it's a corpus; "
             "use the banded/IVF dedup paths instead"
         )
-    B = np.stack(
-        [
-            np.asarray(r[vec_col], dtype=np.float64)
-            for r in bench.select(vec_col).collect()
-        ]
-    )
+    if not bench_rows:
+        raise ValueError(
+            "semantic_contamination: benchmark is empty — there is "
+            "nothing to screen against (an empty eval set would mark "
+            "every document clean, which is almost certainly a wiring "
+            "bug upstream)"
+        )
+    B = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in bench_rows])
     bnorm = np.sqrt((B * B).sum(axis=1))
 
     id_t = corpus.schema[id_col].dataType.simpleString()

@@ -43,6 +43,7 @@ same ``ttl_ms`` eviction that bounds state growth overall.
 from __future__ import annotations
 
 import json
+import logging
 from collections.abc import Iterator
 
 import pandas as pd
@@ -90,7 +91,17 @@ def _resolve_engine(engine: str) -> str:
     if engine not in ("auto", "mapstate", "groupstate"):
         raise ValueError(f"unsupported engine={engine!r}")
     if engine == "auto":
-        return "mapstate" if mapstate_available() else "groupstate"
+        resolved = "mapstate" if mapstate_available() else "groupstate"
+        # an 'auto' caller gets whichever engine the runtime supports —
+        # make the choice visible at query build so a deployment that
+        # gains protobuf can see the switch in its logs
+        logging.getLogger(__name__).info(
+            "stream_join engine='auto' resolved to %r "
+            "(transformWithStateInPandas protobuf %savailable)",
+            resolved,
+            "" if resolved == "mapstate" else "un",
+        )
+        return resolved
     if engine == "mapstate" and not mapstate_available():
         raise RuntimeError(
             "engine='mapstate' requires transformWithStateInPandas' "
@@ -418,7 +429,7 @@ def stream_join_versioned_grouped(
     ts_x,
     ts_y,
     how: str = "full_outer_seq",
-    engine: str = "auto",
+    engine: str = "groupstate",
 ) -> DataFrame:
     """Streaming grouped versioned join (reference O8/O9 continuous):
     changelog of (k, xs_json, ys_json) — per touched key, the JSON
@@ -491,7 +502,7 @@ def stream_join_versioned(
     ts_y,
     how: str = "full_outer",
     ttl_ms: int | None = None,
-    engine: str = "auto",
+    engine: str = "groupstate",
 ) -> DataFrame:
     """Streaming versioned join of two tagged streams; returns the
     changelog DataFrame (k, x_payload, y_payload). Converged semantics
@@ -502,12 +513,19 @@ def stream_join_versioned(
     this is where state actually grows (the repo's namesake concern);
     default keeps reference-faithful forever-state.
 
-    ``engine``: ``"auto"`` (default) uses the per-(side, id) MapState
-    layout (``transformWithStateInPandas``) where the runtime's
-    protobuf wire protocol exists — O(touched ids) state I/O per
-    batch — falling back to the GroupState whole-map fold (O(live
-    ids) per state-changing batch) otherwise; ``"mapstate"`` /
-    ``"groupstate"`` force a path (mapstate raises where unsupported).
+    ``engine``: ``"groupstate"`` (default) is the whole-map
+    GroupState fold (O(live ids) state I/O per state-changing batch)
+    — the engine every converged==batch and restart-recovery test in
+    this repo has actually executed. ``"auto"`` opts in to the
+    per-(side, id) MapState layout (``transformWithStateInPandas``,
+    O(touched ids) per batch) wherever the runtime's protobuf wire
+    protocol exists, falling back to GroupState otherwise;
+    ``"mapstate"`` forces it (raises where unsupported). Auto is NOT
+    the default on purpose: this repo's CI lacks protobuf, so the
+    MapState branch has never run here, and its TTL semantics
+    intentionally differ (per-entry vs whole-key idle eviction) — a
+    protobuf-bearing deployment must not silently switch engines for
+    existing callers. The resolved engine is logged at query build.
 
     Unwrap payloads with ``F.from_json(col, schema)`` downstream.
     """

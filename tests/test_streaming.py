@@ -196,6 +196,19 @@ def test_engine_probe_and_routing(streaming_spark):
             _resolve_engine("mapstate")
     with pytest.raises(ValueError):
         _resolve_engine("rocksdb")
+    # the public entry points default to the engine this repo's test
+    # suite actually exercises — 'auto' is an explicit opt-in, so a
+    # protobuf-bearing deployment can't silently switch engines (and
+    # TTL semantics: per-entry vs whole-key) for existing callers
+    import inspect
+
+    from flink_join_scaling_spark.streaming.joins import (
+        stream_join_versioned,
+        stream_join_versioned_grouped,
+    )
+
+    for fn in (stream_join_versioned, stream_join_versioned_grouped):
+        assert inspect.signature(fn).parameters["engine"].default == "groupstate"
 
 
 def test_stream_join_typed_structs_end_to_end(streaming_spark, tmp_path):
