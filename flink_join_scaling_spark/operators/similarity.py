@@ -239,6 +239,51 @@ def hard_negatives_ann(
 _SEMDECON_MAX_BENCH = 65_536
 
 
+def collect_bench_matrix(bench: DataFrame, vec_col: str):
+    """Collect a BOUNDED benchmark embedding set into a (matrix,
+    norms) pair for task-closure broadcast — shared by the batch
+    :func:`semantic_contamination` and its streaming face so their
+    math cannot drift.
+
+    Collects ONCE through ``limit(cap+1)``: a count()-then-collect()
+    pair evaluates the benchmark twice, and a source that changes
+    between the two actions could pass the count gate yet collect
+    more rows than the cap. Refuses loudly on overflow and on an
+    EMPTY benchmark (which would mark every document clean — almost
+    certainly a wiring bug upstream)."""
+    import numpy as np
+
+    bench_rows = bench.select(vec_col).limit(_SEMDECON_MAX_BENCH + 1).collect()
+    if len(bench_rows) > _SEMDECON_MAX_BENCH:
+        raise ValueError(
+            f"semantic_contamination: benchmark exceeds the "
+            f"{_SEMDECON_MAX_BENCH}-row cap — past that it's a corpus; "
+            "use the banded/IVF dedup paths instead"
+        )
+    if not bench_rows:
+        raise ValueError(
+            "semantic_contamination: benchmark is empty — there is "
+            "nothing to screen against"
+        )
+    B = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in bench_rows])
+    return B, np.sqrt((B * B).sum(axis=1))
+
+
+def semantic_max_cos_e6(V, B, bnorm):
+    """Max e6-quantized cosine of each row of ``V`` against the
+    benchmark matrix — the one matmul both decontamination faces run.
+    Quantize per pair THEN max: round is nondecreasing, so
+    max(round(x)) == round(max(x)) — stated for the DuckDB oracle,
+    which maxes the quantized pair values the same way."""
+    import numpy as np
+
+    vnorm = np.sqrt((V * V).sum(axis=1))
+    denom = vnorm[:, None] * bnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0.0, 0.0, (V @ B.T) / denom)
+    return np_quantize_e6(cos).max(axis=1)
+
+
 def semantic_contamination(
     corpus: DataFrame,
     bench: DataFrame,
@@ -262,26 +307,7 @@ def semantic_contamination(
     """
     import numpy as np
 
-    # collect ONCE and size-check the collected rows themselves: a
-    # count()-then-collect() pair evaluates the benchmark twice, and a
-    # source that changes between the two actions could pass the count
-    # gate yet collect more rows than the cap
-    bench_rows = bench.select(vec_col).limit(_SEMDECON_MAX_BENCH + 1).collect()
-    if len(bench_rows) > _SEMDECON_MAX_BENCH:
-        raise ValueError(
-            f"semantic_contamination: benchmark exceeds the "
-            f"{_SEMDECON_MAX_BENCH}-row cap — past that it's a corpus; "
-            "use the banded/IVF dedup paths instead"
-        )
-    if not bench_rows:
-        raise ValueError(
-            "semantic_contamination: benchmark is empty — there is "
-            "nothing to screen against (an empty eval set would mark "
-            "every document clean, which is almost certainly a wiring "
-            "bug upstream)"
-        )
-    B = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in bench_rows])
-    bnorm = np.sqrt((B * B).sum(axis=1))
+    B, bnorm = collect_bench_matrix(bench, vec_col)
 
     id_t = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_t}, max_bench_cos_e6 bigint, contaminated boolean"
@@ -291,14 +317,7 @@ def semantic_contamination(
             if not len(pdf):
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            vnorm = np.sqrt((V * V).sum(axis=1))
-            denom = vnorm[:, None] * bnorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0.0, 0.0, (V @ B.T) / denom)
-            # quantize per pair THEN max: round is nondecreasing, so
-            # max(round(x)) == round(max(x)) — stated for the oracle,
-            # which maxes the quantized pair values the same way
-            mx = np_quantize_e6(cos).max(axis=1)
+            mx = semantic_max_cos_e6(V, B, bnorm)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

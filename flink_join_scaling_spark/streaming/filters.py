@@ -368,3 +368,72 @@ def stream_dsir_weights(
     return per.withColumn("nt", F.lit(int(nt))).withColumn(
         "nr", F.lit(int(nr))
     ).select(id_col, "n_toks", dsir_weight_e6_expr())
+
+
+def stream_decontaminate_semantic(
+    sdf: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    threshold_e6: int = 300_000,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Continuous SEMANTIC decontamination: flag (and by default drop)
+    arriving vectors whose max cosine against the static benchmark
+    embedding set reaches ``threshold_e6`` — the vector twin of
+    :func:`stream_decontaminate`, completing the family convention
+    that every batch ingest filter has a streaming face.
+
+    Same closure discipline as the n-gram filter: the benchmark is
+    bounded BY DEFINITION (an eval set — the shared collector refuses
+    loudly past 65536 rows, and collects exactly once), its matrix
+    rides the task closure, and each micro-batch pays one Arrow
+    matmul-max per Arrow batch — stateless map-only, no state store,
+    no shuffle, no watermark, works in append mode. The scoring is
+    literally the batch operator's
+    (``operators.similarity.semantic_max_cos_e6``), so converged
+    output is bit-identical to ``semantic_contamination`` on the same
+    data — asserted in tests/test_streaming_text.py.
+
+    Output: the stream's columns plus ``max_bench_cos_e6``; rows at or
+    past the threshold are dropped unless ``keep_contaminated=True``
+    (then they pass through tagged with ``contaminated``, for
+    quarantine sinks)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_join_scaling_spark.operators.similarity import (
+        collect_bench_matrix,
+        semantic_max_cos_e6,
+    )
+
+    B, bnorm = collect_bench_matrix(benchmark, vec_col)
+    cols = sdf.columns
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    # fresh StructType: StructType.add mutates self in PySpark, and
+    # sdf.schema must stay what it was
+    out_schema = StructType(
+        list(sdf.schema.fields)
+        + [
+            StructField("max_bench_cos_e6", LongType()),
+            StructField("contaminated", BooleanType()),
+        ]
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mx = semantic_max_cos_e6(V, B, bnorm)
+            out = pdf[cols].copy()
+            out["max_bench_cos_e6"] = pd.Series(mx, index=pdf.index, dtype="int64")
+            out["contaminated"] = pd.Series(
+                mx >= threshold_e6, index=pdf.index, dtype="bool"
+            )
+            yield out
+
+    tagged = sdf.mapInPandas(probe, out_schema)
+    if keep_contaminated:
+        return tagged
+    return tagged.where(~F.col("contaminated")).drop("contaminated")

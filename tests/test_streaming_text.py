@@ -351,6 +351,51 @@ def test_stream_decontaminate_matches_batch(streaming_spark, tmp_path):
     assert got_hits == batch_hits
 
 
+def test_stream_decontaminate_semantic_matches_batch(streaming_spark, tmp_path):
+    """The vector twin of stream_decontaminate: converged output is
+    bit-identical to batch semantic_contamination on the same data —
+    same max_bench_cos_e6 integers, same kept set — because the
+    scoring matmul is literally shared (semantic_max_cos_e6)."""
+    from flink_join_scaling_spark.operators.similarity import (
+        semantic_contamination,
+    )
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import (
+        stream_decontaminate_semantic,
+    )
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    bench = vecs.where("vec_id % 50 = 0")
+    corp = vecs.where("vec_id % 50 != 0")
+    t_e6 = 300_000
+    batch = {
+        r.vec_id: (r.max_bench_cos_e6, r.contaminated)
+        for r in semantic_contamination(corp, bench, threshold_e6=t_e6).collect()
+    }
+    assert any(c for _, c in batch.values()), "fixture must flag something"
+
+    sdf = chunked_parquet_stream(spark, corp, str(tmp_path / "chunks"), n_chunks=4)
+    tagged = run_to_memory(
+        stream_decontaminate_semantic(
+            sdf, bench, threshold_e6=t_e6, keep_contaminated=True
+        ),
+        output_mode="append",
+    )
+    got = {
+        r.vec_id: (r.max_bench_cos_e6, r.contaminated) for r in tagged.collect()
+    }
+    assert got == batch
+    # default mode drops flagged vectors, exactly the batch clean set
+    kept = run_to_memory(
+        stream_decontaminate_semantic(sdf, bench, threshold_e6=t_e6),
+        output_mode="append",
+    )
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert kept_ids == {v for v, (_, c) in batch.items() if not c}
+
+
 def test_stream_quality_score_matches_batch_apply(streaming_spark, tmp_path):
     """Continuous classifier scoring keeps exactly the documents the
     batch-trained model accepts, with bit-identical logits — the
