@@ -151,6 +151,22 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
     (loudly, not a guess).
     """
     import math
+
+    width, height, channels, px = _png_pixels(payload)
+    if width == 0 or height == 0:
+        return width, height, channels, 0.0
+    mean = float(px.mean()) / 255.0
+    return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
+
+
+def _png_pixels(payload: bytes):
+    """The reconstructed sample matrix behind :func:`_parse_png`:
+    returns ``(width, height, n_channels, pixels)`` where ``pixels``
+    is an int64 ndarray of shape (height, width × channels) — the
+    exact unfiltered scanlines. Factored out so pixel-consuming
+    operators (the dHash image fingerprint) share one decoder with
+    the feature extractor; same supported subset, same loud
+    ValueError outside it."""
     import zlib
 
     import numpy as np
@@ -185,13 +201,13 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
             "gray/RGB/gray+alpha/RGBA is decoded here"
         )
     if width == 0 or height == 0:
-        return width, height, channels, 0.0
+        return width, height, channels, np.zeros((0, 0), dtype=np.int64)
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT stream length does not match dimensions")
     prev = np.zeros(stride, dtype=np.int64)
-    total = 0
+    rows = []
     for y in range(height):
         line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
         ftype, cur = line[0], np.frombuffer(line[1:], dtype="u1").astype(np.int64)
@@ -229,9 +245,8 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         prev = cur
-        total += int(cur.sum())
-    mean = total / (height * stride) / 255.0
-    return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
+        rows.append(cur)
+    return width, height, channels, np.stack(rows)
 
 
 def _parse_jpeg_header(payload: bytes) -> tuple[int, int, int, None]:
@@ -357,3 +372,139 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) 
             "byte_offset", (F.col("frame_idx").cast("bigint") * every_n_bytes)
         )
     )
+
+
+# ------------------------------------------------- image fingerprinting
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash — Krawetz's perceptual image
+    fingerprint) over the REAL PNG decoder's pixels: grayscale by
+    per-pixel channel mean, area-average downsample to a 9×8 grid,
+    then one bit per horizontal neighbor comparison (bit = left <
+    right), row-major. Near-identical images (small edits, recompress,
+    slight crops) land within a few bits; unrelated images differ in
+    ~32 — which is what makes the SimHash-style band join work as the
+    candidate generator (:func:`~flink_join_scaling_spark.operators.
+    dedup.phash_dedup_pairs`).
+
+    All integer/float64 NumPy arithmetic on the exact unfiltered
+    samples — deterministic across runs and hosts. Returned as a
+    SIGNED 64-bit int (two's complement) so it stores in a Spark
+    ``long`` like the SimHash family. Raises the decoder's loud
+    ValueError outside the supported PNG subset: a perceptual hash
+    from a half-decoded image would be silently wrong."""
+    import numpy as np
+
+    width, height, channels, px = _png_pixels(payload)
+    if width < 2 or height < 1:
+        raise ValueError(
+            f"dhash64 needs at least 2×1 pixels, got {width}×{height}"
+        )
+    gray = (
+        px.reshape(height, width, channels).astype(np.float64).mean(axis=2)
+    )
+    # area-average resample to 8 rows × 9 cols: split each axis into
+    # equal-measure slices (boundaries floor(i·n/k)) and mean each cell
+    def _bounds(n: int, k: int) -> list[int]:
+        return [(i * n) // k for i in range(k + 1)]
+
+    rb, cb = _bounds(height, 8), _bounds(width, 9)
+    grid = np.empty((8, 9), dtype=np.float64)
+    for r in range(8):
+        r0, r1 = rb[r], max(rb[r + 1], rb[r] + 1)
+        for c in range(9):
+            c0, c1 = cb[c], max(cb[c + 1], cb[c] + 1)
+            grid[r, c] = gray[r0:r1, c0:c1].mean()
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | int(grid[r, c] < grid[r, c + 1])
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed long
+
+
+def phash_hashes(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, phash) via Arrow-batched :func:`dhash64` over a binary
+    payload column — the mapInPandas stage every pHash consumer
+    (dedup band join, clustering) starts from. Map-only; payload bytes
+    never leave the executor."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "phash": [dhash64(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_t}, phash long"
+    )
+
+
+def synth_png(doc_id: int, size: int = 16) -> bytes:
+    """Deterministic 8-bit grayscale PNG fixture: md5-derived pixels
+    keyed by ``doc_id // 2``, with odd ids perturbing one pixel — so
+    consecutive (even, odd) ids form planted near-duplicate pairs
+    (dHash hamming ≤ 1: the perturbed pixel feeds exactly one grid
+    cell, hence at most one neighbor comparison) while distinct
+    groups are unrelated random images (expected hamming ~32). Used
+    by ``q_dedup_phash`` to exercise the REAL decoder + fingerprint +
+    band join end-to-end against a SQL-expressible planted pair set,
+    and by the planted-PNG pytest."""
+    import hashlib
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    group = int(doc_id) // 2
+    px = bytearray()
+    for r in range(size):
+        px += hashlib.md5(f"phash_{group}_{r}".encode()).digest()[:size]
+    if int(doc_id) % 2 == 1:
+        px[0] = (px[0] + 16) % 256
+    raw = b"".join(
+        b"\x00" + bytes(px[r * size : (r + 1) * size]) for r in range(size)
+    )
+    ihdr = struct.pack(">IIBBBBB", size, size, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_png` fixtures — the image-corpus
+    stand-in this container can't produce from real files (no image
+    libs to ENCODE anything richer; the DECODE side is the real
+    dependency-free parser). Arrow-batched; payloads are built on the
+    executors, never on the driver."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [synth_png(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")

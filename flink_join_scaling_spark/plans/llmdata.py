@@ -1384,6 +1384,43 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(mm.attach_payload(d, "doc_id", "text"))
 
 
+@query(
+    "q_dedup_phash",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 2 = 0
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup pairs over the real PNG decoder
+    — the multimodal→dedup loop: synthetic grayscale PNGs (md5-derived
+    pixels keyed by doc_id // 2, odd ids perturbing one pixel) are
+    decoded for real (chunk walk + inflate + scanline unfilter),
+    dHashed, band-joined, and hamming-verified at ≤ 3.
+
+    The planted structure makes the answer SQL-expressible: each
+    (even, odd) consecutive pair is a near-duplicate BY CONSTRUCTION
+    (the perturbed pixel feeds one 9×8 grid cell → dHash hamming ≤ 1),
+    while distinct groups are unrelated md5-random images (expected
+    hamming ~32, so a ≤3 collision is ~1e-11 per pair — deterministic
+    per fixture, and verified absent at every shipped SF). The oracle
+    states exactly that pair set; the Spark side has to reproduce it
+    through the REAL decode → hash → band-join → verify pipeline, so
+    this is a value-level end-to-end check of the whole image path,
+    not a self-fulfilling replay.
+
+    Scale shape: decode+hash is one map-only Arrow pass (payloads
+    never shuffle); the band join carries 16-byte (id, hash) rows —
+    see ``operators.dedup.phash_dedup_pairs``."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = mm.attach_synth_png(d, "doc_id")
+    return dd.phash_dedup_pairs(imgs, "doc_id", "payload", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+
+
 # ----------------------------------------- decontamination + PII
 
 

@@ -439,3 +439,95 @@ def test_read_media_dir_source(spark, tmp_path):
     assert (feats[0]["width"], feats[0]["height"], feats[0]["n_channels"]) == (
         rate, frames, ch,
     )
+
+
+# ------------------------------------------------- pHash image dedup
+
+
+def test_png_pixels_roundtrip_exact():
+    """_png_pixels must return the EXACT encoder pixels (all filter
+    types) — the dHash consumer is only as good as this matrix."""
+    import numpy as np
+
+    pixels = [
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        [[15, 25, 35], [45, 55, 65], [75, 85, 95]],
+        [[200, 100, 0], [0, 200, 100], [100, 0, 200]],
+        [[255, 0, 255], [1, 2, 3], [250, 251, 252]],
+        [[128, 128, 128], [0, 0, 0], [255, 255, 255]],
+    ]
+    png = _png_bytes(pixels, channels=3, filters=[0, 1, 2, 3, 4])
+    w, h, ch, px = mm._png_pixels(png)
+    assert (w, h, ch) == (3, 5, 3)
+    expected = np.array(
+        [[c for p in row for c in p] for row in pixels], dtype=np.int64
+    )
+    assert (px == expected).all()
+
+
+def test_dhash_planted_near_duplicate_and_unrelated():
+    """dHash contract: identical image → hamming 0; a one-pixel edit →
+    within a couple of bits (it feeds one 9×8 grid cell); an unrelated
+    random image → tens of bits. These gaps are what make the banded
+    candidate join both complete (≤3) and selective."""
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    a = mm.dhash64(mm.synth_png(0))
+    assert mm.dhash64(mm.synth_png(0)) == a  # deterministic
+    near = mm.dhash64(mm.synth_png(1))  # same group, one pixel bumped
+    far = mm.dhash64(mm.synth_png(8))  # different md5 group
+    assert ham(a, near) <= 2
+    assert ham(a, far) > 10
+
+
+def test_dhash_rejects_undecodable_and_tiny():
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.dhash64(b"JFIF-ish bytes")
+    one_px = _png_bytes([[7]], channels=1, filters=[0])
+    with pytest.raises(ValueError, match="at least 2"):
+        mm.dhash64(one_px)
+
+
+def test_phash_dedup_finds_planted_pair(spark):
+    """End-to-end through Spark: the planted near-identical PNG pair
+    (one-pixel edit) is found by the band join + hamming verify; the
+    unrelated image pairs with nothing."""
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    rows = [(i, mm.synth_png(i)) for i in (0, 1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.phash_dedup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] <= 2
+
+
+def test_phash_band_join_is_pigeonhole_complete(spark):
+    """Every ≤3-hamming pair must be found (4 disjoint 16-bit bands →
+    at least one equal band): plant a pair that differs in exactly 3
+    bits spread across THREE bands — the worst case short of a miss —
+    plus brute-force cross-check over the whole fixture set."""
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    base = mm.dhash64(mm.synth_png(0))
+    # craft a payload-level 3-band difference via pixel edits is not
+    # controllable bit-by-bit, so cross-check against brute force on
+    # real fixtures instead: all pairs among 20 synthetic images
+    rows = [(i, mm.synth_png(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.phash_dedup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    hashes = {i: mm.dhash64(mm.synth_png(i)) for i in range(20)}
+    brute = {
+        (a, b)
+        for a in range(20)
+        for b in range(a + 1, 20)
+        if ham(hashes[a], hashes[b]) <= 3
+    }
+    assert got == brute
+    assert brute  # the planted pairs make this non-vacuous
+    assert base == hashes[0]
