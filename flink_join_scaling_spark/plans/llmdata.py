@@ -1421,6 +1421,46 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_phash_apply",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT (d.doc_id % 2 = 1 AND EXISTS (
+        SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1))
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pHash-deduplicated image corpus: connected components over
+    the perceptual near-dup pairs, keep the MIN doc_id per component
+    (the winnow-apply keeper rule — a perceptual match says the images
+    LOOK the same, so a quality election between members is not
+    meaningful), drop the rest via LEFT ANTI against the pair-sized
+    loser set. Completes the census→apply symmetry for the image
+    family.
+
+    Under the planted fixture structure the kept set is
+    SQL-expressible (every odd id with an even sibling loses), so the
+    full component→election→anti-join pipeline is value-checked, not
+    just row-counted.
+
+    Scale shape: the pair census's map-only decode+hash + band join,
+    plus min-label propagation over the PAIR SET only; the corpus
+    shuffles once, on its id, against a loser set bounded by the pair
+    census."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = mm.attach_synth_png(d, "doc_id")
+    pairs = dd.phash_dedup_pairs(imgs, "doc_id", "payload", max_hamming=3)
+    comp = dd.connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 # ----------------------------------------- decontamination + PII
 
 

@@ -381,13 +381,20 @@ def stream_dedup_winnow(
     )
 
 
-def _sim_members_fn(max_bucket: int, max_hamming: int):
+def _sim_members_fn(max_bucket: int, max_hamming: int, bits: int = 32):
     """Per-(band_idx, band_val) state: membership (id, simhash) pairs;
     a new doc emits an exact-hamming-verified pair against each member
     within ``max_hamming``, then joins. Verification happens IN the
     state update (unlike the minhash detector, which emits unverified
     candidates) because the simhash IS the verifier — no second pass
-    over text needed."""
+    over text needed.
+
+    ``bits`` sizes the XOR mask for the popcount: the 32-bit simhash
+    stores non-negative longs, but the 64-bit dHash uses the sign bit
+    (two's complement in a Spark long), and Python's ``bin()`` on a
+    NEGATIVE xor would count the wrong thing — mask to the hash width
+    first."""
+    mask = (1 << bits) - 1
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -403,7 +410,7 @@ def _sim_members_fn(max_bucket: int, max_hamming: int):
                 if new_id in seen or len(ids) >= max_bucket:
                     continue
                 for mid, msim in zip(ids, sims):
-                    h = bin(msim ^ new_sim).count("1")
+                    h = bin((msim ^ new_sim) & mask).count("1")
                     if h <= max_hamming:
                         out_a.append(min(mid, new_id))
                         out_b.append(max(mid, new_id))
@@ -759,6 +766,55 @@ def stream_ema(
         outputStructType=out_schema,
         stateStructType="ts array<long>, ids array<long>, vals array<double>, "
         "dropped long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_phash(
+    sdf: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming perceptual-hash IMAGE near-dup detection (the
+    continuous face of ``operators.dedup.phash_dedup_pairs``): each
+    arriving image is REALLY decoded and dHashed where it arrives
+    (Arrow ``mapInPandas`` over the binary payload — bytes never reach
+    the stateful exchange, which carries only (id, 64-bit hash) rows),
+    split into the batch path's 4 sixteen-bit bands
+    (pigeonhole-complete for hamming ≤ 3), and verified against the
+    keyed band-membership state exactly like the SimHash detector —
+    the hash IS the verifier, so pairs emit hamming-checked from the
+    state update. A pair sharing several bands may emit from each;
+    consumers ``distinct()`` (the batch path does the same
+    internally).
+
+    Converged verified pair set == batch ``phash_dedup_pairs`` on the
+    same images, MODULO the ``max_bucket`` cap (same contract and
+    equivalence test as the SimHash face). ``bits=64`` on the shared
+    member fn: dHash uses the sign bit, and an unmasked Python XOR of
+    negative longs would popcount the wrong value."""
+    from flink_join_scaling_spark.operators.multimodal import phash_hashes
+
+    hashes = phash_hashes(sdf, id_col, payload_col).select(
+        F.col(id_col).cast("long").alias("__sim_id"),
+        F.col("phash").alias("simhash"),
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+    bands = hashes.select(
+        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
+        _sim_members_fn(max_bucket, max_hamming, bits=64),
+        outputStructType="id_a long, id_b long, hamming long",
+        stateStructType="ids array<long>, sims array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

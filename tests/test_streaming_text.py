@@ -844,3 +844,34 @@ def test_stream_dsir_weights_scores_unseen_buckets(streaming_spark, tmp_path):
         10: (2, w_e6([0, 0], [0, 0], 2)),
         11: (2, w_e6([0, 2], [0, 2], 2)),
     }
+
+
+def test_stream_dedup_phash_matches_batch(streaming_spark, tmp_path):
+    """Continuous image near-dup detection: converged verified pair
+    set equals batch phash_dedup_pairs on the same images (cap lifted)
+    — real PNG decode + dHash on arrival, band-membership state, and
+    the 64-bit XOR mask (dHash uses the sign bit; an unmasked Python
+    popcount of a negative xor would be wrong — this test plants pairs
+    whose hashes exercise that path)."""
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.operators import multimodal as mmod
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_phash
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    ids = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    imgs = mmod.attach_synth_png(ids, "doc_id")
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.phash_dedup_pairs(imgs, "doc_id", max_hamming=3).collect()
+    }
+    assert len(batch) >= 12, "fixture must produce the planted pairs"
+
+    sdf = chunked_parquet_stream(spark, imgs, str(tmp_path / "chunks"), n_chunks=4)
+    em = run_to_memory(
+        stream_dedup_phash(sdf, "doc_id", max_bucket=1 << 20),
+        output_mode="update",
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
+    assert got == batch
