@@ -1057,7 +1057,14 @@ def phash_dedup_pairs(
     """
     from flink_join_scaling_spark.operators.multimodal import phash_hashes
 
-    hashes = phash_hashes(df, id_col, payload_col)
+    # materialize the hash table ONCE before the self-join: both band
+    # sides read the same (id, phash) rows, and without the checkpoint
+    # Catalyst evaluates the decode+hash MapInPandas subtree once PER
+    # SIDE — re-decoding the whole image corpus is exactly the cost
+    # this operator exists to pay once (the embedding_dedup_pairs_ivf
+    # assignment-pass lesson; a production build persists the hash
+    # table to storage here)
+    hashes = phash_hashes(df, id_col, payload_col).localCheckpoint(eager=True)
     band_arr = F.array(
         *[
             F.shiftright(F.col("phash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
