@@ -396,6 +396,12 @@ def main() -> None:
         # closure, corpus streams once through the Arrow matmul-max —
         # wall should track the scan (map-only, no exchange at all)
         "q_decontaminate_semantic": plan_probe("q_decontaminate_semantic"),
+        # r10 image dedup: decode+dHash is ONE materialized map pass
+        # (payloads never shuffle); the band join carries 16-byte rows
+        # and the planted pair set grows linearly with the corpus —
+        # wall should track the Python decode scan
+        "q_dedup_phash": plan_probe("q_dedup_phash"),
+        "q_dedup_phash_apply": plan_probe("q_dedup_phash_apply"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
