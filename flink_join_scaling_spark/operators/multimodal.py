@@ -448,6 +448,157 @@ def phash_hashes(
     )
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    """length + type + data + CRC — one PNG chunk."""
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(px, width: int, height: int, channels: int) -> bytes:
+    """Minimal REAL PNG encoder for 8-bit non-interlaced images
+    (filter type 0 per scanline, stdlib zlib) — the inverse of the
+    subset :func:`_png_pixels` decodes, so resize output round-trips
+    through the same decoder. ``px`` is an int array of shape
+    (height, width × channels) with values in [0, 255]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    arr = np.asarray(px, dtype=np.int64)
+    if arr.shape != (height, width * channels):
+        raise ValueError(
+            f"pixel shape {arr.shape} != ({height}, {width * channels})"
+        )
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("pixel values outside [0, 255]")
+    body = arr.astype(np.uint8).tobytes()
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + body[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize: decode (:func:`_png_pixels`), per-channel
+    area-average downsample to ``out_w × out_h`` (equal-measure cell
+    boundaries ``floor(i·n/k)`` — the dHash grid rule), SQL-half-up
+    round back to uint8, re-encode (:func:`_png_encode`). Entirely
+    stdlib + NumPy, deterministic across hosts; raises the decoder's
+    loud ValueError outside the supported subset and refuses UPsampling
+    (area-averaging is a downsample; interpolation policy belongs to a
+    real imaging library)."""
+    import math
+
+    import numpy as np
+
+    width, height, channels, px = _png_pixels(payload)
+    if out_w < 1 or out_h < 1 or out_w > width or out_h > height:
+        raise ValueError(
+            f"resize_png downsamples only: {width}x{height} -> "
+            f"{out_w}x{out_h} is not a downsample"
+        )
+    cube = px.reshape(height, width, channels).astype(np.float64)
+
+    def _bounds(n: int, k: int) -> list[int]:
+        return [(i * n) // k for i in range(k + 1)]
+
+    rb, cb = _bounds(height, out_h), _bounds(width, out_w)
+    out = np.empty((out_h, out_w, channels), dtype=np.int64)
+    for r in range(out_h):
+        r0, r1 = rb[r], max(rb[r + 1], rb[r] + 1)
+        for c in range(out_w):
+            c0, c1 = cb[c], max(cb[c + 1], cb[c] + 1)
+            cell = cube[r0:r1, c0:c1, :].mean(axis=(0, 1))
+            out[r, c, :] = [int(math.floor(v + 0.5)) for v in cell]
+    return _png_encode(out.reshape(out_h, out_w * channels), out_w, out_h, channels)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """(id, payload, width, height) with every PNG payload REALLY
+    resized via :func:`resize_png` — the resize stage of the
+    decode/feature-extract/resize/frame-sample quartet, as an
+    Arrow-batched ``mapInPandas``: payloads in and out stay on the
+    executors, one Python worker sees columnar batches. The emitted
+    width/height come from RE-DECODING the resized payload (not from
+    the arguments), so a broken encoder can't silently claim
+    success."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads, widths, heights = [], [], []
+            for p in pdf[payload_col]:
+                rp = resize_png(bytes(p), out_w, out_h)
+                w, h, _ch, _px = _png_pixels(rp)
+                payloads.append(rp)
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": payloads,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary, width int, height int"
+    )
+
+
+def png_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, width, height, n_channels, mean_byte) via the REAL PNG
+    decoder over a binary column — the image projection of
+    ``decode_media(decoder="real")`` without requiring the media_type
+    plumbing (for frames already known to be PNG)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [_parse_png(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                feats, columns=["width", "height", "n_channels", "mean_byte"]
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} {id_t}, width int, height int, n_channels int, mean_byte double",
+    )
+
+
 def synth_png(doc_id: int, size: int = 16) -> bytes:
     """Deterministic 8-bit grayscale PNG fixture: md5-derived pixels
     keyed by ``doc_id // 2``, with odd ids perturbing one pixel — so
@@ -459,16 +610,8 @@ def synth_png(doc_id: int, size: int = 16) -> bytes:
     band join end-to-end against a SQL-expressible planted pair set,
     and by the planted-PNG pytest."""
     import hashlib
-    import struct
-    import zlib
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
+    import numpy as np
 
     group = int(doc_id) // 2
     px = bytearray()
@@ -476,16 +619,8 @@ def synth_png(doc_id: int, size: int = 16) -> bytes:
         px += hashlib.md5(f"phash_{group}_{r}".encode()).digest()[:size]
     if int(doc_id) % 2 == 1:
         px[0] = (px[0] + 16) % 256
-    raw = b"".join(
-        b"\x00" + bytes(px[r * size : (r + 1) * size]) for r in range(size)
-    )
-    ihdr = struct.pack(">IIBBBBB", size, size, 8, 0, 0, 0, 0)  # 8-bit gray
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
-    )
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+    return _png_encode(arr.reshape(size, size), size, size, 1)
 
 
 def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:

@@ -1461,6 +1461,50 @@ def q_dedup_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           TRUE AS mean_ok
+    FROM documents
+    """,
+    tags=("llmdata", "multimodal", "pandas"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through Spark: synthetic 16×16 PNGs are
+    decoded, area-average downsampled to 8×8, re-ENCODED as PNG
+    (stdlib zlib, filter-0 scanlines), then RE-DECODED — the emitted
+    width/height come from the re-decode, and ``mean_ok`` asserts the
+    resized image's mean sample stays within rounding distance
+    (≤ 2/255 normalized) of the original's, which area-averaging
+    preserves by construction. A broken resize, encoder, or decoder
+    either raises (decode is loud) or misses the invariant — the
+    oracle states the only acceptable outcome, so this is the
+    self-attesting pattern of the recall queries applied to the
+    resize stage of the decode/feature/resize/frame-sample quartet.
+
+    Scale shape: two map-only Arrow passes (resize+re-decode, feature
+    probe) joined on the id — payload bytes never shuffle; the join
+    carries fixed-width feature rows."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = mm.attach_synth_png(d, "doc_id")
+    orig = mm.png_features(imgs, "doc_id").select(
+        "doc_id", F.col("mean_byte").alias("mean_orig")
+    )
+    resized = mm.resize_images(imgs, "doc_id", out_w=8, out_h=8)
+    rfeat = mm.png_features(resized, "doc_id").select(
+        "doc_id", "width", "height", F.col("mean_byte").alias("mean_res")
+    )
+    return orig.join(rfeat, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        (F.abs(F.col("mean_res") - F.col("mean_orig")) <= 2.0 / 255.0).alias(
+            "mean_ok"
+        ),
+    )
+
+
 # ----------------------------------------- decontamination + PII
 
 

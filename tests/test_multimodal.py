@@ -531,3 +531,74 @@ def test_phash_band_join_is_pigeonhole_complete(spark):
     assert got == brute
     assert brute  # the planted pairs make this non-vacuous
     assert base == hashes[0]
+
+
+# ------------------------------------------------- real resize
+
+
+def test_png_encode_decode_roundtrip_rgb():
+    """The minimal encoder is the exact inverse of the decoder on its
+    shared subset — RGB pixels in, identical pixels out."""
+    import numpy as np
+
+    rng = np.arange(2 * 3 * 3, dtype=np.int64).reshape(2, 9) * 13 % 256
+    png = mm._png_encode(rng, width=3, height=2, channels=3)
+    w, h, ch, px = mm._png_pixels(png)
+    assert (w, h, ch) == (3, 2, 3)
+    assert (px == rng).all()
+
+
+def test_resize_png_exact_block_means():
+    """16x16 -> 8x8 area-average: every output sample equals the
+    half-up-rounded mean of its 2x2 source block, exactly."""
+    import numpy as np
+
+    p = mm.synth_png(0)
+    _w, _h, _ch, px = mm._png_pixels(p)
+    r = mm.resize_png(p, 8, 8)
+    w, h, ch, rx = mm._png_pixels(r)
+    assert (w, h, ch) == (8, 8, 1)
+    blocks = px.reshape(16, 16).astype(float).reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    assert (rx.reshape(8, 8) == np.floor(blocks + 0.5).astype(int)).all()
+
+
+def test_resize_png_rgb_and_uneven_grid():
+    """Non-divisible target (3x5 RGB -> 2x2) uses the equal-measure
+    boundaries; channels resize independently."""
+    pixels = [
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+        [[15, 25, 35], [45, 55, 65], [75, 85, 95]],
+        [[200, 100, 0], [0, 200, 100], [100, 0, 200]],
+        [[255, 0, 255], [1, 2, 3], [250, 251, 252]],
+        [[128, 128, 128], [0, 0, 0], [255, 255, 255]],
+    ]
+    png = _png_bytes(pixels, channels=3, filters=[0, 1, 2, 3, 4])
+    r = mm.resize_png(png, 2, 2)
+    w, h, ch, rx = mm._png_pixels(r)
+    assert (w, h, ch) == (2, 2, 3)
+    # spot-check cell (0,0): rows 0-1, col 0 only (bounds floor(i*3/2) = [0,1,3])
+    import numpy as np
+
+    cube = np.array(
+        [[c for p in row for c in p] for row in pixels], dtype=float
+    ).reshape(5, 3, 3)
+    cell = cube[0:2, 0:1, :].mean(axis=(0, 1))
+    assert list(rx.reshape(2, 2, 3)[0, 0, :]) == [int(np.floor(v + 0.5)) for v in cell]
+
+
+def test_resize_png_refuses_upsample():
+    with pytest.raises(ValueError, match="downsample"):
+        mm.resize_png(mm.synth_png(0), 32, 8)
+
+
+def test_resize_images_through_spark(spark):
+    """The mapInPandas stage emits re-decoded dims and payloads that
+    decode to the exact block means."""
+    rows = [(i, mm.synth_png(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mm.resize_images(df, "doc_id", out_w=4, out_h=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for i, r in out.items():
+        assert (r.width, r.height) == (4, 4)
+        w, h, ch, px = mm._png_pixels(bytes(r.payload))
+        assert (w, h, ch) == (4, 4, 1)
