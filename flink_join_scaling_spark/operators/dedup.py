@@ -1034,6 +1034,55 @@ def simhash_dedup_pairs(
     )
 
 
+def hash64_band_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over a precomputed 64-bit fingerprint column:
+    candidates from 4 sixteen-bit band equi-joins
+    (pigeonhole-complete for hamming ≤ 3 — :func:`simhash_dedup_pairs`'
+    argument), exact hamming verify in-band, dedup exchange last. The
+    shared tail of every 64-bit perceptual family (image dHash, audio
+    energy-envelope hash); callers materialize the hash table before
+    passing it so their expensive decode stage runs once.
+
+    The band join is 4 hash-partitioned self-joins on a 16-bit value;
+    the hamming filter runs BEFORE the pair-dedup exchange so
+    distinct() shuffles only surviving pairs. At 100 TB of media the
+    hash table is ~16 bytes/row — the join input is 6-7 orders of
+    magnitude smaller than the corpus."""
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+    bands = hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__h64"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col("__h64").alias("h_a"), "band_idx", "band_val"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col("__h64").alias("h_b"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, on=["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("h_a ^ h_b")).cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def phash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -1041,19 +1090,14 @@ def phash_dedup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Image near-dup pairs by perceptual hash: 64-bit dHash over the
-    REAL PNG decoder's pixels (``multimodal.dhash64``), candidates
-    from 4 sixteen-bit band equi-joins (pigeonhole-complete for
-    hamming ≤ 3 — same argument as :func:`simhash_dedup_pairs`), exact
-    hamming verify in-band. Closes the multimodal→dedup loop: binary
-    image columns are first-class dedup inputs, not just metadata.
+    REAL PNG decoder's pixels (``multimodal.dhash64``), then the
+    shared :func:`hash64_band_pairs` tail. Closes the multimodal→dedup
+    loop: binary image columns are first-class dedup inputs, not just
+    metadata.
 
     Scale shape: the expensive stage (decode + hash) is ONE map-only
     Arrow pass — payload bytes never shuffle; everything after carries
-    (id, 64-bit hash) rows only. The band join is 4 hash-partitioned
-    self-joins on a 16-bit value; the hamming filter runs BEFORE the
-    pair-dedup exchange so distinct() shuffles only surviving pairs.
-    At 100 TB of images the hash table is ~16 bytes/row — the band
-    join's input is 6-7 orders of magnitude smaller than the corpus.
+    (id, 64-bit hash) rows only.
     """
     from flink_join_scaling_spark.operators.multimodal import phash_hashes
 
@@ -1065,34 +1109,29 @@ def phash_dedup_pairs(
     # assignment-pass lesson; a production build persists the hash
     # table to storage here)
     hashes = phash_hashes(df, id_col, payload_col).localCheckpoint(eager=True)
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("phash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
+    return hash64_band_pairs(hashes, id_col, "phash", max_hamming)
+
+
+def audiohash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """AUDIO near-dup pairs by energy-envelope fingerprint: 64-bit
+    hash over the REAL WAV decoder's PCM samples
+    (``multimodal.audiohash64`` — per-window mean |amplitude| deltas,
+    the dHash idea on the time axis), then the shared
+    :func:`hash64_band_pairs` tail. Extends the multimodal→dedup loop
+    to audio columns; same scale shape as the image family (decode +
+    hash is one materialized map pass, the join carries 16-byte
+    rows)."""
+    from flink_join_scaling_spark.operators.multimodal import audiohash_hashes
+
+    hashes = audiohash_hashes(df, id_col, payload_col).localCheckpoint(
+        eager=True
     )
-    bands = hashes.select(
-        F.col(id_col),
-        F.col("phash"),
-        F.posexplode(band_arr).alias("band_idx", "band_val"),
-    )
-    left = bands.select(
-        F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a"), "band_idx", "band_val"
-    )
-    right = bands.select(
-        F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b"), "band_idx", "band_val"
-    )
-    return (
-        left.join(right, on=["band_idx", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.expr("ph_a ^ ph_b")).cast("bigint").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return hash64_band_pairs(hashes, id_col, "audiohash", max_hamming)
 
 
 # --------------------------------------------------- embedding cosine

@@ -643,3 +643,162 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")
+
+
+# ------------------------------------------------- audio fingerprinting
+
+
+def _wav_samples(payload: bytes):
+    """Mono float64 PCM samples behind :func:`_parse_wav`: decode the
+    RIFF chunks with the same walk/validation, mix channels down by
+    mean, and return ``(sample_rate, samples)`` where samples are
+    centered amplitudes (value − 128 for 8-bit, raw for 16-bit).
+    Factored for sample-consuming operators (the audio fingerprint);
+    same supported subset, same loud ValueError outside it."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, channels={channels}, "
+            f"bits={bits}); only PCM 8/16-bit is decoded here"
+        )
+    bytes_per_frame = channels * (bits // 8)
+    usable = len(data) - (len(data) % bytes_per_frame)
+    if usable == 0:
+        return sample_rate, np.zeros(0, dtype=np.float64)
+    if bits == 16:
+        s = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+    else:
+        s = np.frombuffer(data[:usable], dtype="u1").astype(np.float64) - 128.0
+    mono = s.reshape(-1, channels).mean(axis=1)
+    return sample_rate, mono
+
+
+def audiohash64(payload: bytes) -> int:
+    """64-bit audio energy-envelope fingerprint over the REAL WAV
+    decoder's samples: mono mixdown, 65 equal-measure time windows
+    (boundaries ``floor(i·n/65)`` — the dHash grid rule on the time
+    axis), mean |amplitude| per window, one bit per neighboring-window
+    comparison (bit = earlier < later). Re-encoded, slightly-edited,
+    or level-tweaked audio lands within a few bits; unrelated audio
+    differs in ~32 — the property the banded candidate join
+    (:func:`~flink_join_scaling_spark.operators.dedup.
+    audiohash_dedup_pairs`) needs. Signed 64-bit like the dHash.
+    Raises the decoder's loud ValueError outside the supported subset
+    or when there are fewer samples than windows."""
+    import numpy as np
+
+    _rate, mono = _wav_samples(payload)
+    n = len(mono)
+    if n < 65:
+        raise ValueError(f"audiohash64 needs >= 65 samples, got {n}")
+    bounds = [(i * n) // 65 for i in range(66)]
+    env = np.empty(65, dtype=np.float64)
+    absx = np.abs(mono)
+    for w in range(65):
+        lo, hi = bounds[w], max(bounds[w + 1], bounds[w] + 1)
+        env[w] = absx[lo:hi].mean()
+    bits = 0
+    for w in range(64):
+        bits = (bits << 1) | int(env[w] < env[w + 1])
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audiohash_hashes(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, audiohash) via Arrow-batched :func:`audiohash64` — the
+    audio twin of :func:`phash_hashes`; payload bytes never leave the
+    executor."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "audiohash": [
+                        audiohash64(bytes(p)) for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_t}, audiohash long"
+    )
+
+
+def synth_wav(doc_id: int, n_windows: int = 65, window: int = 32) -> bytes:
+    """Deterministic 8-bit PCM mono WAV fixture: each of the 65
+    envelope windows holds a constant md5-derived level keyed by
+    ``doc_id // 2``, with odd ids bumping one window's level — so
+    consecutive (even, odd) ids are planted near-duplicates
+    (audiohash hamming ≤ 2: one window feeds two neighbor
+    comparisons) while distinct groups are unrelated (expected
+    hamming ~32). The audio twin of :func:`synth_png`, used by
+    ``q_dedup_audiohash`` and the planted-WAV pytest."""
+    import hashlib
+    import struct
+
+    group = int(doc_id) // 2
+    levels = [
+        hashlib.md5(f"audio_{group}_{w}".encode()).digest()[0]
+        for w in range(n_windows)
+    ]
+    if int(doc_id) % 2 == 1:
+        levels[0] = (levels[0] + 8) % 256
+    data = bytes(v for v in levels for _ in range(window))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def attach_synth_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_wav` fixtures — the audio-corpus
+    stand-in (this container can't encode real recordings; the DECODE
+    side is the real dependency-free parser). Arrow-batched on the
+    executors like :func:`attach_synth_png`."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [synth_wav(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")

@@ -1462,6 +1462,38 @@ def q_dedup_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_audiohash",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 2 = 0
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-envelope AUDIO near-dup pairs over the real WAV decoder
+    — the audio leg of the multimodal→dedup loop: synthetic 8-bit PCM
+    fixtures (65 md5-derived window levels keyed by doc_id // 2, odd
+    ids bumping one level) are REALLY decoded (RIFF walk + PCM
+    mixdown), envelope-hashed (64 neighbor-window comparisons — the
+    dHash idea on the time axis), band-joined, hamming-verified at
+    ≤ 3.
+
+    Same planted-structure argument as ``q_dedup_phash``: the pair set
+    is SQL-expressible (consecutive even/odd ids; the bumped window
+    moves at most two envelope bits, unrelated groups sit ~32 bits
+    apart), so the full decode → hash → band join → verify pipeline is
+    value-checked end-to-end. Scale shape: decode+hash is one
+    materialized map pass, the join carries 16-byte rows
+    (``operators.dedup.audiohash_dedup_pairs``)."""
+    d = load_table(spark, sf_dir, "documents")
+    auds = mm.attach_synth_wav(d, "doc_id")
+    return dd.audiohash_dedup_pairs(auds, "doc_id", "payload", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,

@@ -602,3 +602,83 @@ def test_resize_images_through_spark(spark):
         assert (r.width, r.height) == (4, 4)
         w, h, ch, px = mm._png_pixels(bytes(r.payload))
         assert (w, h, ch) == (4, 4, 1)
+
+
+# ------------------------------------------------- audio fingerprint
+
+
+def test_wav_samples_roundtrip_and_mixdown():
+    """_wav_samples returns the exact centered PCM samples; stereo
+    mixes down by mean."""
+    import struct
+
+    import numpy as np
+
+    def wav(data: bytes, channels: int = 1, bits: int = 8) -> bytes:
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, 8000,
+            8000 * channels * (bits // 8), channels * (bits // 8), bits,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rate, mono = mm._wav_samples(wav(bytes([0, 128, 255, 130])))
+    assert rate == 8000
+    assert list(mono) == [-128.0, 0.0, 127.0, 2.0]
+    # stereo 16-bit: mean of the two channels
+    data = struct.pack("<4h", 100, 300, -50, 50)
+    rate, mono = mm._wav_samples(wav(data, channels=2, bits=16))
+    assert list(mono) == [200.0, 0.0]
+
+
+def test_audiohash_planted_near_duplicate_and_unrelated():
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    a = mm.audiohash64(mm.synth_wav(0))
+    assert mm.audiohash64(mm.synth_wav(0)) == a
+    near = mm.audiohash64(mm.synth_wav(1))
+    far = mm.audiohash64(mm.synth_wav(8))
+    assert ham(a, near) <= 2
+    assert ham(a, far) > 10
+
+
+def test_audiohash_rejects_undecodable_and_short():
+    with pytest.raises(ValueError, match="not a RIFF"):
+        mm.audiohash64(b"\x89PNG not audio")
+    with pytest.raises(ValueError, match=">= 65 samples"):
+        mm.audiohash64(mm.synth_wav(0, n_windows=2, window=2))
+
+
+def test_audiohash_dedup_finds_planted_pair(spark):
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    rows = [(i, mm.synth_wav(i)) for i in (0, 1, 8)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.audiohash_dedup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+
+
+def test_audiohash_band_join_matches_brute_force(spark):
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    n = 20
+    rows = [(i, mm.synth_wav(i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.audiohash_dedup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    hs = {i: mm.audiohash64(mm.synth_wav(i)) for i in range(n)}
+    brute = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if ham(hs[a], hs[b]) <= 3
+    }
+    assert got == brute and brute
