@@ -402,6 +402,12 @@ def main() -> None:
         # wall should track the Python decode scan
         "q_dedup_phash": plan_probe("q_dedup_phash"),
         "q_dedup_phash_apply": plan_probe("q_dedup_phash_apply"),
+        # audio twin of the phash probe (real WAV decode per row) and
+        # the resize stage (decode + area-average + re-encode +
+        # re-decode per row — the heaviest per-row Python in the repo;
+        # wall should track the map pass exactly, zero exchanges)
+        "q_dedup_audiohash": plan_probe("q_dedup_audiohash"),
+        "q_multimodal_resize": plan_probe("q_multimodal_resize"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
