@@ -554,3 +554,50 @@ def test_winnow_bucket_state_survives_restart(streaming_spark, tmp_path):
     }
     assert (1, 2) in got, "cross-restart pair lost — bucket state not recovered"
     assert dict(got) == batch
+
+
+def test_phash_bucket_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous image near-dup detector:
+    the band-membership state (id + 64-bit dHash per bucket)
+    rehydrates from the checkpoint, so a post-restart arrival of the
+    planted near-duplicate still emits the cross-restart pair — and
+    the hamming it emits equals the batch pipeline's."""
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.dedup import phash_dedup_pairs
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_phash
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    schema_str = "doc_id long, payload binary"
+    df1 = spark.createDataFrame(
+        [(0, mm.synth_png(0)), (8, mm.synth_png(8))], schema_str
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_phash(_read_stream(spark, src, df1.schema), "doc_id"),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame([(1, mm.synth_png(1))], schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_phash(_read_stream(spark, src, df1.schema), "doc_id"),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in em.itertuples(index=False)}
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_dedup_pairs(
+            df1.unionByName(df2), "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert any(p[:2] == (0, 1) for p in got), (
+        "cross-restart pair lost — band state not recovered"
+    )
+    assert got == batch
