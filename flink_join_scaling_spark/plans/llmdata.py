@@ -1386,6 +1386,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_phash",
+    headline=True,
     oracle="""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -1463,6 +1464,7 @@ def q_dedup_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_audiohash",
+    headline=True,
     oracle="""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1

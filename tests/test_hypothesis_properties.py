@@ -647,3 +647,96 @@ def test_nb_scores_match_pure_python(spark, docs):
                 s += math.log(x + 1.0)
             s -= len(toks) * math.log(n_c[c] + V)
             assert got[i][j] == round(s * 1e6)
+
+
+# ---------------------------------------- media fingerprint locality
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=1, max_value=255),
+)
+@settings(max_examples=30, deadline=None)
+def test_dhash_one_pixel_edit_is_local(seed, pos_mod, delta):
+    """The locality property the planted image fixtures (and the ≤3
+    band-join threshold) rest on: editing ONE pixel of a 16x16 gray
+    image moves the dHash by at most 2 bits (the pixel feeds one 9x8
+    grid cell, which participates in at most 2 neighbor compares)."""
+    import hashlib
+
+    import numpy as np
+
+    from flink_join_scaling_spark.operators import multimodal as mm
+
+    px = bytearray()
+    for r in range(16):
+        px += hashlib.md5(f"hyp_{seed}_{r}".encode()).digest()[:16]
+    base = mm._png_encode(
+        np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64).reshape(16, 16),
+        16, 16, 1,
+    )
+    pos = pos_mod % 256
+    edited = bytearray(px)
+    edited[pos] = (edited[pos] + delta) % 256
+    other = mm._png_encode(
+        np.frombuffer(bytes(edited), dtype=np.uint8).astype(np.int64).reshape(16, 16),
+        16, 16, 1,
+    )
+    h = (mm.dhash64(base) ^ mm.dhash64(other)) & ((1 << 64) - 1)
+    assert bin(h).count("1") <= 2
+
+
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=64),
+    st.integers(min_value=1, max_value=255),
+)
+@settings(max_examples=30, deadline=None)
+def test_audiohash_one_window_edit_is_local(seed, window, delta):
+    """Audio twin: changing one envelope window's constant level moves
+    the hash by at most 2 bits (the window joins at most 2 neighbor
+    comparisons)."""
+    import hashlib
+    import struct
+
+    from flink_join_scaling_spark.operators import multimodal as mm
+
+    def wav(levels):
+        data = bytes(v for v in levels for _ in range(32))
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    levels = [
+        hashlib.md5(f"hypa_{seed}_{w}".encode()).digest()[0] for w in range(65)
+    ]
+    edited = list(levels)
+    edited[window] = (edited[window] + delta) % 256
+    h = (mm.audiohash64(wav(levels)) ^ mm.audiohash64(wav(edited))) & ((1 << 64) - 1)
+    assert bin(h).count("1") <= 2
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=20, deadline=None)
+def test_resize_preserves_mean_within_rounding(seed):
+    """Area-average resize preserves the global mean to within the
+    half-up rounding budget (±0.5 per output sample) — the invariant
+    q_multimodal_resize self-attests."""
+    import hashlib
+
+    import numpy as np
+
+    from flink_join_scaling_spark.operators import multimodal as mm
+
+    px = bytearray()
+    for r in range(16):
+        px += hashlib.md5(f"hypr_{seed}_{r}".encode()).digest()[:16]
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64).reshape(16, 16)
+    png = mm._png_encode(arr, 16, 16, 1)
+    r8 = mm.resize_png(png, 8, 8)
+    _w, _h, _c, out = mm._png_pixels(r8)
+    assert abs(out.mean() - arr.mean()) <= 0.5
