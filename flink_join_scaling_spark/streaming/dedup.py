@@ -818,3 +818,43 @@ def stream_dedup_phash(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_audiohash(
+    sdf: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming AUDIO near-dup detection (the continuous face of
+    ``operators.dedup.audiohash_dedup_pairs``): arriving WAV payloads
+    are REALLY decoded and envelope-hashed where they arrive, split
+    into the batch path's 4 sixteen-bit bands, and verified against
+    the keyed band-membership state — the same machinery as
+    :func:`stream_dedup_phash` with the audio fingerprint in front
+    (``bits=64`` mask: the envelope hash uses the sign bit too).
+    Converged verified pair set == batch on the same payloads, modulo
+    the ``max_bucket`` cap."""
+    from flink_join_scaling_spark.operators.multimodal import audiohash_hashes
+
+    hashes = audiohash_hashes(sdf, id_col, payload_col).select(
+        F.col(id_col).cast("long").alias("__sim_id"),
+        F.col("audiohash").alias("simhash"),
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+    bands = hashes.select(
+        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
+        _sim_members_fn(max_bucket, max_hamming, bits=64),
+        outputStructType="id_a long, id_b long, hamming long",
+        stateStructType="ids array<long>, sims array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -875,3 +875,32 @@ def test_stream_dedup_phash_matches_batch(streaming_spark, tmp_path):
     )
     got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
     assert got == batch
+
+
+def test_stream_dedup_audiohash_matches_batch(streaming_spark, tmp_path):
+    """Continuous audio near-dup detection: converged verified pair
+    set equals batch audiohash_dedup_pairs on the same WAV payloads
+    (cap lifted) — real decode + envelope hash on arrival, shared
+    band-membership state, 64-bit XOR mask."""
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.operators import multimodal as mmod
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_audiohash
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    ids = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    auds = mmod.attach_synth_wav(ids, "doc_id")
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.audiohash_dedup_pairs(auds, "doc_id", max_hamming=3).collect()
+    }
+    assert len(batch) >= 12
+
+    sdf = chunked_parquet_stream(spark, auds, str(tmp_path / "chunks"), n_chunks=4)
+    em = run_to_memory(
+        stream_dedup_audiohash(sdf, "doc_id", max_bucket=1 << 20),
+        output_mode="update",
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
+    assert got == batch
