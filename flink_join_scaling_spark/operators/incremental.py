@@ -152,3 +152,93 @@ def dedup_incremental_minhash(
         F.col("new_id").alias("known_id"), "band_idx", "band_hash"
     ).write.mode("append").parquet(index_dir)
     return accepted, flagged
+
+
+def dedup_incremental_hash64(
+    spark: SparkSession,
+    hashes: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run MEDIA near-dup screening against a persisted 64-bit
+    fingerprint index — the incremental face of the perceptual
+    families (image dHash, audio envelope hash; any 64-bit fingerprint
+    with the 4×16-bit band layout). ``hashes`` is the precomputed
+    (id, hash) table from ``multimodal.phash_hashes`` /
+    ``audiohash_hashes`` — media BYTES are decoded once by the caller
+    and never touch the index machinery.
+
+    Returns ``(accepted_ids, flagged)``:
+
+    * ``flagged`` — (new_id, known_id, hamming) pairs hamming-VERIFIED
+      at ``max_hamming`` against the index (which stores the full
+      hash next to each band row, so verification needs no second
+      lookup) or against an earlier-id row of the same batch;
+    * ``accepted_ids`` — new ids with no verified collision; their
+      band rows (with the full hash) append to the index.
+
+    Same band formulas as ``dedup.hash64_band_pairs``: a
+    backfill-built index and incremental batches interoperate, and
+    the pigeonhole completeness argument (4 disjoint 16-bit bands ≥
+    one exact match at hamming ≤ 3) carries over. Index rows are
+    (known_id, band_idx, band_val, h64) — ~32 bytes × 4 per media
+    item, orders of magnitude smaller than the payload corpus the
+    history never re-reads."""
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+    bands = hashes.select(
+        F.col(id_col).alias("new_id"),
+        F.col(hash_col).alias("h64"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    ).localCheckpoint(eager=True)
+    ham = F.bit_count(F.expr("h64 ^ known_h64")).cast("bigint").alias("hamming")
+    if _index_exists(index_dir):
+        known = spark.read.parquet(index_dir).withColumnRenamed(
+            "h64", "known_h64"
+        )
+        hist_hits = (
+            bands.join(known, ["band_idx", "band_val"])
+            .select("new_id", "known_id", ham)
+            .where(F.col("hamming") <= max_hamming)
+        )
+    else:
+        hist_hits = spark.createDataFrame(
+            [], "new_id long, known_id long, hamming long"
+        )
+    b2 = bands.select(
+        F.col("new_id").alias("known_id"),
+        F.col("h64").alias("known_h64"),
+        "band_idx",
+        "band_val",
+    )
+    batch_hits = (
+        bands.join(b2, ["band_idx", "band_val"])
+        .where(F.col("new_id") > F.col("known_id"))
+        .select("new_id", "known_id", ham)
+        .where(F.col("hamming") <= max_hamming)
+    )
+    flagged = (
+        hist_hits.unionByName(batch_hits).distinct().localCheckpoint(eager=True)
+    )
+    accepted_ids = (
+        hashes.select(F.col(id_col))
+        .join(
+            flagged.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    accepted_bands = bands.join(
+        accepted_ids.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
+    )
+    accepted_bands.select(
+        F.col("new_id").alias("known_id"), "band_idx", "band_val", "h64"
+    ).write.mode("append").parquet(index_dir)
+    return accepted_ids, flagged

@@ -161,3 +161,46 @@ def test_incremental_minhash_equals_python_oracle(spark, tmp_path):
     assert sorted(got) == sorted(accepted_oracle)
     # sanity: the dedup actually rejected the planted copies
     assert len(accepted_oracle) < len(ids)
+
+
+def test_incremental_hash64_media_index(spark, tmp_path):
+    """Cross-run image dedup: run 1 indexes two unrelated images; run
+    2's near-duplicates of BOTH are flagged with verified hamming, a
+    fresh group is accepted, and within-batch (even, odd) pairs flag
+    without touching the index. History (payload bytes) is never
+    re-read — only the ~32-byte band rows."""
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_hash64,
+    )
+
+    idx = str(tmp_path / "media_index")
+
+    def hashes_for(ids):
+        df = spark.createDataFrame(
+            [(i, mm.synth_png(i)) for i in ids], "doc_id long, payload binary"
+        )
+        return mm.phash_hashes(df, "doc_id")
+
+    # run 1: images 0 and 8 (different groups) — both accepted
+    acc1, flg1 = dedup_incremental_hash64(spark, hashes_for([0, 8]), idx)
+    assert {r.doc_id for r in acc1.collect()} == {0, 8}
+    assert flg1.count() == 0
+
+    # run 2: 1 (near-dup of 0), 9 (near-dup of 8), 20 (new group)
+    acc2, flg2 = dedup_incremental_hash64(spark, hashes_for([1, 9, 20]), idx)
+    flagged = {(r.new_id, r.known_id): r.hamming for r in flg2.collect()}
+    assert set(flagged) == {(1, 0), (9, 8)}
+    assert all(h <= 3 for h in flagged.values())
+    assert {r.doc_id for r in acc2.collect()} == {20}
+
+    # run 3: within-batch pair (30, 31) — 31 flags against 30 in-batch;
+    # both unrelated to history
+    acc3, flg3 = dedup_incremental_hash64(spark, hashes_for([30, 31]), idx)
+    assert {(r.new_id, r.known_id) for r in flg3.collect()} == {(31, 30)}
+    assert {r.doc_id for r in acc3.collect()} == {30}
+
+    # index holds exactly the accepted ids' band rows (4 per id)
+    known = spark.read.parquet(idx)
+    assert known.count() == 4 * 4  # ids 0, 8, 20, 30
+    assert {r.known_id for r in known.select("known_id").distinct().collect()} == {0, 8, 20, 30}
