@@ -207,11 +207,17 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
 
 #: Names whose operator code changed after their latest green row was
 #: recorded (the 7c95acc advisor fixes), with an argument — not a
-#: proof by re-execution — that outputs are unchanged. Promoted ahead
+#: driver-attested proof — that outputs are unchanged. Promoted ahead
 #: of their same-staleness peers so the window re-executes the
 #: argument cheaply. Round 10: the r9 window re-attested
 #: q_sim_ann_ivf_trained / q_sim_ann_persisted (dropped here);
 #: q_dedup_embedding moved to _CHANGED_THIS_ROUND (e6 retirement).
+#: The remaining five will MISS the r10 window (it is exactly full:
+#: 2 changed + 5 new + 43 r6-stale) — mitigation on record: the r10
+#: builder session ran the FULL 183-query DuckDB parity twice
+#: (FAILURES: none both times), which re-executed each of these
+#: against its oracle; driver attestation lands with their r11
+#: staleness turn.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {
         "q_cms_freq", "q_sim_topk_pandas", "q_sim_ann_ivf",
