@@ -105,81 +105,81 @@ def query(
 # ``ROTATION_FOLDED_THROUGH - 2`` (every ≥3-rounds-stale name must
 # rank inside the window).
 _LAST_GREEN: dict[str, int] = {
-    "q_agg_cube": 6, "q_agg_distinct": 6, "q_agg_group": 6,
-    "q_agg_grouping_sets": 9, "q_agg_rollup": 6,
-    "q_agg_skew_salted": 9, "q_approx_distinct": 6,
-    "q_approx_quantiles": 9, "q_array_explode": 6, "q_array_funcs":
-    6, "q_bm25": 6, "q_bpe_encode": 7, "q_bpe_train": 7,
-    "q_cms_freq": 8, "q_cohort_retention": 9, "q_collocations": 6,
-    "q_date_funcs": 6, "q_decontaminate": 7,
-    "q_decontaminate_apply": 8, "q_decontaminate_fuzzy": 7,
-    "q_decontaminate_semantic": 9, "q_dedup_apply": 8,
-    "q_dedup_canonical_rank": 6, "q_dedup_components": 7,
-    "q_dedup_containment": 9, "q_dedup_embedding": 7,
-    "q_dedup_embedding_ivf": 7, "q_dedup_ensemble": 7,
+    "q_agg_cube": 10, "q_agg_distinct": 10, "q_agg_group": 10,
+    "q_agg_grouping_sets": 9, "q_agg_rollup": 10, "q_agg_skew_salted":
+    9, "q_approx_distinct": 10, "q_approx_quantiles": 9,
+    "q_array_explode": 10, "q_array_funcs": 10, "q_bm25": 10,
+    "q_bpe_encode": 7, "q_bpe_train": 7, "q_cms_freq": 8,
+    "q_cohort_retention": 9, "q_collocations": 10, "q_date_funcs": 10,
+    "q_decontaminate": 7, "q_decontaminate_apply": 8,
+    "q_decontaminate_fuzzy": 7, "q_decontaminate_semantic": 9,
+    "q_dedup_apply": 8, "q_dedup_audiohash": 10,
+    "q_dedup_canonical_rank": 10, "q_dedup_components": 7,
+    "q_dedup_containment": 9, "q_dedup_embedding": 10,
+    "q_dedup_embedding_ivf": 10, "q_dedup_ensemble": 7,
     "q_dedup_ensemble_apply": 8, "q_dedup_exact": 9,
     "q_dedup_exact_apply": 7, "q_dedup_keep_best": 8,
-    "q_dedup_latest": 7, "q_dedup_latest_by_key": 9,
-    "q_dedup_lines": 9, "q_dedup_minhash": 9, "q_dedup_minhash_ml":
-    9, "q_dedup_ngram": 7, "q_dedup_semantic": 7,
-    "q_dedup_semantic_apply": 7, "q_dedup_simhash": 7,
-    "q_dedup_spans": 7, "q_dedup_spans_apply": 7, "q_dedup_weights":
-    7, "q_dedup_winnow": 9, "q_dedup_winnow_apply": 9,
-    "q_dq_profile": 9, "q_dq_rules": 9, "q_dsir_select": 8,
-    "q_dsir_weights": 8, "q_ema": 9, "q_embed_centroids": 7,
-    "q_embed_outliers": 6, "q_entity_resolution": 9,
-    "q_fingerprint": 9, "q_funnel": 8, "q_fuzzy_match": 9,
-    "q_gapfill": 9, "q_gopher_rules": 9, "q_graph_triangles": 6,
-    "q_hard_negatives": 8, "q_hard_negatives_ann": 9,
-    "q_heavy_hitters": 6, "q_higher_order_funcs": 9, "q_histogram":
-    9, "q_hll_rollup": 6, "q_inverted_index": 7, "q_join_anti": 8,
-    "q_join_asof": 8, "q_join_bloom_reduced": 6,
-    "q_join_full_outer": 6, "q_join_full_outer_seq": 6,
-    "q_join_inner": 6, "q_join_left_outer": 6,
-    "q_join_left_outer_seq": 6, "q_join_range": 8, "q_join_semi": 8,
-    "q_join_skew_salted": 9, "q_json_funcs": 9, "q_knn_labels": 8,
-    "q_lang_id": 9, "q_length_buckets": 7, "q_lm_bigram": 8,
-    "q_lm_bigram_hashed": 9, "q_lm_score": 6, "q_math_funcs": 6,
-    "q_mixture_budget": 8, "q_mixture_temperature": 8,
-    "q_mixture_weights": 6, "q_mmr_select": 9,
-    "q_multimodal_features": 7, "q_multimodal_frames": 7,
-    "q_multimodal_meta": 7, "q_nb_confusion": 8, "q_nb_lang_apply":
+    "q_dedup_latest": 7, "q_dedup_latest_by_key": 9, "q_dedup_lines":
+    9, "q_dedup_minhash": 9, "q_dedup_minhash_ml": 9, "q_dedup_ngram":
+    7, "q_dedup_phash": 10, "q_dedup_phash_apply": 10,
+    "q_dedup_semantic": 7, "q_dedup_semantic_apply": 7,
+    "q_dedup_simhash": 7, "q_dedup_spans": 7, "q_dedup_spans_apply":
+    7, "q_dedup_weights": 7, "q_dedup_winnow": 9,
+    "q_dedup_winnow_apply": 9, "q_dq_profile": 9, "q_dq_rules": 9,
+    "q_dsir_select": 8, "q_dsir_weights": 8, "q_ema": 9,
+    "q_embed_centroids": 7, "q_embed_outliers": 10,
+    "q_entity_resolution": 9, "q_fingerprint": 9, "q_funnel": 8,
+    "q_fuzzy_match": 9, "q_gapfill": 9, "q_gopher_rules": 9,
+    "q_graph_triangles": 10, "q_hard_negatives": 8,
+    "q_hard_negatives_ann": 9, "q_heavy_hitters": 10,
+    "q_higher_order_funcs": 9, "q_histogram": 9, "q_hll_rollup": 10,
+    "q_inverted_index": 7, "q_join_anti": 8, "q_join_asof": 8,
+    "q_join_bloom_reduced": 10, "q_join_full_outer": 10,
+    "q_join_full_outer_seq": 10, "q_join_inner": 10,
+    "q_join_left_outer": 10, "q_join_left_outer_seq": 10,
+    "q_join_range": 8, "q_join_semi": 8, "q_join_skew_salted": 9,
+    "q_json_funcs": 9, "q_knn_labels": 8, "q_lang_id": 9,
+    "q_length_buckets": 7, "q_lm_bigram": 8, "q_lm_bigram_hashed": 9,
+    "q_lm_score": 10, "q_math_funcs": 10, "q_mixture_budget": 8,
+    "q_mixture_temperature": 8, "q_mixture_weights": 10,
+    "q_mmr_select": 9, "q_multimodal_features": 7,
+    "q_multimodal_frames": 7, "q_multimodal_meta": 7,
+    "q_multimodal_resize": 10, "q_nb_confusion": 8, "q_nb_lang_apply":
     8, "q_nb_lang_train": 8, "q_novelty": 8, "q_pack_sequences": 7,
-    "q_percentiles": 8, "q_pii_redact": 7, "q_pipeline_e2e": 6,
-    "q_pipeline_trained": 8, "q_pivot": 8, "q_ppl_buckets": 6,
+    "q_percentiles": 8, "q_pii_redact": 7, "q_pipeline_e2e": 10,
+    "q_pipeline_trained": 8, "q_pivot": 8, "q_ppl_buckets": 10,
     "q_quality_classifier": 8, "q_quality_classifier_apply": 8,
     "q_quality_filter": 8, "q_quality_score": 8,
-    "q_quantize_embeddings": 9, "q_repetition": 7,
-    "q_retrieval_rrf": 6, "q_rollup_multires": 9, "q_sample_hash":
-    7, "q_sample_stratified": 7, "q_scalar_subquery": 9,
-    "q_scan_filter_project": 6, "q_scd2_intervals": 9,
-    "q_sessionize": 8, "q_set_except": 6, "q_set_intersect": 6,
-    "q_set_union": 6, "q_shard_assignment": 6, "q_sim_ann_ivf": 8,
-    "q_sim_ann_ivf_trained": 9, "q_sim_ann_lsh": 8,
+    "q_quantize_embeddings": 9, "q_repetition": 7, "q_retrieval_rrf":
+    10, "q_rollup_multires": 9, "q_sample_hash": 7,
+    "q_sample_stratified": 7, "q_scalar_subquery": 9,
+    "q_scan_filter_project": 10, "q_scd2_intervals": 9,
+    "q_sessionize": 8, "q_set_except": 10, "q_set_intersect": 10,
+    "q_set_union": 10, "q_shard_assignment": 10, "q_sim_ann_ivf": 8,
+    "q_sim_ann_ivf_trained": 9, "q_sim_ann_lsh": 10,
     "q_sim_ann_persisted": 9, "q_sim_ann_pq": 7, "q_sim_topk": 8,
-    "q_sim_topk_pandas": 8, "q_snapshot_diff": 6, "q_source_cap": 7,
-    "q_source_drift": 6, "q_source_overlap": 6, "q_source_stats": 8,
-    "q_split_leakage_safe": 6, "q_stream_dedup": 7, "q_stream_join":
+    "q_sim_topk_pandas": 8, "q_snapshot_diff": 10, "q_source_cap": 7,
+    "q_source_drift": 10, "q_source_overlap": 10, "q_source_stats": 8,
+    "q_split_leakage_safe": 10, "q_stream_dedup": 7, "q_stream_join":
     9, "q_stream_session": 7, "q_stream_sliding": 7,
-    "q_stream_tumbling": 7, "q_string_funcs": 6, "q_text_chunks": 9,
-    "q_text_stats": 9, "q_tfidf": 6, "q_token_count": 9,
-    "q_tokenizer_fertility": 9, "q_topk": 6, "q_tpch_q10_returns":
-    8, "q_tpch_q11_important_stock": 8, "q_tpch_q12_priority_class":
-    8, "q_tpch_q13_order_distribution": 9, "q_tpch_q14_promo": 8,
+    "q_stream_tumbling": 7, "q_string_funcs": 10, "q_text_chunks": 9,
+    "q_text_stats": 9, "q_tfidf": 10, "q_token_count": 9,
+    "q_tokenizer_fertility": 9, "q_topk": 10, "q_tpch_q10_returns": 8,
+    "q_tpch_q11_important_stock": 8, "q_tpch_q12_priority_class": 8,
+    "q_tpch_q13_order_distribution": 9, "q_tpch_q14_promo": 8,
     "q_tpch_q15_top_supplier": 8, "q_tpch_q16_supplier_counts": 8,
     "q_tpch_q17_small_quantity": 9, "q_tpch_q18_large_orders": 8,
-    "q_tpch_q19_disjunctive_rev": 8, "q_tpch_q1_pricing": 6,
-    "q_tpch_q20_excess_suppliers": 8,
-    "q_tpch_q21_waiting_suppliers": 9,
-    "q_tpch_q22_dormant_customers": 9,
+    "q_tpch_q19_disjunctive_rev": 8, "q_tpch_q1_pricing": 10,
+    "q_tpch_q20_excess_suppliers": 8, "q_tpch_q21_waiting_suppliers":
+    9, "q_tpch_q22_dormant_customers": 9,
     "q_tpch_q2_min_cost_supplier": 8, "q_tpch_q3_shipping": 8,
     "q_tpch_q4_late_orders": 9, "q_tpch_q5_local_supplier": 7,
     "q_tpch_q6_forecast": 8, "q_tpch_q7_nation_volume": 9,
     "q_tpch_q8_market_share": 8, "q_tpch_q9_product_profit": 8,
     "q_transition_matrix": 9, "q_triplet_mining": 9, "q_unpivot": 8,
-    "q_value_outliers": 8, "q_vocab_df": 7, "q_window_analytic": 6,
+    "q_value_outliers": 8, "q_vocab_df": 7, "q_window_analytic": 10,
     "q_window_distribution": 9, "q_window_range_frame": 9,
-    "q_window_rank": 6, "q_zorder_layout": 6,
+    "q_window_rank": 10, "q_zorder_layout": 10,
 }
 
 #: Back-compat view used by tests: the set of queries holding ANY
@@ -192,45 +192,40 @@ _DRIVER_GREEN: frozenset[str] = frozenset(_LAST_GREEN)
 #: round's last commit, so it can only be folded next round); two
 #: newer rounds mean the rotation went stale — the starvation bug this
 #: machinery exists to prevent — and the test fails loudly.
-ROTATION_FOLDED_THROUGH = 9
+ROTATION_FOLDED_THROUGH = 10
 
 # Queries whose output CHANGED this round, invalidating their prior
-# green rows outright (not merely aging them). Round 10: the two
-# float-boundary retirees — their scoring/assignment moved from raw
-# doubles to e6-BIGINT quantization (the recipe every other cohort of
-# FLOAT_BOUNDARY_SENSITIVE history used), which changes output bytes
-# even where values are semantically identical, so their r7/r8 green
-# rows no longer attest the shipped code.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_dedup_embedding", "q_sim_ann_lsh"}
-)
+# green rows outright (not merely aging them). Round 11: EMPTY — the
+# r10 e6 retirees (q_dedup_embedding, q_sim_ann_lsh) were attested
+# green in CORRECTNESS_r10 and folded; no output-changing edits have
+# shipped this round.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 
 #: Names whose operator code changed after their latest green row was
 #: recorded (the 7c95acc advisor fixes), with an argument — not a
 #: driver-attested proof — that outputs are unchanged. Promoted ahead
 #: of their same-staleness peers so the window re-executes the
-#: argument cheaply. Round 10: the r9 window re-attested
-#: q_sim_ann_ivf_trained / q_sim_ann_persisted (dropped here);
-#: q_dedup_embedding moved to _CHANGED_THIS_ROUND (e6 retirement).
-#: The remaining five will MISS the r10 window (it is exactly full:
-#: 2 changed + 5 new + 43 r6-stale) — mitigation on record: the r10
-#: builder session ran the FULL 183-query DuckDB parity twice
-#: (FAILURES: none both times), which re-executed each of these
-#: against its oracle; driver attestation lands with their r11
-#: staleness turn.
+#: argument cheaply. Round 11: q_dedup_embedding_ivf dropped — it WAS
+#: attested green in CORRECTNESS_r10 (the r10-era "five will miss the
+#: window" comment was wrong about it; the other four did miss).
+#: Mitigation on record for the remaining four: the r10 builder
+#: session ran the FULL 183-query DuckDB parity twice (FAILURES: none
+#: both times); the r11 window leads with them (q_sim_ann_pq is
+#: r7-stale, the other three are promoted ahead of their r8 cohort)
+#: so driver attestation lands this round.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {
         "q_cms_freq", "q_sim_topk_pandas", "q_sim_ann_ivf",
-        "q_dedup_embedding_ivf", "q_sim_ann_pq",
+        "q_sim_ann_pq",
     }
 )
 
 #: Names explicitly deferred from the previous round, ordered at the
 #: very front of their staleness cohort so a driver time-budget cutoff
-#: starves the freshest names, never these. Round 10: EMPTY — every
-#: r9 deferral was attested in CORRECTNESS_r09; the r10 window is the
-#: 43 r6-stale names + this round's changed/new queries, all of which
-#: rank ahead mechanically.
+#: starves the freshest names, never these. Round 11: EMPTY — the r10
+#: window ran 50/50 green with no cutoff; the r11 window is the 34
+#: r7-stale names + the four _TOUCHED_SINCE_GREEN leads + this
+#: round's new registrations, all of which rank ahead mechanically.
 _PRIORITY_FIRST: frozenset[str] = frozenset()
 
 #: Computed stale set (kept for the hygiene tests): every query whose
@@ -244,21 +239,25 @@ _NEEDS_FRESH_ROW: frozenset[str] = frozenset(
 def query_fns() -> dict[str, QueryFn]:
     """Driver iteration order. Tiers: (0) queries whose output changed
     this round (their old rows are invalid, not just stale); (1)
-    oracle-bearing queries with no green row yet (new registrations);
-    (2) everything else ascending by latest-green round — stalest
-    first — with ``_PRIORITY_FIRST`` then ``_TOUCHED_SINCE_GREEN``
-    leading each cohort; rows-only queries sort after oracle-bearing
-    peers (a cutoff shadowing them loses nothing — they can never
-    hash-match); stable registration order breaks remaining ties."""
+    ``_TOUCHED_SINCE_GREEN`` — operator code changed after the last
+    green row, so the attestation argument is weakest (r10 verdict:
+    "at the very front", ahead even of new registrations, so a
+    time-budget cutoff can never defer them again); (2) oracle-bearing
+    queries with no green row yet (new registrations); (3) everything
+    else ascending by latest-green round — stalest first — with
+    ``_PRIORITY_FIRST`` leading each cohort; rows-only queries sort
+    after oracle-bearing peers (a cutoff shadowing them loses nothing
+    — they can never hash-match); stable registration order breaks
+    remaining ties."""
     order = list(QUERIES)
 
     def rank(s: QuerySpec) -> tuple:
         return (
             s.name not in _CHANGED_THIS_ROUND,  # invalidated rows first
             s.oracle is None,  # rows-only after oracle-bearing
+            s.name not in _TOUCHED_SINCE_GREEN,  # weakest attestation next
             _LAST_GREEN.get(s.name, 0),  # never-green (0), then stalest
             s.name not in _PRIORITY_FIRST,  # explicit leads per cohort
-            s.name not in _TOUCHED_SINCE_GREEN,  # then touched code
             order.index(s.name),
         )
 

@@ -206,12 +206,18 @@ def test_float_boundary_manifest_matches_tags():
 
 
 def test_greens_rank_after_all_queries_needing_rows():
+    """Settled greens must never shadow queries that need a driver row.
+
+    "Needing a row" includes ``_TOUCHED_SINCE_GREEN``: their green rows
+    exist but predate operator-code changes, so they rank at the very
+    front (r10 verdict) — they are pending, not settled."""
     order = list(registry.query_fns())
     pend = [
         n for n in order
         if registry.QUERIES[n].oracle is not None
         and (n in registry._NEEDS_FRESH_ROW
              or n in registry._CHANGED_THIS_ROUND
+             or n in registry._TOUCHED_SINCE_GREEN
              or n not in registry._DRIVER_GREEN)
     ]
     if not pend:
@@ -222,6 +228,7 @@ def test_greens_rank_after_all_queries_needing_rows():
         if n in registry._DRIVER_GREEN
         and n not in registry._NEEDS_FRESH_ROW
         and n not in registry._CHANGED_THIS_ROUND
+        and n not in registry._TOUCHED_SINCE_GREEN
     ]
     assert not settled_before, (
         f"green queries rank before pending ones: {settled_before[:5]}"
