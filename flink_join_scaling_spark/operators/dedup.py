@@ -1053,6 +1053,13 @@ def hash64_band_pairs(
     distinct() shuffles only surviving pairs. At 100 TB of media the
     hash table is ~16 bytes/row — the join input is 6-7 orders of
     magnitude smaller than the corpus."""
+    if max_hamming > 3:
+        raise ValueError(
+            "hash64_band_pairs: 4 sixteen-bit bands are pigeonhole-"
+            f"complete only for max_hamming <= 3 (got {max_hamming}); "
+            "a larger radius would silently drop candidate pairs — use "
+            "more/narrower bands or an exact pass instead"
+        )
     band_arr = F.array(
         *[
             F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))

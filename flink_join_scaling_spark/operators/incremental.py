@@ -127,7 +127,13 @@ def dedup_incremental_minhash(
             "new_id", F.col("known_id")
         )
     else:
-        hist_hits = spark.createDataFrame([], "new_id long, known_id long")
+        # derive the id type from the input — a hardcoded long would
+        # fail (or mis-coerce) the first, index-absent run of any
+        # workload whose id_col is a string/int (advisor r10)
+        id_t = new_docs.schema[id_col].dataType.simpleString()
+        hist_hits = spark.createDataFrame(
+            [], f"new_id {id_t}, known_id {id_t}"
+        )
     # within-batch collisions: earlier (smaller) id wins, later id flags
     b2 = bands.select(
         F.col("new_id").alias("known_id"), "band_idx", "band_hash"
@@ -186,6 +192,13 @@ def dedup_incremental_hash64(
     (known_id, band_idx, band_val, h64) — ~32 bytes × 4 per media
     item, orders of magnitude smaller than the payload corpus the
     history never re-reads."""
+    if max_hamming > 3:
+        raise ValueError(
+            "dedup_incremental_hash64: the 4x16-bit band layout is "
+            f"pigeonhole-complete only for max_hamming <= 3 (got "
+            f"{max_hamming}); pairs beyond that radius would be "
+            "silently missed"
+        )
     band_arr = F.array(
         *[
             F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
@@ -208,8 +221,9 @@ def dedup_incremental_hash64(
             .where(F.col("hamming") <= max_hamming)
         )
     else:
+        id_t = hashes.schema[id_col].dataType.simpleString()
         hist_hits = spark.createDataFrame(
-            [], "new_id long, known_id long, hamming long"
+            [], f"new_id {id_t}, known_id {id_t}, hamming long"
         )
     b2 = bands.select(
         F.col("new_id").alias("known_id"),

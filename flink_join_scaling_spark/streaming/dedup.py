@@ -38,6 +38,21 @@ from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 _INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
+def _require_integral_id(sdf: DataFrame, id_col: str, fn: str) -> None:
+    """The 64-bit media detectors carry ids as longs in keyed state; a
+    silent ``cast("long")`` of a non-integral id (e.g. a string UUID)
+    would produce NULLs and make pairs vanish without error — the
+    opposite of the loud-failure convention the batch decoders follow
+    (advisor r10). Validate the schema up front instead."""
+    dt = sdf.schema[id_col].dataType
+    if not isinstance(dt, _INT_TYPES):
+        raise TypeError(
+            f"{fn}: id_col {id_col!r} must be an integral type (state "
+            f"schema stores ids as long); got {dt.simpleString()} — "
+            "map your ids to integers before the stateful exchange"
+        )
+
+
 def _native(v: Any, is_int: bool = False) -> Any:
     """Arrow-batch cell → plain Python, SQL-null-faithful.
 
@@ -798,6 +813,12 @@ def stream_dedup_phash(
     negative longs would popcount the wrong value."""
     from flink_join_scaling_spark.operators.multimodal import phash_hashes
 
+    if max_hamming > 3:
+        raise ValueError(
+            "stream_dedup_phash: 4 sixteen-bit bands are pigeonhole-"
+            f"complete only for max_hamming <= 3 (got {max_hamming})"
+        )
+    _require_integral_id(sdf, id_col, "stream_dedup_phash")
     hashes = phash_hashes(sdf, id_col, payload_col).select(
         F.col(id_col).cast("long").alias("__sim_id"),
         F.col("phash").alias("simhash"),
@@ -838,6 +859,12 @@ def stream_dedup_audiohash(
     the ``max_bucket`` cap."""
     from flink_join_scaling_spark.operators.multimodal import audiohash_hashes
 
+    if max_hamming > 3:
+        raise ValueError(
+            "stream_dedup_audiohash: 4 sixteen-bit bands are pigeonhole-"
+            f"complete only for max_hamming <= 3 (got {max_hamming})"
+        )
+    _require_integral_id(sdf, id_col, "stream_dedup_audiohash")
     hashes = audiohash_hashes(sdf, id_col, payload_col).select(
         F.col(id_col).cast("long").alias("__sim_id"),
         F.col("audiohash").alias("simhash"),

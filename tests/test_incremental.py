@@ -204,3 +204,109 @@ def test_incremental_hash64_media_index(spark, tmp_path):
     known = spark.read.parquet(idx)
     assert known.count() == 4 * 4  # ids 0, 8, 20, 30
     assert {r.known_id for r in known.select("known_id").distinct().collect()} == {0, 8, 20, 30}
+
+
+def test_incremental_hash64_string_id_first_run(spark, tmp_path):
+    """Advisor r10: the index-absent branch hardcoded the hist_hits
+    schema to long ids; a workload with string ids failed (or
+    mis-coerced) at unionByName on its very FIRST run. The empty
+    frame's schema now derives from the input's id type."""
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_hash64,
+    )
+
+    idx = str(tmp_path / "sidx")
+
+    def hashes_for(ids):
+        df = spark.createDataFrame(
+            [(f"doc-{i:03d}", mm.synth_png(i)) for i in ids],
+            "doc_id string, payload binary",
+        )
+        return mm.phash_hashes(df, "doc_id")
+
+    # first (index-absent) run — the branch the defect lived in: the
+    # empty hist_hits must union with string-id batch rows
+    acc1, flg1 = dedup_incremental_hash64(spark, hashes_for([0]), idx)
+    assert {r.doc_id for r in acc1.collect()} == {"doc-000"}
+    assert flg1.count() == 0
+    # second run: image 1 is the planted near-dup of 0 (synth_png
+    # groups by id//2) — cross-run flag against the string-keyed index
+    acc2, flg2 = dedup_incremental_hash64(spark, hashes_for([1]), idx)
+    assert {(r.new_id, r.known_id) for r in flg2.collect()} == {
+        ("doc-001", "doc-000")
+    }
+    assert acc2.count() == 0
+
+
+def test_incremental_minhash_string_id_first_run(spark, tmp_path):
+    """Same latent defect in the pre-existing minhash variant."""
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_minhash,
+    )
+
+    idx = str(tmp_path / "midx")
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog today"),
+         ("b", "completely unrelated text about spark shuffles here")],
+        "doc_id string, text string",
+    )
+    acc, flg = dedup_incremental_minhash(spark, docs, idx)
+    assert {r.doc_id for r in acc.collect()} == {"a", "b"}
+    assert flg.count() == 0
+
+
+def test_hash64_band_radius_guard(spark, tmp_path):
+    """Advisor r10: 4 sixteen-bit bands are pigeonhole-complete only
+    for hamming <= 3; a larger radius must raise, not silently return
+    an incomplete pair set — at every entry point."""
+    import pytest
+
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.dedup import hash64_band_pairs
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_hash64,
+    )
+    from flink_join_scaling_spark.streaming.dedup import (
+        stream_dedup_audiohash,
+        stream_dedup_phash,
+    )
+
+    df = spark.createDataFrame(
+        [(0, mm.synth_png(0))], "doc_id long, payload binary"
+    )
+    hashes = mm.phash_hashes(df, "doc_id")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hash64_band_pairs(hashes, "doc_id", "phash", max_hamming=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup_incremental_hash64(
+            spark, hashes, str(tmp_path / "x"), max_hamming=4
+        )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        stream_dedup_phash(df, "doc_id", max_hamming=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        stream_dedup_audiohash(df, "doc_id", max_hamming=4)
+
+
+def test_stream_media_dedup_rejects_non_integral_id(spark):
+    """Advisor r10: the media detectors carried ids through a silent
+    cast('long'); string ids became NULL and pairs vanished without
+    error. Non-integral ids now raise before the stateful exchange."""
+    import pytest
+
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.streaming.dedup import (
+        stream_dedup_audiohash,
+        stream_dedup_phash,
+    )
+
+    img = spark.createDataFrame(
+        [("u-0", mm.synth_png(0))], "doc_id string, payload binary"
+    )
+    wav = spark.createDataFrame(
+        [("u-0", mm.synth_wav(0))], "doc_id string, payload binary"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        stream_dedup_phash(img, "doc_id")
+    with pytest.raises(TypeError, match="integral"):
+        stream_dedup_audiohash(wav, "doc_id")
