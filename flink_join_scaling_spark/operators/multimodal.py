@@ -599,6 +599,266 @@ def png_features(
     )
 
 
+# ------------------------------------------------- animated PNG (APNG)
+#
+# The REAL multi-frame container for the frame-sampling leg: APNG is
+# plain PNG plus three chunk types (acTL/fcTL/fdAT — the public APNG
+# spec, now folded into the W3C PNG 3 standard), so the existing chunk
+# walker, zlib inflate, scanline unfilter, and encoder all carry over.
+# Reference parity note: the reference engine has no media codecs at
+# all; this closes OUR SURVEY §2 multimodal quartet (decode / features
+# / resize / frame-sample) with frame sampling value-checked through a
+# real container rather than byte-offset pseudo-frames.
+
+
+def _apng_encode(frames, width: int, height: int, channels: int) -> bytes:
+    """Minimal REAL APNG encoder over the :func:`_png_encode` subset:
+    8-bit non-interlaced full-canvas frames, each carried as its own
+    complete zlib stream (frame 0 in IDAT, later frames in one fdAT
+    each), fcTL/fdAT sequence numbers sharing the spec's single
+    counter. ``frames`` is a list of (height, width × channels) pixel
+    arrays."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+
+    def _zstream(px) -> bytes:
+        arr = np.asarray(px, dtype=np.int64)
+        if arr.shape != (height, stride):
+            raise ValueError(
+                f"frame shape {arr.shape} != ({height}, {stride})"
+            )
+        body = arr.astype(np.uint8).tobytes()
+        raw = b"".join(
+            b"\x00" + body[r * stride : (r + 1) * stride]
+            for r in range(height)
+        )
+        return zlib.compress(raw)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, px in enumerate(frames):
+        # full-canvas frame control: offsets 0, 1/10s delay,
+        # dispose_op 0 (none), blend_op 0 (source)
+        out += _png_chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0),
+        )
+        seq += 1
+        if i == 0:
+            out += _png_chunk(b"IDAT", _zstream(px))
+        else:
+            out += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + _zstream(px)
+            )
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _apng_frames(payload: bytes):
+    """REAL APNG frame decode: chunk walk collecting acTL / fcTL /
+    IDAT / fdAT, then each frame's zlib stream is re-wrapped as a
+    standalone PNG and decoded through :func:`_png_pixels` — one
+    decoder for stills and animation frames, same supported subset,
+    same loud ValueError outside it. Returns
+    ``(width, height, channels, [frame pixel arrays])``.
+
+    Supported: full-canvas frames (offsets 0, frame dims == canvas
+    dims) with blend_op source — frames that ARE complete images, so
+    no compositing state machine; region updates / over-blending raise
+    (loudly, not a guess), like every other parser subset here. The
+    shared fcTL/fdAT sequence counter is validated: a container with
+    reordered or missing chunks raises instead of yielding frames from
+    the wrong stream."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if len(payload) < len(sig) + 25 or payload[: len(sig)] != sig:
+        raise ValueError("not a PNG payload")
+    pos = len(sig)
+    ihdr = None
+    actl_frames = None
+    fctls: list[tuple[int, tuple[int, ...]]] = []  # (seq, fields)
+    streams: list[bytearray] = []  # per-frame zlib bytes
+    seqs: list[int] = []  # every fcTL/fdAT sequence number, in file order
+    saw_idat = False
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"acTL":
+            if len(body) < 8:
+                raise ValueError("truncated acTL chunk")
+            actl_frames = int.from_bytes(body[0:4], "big")
+        elif ctype == b"fcTL":
+            if len(body) < 26:
+                raise ValueError("truncated fcTL chunk")
+            seq = int.from_bytes(body[0:4], "big")
+            fields = tuple(
+                int.from_bytes(body[o : o + 4], "big")
+                for o in (4, 8, 12, 16)
+            ) + (body[24], body[25])  # w, h, x, y, dispose, blend
+            fctls.append((seq, fields))
+            seqs.append(seq)
+            streams.append(bytearray())
+        elif ctype == b"IDAT":
+            saw_idat = True
+            if streams:  # animation frame 0 (fcTL precedes IDAT)
+                streams[0] += body
+        elif ctype == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("truncated fdAT chunk")
+            if not streams:
+                raise ValueError("fdAT before any fcTL")
+            seqs.append(int.from_bytes(body[0:4], "big"))
+            streams[-1] += body[4:]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        raise ValueError("missing IHDR chunk")
+    if actl_frames is None:
+        raise ValueError("not an APNG (no acTL chunk)")
+    if not saw_idat:
+        raise ValueError("missing IDAT chunk")
+    if len(fctls) != actl_frames:
+        raise ValueError(
+            f"acTL declares {actl_frames} frames but {len(fctls)} fcTL "
+            "chunks present"
+        )
+    if seqs != list(range(len(seqs))):
+        raise ValueError(
+            f"fcTL/fdAT sequence numbers {seqs} are not the spec's "
+            "contiguous shared counter — reordered or missing chunks"
+        )
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    frames = []
+    for (_, (fw, fh, fx, fy, _disp, blend)), stream in zip(fctls, streams):
+        if (fw, fh, fx, fy) != (width, height, 0, 0) or blend != 0:
+            raise ValueError(
+                "unsupported APNG frame: only full-canvas source-blend "
+                f"frames are decoded here (got {fw}x{fh}+{fx}+{fy} "
+                f"blend={blend})"
+            )
+        if not stream:
+            raise ValueError("APNG frame with empty data stream")
+        frame_png = (
+            sig
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bytes(stream))
+            + _png_chunk(b"IEND", b"")
+        )
+        w, h, ch, px = _png_pixels(frame_png)
+        frames.append(px)
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ihdr[9]]
+    return width, height, ch, frames
+
+
+def apng_frame_stats(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    sample_every: int = 2,
+    max_frames: int = 4,
+) -> DataFrame:
+    """REAL frame sampling: decode the APNG container, keep every
+    ``sample_every``-th frame up to ``max_frames``, and emit one row
+    per SAMPLED frame with its real per-frame statistics —
+    ``(id, n_frames, frame_idx, width, height, mean_e4)`` where
+    ``mean_e4 = floor(mean_sample / 255 * 10000 + 0.5)`` as a BIGINT
+    (the e-notation integer recipe, no float hash exposure). The frame
+    index set comes from the container's REAL frame count, unlike the
+    byte-offset plumbing of :func:`frame_sample`.
+
+    Scale shape: one map-only Arrow pass — container bytes never
+    shuffle, each output row is five fixed-width columns. At 100 TB of
+    video-class media this is the decode-side sampling stage; a
+    production build swaps an ffmpeg-class decoder into the same
+    mapInPandas slot (same sampling policy, same output schema)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, _ch, frames = _apng_frames(bytes(p))
+                n = len(frames)
+                for fi in list(range(0, n, sample_every))[:max_frames]:
+                    mean = float(frames[fi].mean()) / 255.0
+                    rows.append(
+                        (i, n, fi, w, h, int(mean * 10000 + 0.5))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_frames", "frame_idx", "width", "height",
+                    "mean_e4",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} {id_t}, n_frames int, frame_idx int, width int, "
+        "height int, mean_e4 long",
+    )
+
+
+def synth_apng(doc_id: int, size: int = 16) -> bytes:
+    """Deterministic multi-frame APNG fixture: ``2 + doc_id % 3``
+    full-canvas grayscale frames; frame ``f`` is the horizontal
+    gradient ``pixel(x, y) = base + (x % 8)`` with
+    ``base = (7·doc_id + 13·f) % 200`` — so each frame's real decoded
+    mean is EXACTLY ``base + 3.5`` (the x%8 gradient averages to 3.5
+    over any width that is a multiple of 8) and the whole container →
+    frames → statistics pipeline is SQL-expressible from doc_id
+    arithmetic alone. Used by ``q_multimodal_frames_real`` the way
+    ``synth_png`` anchors ``q_dedup_phash``."""
+    import numpy as np
+
+    if size % 8 != 0:
+        raise ValueError("size must be a multiple of 8 for the exact mean")
+    n_frames = 2 + int(doc_id) % 3
+    xs = np.arange(size, dtype=np.int64) % 8
+    frames = []
+    for f in range(n_frames):
+        base = (7 * int(doc_id) + 13 * f) % 200
+        frames.append(np.tile(base + xs, (size, 1)))
+    return _apng_encode(frames, size, size, 1)
+
+
+def attach_synth_apng(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_apng` fixtures, built Arrow-side
+    on the executors — the animated-media corpus stand-in (same
+    rationale as :func:`attach_synth_png`)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [synth_apng(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")
+
+
 def synth_png(doc_id: int, size: int = 16) -> bytes:
     """Deterministic 8-bit grayscale PNG fixture: md5-derived pixels
     keyed by ``doc_id // 2``, with odd ids perturbing one pixel — so

@@ -1385,6 +1385,50 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_frames_real",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS n_frames
+               FROM documents),
+    f AS (
+      SELECT doc_id, n_frames,
+             CAST(unnest(range(0, CAST(ceil(n_frames / 2.0) AS BIGINT))) * 2
+                  AS INT) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, n_frames, frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(floor(((7 * doc_id + 13 * frame_idx) % 200 + 3.5)
+                      / 255.0 * 10000 + 0.5) AS BIGINT) AS mean_e4
+    FROM f
+    """,
+    tags=("llmdata", "multimodal", "pandas"),
+)
+def q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through a REAL multi-frame container: synthetic
+    APNGs (2-4 full-canvas frames, stdlib-encoded — acTL/fcTL/fdAT
+    chunks with per-frame zlib streams on the PNG walker) are REALLY
+    decoded frame by frame; every 2nd frame is sampled and its real
+    per-frame mean emitted as an e4 integer.
+
+    The planted gradient structure (frame f of doc d is
+    ``pixel = (7d + 13f) % 200 + x % 8``) makes the whole pipeline
+    SQL-expressible: each frame's decoded mean is EXACTLY base + 3.5,
+    so the oracle recomputes the sampled frame set from the REAL frame
+    count (2 + d % 3) and each sampled frame's statistic from doc_id
+    arithmetic. A broken container walk, sequence-number handling,
+    per-frame inflate, or unfilter shows up as a value mismatch — the
+    q_dedup_phash end-to-end pattern applied to the frame-sampling
+    leg, replacing its byte-offset pseudo-frame stand-in.
+
+    Scale shape: one map-only Arrow pass; container bytes never
+    shuffle; output rows are five fixed-width columns per SAMPLED
+    frame (a bounded fraction of total frames by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    anims = mm.attach_synth_apng(d, "doc_id")
+    return mm.apng_frame_stats(anims, "doc_id", sample_every=2, max_frames=4)
+
+
+@query(
     "q_dedup_phash",
     headline=True,
     oracle="""

@@ -682,3 +682,112 @@ def test_audiohash_band_join_matches_brute_force(spark):
         if ham(hs[a], hs[b]) <= 3
     }
     assert got == brute and brute
+
+
+# ------------------------------------------------- APNG multi-frame container
+
+
+def test_apng_encode_decode_roundtrip_hand_built():
+    """Hand-built frames survive the full acTL/fcTL/fdAT encode →
+    chunk-walk → per-frame inflate → unfilter pipeline exactly."""
+    import numpy as np
+
+    frames = [
+        np.arange(8 * 8, dtype=np.int64).reshape(8, 8) % 256,
+        np.full((8, 8), 200, dtype=np.int64),
+        np.flipud(np.arange(8 * 8, dtype=np.int64).reshape(8, 8) % 256),
+    ]
+    payload = mm._apng_encode(frames, 8, 8, 1)
+    w, h, ch, got = mm._apng_frames(payload)
+    assert (w, h, ch) == (8, 8, 1)
+    assert len(got) == 3
+    for exp, px in zip(frames, got):
+        assert (px == exp).all()
+
+
+def test_apng_rgb_frames_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    frames = [
+        rng.integers(0, 256, size=(4, 4 * 3), dtype=np.int64)
+        for _ in range(2)
+    ]
+    payload = mm._apng_encode(frames, 4, 4, 3)
+    w, h, ch, got = mm._apng_frames(payload)
+    assert (w, h, ch) == (4, 4, 3)
+    assert all((a == b).all() for a, b in zip(frames, got))
+
+
+def test_apng_rejects_malformed_containers():
+    """Every unsupported/corrupt shape raises loudly (the parser-subset
+    convention): still PNG, frame-count mismatch, broken sequence
+    counter, region (non-full-canvas) frames."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="no acTL"):
+        mm._apng_frames(mm.synth_png(0))
+
+    frames = [np.zeros((8, 8), dtype=np.int64), np.ones((8, 8), dtype=np.int64)]
+    good = mm._apng_encode(frames, 8, 8, 1)
+
+    # acTL declaring 3 frames while 2 fcTLs present
+    i = good.find(b"acTL")
+    bad = bytearray(good)
+    bad[i + 4 : i + 8] = struct.pack(">I", 3)
+    # fix the chunk CRC so only the declared count is wrong
+    import zlib
+
+    body = bytes(bad[i : i + 12])
+    bad[i + 12 : i + 16] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="declares 3 frames"):
+        mm._apng_frames(bytes(bad))
+
+    # fdAT sequence number bumped out of order
+    i = good.find(b"fdAT")
+    bad = bytearray(good)
+    bad[i + 4 : i + 8] = struct.pack(">I", 9)
+    with pytest.raises(ValueError, match="sequence numbers"):
+        mm._apng_frames(bytes(bad))
+
+    # region frame: fcTL width halved
+    i = good.find(b"fcTL")
+    bad = bytearray(good)
+    bad[i + 8 : i + 12] = struct.pack(">I", 4)
+    with pytest.raises(ValueError, match="full-canvas"):
+        mm._apng_frames(bytes(bad))
+
+
+def test_synth_apng_frame_means_match_formula():
+    """The planted gradient's decoded mean is exactly base + 3.5 — the
+    invariant q_multimodal_frames_real's oracle states."""
+    for d in (0, 1, 2, 11, 42):
+        w, h, ch, frames = mm._apng_frames(mm.synth_apng(d))
+        assert len(frames) == 2 + d % 3
+        for f, px in enumerate(frames):
+            base = (7 * d + 13 * f) % 200
+            assert abs(float(px.mean()) - (base + 3.5)) < 1e-12
+
+
+def test_apng_frame_stats_through_spark(spark):
+    """The Arrow sampling stage emits exactly every 2nd frame (capped)
+    with real per-frame means, straight from the container's frame
+    count."""
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = mm.apng_frame_stats(
+        mm.attach_synth_apng(df, "doc_id"), "doc_id",
+        sample_every=2, max_frames=4,
+    ).collect()
+    got = {(r.doc_id, r.frame_idx): (r.n_frames, r.mean_e4) for r in out}
+    import math
+
+    exp = {}
+    for d in range(12):
+        n = 2 + d % 3
+        for fi in list(range(0, n, 2))[:4]:
+            base = (7 * d + 13 * fi) % 200
+            exp[(d, fi)] = (n, math.floor((base + 3.5) / 255.0 * 10000 + 0.5))
+    assert got == exp
