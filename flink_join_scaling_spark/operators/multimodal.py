@@ -394,9 +394,17 @@ def dhash64(payload: bytes) -> int:
     ``long`` like the SimHash family. Raises the decoder's loud
     ValueError outside the supported PNG subset: a perceptual hash
     from a half-decoded image would be silently wrong."""
+    width, height, channels, px = _png_pixels(payload)
+    return _dhash_from_pixels(width, height, channels, px)
+
+
+def _dhash_from_pixels(width: int, height: int, channels: int, px) -> int:
+    """The fingerprint core of :func:`dhash64`, taking already-decoded
+    pixels — so a combined pipeline stage can decode ONCE and feed
+    both the hash and resize legs (the q_pipeline_media single-decode
+    discipline)."""
     import numpy as np
 
-    width, height, channels, px = _png_pixels(payload)
     if width < 2 or height < 1:
         raise ValueError(
             f"dhash64 needs at least 2×1 pixels, got {width}×{height}"
@@ -505,11 +513,21 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     loud ValueError outside the supported subset and refuses UPsampling
     (area-averaging is a downsample; interpolation policy belongs to a
     real imaging library)."""
+    width, height, channels, px = _png_pixels(payload)
+    out = _resize_pixels(px, width, height, channels, out_w, out_h)
+    return _png_encode(out, out_w, out_h, channels)
+
+
+def _resize_pixels(px, width: int, height: int, channels: int,
+                   out_w: int, out_h: int):
+    """The area-average core of :func:`resize_png` on already-decoded
+    pixels (shape (height, width × channels) → (out_h, out_w ×
+    channels)) — factored out so a combined pipeline stage can decode
+    once and feed both the resize and hash legs."""
     import math
 
     import numpy as np
 
-    width, height, channels, px = _png_pixels(payload)
     if out_w < 1 or out_h < 1 or out_w > width or out_h > height:
         raise ValueError(
             f"resize_png downsamples only: {width}x{height} -> "
@@ -528,7 +546,7 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
             c0, c1 = cb[c], max(cb[c + 1], cb[c] + 1)
             cell = cube[r0:r1, c0:c1, :].mean(axis=(0, 1))
             out[r, c, :] = [int(math.floor(v + 0.5)) for v in cell]
-    return _png_encode(out.reshape(out_h, out_w * channels), out_w, out_h, channels)
+    return out.reshape(out_h, out_w * channels)
 
 
 def resize_images(
@@ -570,6 +588,56 @@ def resize_images(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary, width int, height int"
+    )
+
+
+def image_pipeline_stage(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """ONE Arrow pass decoding each image ONCE and emitting everything
+    the media pipeline's downstream legs need: ``(id, phash,
+    res_payload, mean_orig)`` — the 64-bit dHash (census leg) and the
+    area-average-resized re-encoded PNG plus the original's mean
+    sample (resize leg), both computed from the SAME decoded pixel
+    matrix.
+
+    This is the composition discipline ``q_pipeline_media`` proves:
+    without a shared stage, composing ``phash_hashes`` +
+    ``resize_images`` would decode the corpus twice (and a band
+    self-join over an unmaterialized stage would decode it once PER
+    SIDE — the localCheckpoint lesson). Callers materialize this
+    stage's output before any self-join. At 100 TB the decode is the
+    dominant cost; paying it exactly once is the difference between a
+    pipeline and a pile of operators."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes, payloads, means = [], [], []
+            for p in pdf[payload_col]:
+                w, h, ch, px = _png_pixels(bytes(p))
+                hashes.append(_dhash_from_pixels(w, h, ch, px))
+                res = _resize_pixels(px, w, h, ch, out_w, out_h)
+                payloads.append(_png_encode(res, out_w, out_h, ch))
+                means.append(float(px.mean()) / 255.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "phash": hashes,
+                    "res_payload": payloads,
+                    "mean_orig": means,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} {id_t}, phash long, res_payload binary, mean_orig double",
     )
 
 

@@ -1540,6 +1540,66 @@ def q_dedup_audiohash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pipeline_media",
+    headline=True,
+    oracle="""
+    SELECT d.doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           TRUE AS mean_ok
+    FROM documents d
+    WHERE NOT (d.doc_id % 2 = 1 AND EXISTS (
+        SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1))
+    """,
+    tags=("llmdata", "multimodal", "dedup", "pipeline"),
+)
+def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media twin of ``q_pipeline_e2e``: decode → resize → pHash
+    census → components → keeper → LEFT ANTI, composed in ONE plan
+    with a SINGLE decode stage. ``image_pipeline_stage`` decodes each
+    image once (one materialized Arrow pass) and emits BOTH legs'
+    inputs — the 64-bit dHash for the near-dup census and the resized
+    re-encoded PNG + original mean for the resize invariant — so
+    composing the r10 operators costs one decode, not three (and the
+    band self-join reads the materialized stage, not the decode
+    subtree, per the localCheckpoint discipline).
+
+    Under the planted fixture structure the kept set is SQL-
+    expressible (every odd id with an even sibling loses — the
+    q_dedup_phash_apply rule) and ``mean_ok`` asserts the kept,
+    RESIZED images still satisfy the area-average mean-preservation
+    invariant through re-decode — so the whole composition is
+    value-checked end to end, through the real codec, in one query.
+
+    Scale shape: one decode pass over payload bytes (never shuffled),
+    a 16-byte-row band join, min-label components over the pair set
+    only, one corpus-sized anti join, and a map-only re-decode of 8×8
+    thumbnails. No stage reads the original corpus twice."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = mm.attach_synth_png(d, "doc_id")
+    stage = mm.image_pipeline_stage(
+        imgs, "doc_id", out_w=8, out_h=8
+    ).localCheckpoint(eager=True)
+    pairs = dd.hash64_band_pairs(
+        stage.select("doc_id", "phash"), "doc_id", "phash", max_hamming=3
+    )
+    comp = dd.connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = stage.join(losers, "doc_id", "left_anti")
+    rfeat = mm.png_features(
+        kept.select("doc_id", "res_payload"), "doc_id", "res_payload"
+    ).select("doc_id", "width", "height", F.col("mean_byte").alias("mean_res"))
+    return rfeat.join(kept.select("doc_id", "mean_orig"), "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        (F.abs(F.col("mean_res") - F.col("mean_orig")) <= 2.0 / 255.0).alias(
+            "mean_ok"
+        ),
+    )
+
+
+@query(
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,

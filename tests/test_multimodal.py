@@ -791,3 +791,31 @@ def test_apng_frame_stats_through_spark(spark):
             base = (7 * d + 13 * fi) % 200
             exp[(d, fi)] = (n, math.floor((base + 3.5) / 255.0 * 10000 + 0.5))
     assert got == exp
+
+
+def test_image_pipeline_stage_matches_single_operators(spark):
+    """The combined single-decode stage must be value-identical to the
+    standalone operators it fuses: phash == phash_hashes, resized
+    payload == resize_images payload, mean_orig == png_features
+    mean_byte (pre-rounding tolerance) — composing for one decode may
+    not change any leg's semantics."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    imgs = mm.attach_synth_png(df, "doc_id").localCheckpoint(eager=True)
+
+    stage = {
+        r.doc_id: r
+        for r in mm.image_pipeline_stage(imgs, "doc_id", out_w=8, out_h=8).collect()
+    }
+    hashes = {r.doc_id: r.phash for r in mm.phash_hashes(imgs, "doc_id").collect()}
+    resized = {
+        r.doc_id: bytes(r.payload)
+        for r in mm.resize_images(imgs, "doc_id", out_w=8, out_h=8).collect()
+    }
+    feats = {r.doc_id: r.mean_byte for r in mm.png_features(imgs, "doc_id").collect()}
+
+    assert set(stage) == set(hashes) == set(resized)
+    for d, row in stage.items():
+        assert row.phash == hashes[d]
+        assert bytes(row.res_payload) == resized[d]
+        # png_features SQL-half-up rounds to 4 decimals; stage emits raw
+        assert abs(row.mean_orig - feats[d]) <= 5e-5
