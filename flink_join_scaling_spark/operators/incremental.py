@@ -256,3 +256,99 @@ def dedup_incremental_hash64(
         F.col("new_id").alias("known_id"), "band_idx", "band_val", "h64"
     ).write.mode("append").parquet(index_dir)
     return accepted_ids, flagged
+
+
+def dedup_incremental_winnow(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run copied-PASSAGE screening against a persisted
+    winnowing-fingerprint index — the incremental face of
+    ``operators.dedup.winnow_dedup_pairs`` (local fingerprints, so a
+    shared token run of length ≥ k+w−1 is caught even when the
+    documents are globally dissimilar — the niche the minhash index
+    doesn't cover).
+
+    Returns ``(accepted, flagged)`` with the family's established
+    greedy rule (the ``dedup_incremental_minhash`` contract): a new
+    doc is flagged iff it shares ≥ ``min_shared`` fingerprints with an
+    ACCEPTED doc of an earlier run (the index) or with ANY smaller-id
+    doc of its own batch; only accepted docs' fingerprints append to
+    the index. ``flagged`` carries (new_id, known_id, n_shared).
+
+    The stop-fingerprint cap (``max_df``, the batch path's bounded-
+    join-bucket discipline) is evaluated against the document
+    frequency across the INDEX plus the current batch, so buckets stay
+    ≤ max_df² per run regardless of history size. Chunked runs equal
+    the batch backfill exactly as long as no fingerprint crosses the
+    cap mid-history (a fingerprint hot in the final union is dropped
+    by the backfill everywhere, but an early chunk may see it cold) —
+    the same caveat as re-running any df-capped dedup on a growing
+    corpus; the equivalence test pins the uncapped regime.
+
+    Scale shape: index rows are (known_id, fp) — two longs per
+    SELECTED gram (winnowing keeps ~2/(w+1) of grams), orders of
+    magnitude smaller than the text history, which is never re-read.
+    Each run is one equi-join of the new batch's fingerprints against
+    the index plus an append."""
+    from flink_join_scaling_spark.operators.dedup import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(new_docs, id_col, text_col, k, w)
+        .select(F.col(id_col).alias("new_id"), "fp")
+        .localCheckpoint(eager=True)
+    )
+    id_t = new_docs.schema[id_col].dataType.simpleString()
+    if _index_exists(index_dir):
+        known = spark.read.parquet(index_dir)
+    else:
+        known = spark.createDataFrame([], f"known_id {id_t}, fp long")
+    # stop-fingerprint cap over index + batch document frequency
+    df_counts = (
+        fps.select(F.col("new_id").alias("__d"), "fp")
+        .unionByName(known.select(F.col("known_id").alias("__d"), "fp"))
+        .groupBy("fp")
+        .agg(F.countDistinct("__d").alias("__df"))
+    )
+    hot = df_counts.where(F.col("__df") > max_df).select("fp")
+    cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+    cold_known = known.join(F.broadcast(hot), "fp", "left_anti")
+    hist_hits = (
+        cold.join(cold_known, "fp")
+        .groupBy("new_id", "known_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    b2 = cold.select(F.col("new_id").alias("known_id"), "fp")
+    batch_hits = (
+        cold.join(b2, "fp")
+        .where(F.col("new_id") > F.col("known_id"))
+        .groupBy("new_id", "known_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    flagged = (
+        hist_hits.unionByName(batch_hits).localCheckpoint(eager=True)
+    )
+    accepted = (
+        new_docs.join(
+            flagged.select(F.col("new_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    accepted_fps = fps.join(
+        accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
+    )
+    accepted_fps.select(
+        F.col("new_id").alias("known_id"), "fp"
+    ).write.mode("append").parquet(index_dir)
+    return accepted, flagged

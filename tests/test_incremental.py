@@ -310,3 +310,123 @@ def test_stream_media_dedup_rejects_non_integral_id(spark):
         stream_dedup_phash(img, "doc_id")
     with pytest.raises(TypeError, match="integral"):
         stream_dedup_audiohash(wav, "doc_id")
+
+
+def test_incremental_winnow_equals_python_oracle(spark, tmp_path):
+    """Chunked incremental winnow runs accept exactly the documented
+    greedy semantics, replayed by a Python oracle over the batch
+    fingerprint table: a doc is blocked iff it shares >= min_shared
+    fingerprints with an ACCEPTED doc of an earlier chunk (the index)
+    or ANY smaller-id doc of its own chunk; only accepted docs'
+    fingerprints join the index. Copied-passage corpus: later docs
+    splice an earlier doc's passage into otherwise-unrelated text, the
+    local-overlap case minhash misses and winnowing exists for."""
+    from collections import defaultdict
+
+    from flink_join_scaling_spark.operators.dedup import winnow_fingerprints
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_winnow,
+    )
+
+    base = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 40)
+    )
+    rows = base.collect()
+    shift = max(r.doc_id for r in rows) + 1
+    planted = []
+    for j, r in enumerate(rows[:20]):
+        words = r.text.split()
+        passage = " ".join(words[:12]) if len(words) >= 12 else r.text
+        planted.append(
+            (
+                shift + j,
+                f"unrelated filler {j} opens here {passage} and closes "
+                f"with more unrelated filler {j}",
+            )
+        )
+    docs = base.unionByName(
+        spark.createDataFrame(planted, "doc_id long, text string")
+    )
+
+    MIN_SHARED, MAX_DF = 2, 10_000  # cap never fires: uncapped regime
+    fp_rows = winnow_fingerprints(docs, "doc_id", "text").collect()
+    by_doc = defaultdict(set)
+    for r in fp_rows:
+        by_doc[r.doc_id].add(r.fp)
+    ids = sorted({r.doc_id for r in docs.select("doc_id").collect()})
+    chunk_bounds = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+
+    index_fps: dict[int, set] = {}
+    accepted_oracle: list[int] = []
+    chunks = defaultdict(list)
+    for did in ids:
+        chunks[sum(did >= b for b in chunk_bounds)].append(did)
+    for ci in sorted(chunks):
+        batch = chunks[ci]
+        blocked = set()
+        for did in batch:
+            if any(
+                len(by_doc[did] & kfps) >= MIN_SHARED
+                for kfps in index_fps.values()
+            ):
+                blocked.add(did)
+            for other in batch:
+                if other < did and len(by_doc[did] & by_doc[other]) >= MIN_SHARED:
+                    blocked.add(did)
+        for did in batch:
+            if did not in blocked:
+                accepted_oracle.append(did)
+                index_fps[did] = by_doc[did]
+
+    idx = str(tmp_path / "widx")
+    got: list[int] = []
+    lo = None
+    for hi in chunk_bounds + [None]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("doc_id") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("doc_id") < hi)
+        acc, _ = dedup_incremental_winnow(
+            spark, docs.where(cond), idx,
+            min_shared=MIN_SHARED, max_df=MAX_DF,
+        )
+        got += [r.doc_id for r in acc.collect()]
+        lo = hi
+    assert sorted(got) == sorted(accepted_oracle)
+    # sanity: the splices were actually caught (winnowing's guarantee:
+    # a shared run of >= k+w-1 = 8 tokens contributes >= 1 shared
+    # fingerprint; 12-token passages at min_shared=2 flag reliably)
+    assert len(accepted_oracle) < len(ids)
+
+
+def test_incremental_winnow_flags_cross_run_passage_copy(spark, tmp_path):
+    """A later RUN's doc splicing an indexed doc's passage is flagged
+    against the index entry with the shared-fingerprint count; an
+    unrelated doc extends the index."""
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_winnow,
+    )
+
+    idx = str(tmp_path / "widx2")
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    run1 = spark.createDataFrame(
+        [(1, f"document one says {passage} then stops"),
+         (2, "totally different second document with other words inside")],
+        "doc_id long, text string",
+    )
+    acc1, flg1 = dedup_incremental_winnow(spark, run1, idx)
+    assert {r.doc_id for r in acc1.collect()} == {1, 2}
+    assert flg1.count() == 0
+
+    run2 = spark.createDataFrame(
+        [(10, f"later arrival quoting {passage} inside new framing"),
+         (11, "fresh unrelated content sharing nothing with anyone")],
+        "doc_id long, text string",
+    )
+    acc2, flg2 = dedup_incremental_winnow(spark, run2, idx)
+    flagged = {(r.new_id, r.known_id): r.n_shared for r in flg2.collect()}
+    assert (10, 1) in flagged and flagged[(10, 1)] >= 2
+    assert {r.doc_id for r in acc2.collect()} == {11}
