@@ -601,3 +601,51 @@ def test_phash_bucket_state_survives_restart(streaming_spark, tmp_path):
         "cross-restart pair lost — band state not recovered"
     )
     assert got == batch
+
+
+def test_audiohash_bucket_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous AUDIO near-dup detector —
+    the r10 image-detector restart contract applied to the WAV face:
+    band-membership state rehydrates from the checkpoint, a
+    post-restart arrival of the planted near-duplicate clip still
+    emits the cross-restart pair, and every emitted hamming equals the
+    batch pipeline's on the same payloads."""
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.dedup import audiohash_dedup_pairs
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_audiohash
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    schema_str = "doc_id long, payload binary"
+    df1 = spark.createDataFrame(
+        [(0, mm.synth_wav(0)), (8, mm.synth_wav(8))], schema_str
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_audiohash(_read_stream(spark, src, df1.schema), "doc_id"),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame([(1, mm.synth_wav(1))], schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_audiohash(_read_stream(spark, src, df1.schema), "doc_id"),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in em.itertuples(index=False)}
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in audiohash_dedup_pairs(
+            df1.unionByName(df2), "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert any(p[:2] == (0, 1) for p in got), (
+        "cross-restart pair lost — band state not recovered"
+    )
+    assert got == batch
