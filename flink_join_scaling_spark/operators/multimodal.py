@@ -884,6 +884,112 @@ def apng_frame_stats(
     )
 
 
+def apng_frame_hashes(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    frame_stride: int = 16,
+) -> DataFrame:
+    """Frame-LEVEL perceptual fingerprints from a real multi-frame
+    container: one output row per frame with ``(id, frame_idx, node,
+    fhash)`` where ``fhash`` is the frame's 64-bit dHash and ``node =
+    id · frame_stride + frame_idx`` is the composite node id the
+    downstream band join / components machinery keys on (the frame
+    population becomes first-class dedup citizens, the shape real
+    video dedup takes: fingerprint frames, group them, elect keepers).
+    Containers with ≥ ``frame_stride`` frames raise — a silent
+    composite-id collision would corrupt the pair graph.
+
+    One map-only Arrow pass: each container is decoded ONCE and all
+    its frames hashed from the same walk; payload bytes never shuffle;
+    downstream carries 16-byte (node, hash) rows."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, frames = _apng_frames(bytes(p))
+                if len(frames) >= frame_stride:
+                    raise ValueError(
+                        f"container {i} has {len(frames)} frames >= "
+                        f"frame_stride {frame_stride}: composite node "
+                        "ids would collide — raise frame_stride"
+                    )
+                for fi, px in enumerate(frames):
+                    rows.append(
+                        (
+                            i,
+                            fi,
+                            int(i) * frame_stride + fi,
+                            _dhash_from_pixels(w, h, ch, px),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "node", "fhash"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_t}, frame_idx int, node long, fhash long"
+    )
+
+
+def synth_apng_group(doc_id: int, size: int = 16) -> bytes:
+    """Multi-frame APNG fixture with PLANTED frame-level near-dup
+    structure (the ``synth_png`` design lifted to containers):
+    ``2 + (doc_id // 2) % 3`` frames of md5-derived pixels keyed by
+    ``(doc_id // 2, frame_idx)`` — so the (even, odd) doc pair holds
+    frame-wise near-duplicates (odd docs perturb one pixel per frame →
+    dHash hamming ≤ 1 per frame pair) while frames WITHIN a doc and
+    across groups are unrelated random images (expected hamming ~32).
+    Anchors ``q_dedup_frames``' SQL-expressible planted pair set."""
+    import hashlib
+
+    import numpy as np
+
+    group = int(doc_id) // 2
+    n_frames = 2 + group % 3
+    frames = []
+    for f in range(n_frames):
+        px = bytearray()
+        for r in range(size):
+            px += hashlib.md5(f"fhash_{group}_{f}_{r}".encode()).digest()[:size]
+        if int(doc_id) % 2 == 1:
+            px[0] = (px[0] + 16) % 256
+        arr = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+        frames.append(arr.reshape(size, size))
+    return _apng_encode(frames, size, size, 1)
+
+
+def attach_synth_apng_group(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_apng_group` fixtures, built
+    Arrow-side on the executors."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [synth_apng_group(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    # repartition the 8-byte id projection before synthesizing
+    # payloads: a single-file parquet scan arrives as ONE partition,
+    # which would serialize every downstream Arrow decode stage on
+    # one core (measured 3.5x on the sf0.1 pipeline stage).
+    # Production media comes pre-split from binaryFile; this is the
+    # fixture-side equivalent, and it shuffles ids, never payloads.
+    return df.select(id_col).repartition(id_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary"
+    )
+
+
 def synth_apng(doc_id: int, size: int = 16) -> bytes:
     """Deterministic multi-frame APNG fixture: ``2 + doc_id % 3``
     full-canvas grayscale frames; frame ``f`` is the horizontal
@@ -924,7 +1030,15 @@ def attach_synth_apng(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")
+    # repartition the 8-byte id projection before synthesizing
+    # payloads: a single-file parquet scan arrives as ONE partition,
+    # which would serialize every downstream Arrow decode stage on
+    # one core (measured 3.5x on the sf0.1 pipeline stage).
+    # Production media comes pre-split from binaryFile; this is the
+    # fixture-side equivalent, and it shuffles ids, never payloads.
+    return df.select(id_col).repartition(id_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary"
+    )
 
 
 def synth_png(doc_id: int, size: int = 16) -> bytes:
@@ -970,7 +1084,15 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")
+    # repartition the 8-byte id projection before synthesizing
+    # payloads: a single-file parquet scan arrives as ONE partition,
+    # which would serialize every downstream Arrow decode stage on
+    # one core (measured 3.5x on the sf0.1 pipeline stage).
+    # Production media comes pre-split from binaryFile; this is the
+    # fixture-side equivalent, and it shuffles ids, never payloads.
+    return df.select(id_col).repartition(id_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary"
+    )
 
 
 # ------------------------------------------------- audio fingerprinting
@@ -1129,4 +1251,12 @@ def attach_synth_wav(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(run, f"{id_col} {id_t}, payload binary")
+    # repartition the 8-byte id projection before synthesizing
+    # payloads: a single-file parquet scan arrives as ONE partition,
+    # which would serialize every downstream Arrow decode stage on
+    # one core (measured 3.5x on the sf0.1 pipeline stage).
+    # Production media comes pre-split from binaryFile; this is the
+    # fixture-side equivalent, and it shuffles ids, never payloads.
+    return df.select(id_col).repartition(id_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary"
+    )

@@ -212,11 +212,18 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #: session ran the FULL 183-query DuckDB parity twice (FAILURES: none
 #: both times); the r11 window leads with them (q_sim_ann_pq is
 #: r7-stale, the other three are promoted ahead of their r8 cohort)
-#: so driver attestation lands this round.
+#: so driver attestation lands this round. The four media names are
+#: r11 additions: their attach_synth_* fixture plumbing gained an
+#: id-projection repartition (a physical-plan change only — the
+#: single-file sf scan serialized the Arrow decode on one core,
+#: measured 3.5×); outputs re-verified hash-identical at sf0.01 in
+#: the r11 session, driver attestation lands with this window.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {
         "q_cms_freq", "q_sim_topk_pandas", "q_sim_ann_ivf",
         "q_sim_ann_pq",
+        "q_dedup_phash", "q_dedup_phash_apply", "q_dedup_audiohash",
+        "q_multimodal_resize",
     }
 )
 

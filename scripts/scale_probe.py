@@ -408,6 +408,19 @@ def main() -> None:
         # wall should track the map pass exactly, zero exchanges)
         "q_dedup_audiohash": plan_probe("q_dedup_audiohash"),
         "q_multimodal_resize": plan_probe("q_multimodal_resize"),
+        # r11: the composed media pipeline — ONE decode pass feeds both
+        # the hash census and the resize legs (the single-decode
+        # discipline under composition); the band join carries 16-byte
+        # rows, components walks the planted pair set (linear under
+        # prod shape), and the corpus anti-joins once. Wall should
+        # track the decode scan, like q_dedup_phash — a superlinear
+        # ratio here would mean composition broke the materialize-once
+        # discipline
+        "q_pipeline_media": plan_probe("q_pipeline_media"),
+        # r11: REAL multi-frame container sampling — per-row APNG chunk
+        # walk + per-frame inflate/unfilter, map-only, zero exchanges;
+        # wall tracks the decode scan exactly
+        "q_multimodal_frames_real": plan_probe("q_multimodal_frames_real"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two

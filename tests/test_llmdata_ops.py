@@ -1004,3 +1004,47 @@ def test_semantic_contamination_flags_planted_clone(planted_vecs):
     assert out[30][1] and out[30][0] > 990_000
     others = [v for k, (v, c) in out.items() if k != 30]
     assert all(v < 900_000 for v in others)
+
+
+def test_components_size_adaptive_handoff_at_exact_threshold(spark, monkeypatch):
+    """The size-adaptive branch hands off EXACTLY at driver_threshold
+    symmetrized edges: at-or-below → driver union-find (one collect),
+    above → distributed min-label propagation — and both paths return
+    identical components on the same graph (the r10 verdict's
+    close-the-loop evidence for the q_dedup_phash_apply components
+    leg, whose planted pair set crosses the threshold only at real
+    scale)."""
+    # 12 pairs over two chains + singles → 24 symmetrized edges
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 12, 2)]
+        + [(100 + i, 101 + i) for i in range(0, 12, 2)],
+        "id_a long, id_b long",
+    )
+    n_edges = 24  # 12 pairs × 2 (symmetrized), all distinct
+
+    calls: list[str] = []
+    orig = dd._cc_driver
+
+    def spy(edges):
+        calls.append("driver")
+        return orig(edges)
+
+    monkeypatch.setattr(dd, "_cc_driver", spy)
+
+    at = {
+        (r.node, r.component_id)
+        for r in dd.connected_components(
+            pairs, driver_threshold=n_edges
+        ).collect()
+    }
+    assert calls == ["driver"], "at-threshold graph must use the driver path"
+
+    calls.clear()
+    above = {
+        (r.node, r.component_id)
+        for r in dd.connected_components(
+            pairs, driver_threshold=n_edges - 1
+        ).collect()
+    }
+    assert calls == [], "above-threshold graph must use the distributed path"
+    assert at == above
