@@ -1429,6 +1429,53 @@ def q_multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(2 + (doc_id // 2) % 3 AS INT) AS n
+               FROM documents),
+    p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.n
+          FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 2 = 0),
+    f AS (SELECT da, db, CAST(unnest(range(0, n)) AS BIGINT) AS fi FROM p)
+    SELECT da * 16 + fi AS id_a, db * 16 + fi AS id_b FROM f
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level near-dup pairs across animated containers — the
+    shape real video dedup takes (fingerprint frames, not files):
+    synthetic APNGs with 2-4 md5-random frames keyed by
+    (doc_id // 2, frame_idx), odd docs perturbing one pixel per frame,
+    are REALLY decoded (chunk walk + per-frame inflate + unfilter);
+    every frame is dHashed from the same single container walk, keyed
+    by the composite node ``doc_id·16 + frame_idx``, band-joined and
+    hamming-verified at ≤ 3.
+
+    Planted structure makes the answer SQL-expressible: each (even,
+    odd) doc pair is frame-wise near-duplicate BY CONSTRUCTION (the
+    perturbed pixel moves ≤ 1 dHash bit per frame) while frames within
+    a doc and across groups are unrelated md5-random images (~32 bits
+    apart) — so the oracle states exactly the frame-aligned pair set
+    and the Spark side must reproduce it through the REAL container →
+    frame decode → fingerprint → band join → verify pipeline.
+
+    Scale shape: decode+hash is ONE materialized map pass per
+    container (all frames from one walk; payload bytes never shuffle);
+    the band join carries 16-byte (node, hash) rows — the frame
+    population is a small multiple of the file population, and
+    everything after the decode is hash-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    anims = mm.attach_synth_apng_group(d, "doc_id")
+    # materialize the frame-hash table before the band self-join: both
+    # sides read the same rows, and without the pin Catalyst would
+    # re-decode every container once PER SIDE (the phash lesson)
+    fh = mm.apng_frame_hashes(anims, "doc_id").localCheckpoint(eager=True)
+    return dd.hash64_band_pairs(
+        fh.select("node", "fhash"), "node", "fhash", max_hamming=3
+    ).select("id_a", "id_b")
+
+
+@query(
     "q_dedup_phash",
     headline=True,
     oracle="""

@@ -819,3 +819,40 @@ def test_image_pipeline_stage_matches_single_operators(spark):
         assert bytes(row.res_payload) == resized[d]
         # png_features SQL-half-up rounds to 4 decimals; stage emits raw
         assert abs(row.mean_orig - feats[d]) <= 5e-5
+
+
+def test_apng_frame_hashes_planted_structure(spark):
+    """Frame-level fingerprints through the real container: the
+    (even, odd) doc pair is near-dup FRAME-WISE (hamming <= 1 per
+    aligned frame), frames within a doc are unrelated, and the
+    composite node id is doc*16+frame."""
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    fh = mm.apng_frame_hashes(
+        mm.attach_synth_apng_group(df, "doc_id"), "doc_id"
+    ).collect()
+    by_key = {(r.doc_id, r.frame_idx): r.fhash for r in fh}
+    for r in fh:
+        assert r.node == r.doc_id * 16 + r.frame_idx
+    for d in range(0, 6, 2):
+        n = 2 + (d // 2) % 3
+        assert {f for (dd_, f) in by_key if dd_ == d} == set(range(n))
+        for f in range(n):
+            a, b = by_key[(d, f)], by_key[(d + 1, f)]
+            assert bin((a ^ b) & (2**64 - 1)).count("1") <= 1
+        # frames within the even doc are unrelated (md5-random)
+        if n >= 2:
+            a, b = by_key[(d, 0)], by_key[(d, 1)]
+            assert bin((a ^ b) & (2**64 - 1)).count("1") > 3
+
+
+def test_apng_frame_hashes_rejects_frame_stride_overflow(spark):
+    """A container with >= frame_stride frames must raise — a silent
+    composite-id collision would corrupt the pair graph."""
+    import numpy as np
+    import pytest
+
+    frames = [np.full((8, 8), i, dtype=np.int64) for i in range(5)]
+    payload = mm._apng_encode(frames, 8, 8, 1)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="frame_stride"):
+        mm.apng_frame_hashes(df, "doc_id", frame_stride=4).collect()
