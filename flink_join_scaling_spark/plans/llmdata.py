@@ -1476,6 +1476,69 @@ def q_dedup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_videos",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT (d.doc_id % 2 = 1 AND EXISTS (
+        SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1))
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINER-level (video) dedup decided by FRAME-level evidence —
+    how production video dedup actually concludes two clips are the
+    same: fingerprint frames, count frame-aligned near-dup votes per
+    container pair, flag pairs where a majority of frames match, then
+    components → min-id keeper → LEFT ANTI over the flagged pairs.
+
+    On the planted fixture every (even, odd) container pair matches on
+    ALL aligned frames (each frame perturbs ≤ 1 dHash bit) while
+    unrelated containers share no matching frames, so the kept set is
+    SQL-expressible (the q_dedup_phash_apply rule) and the whole
+    frame-vote → majority → components → election pipeline is
+    value-checked through the REAL container decode.
+
+    Scale shape: one materialized decode+hash pass per container;
+    votes are a pair-sized aggregation over the 16-byte band-join
+    output; the majority join touches only flagged pairs; the corpus
+    shuffles once for the anti join."""
+    d = load_table(spark, sf_dir, "documents")
+    anims = mm.attach_synth_apng_group(d, "doc_id")
+    fh = mm.apng_frame_hashes(anims, "doc_id").localCheckpoint(eager=True)
+    fpairs = dd.hash64_band_pairs(
+        fh.select("node", "fhash"), "node", "fhash", max_hamming=3
+    )
+    # frame-ALIGNED votes per container pair (node = doc·16 + frame)
+    votes = (
+        fpairs.where(F.col("id_a") % 16 == F.col("id_b") % 16)
+        .groupBy(
+            (F.col("id_a") - F.col("id_a") % 16).alias("node_a"),
+            (F.col("id_b") - F.col("id_b") % 16).alias("node_b"),
+        )
+        .agg(F.count("*").alias("n_match"))
+        .select(
+            (F.col("node_a") / 16).cast("long").alias("doc_a"),
+            (F.col("node_b") / 16).cast("long").alias("doc_b"),
+            "n_match",
+        )
+    )
+    nframes = fh.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    flagged = (
+        votes.join(nframes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .where(F.col("n_match") * 2 >= F.col("n_frames"))
+        .select("doc_a", "doc_b")
+    )
+    comp = dd.connected_components(flagged, "doc_a", "doc_b")
+    losers = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
     "q_dedup_phash",
     headline=True,
     oracle="""
