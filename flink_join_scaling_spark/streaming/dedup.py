@@ -885,3 +885,57 @@ def stream_dedup_audiohash(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_frames(
+    sdf: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket: int = 64,
+    frame_stride: int = 16,
+) -> DataFrame:
+    """Streaming FRAME-level near-dup detection over animated
+    containers (the continuous face of the batch ``q_dedup_frames``
+    pipeline): each arriving APNG is decoded ONCE where it arrives —
+    every frame dHashed from the same container walk
+    (``multimodal.apng_frame_hashes``) — and each frame enters the
+    keyed band-membership state under its composite node id
+    (``id·frame_stride + frame_idx``), so cross-container frame
+    matches emit hamming-verified pairs exactly like the batch band
+    join. Converged verified pair set == batch ``hash64_band_pairs``
+    over the same frame hashes, modulo the ``max_bucket`` cap.
+
+    Payload bytes never reach the stateful exchange — it carries only
+    (node, 64-bit hash) rows, the same 16-byte discipline as every
+    hash64 face."""
+    from flink_join_scaling_spark.operators.multimodal import apng_frame_hashes
+
+    if max_hamming > 3:
+        raise ValueError(
+            "stream_dedup_frames: 4 sixteen-bit bands are pigeonhole-"
+            f"complete only for max_hamming <= 3 (got {max_hamming})"
+        )
+    _require_integral_id(sdf, id_col, "stream_dedup_frames")
+    hashes = apng_frame_hashes(
+        sdf, id_col, payload_col, frame_stride=frame_stride
+    ).select(
+        F.col("node").alias("__sim_id"),
+        F.col("fhash").alias("simhash"),
+    )
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+    bands = hashes.select(
+        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
+        _sim_members_fn(max_bucket, max_hamming, bits=64),
+        outputStructType="id_a long, id_b long, hamming long",
+        stateStructType="ids array<long>, sims array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

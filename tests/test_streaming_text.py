@@ -904,3 +904,36 @@ def test_stream_dedup_audiohash_matches_batch(streaming_spark, tmp_path):
     )
     got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
     assert got == batch
+
+
+def test_stream_dedup_frames_matches_batch(streaming_spark, tmp_path):
+    """Continuous FRAME-level near-dup detection over animated
+    containers: converged verified pair set equals the batch
+    hash64_band_pairs over the same frame hashes (cap lifted) — each
+    arriving APNG decoded once, all frames hashed from one walk,
+    composite node ids in the shared band-membership state."""
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.operators import multimodal as mmod
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_frames
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    ids = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    anims = mmod.attach_synth_apng_group(ids, "doc_id")
+    fh = mmod.apng_frame_hashes(anims, "doc_id").localCheckpoint(eager=True)
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.hash64_band_pairs(
+            fh.select("node", "fhash"), "node", "fhash", max_hamming=3
+        ).collect()
+    }
+    assert len(batch) >= 16, "fixture must produce the planted frame pairs"
+
+    sdf = chunked_parquet_stream(spark, anims, str(tmp_path / "chunks"), n_chunks=4)
+    em = run_to_memory(
+        stream_dedup_frames(sdf, "doc_id", max_bucket=1 << 20),
+        output_mode="update",
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
+    assert got == batch
