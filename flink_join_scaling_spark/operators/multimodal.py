@@ -982,10 +982,15 @@ def attach_synth_apng_group(df: DataFrame, id_col: str) -> DataFrame:
     # repartition the 8-byte id projection before synthesizing
     # payloads: a single-file parquet scan arrives as ONE partition,
     # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage).
-    # Production media comes pre-split from binaryFile; this is the
-    # fixture-side equivalent, and it shuffles ids, never payloads.
-    return df.select(id_col).repartition(id_col).mapInPandas(
+    # one core (measured 3.5x on the sf0.1 pipeline stage). The
+    # partition count must be EXPLICIT: a bare repartition(col) lets
+    # AQE coalesce the tiny id shuffle back to one partition (it
+    # sizes by shuffle bytes and cannot see the per-row Python decode
+    # cost downstream — measured: 1 partition, the serialization this
+    # exists to prevent). Production media comes pre-split from
+    # binaryFile; this shuffles ids, never payloads.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(n, id_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary"
     )
 
@@ -1033,10 +1038,15 @@ def attach_synth_apng(df: DataFrame, id_col: str) -> DataFrame:
     # repartition the 8-byte id projection before synthesizing
     # payloads: a single-file parquet scan arrives as ONE partition,
     # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage).
-    # Production media comes pre-split from binaryFile; this is the
-    # fixture-side equivalent, and it shuffles ids, never payloads.
-    return df.select(id_col).repartition(id_col).mapInPandas(
+    # one core (measured 3.5x on the sf0.1 pipeline stage). The
+    # partition count must be EXPLICIT: a bare repartition(col) lets
+    # AQE coalesce the tiny id shuffle back to one partition (it
+    # sizes by shuffle bytes and cannot see the per-row Python decode
+    # cost downstream — measured: 1 partition, the serialization this
+    # exists to prevent). Production media comes pre-split from
+    # binaryFile; this shuffles ids, never payloads.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(n, id_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary"
     )
 
@@ -1087,10 +1097,15 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
     # repartition the 8-byte id projection before synthesizing
     # payloads: a single-file parquet scan arrives as ONE partition,
     # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage).
-    # Production media comes pre-split from binaryFile; this is the
-    # fixture-side equivalent, and it shuffles ids, never payloads.
-    return df.select(id_col).repartition(id_col).mapInPandas(
+    # one core (measured 3.5x on the sf0.1 pipeline stage). The
+    # partition count must be EXPLICIT: a bare repartition(col) lets
+    # AQE coalesce the tiny id shuffle back to one partition (it
+    # sizes by shuffle bytes and cannot see the per-row Python decode
+    # cost downstream — measured: 1 partition, the serialization this
+    # exists to prevent). Production media comes pre-split from
+    # binaryFile; this shuffles ids, never payloads.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(n, id_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary"
     )
 
@@ -1254,9 +1269,14 @@ def attach_synth_wav(df: DataFrame, id_col: str) -> DataFrame:
     # repartition the 8-byte id projection before synthesizing
     # payloads: a single-file parquet scan arrives as ONE partition,
     # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage).
-    # Production media comes pre-split from binaryFile; this is the
-    # fixture-side equivalent, and it shuffles ids, never payloads.
-    return df.select(id_col).repartition(id_col).mapInPandas(
+    # one core (measured 3.5x on the sf0.1 pipeline stage). The
+    # partition count must be EXPLICIT: a bare repartition(col) lets
+    # AQE coalesce the tiny id shuffle back to one partition (it
+    # sizes by shuffle bytes and cannot see the per-row Python decode
+    # cost downstream — measured: 1 partition, the serialization this
+    # exists to prevent). Production media comes pre-split from
+    # binaryFile; this shuffles ids, never payloads.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(n, id_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary"
     )
