@@ -649,3 +649,58 @@ def test_audiohash_bucket_state_survives_restart(streaming_spark, tmp_path):
         "cross-restart pair lost — band state not recovered"
     )
     assert got == batch
+
+
+def test_frames_bucket_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous FRAME-level detector: the
+    band-membership state keyed by composite node ids rehydrates from
+    the checkpoint, so a post-restart arrival of the frame-wise
+    near-duplicate container still emits every cross-restart
+    frame-aligned pair, hamming-equal to the batch pipeline."""
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.dedup import hash64_band_pairs
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_frames
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    schema_str = "doc_id long, payload binary"
+    df1 = spark.createDataFrame(
+        [(0, mm.synth_apng_group(0)), (8, mm.synth_apng_group(8))], schema_str
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_frames(_read_stream(spark, src, df1.schema), "doc_id"),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame([(1, mm.synth_apng_group(1))], schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_frames(_read_stream(spark, src, df1.schema), "doc_id"),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = {(int(r.id_a), int(r.id_b), int(r.hamming)) for r in em.itertuples(index=False)}
+    fh = mm.apng_frame_hashes(
+        mm.attach_synth_apng_group(
+            df1.unionByName(df2).select("doc_id"), "doc_id"
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hash64_band_pairs(
+            fh.select("node", "fhash"), "node", "fhash", max_hamming=3
+        ).collect()
+    }
+    # doc 0's frames live in state before the kill; doc 1's arrival
+    # after restart must pair with them (nodes 0..n-1 vs 16..16+n-1)
+    assert any(p[0] < 16 and 16 <= p[1] < 32 for p in got), (
+        "cross-restart frame pair lost — band state not recovered"
+    )
+    assert got == batch
