@@ -421,6 +421,12 @@ def main() -> None:
         # walk + per-frame inflate/unfilter, map-only, zero exchanges;
         # wall tracks the decode scan exactly
         "q_multimodal_frames_real": plan_probe("q_multimodal_frames_real"),
+        # r11: frame-level dedup walks every container once (all frames
+        # hashed from one decode), then 16-byte band rows; the video
+        # election adds a pair-sized vote agg + components over flagged
+        # doc pairs — both should track the decode scan
+        "q_dedup_frames": plan_probe("q_dedup_frames"),
+        "q_dedup_videos": plan_probe("q_dedup_videos"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
