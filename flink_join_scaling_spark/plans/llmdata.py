@@ -1710,6 +1710,41 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_audiohash_apply",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT (d.doc_id % 2 = 1 AND EXISTS (
+        SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1))
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_audiohash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope-hash-deduplicated AUDIO corpus (r11): connected
+    components over the audio near-dup pairs, min-id keeper, LEFT ANTI
+    — completing the census→apply symmetry for the audio family the
+    way ``q_dedup_phash_apply`` did for images (a perceptual match
+    says the clips SOUND the same; no quality election). Kept set is
+    SQL-expressible under the planted even/odd fixture structure, so
+    the full decode → hash → band join → components → election →
+    anti-join pipeline is value-checked through the REAL WAV decoder.
+
+    Scale shape: identical to the image apply — one materialized
+    decode+hash pass, pair-set-only component propagation, one
+    id-keyed corpus anti join."""
+    d = load_table(spark, sf_dir, "documents")
+    auds = mm.attach_synth_wav(d, "doc_id")
+    pairs = dd.audiohash_dedup_pairs(auds, "doc_id", "payload", max_hamming=3)
+    comp = dd.connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
