@@ -1214,6 +1214,132 @@ def audiohash_hashes(
     )
 
 
+def _wav_encode_u8(samples, sample_rate: int) -> bytes:
+    """Minimal REAL WAV encoder: 8-bit unsigned mono PCM — the inverse
+    of the subset :func:`_wav_samples` decodes, so resample output
+    round-trips through the same decoder. ``samples`` are uint8
+    values (bias-128 representation, the 8-bit WAV convention)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("8-bit WAV samples must be in [0, 255]")
+    data = arr.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def resample_wav(payload: bytes, factor: int) -> bytes:
+    """REAL audio downsample: decode (:func:`_wav_samples` — RIFF walk
+    + PCM mixdown to centered mono float), average non-overlapping
+    ``factor``-sample blocks (the area-average rule on the time axis —
+    the boxcar-decimate every DSP pipeline starts from), SQL-half-up
+    round back to bias-128 uint8, re-encode 8-bit mono at
+    ``rate // factor`` (:func:`_wav_encode_u8`). A trailing partial
+    block is dropped (standard decimation truncation, documented).
+    Entirely stdlib + NumPy, deterministic; raises the decoder's loud
+    ValueError outside the supported subset and refuses UPsampling
+    (interpolation policy belongs to a real resampler — the
+    ``resize_png`` stance on the time axis)."""
+    import math
+
+    import numpy as np
+
+    rate, mono = _wav_samples(payload)
+    if factor < 1 or (len(mono) and factor > len(mono)):
+        raise ValueError(
+            f"resample_wav downsamples only: factor {factor} vs "
+            f"{len(mono)} samples is not a downsample"
+        )
+    n_blocks = len(mono) // factor
+    blocks = mono[: n_blocks * factor].reshape(n_blocks, factor).mean(axis=1)
+    u8 = np.array(
+        [int(math.floor(v + 128.0 + 0.5)) for v in blocks], dtype=np.int64
+    )
+    u8 = np.clip(u8, 0, 255)
+    return _wav_encode_u8(u8, rate // factor)
+
+
+def resample_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    factor: int = 4,
+) -> DataFrame:
+    """(id, payload, sample_rate, n_frames) with every WAV payload
+    REALLY decimated via :func:`resample_wav` — the audio twin of
+    :func:`resize_images`, Arrow-batched; the emitted rate/frames come
+    from RE-DECODING the resampled payload (not from arithmetic), so a
+    broken encoder can't silently claim success. Payloads in and out
+    stay on the executors."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads, rates, frames = [], [], []
+            for p in pdf[payload_col]:
+                rp = resample_wav(bytes(p), factor)
+                rate, n, _ch, _mean = _parse_wav(rp)
+                payloads.append(rp)
+                rates.append(rate)
+                frames.append(n)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": payloads,
+                    "sample_rate": rates,
+                    "n_frames": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary, sample_rate int, n_frames int"
+    )
+
+
+def wav_features(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """(id, sample_rate, n_frames, n_channels, mean_abs) via the REAL
+    WAV decoder over a binary column — the audio projection of
+    ``decode_media(decoder="real")`` without the media_type plumbing
+    (for payloads already known to be WAV; the :func:`png_features`
+    twin)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [_parse_wav(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(
+                feats,
+                columns=["sample_rate", "n_frames", "n_channels", "mean_abs"],
+            )
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} {id_t}, sample_rate int, n_frames int, n_channels int, "
+        "mean_abs double",
+    )
+
+
 def synth_wav(doc_id: int, n_windows: int = 65, window: int = 32) -> bytes:
     """Deterministic 8-bit PCM mono WAV fixture: each of the 65
     envelope windows holds a constant md5-derived level keyed by

@@ -1745,6 +1745,51 @@ def q_dedup_audiohash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_resample",
+    oracle="""
+    SELECT doc_id, CAST(2000 AS INT) AS sample_rate,
+           CAST(520 AS INT) AS n_frames, TRUE AS mean_ok
+    FROM documents
+    """,
+    tags=("llmdata", "multimodal", "pandas"),
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample through Spark (r11): synthetic 8 kHz
+    8-bit PCM fixtures are decoded, boxcar-decimated ×4, re-ENCODED as
+    WAV, then RE-DECODED — emitted rate/frames come from the re-decode
+    (2000 Hz, 520 frames from 2080), and ``mean_ok`` asserts the
+    resampled clip's mean |amplitude| stays within quantization
+    distance (≤ 2/128) of the original's, which block-averaging
+    preserves on the constant-level fixture windows BY CONSTRUCTION
+    (32-sample windows, factor 4 — no block spans a level boundary).
+    The audio twin of ``q_multimodal_resize``: the self-attesting
+    invariant pattern applied to the resample stage, completing
+    decode/feature/resample parity between the image and audio
+    families.
+
+    Scale shape: two map-only Arrow passes joined on the id — payload
+    bytes never shuffle; the join carries fixed-width feature rows."""
+    d = load_table(spark, sf_dir, "documents")
+    auds = mm.attach_synth_wav(d, "doc_id")
+    orig = mm.wav_features(auds, "doc_id").select(
+        "doc_id", F.col("mean_abs").alias("mean_orig")
+    )
+    res = mm.resample_audio(auds, "doc_id", factor=4)
+    rfeat = mm.wav_features(res, "doc_id").select(
+        "doc_id", "sample_rate", "n_frames",
+        F.col("mean_abs").alias("mean_res"),
+    )
+    return orig.join(rfeat, "doc_id").select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        (F.abs(F.col("mean_res") - F.col("mean_orig")) <= 2.0 / 128.0).alias(
+            "mean_ok"
+        ),
+    )
+
+
+@query(
     "q_multimodal_resize",
     oracle="""
     SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,

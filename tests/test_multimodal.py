@@ -856,3 +856,59 @@ def test_apng_frame_hashes_rejects_frame_stride_overflow(spark):
     df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="frame_stride"):
         mm.apng_frame_hashes(df, "doc_id", frame_stride=4).collect()
+
+
+# ------------------------------------------------- audio resample
+
+
+def test_resample_wav_exact_block_means():
+    """Hand-built PCM: factor-4 decimation emits exactly the block
+    means (bias-128, half-up), the trailing partial block is dropped,
+    and the re-encoded WAV re-decodes at rate//4."""
+    import numpy as np
+
+    # 10 samples: two full blocks of 4, one partial block of 2 (dropped)
+    u8 = np.array([10, 20, 30, 40, 100, 100, 100, 101, 7, 9], dtype=np.uint8)
+    payload = mm._wav_encode_u8(u8, 8000)
+    rp = mm.resample_wav(payload, 4)
+    rate, mono = mm._wav_samples(rp)
+    assert rate == 2000
+    # block means of CENTERED samples: (10+20+30+40)/4-128 = -103;
+    # (100+100+100+101)/4 = 100.25 -> 100 centered -27.75 -> -28+... 
+    # recompute exactly: centered blocks = mean(u8)-128, re-encoded
+    # half-up: block1 25.0 -> 25; block2 100.25 -> 100
+    assert list(mono.astype(int) + 128) == [25, 100]
+
+
+def test_resample_wav_refuses_upsample_and_bad_payload():
+    import pytest
+
+    payload = mm.synth_wav(0)
+    with pytest.raises(ValueError, match="downsample"):
+        mm.resample_wav(payload, 10**9)
+    with pytest.raises(ValueError):
+        mm.resample_wav(b"not a wav", 4)
+
+
+def test_resample_wav_preserves_fixture_envelope_exactly():
+    """On the constant-level fixture windows (32 samples, factor 4 —
+    no block spans a boundary) decimation preserves the envelope and
+    the mean |amplitude| EXACTLY."""
+    p = mm.synth_wav(6)
+    rate0, n0, ch0, mean0 = mm._parse_wav(p)
+    rp = mm.resample_wav(p, 4)
+    rate1, n1, ch1, mean1 = mm._parse_wav(rp)
+    assert (rate1, n1, ch1) == (rate0 // 4, n0 // 4, 1)
+    assert abs(mean1 - mean0) < 1e-9
+
+
+def test_resample_audio_through_spark(spark):
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    auds = mm.attach_synth_wav(df, "doc_id")
+    out = mm.resample_audio(auds, "doc_id", factor=4).collect()
+    assert len(out) == 6
+    for r in out:
+        assert (r.sample_rate, r.n_frames) == (2000, 520)
+        # the resampled payload really decodes
+        rate, n, ch, mean = mm._parse_wav(bytes(r.payload))
+        assert (rate, n) == (2000, 520)
