@@ -1170,9 +1170,16 @@ def audiohash64(payload: bytes) -> int:
     audiohash_dedup_pairs`) needs. Signed 64-bit like the dHash.
     Raises the decoder's loud ValueError outside the supported subset
     or when there are fewer samples than windows."""
+    _rate, mono = _wav_samples(payload)
+    return _audiohash_from_samples(mono)
+
+
+def _audiohash_from_samples(mono) -> int:
+    """The fingerprint core of :func:`audiohash64` on already-decoded
+    mono samples — factored (like :func:`_dhash_from_pixels`) so the
+    composed audio pipeline stage decodes each clip ONCE."""
     import numpy as np
 
-    _rate, mono = _wav_samples(payload)
     n = len(mono)
     if n < 65:
         raise ValueError(f"audiohash64 needs >= 65 samples, got {n}")
@@ -1253,11 +1260,31 @@ def resample_wav(payload: bytes, factor: int) -> bytes:
     ValueError outside the supported subset and refuses UPsampling
     (interpolation policy belongs to a real resampler — the
     ``resize_png`` stance on the time axis)."""
+    rate, mono = _wav_samples(payload)
+    # requantization scale: _wav_samples centers but does not rescale,
+    # so 16-bit samples arrive in ±32768 units — a bias-128 re-encode
+    # without the >>8 would clip them to garbage. Read bits from fmt.
+    pos, bits = 12, 8
+    while pos + 8 <= len(payload):
+        if payload[pos : pos + 4] == b"fmt ":
+            bits = int.from_bytes(payload[pos + 22 : pos + 24], "little")
+            break
+        pos += 8 + int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        pos += pos & 1
+    return _resample_encode(mono, rate, factor, 256.0 if bits == 16 else 1.0)
+
+
+def _resample_encode(mono, rate: int, factor: int, scale: float) -> bytes:
+    """The decimate+requantize core of :func:`resample_wav` on
+    already-decoded mono samples (factored like
+    :func:`_audiohash_from_samples` for the composed audio stage):
+    block-average, divide by ``scale`` (256 for 16-bit sources — the
+    standard 16→8 requantization), bias-128 half-up to uint8, encode
+    at ``rate // factor``."""
     import math
 
     import numpy as np
 
-    rate, mono = _wav_samples(payload)
     if factor < 1 or (len(mono) and factor > len(mono)):
         raise ValueError(
             f"resample_wav downsamples only: factor {factor} vs "
@@ -1266,7 +1293,8 @@ def resample_wav(payload: bytes, factor: int) -> bytes:
     n_blocks = len(mono) // factor
     blocks = mono[: n_blocks * factor].reshape(n_blocks, factor).mean(axis=1)
     u8 = np.array(
-        [int(math.floor(v + 128.0 + 0.5)) for v in blocks], dtype=np.int64
+        [int(math.floor(v / scale + 128.0 + 0.5)) for v in blocks],
+        dtype=np.int64,
     )
     u8 = np.clip(u8, 0, 255)
     return _wav_encode_u8(u8, rate // factor)
@@ -1308,6 +1336,52 @@ def resample_audio(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary, sample_rate int, n_frames int"
+    )
+
+
+def audio_pipeline_stage(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    factor: int = 4,
+) -> DataFrame:
+    """ONE Arrow pass decoding each clip ONCE and emitting both audio
+    legs' inputs: ``(id, audiohash, res_payload, mean_orig)`` — the
+    64-bit envelope fingerprint (census leg) and the boxcar-decimated
+    re-encoded WAV plus the original's raw mean |amplitude| (resample
+    leg), both computed from the SAME decoded sample vector. The audio
+    twin of :func:`image_pipeline_stage`; same discipline — callers
+    materialize before any self-join, the corpus is decoded exactly
+    once. ``mean_orig`` is in centered 8-bit sample units (the fixture
+    subset this stage composes over); the invariant consumer compares
+    it against the re-decoded resample's units."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes, payloads, means = [], [], []
+            for p in pdf[payload_col]:
+                rate, mono = _wav_samples(bytes(p))
+                hashes.append(_audiohash_from_samples(mono))
+                payloads.append(_resample_encode(mono, rate, factor, 1.0))
+                means.append(float(np.abs(mono).mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "audiohash": hashes,
+                    "res_payload": payloads,
+                    "mean_orig": means,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} {id_t}, audiohash long, res_payload binary, "
+        "mean_orig double",
     )
 
 

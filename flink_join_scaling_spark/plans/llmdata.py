@@ -1745,6 +1745,59 @@ def q_dedup_audiohash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pipeline_audio",
+    oracle="""
+    SELECT d.doc_id, CAST(2000 AS INT) AS sample_rate,
+           CAST(520 AS INT) AS n_frames, TRUE AS mean_ok
+    FROM documents d
+    WHERE NOT (d.doc_id % 2 = 1 AND EXISTS (
+        SELECT 1 FROM documents e WHERE e.doc_id = d.doc_id - 1))
+    """,
+    tags=("llmdata", "multimodal", "dedup", "pipeline"),
+)
+def q_pipeline_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO pipeline composed end-to-end (r11) — the WAV twin of
+    ``q_pipeline_media``: decode → resample → envelope-hash census →
+    components → keeper → LEFT ANTI in ONE plan with a SINGLE decode
+    stage (``audio_pipeline_stage`` feeds both legs from one decoded
+    sample vector, materialized before the band self-join). Kept set
+    SQL-expressible under the planted even/odd structure; the kept
+    clips' decimated payloads re-decode at 2000 Hz / 520 frames with
+    the mean-|amplitude| invariant self-attested. Scale shape: one
+    decode pass (payloads never shuffle), 16-byte band rows,
+    pair-set components, one corpus anti join, map-only re-decode of
+    the decimated clips."""
+    d = load_table(spark, sf_dir, "documents")
+    auds = mm.attach_synth_wav(d, "doc_id")
+    stage = mm.audio_pipeline_stage(auds, "doc_id", factor=4).localCheckpoint(
+        eager=True
+    )
+    pairs = dd.hash64_band_pairs(
+        stage.select("doc_id", "audiohash"), "doc_id", "audiohash",
+        max_hamming=3,
+    )
+    comp = dd.connected_components(pairs, "id_a", "id_b")
+    losers = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = stage.join(losers, "doc_id", "left_anti")
+    rfeat = mm.wav_features(
+        kept.select("doc_id", "res_payload"), "doc_id", "res_payload"
+    ).select(
+        "doc_id", "sample_rate", "n_frames",
+        (F.col("mean_abs") * 128.0).alias("mean_res"),
+    )
+    return rfeat.join(kept.select("doc_id", "mean_orig"), "doc_id").select(
+        "doc_id",
+        "sample_rate",
+        "n_frames",
+        (F.abs(F.col("mean_res") - F.col("mean_orig")) <= 2.0).alias(
+            "mean_ok"
+        ),
+    )
+
+
+@query(
     "q_audio_resample",
     oracle="""
     SELECT doc_id, CAST(2000 AS INT) AS sample_rate,

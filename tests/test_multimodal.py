@@ -912,3 +912,49 @@ def test_resample_audio_through_spark(spark):
         # the resampled payload really decodes
         rate, n, ch, mean = mm._parse_wav(bytes(r.payload))
         assert (rate, n) == (2000, 520)
+
+
+def test_resample_wav_requantizes_16bit():
+    """A 16-bit source is scaled by 256 into the 8-bit bias-128 range
+    (the standard requantization), not clipped to garbage."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([0, 2560, -2560, 25600], dtype="<i2")  # ±32768 units
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    payload = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rp = mm.resample_wav(payload, 2)
+    rate, mono = mm._wav_samples(rp)
+    assert rate == 4000
+    # block means in 16-bit units: 1280, 11520 -> /256 = 5, 45
+    assert list(mono.astype(int)) == [5, 45]
+
+
+def test_audio_pipeline_stage_matches_single_operators(spark):
+    """The composed audio stage must be value-identical to the
+    standalone operators it fuses: audiohash == audiohash_hashes,
+    resampled payload == resample_audio payload."""
+    df = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    auds = mm.attach_synth_wav(df, "doc_id").localCheckpoint(eager=True)
+    stage = {
+        r.doc_id: r
+        for r in mm.audio_pipeline_stage(auds, "doc_id", factor=4).collect()
+    }
+    hashes = {
+        r.doc_id: r.audiohash
+        for r in mm.audiohash_hashes(auds, "doc_id").collect()
+    }
+    resampled = {
+        r.doc_id: bytes(r.payload)
+        for r in mm.resample_audio(auds, "doc_id", factor=4).collect()
+    }
+    assert set(stage) == set(hashes) == set(resampled)
+    for d, row in stage.items():
+        assert row.audiohash == hashes[d]
+        assert bytes(row.res_payload) == resampled[d]
