@@ -427,6 +427,10 @@ def main() -> None:
         # doc pairs — both should track the decode scan
         "q_dedup_frames": plan_probe("q_dedup_frames"),
         "q_dedup_videos": plan_probe("q_dedup_videos"),
+        # r11: the composed audio pipeline — single decode feeds the
+        # envelope census + resample legs; should track the WAV decode
+        # scan like q_dedup_audiohash
+        "q_pipeline_audio": plan_probe("q_pipeline_audio"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
