@@ -430,3 +430,41 @@ def test_incremental_winnow_flags_cross_run_passage_copy(spark, tmp_path):
     flagged = {(r.new_id, r.known_id): r.n_shared for r in flg2.collect()}
     assert (10, 1) in flagged and flagged[(10, 1)] >= 2
     assert {r.doc_id for r in acc2.collect()} == {11}
+
+
+def test_incremental_hash64_accepts_frame_hashes(spark, tmp_path):
+    """The SURVEY claim that the persisted 64-bit band index is the
+    cross-run face of the FRAME family: apng_frame_hashes' (node,
+    fhash) rows drive dedup_incremental_hash64 directly — run 2's
+    containers are flagged frame-by-frame against run 1's indexed
+    frames, history payloads never re-read."""
+    from flink_join_scaling_spark.operators import multimodal as mm
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_hash64,
+    )
+
+    idx = str(tmp_path / "fidx")
+
+    def frame_hashes(ids):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return mm.apng_frame_hashes(
+            mm.attach_synth_apng_group(df, "doc_id"), "doc_id"
+        ).select("node", "fhash")
+
+    # run 1: container 0 (group 0, 2 frames) — all frames accepted
+    acc1, flg1 = dedup_incremental_hash64(
+        spark, frame_hashes([0]), idx, id_col="node", hash_col="fhash"
+    )
+    assert {r.node for r in acc1.collect()} == {0, 1}  # nodes 0*16+f
+    assert flg1.count() == 0
+
+    # run 2: container 1 (frame-wise near-dup of 0) + container 4
+    # (group 2, unrelated) — every frame of 1 flags against 0's
+    # indexed frames, frame-aligned; container 4's frames are accepted
+    acc2, flg2 = dedup_incremental_hash64(
+        spark, frame_hashes([1, 4]), idx, id_col="node", hash_col="fhash"
+    )
+    flagged = {(r.new_id, r.known_id) for r in flg2.collect()}
+    assert flagged == {(16, 0), (17, 1)}  # doc1 frames vs doc0 frames
+    n4 = 2 + (4 // 2) % 3  # 4 frames
+    assert {r.node for r in acc2.collect()} == {64 + f for f in range(n4)}
