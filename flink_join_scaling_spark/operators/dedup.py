@@ -1090,6 +1090,78 @@ def hash64_band_pairs(
     )
 
 
+def container_majority_pairs(
+    frame_hashes: DataFrame,
+    node_col: str = "node",
+    hash_col: str = "fhash",
+    stride: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """CONTAINER-level near-dup pairs decided by FRAME-level evidence:
+    band-join the per-frame 64-bit fingerprints
+    (:func:`hash64_band_pairs` over composite node ids
+    ``doc·stride + frame``), count frame-ALIGNED matching votes per
+    container pair, and flag ``(doc_a, doc_b)`` where the vote clears
+    a SYMMETRIC majority — ``2·n_match ≥ max(n_frames_a, n_frames_b)``.
+
+    The max() is load-bearing (advisor r11): band pairs guarantee
+    ``id_a < id_b``, so a majority gated on doc_a's frame count alone
+    would let a short container matching a small slice of a longer one
+    flag the pair — and the min-id election downstream would then
+    delete the longer video. Requiring the vote to clear BOTH
+    containers' counts makes the rule orientation-independent.
+
+    Scale shape: votes are a pair-sized aggregation over the 16-byte
+    band-join output; the two frame-count joins touch only voting
+    pairs. Nothing here is corpus-sized."""
+    fpairs = hash64_band_pairs(
+        frame_hashes.select(node_col, hash_col),
+        node_col,
+        hash_col,
+        max_hamming=max_hamming,
+    )
+    votes = (
+        fpairs.where(F.col("id_a") % stride == F.col("id_b") % stride)
+        .groupBy(
+            (F.col("id_a") - F.col("id_a") % stride).alias("node_a"),
+            (F.col("id_b") - F.col("id_b") % stride).alias("node_b"),
+        )
+        .agg(F.count("*").alias("n_match"))
+        .select(
+            (F.col("node_a") / stride).cast("long").alias("doc_a"),
+            (F.col("node_b") / stride).cast("long").alias("doc_b"),
+            "n_match",
+        )
+    )
+    nframes = frame_hashes.groupBy(
+        (F.col(node_col) - F.col(node_col) % stride).alias("__doc_node")
+    ).agg(F.count("*").alias("n_frames")).select(
+        (F.col("__doc_node") / stride).cast("long").alias("doc_id"),
+        "n_frames",
+    )
+    return (
+        votes.join(
+            nframes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_frames").alias("n_frames_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            nframes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_frames").alias("n_frames_b"),
+            ),
+            "doc_b",
+        )
+        .where(
+            F.col("n_match") * 2
+            >= F.greatest(F.col("n_frames_a"), F.col("n_frames_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def phash_dedup_pairs(
     df: DataFrame,
     id_col: str,

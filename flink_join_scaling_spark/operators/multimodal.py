@@ -1116,8 +1116,13 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
 def _wav_samples(payload: bytes):
     """Mono float64 PCM samples behind :func:`_parse_wav`: decode the
     RIFF chunks with the same walk/validation, mix channels down by
-    mean, and return ``(sample_rate, samples)`` where samples are
-    centered amplitudes (value − 128 for 8-bit, raw for 16-bit).
+    mean, and return ``(sample_rate, samples, bits)`` where samples
+    are centered amplitudes (value − 128 for 8-bit, raw for 16-bit)
+    and ``bits`` is the source bit depth (8 or 16) — returned so
+    requantizing consumers (:func:`resample_wav`,
+    :func:`audio_pipeline_stage`) derive their 16→8 scale from the
+    SAME chunk walk instead of re-walking RIFF (a second walk could
+    drift and silently take the no-rescale path on 16-bit input).
     Factored for sample-consuming operators (the audio fingerprint);
     same supported subset, same loud ValueError outside it."""
     import numpy as np
@@ -1149,13 +1154,13 @@ def _wav_samples(payload: bytes):
     bytes_per_frame = channels * (bits // 8)
     usable = len(data) - (len(data) % bytes_per_frame)
     if usable == 0:
-        return sample_rate, np.zeros(0, dtype=np.float64)
+        return sample_rate, np.zeros(0, dtype=np.float64), bits
     if bits == 16:
         s = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
     else:
         s = np.frombuffer(data[:usable], dtype="u1").astype(np.float64) - 128.0
     mono = s.reshape(-1, channels).mean(axis=1)
-    return sample_rate, mono
+    return sample_rate, mono, bits
 
 
 def audiohash64(payload: bytes) -> int:
@@ -1170,7 +1175,7 @@ def audiohash64(payload: bytes) -> int:
     audiohash_dedup_pairs`) needs. Signed 64-bit like the dHash.
     Raises the decoder's loud ValueError outside the supported subset
     or when there are fewer samples than windows."""
-    _rate, mono = _wav_samples(payload)
+    _rate, mono, _bits = _wav_samples(payload)
     return _audiohash_from_samples(mono)
 
 
@@ -1260,17 +1265,10 @@ def resample_wav(payload: bytes, factor: int) -> bytes:
     ValueError outside the supported subset and refuses UPsampling
     (interpolation policy belongs to a real resampler — the
     ``resize_png`` stance on the time axis)."""
-    rate, mono = _wav_samples(payload)
     # requantization scale: _wav_samples centers but does not rescale,
     # so 16-bit samples arrive in ±32768 units — a bias-128 re-encode
-    # without the >>8 would clip them to garbage. Read bits from fmt.
-    pos, bits = 12, 8
-    while pos + 8 <= len(payload):
-        if payload[pos : pos + 4] == b"fmt ":
-            bits = int.from_bytes(payload[pos + 22 : pos + 24], "little")
-            break
-        pos += 8 + int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        pos += pos & 1
+    # without the >>8 would clip them to garbage.
+    rate, mono, bits = _wav_samples(payload)
     return _resample_encode(mono, rate, factor, 256.0 if bits == 16 else 1.0)
 
 
@@ -1352,9 +1350,12 @@ def audio_pipeline_stage(
     leg), both computed from the SAME decoded sample vector. The audio
     twin of :func:`image_pipeline_stage`; same discipline — callers
     materialize before any self-join, the corpus is decoded exactly
-    once. ``mean_orig`` is in centered 8-bit sample units (the fixture
-    subset this stage composes over); the invariant consumer compares
-    it against the re-decoded resample's units."""
+    once. ``mean_orig`` is in centered 8-bit sample units for EVERY
+    source depth: 16-bit clips are requantized by the same 256 scale
+    :func:`resample_wav` applies (derived from the decoder's own bit
+    depth, not re-walked), so the resample leg's payload and the
+    invariant consumer's comparison stay value-identical to the
+    standalone operators on both 8- and 16-bit input."""
     id_t = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1365,10 +1366,11 @@ def audio_pipeline_stage(
                 continue
             hashes, payloads, means = [], [], []
             for p in pdf[payload_col]:
-                rate, mono = _wav_samples(bytes(p))
+                rate, mono, bits = _wav_samples(bytes(p))
+                scale = 256.0 if bits == 16 else 1.0
                 hashes.append(_audiohash_from_samples(mono))
-                payloads.append(_resample_encode(mono, rate, factor, 1.0))
-                means.append(float(np.abs(mono).mean()))
+                payloads.append(_resample_encode(mono, rate, factor, scale))
+                means.append(float(np.abs(mono).mean() / scale))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

@@ -1506,28 +1506,12 @@ def q_dedup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     anims = mm.attach_synth_apng_group(d, "doc_id")
     fh = mm.apng_frame_hashes(anims, "doc_id").localCheckpoint(eager=True)
-    fpairs = dd.hash64_band_pairs(
-        fh.select("node", "fhash"), "node", "fhash", max_hamming=3
-    )
-    # frame-ALIGNED votes per container pair (node = doc·16 + frame)
-    votes = (
-        fpairs.where(F.col("id_a") % 16 == F.col("id_b") % 16)
-        .groupBy(
-            (F.col("id_a") - F.col("id_a") % 16).alias("node_a"),
-            (F.col("id_b") - F.col("id_b") % 16).alias("node_b"),
-        )
-        .agg(F.count("*").alias("n_match"))
-        .select(
-            (F.col("node_a") / 16).cast("long").alias("doc_a"),
-            (F.col("node_b") / 16).cast("long").alias("doc_b"),
-            "n_match",
-        )
-    )
-    nframes = fh.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
-    flagged = (
-        votes.join(nframes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .where(F.col("n_match") * 2 >= F.col("n_frames"))
-        .select("doc_a", "doc_b")
+    # frame-aligned votes + SYMMETRIC majority (node = doc·16 + frame;
+    # the vote must clear max(n_frames_a, n_frames_b) — advisor r11:
+    # gating on doc_a alone deleted the longer video of an unequal
+    # pair). Logic + unequal-length test live on the operator.
+    flagged = dd.container_majority_pairs(
+        fh, "node", "fhash", stride=16, max_hamming=3
     )
     comp = dd.connected_components(flagged, "doc_a", "doc_b")
     losers = comp.where(F.col("node") != F.col("component_id")).select(

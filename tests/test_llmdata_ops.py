@@ -1048,3 +1048,41 @@ def test_components_size_adaptive_handoff_at_exact_threshold(spark, monkeypatch)
     }
     assert calls == [], "above-threshold graph must use the distributed path"
     assert at == above
+
+
+def test_container_majority_is_symmetric_on_unequal_lengths(spark):
+    """Advisor r11: with the vote gated on doc_a's frame count alone,
+    a SHORT container (lower doc id → always doc_a under the band
+    join's id_a < id_b) matching a small slice of a longer container
+    cleared its own majority, flagged the pair, and the min-id
+    election deleted the LONGER video. The symmetric rule requires
+    the vote to clear max(n_frames_a, n_frames_b)."""
+    import hashlib
+
+    def h64(tag: str) -> int:
+        v = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    # doc 0: short container, 2 frames; doc 1: long container, 8
+    # frames whose first two ALIGNED frames match doc 0's exactly.
+    for f in range(2):
+        rows.append((0 * 16 + f, h64(f"shared_{f}")))
+    for f in range(8):
+        rows.append((1 * 16 + f, h64(f"shared_{f}") if f < 2
+                     else h64(f"doc1_only_{f}")))
+    # docs 2, 3: genuine duplicates — equal length, every frame aligned
+    for doc in (2, 3):
+        for f in range(4):
+            rows.append((doc * 16 + f, h64(f"dup_{f}")))
+    fh = spark.createDataFrame(rows, "node long, fhash long")
+    flagged = dd.container_majority_pairs(
+        fh, "node", "fhash", stride=16, max_hamming=3
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in flagged}
+    assert (2, 3) in pairs, "equal-length full-match pair must flag"
+    assert (0, 1) not in pairs, (
+        "2/8 aligned matches must NOT clear a symmetric majority — "
+        "the asymmetric rule would delete the longer container here"
+    )
+    assert pairs == {(2, 3)}

@@ -625,12 +625,14 @@ def test_wav_samples_roundtrip_and_mixdown():
             + b"data" + struct.pack("<I", len(data)) + data
         )
 
-    rate, mono = mm._wav_samples(wav(bytes([0, 128, 255, 130])))
+    rate, mono, bits = mm._wav_samples(wav(bytes([0, 128, 255, 130])))
     assert rate == 8000
+    assert bits == 8
     assert list(mono) == [-128.0, 0.0, 127.0, 2.0]
     # stereo 16-bit: mean of the two channels
     data = struct.pack("<4h", 100, 300, -50, 50)
-    rate, mono = mm._wav_samples(wav(data, channels=2, bits=16))
+    rate, mono, bits16 = mm._wav_samples(wav(data, channels=2, bits=16))
+    assert bits16 == 16
     assert list(mono) == [200.0, 0.0]
 
 
@@ -871,7 +873,7 @@ def test_resample_wav_exact_block_means():
     u8 = np.array([10, 20, 30, 40, 100, 100, 100, 101, 7, 9], dtype=np.uint8)
     payload = mm._wav_encode_u8(u8, 8000)
     rp = mm.resample_wav(payload, 4)
-    rate, mono = mm._wav_samples(rp)
+    rate, mono, _bits = mm._wav_samples(rp)
     assert rate == 2000
     # block means of CENTERED samples: (10+20+30+40)/4-128 = -103;
     # (100+100+100+101)/4 = 100.25 -> 100 centered -27.75 -> -28+... 
@@ -930,7 +932,7 @@ def test_resample_wav_requantizes_16bit():
         + b"data" + struct.pack("<I", len(data)) + data
     )
     rp = mm.resample_wav(payload, 2)
-    rate, mono = mm._wav_samples(rp)
+    rate, mono, _bits = mm._wav_samples(rp)
     assert rate == 4000
     # block means in 16-bit units: 1280, 11520 -> /256 = 5, 45
     assert list(mono.astype(int)) == [5, 45]
@@ -958,3 +960,50 @@ def test_audio_pipeline_stage_matches_single_operators(spark):
     for d, row in stage.items():
         assert row.audiohash == hashes[d]
         assert bytes(row.res_payload) == resampled[d]
+
+
+def test_audio_pipeline_stage_16bit_matches_single_operators(spark):
+    """The advisor's r11 finding: the composed stage used to hardcode
+    requantization scale 1.0, so 16-bit input (±32768-unit samples)
+    was clipped to 0/255 garbage in res_payload and mean_orig came out
+    in 16-bit units. Now the stage derives the scale from the
+    decoder's own bit depth — 16-bit input must round-trip exactly
+    like the standalone ``resample_wav``/``audiohash64`` operators,
+    with ``mean_orig`` in requantized 8-bit units."""
+    import struct
+
+    import numpy as np
+
+    def wav16(seed: int) -> bytes:
+        rng = np.random.RandomState(seed)
+        samples = (rng.randint(-120, 120, size=128) * 256).astype("<i2")
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    payloads = {i: wav16(i) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, p) for i, p in payloads.items()], "doc_id long, payload binary"
+    )
+    stage = {
+        r.doc_id: r
+        for r in mm.audio_pipeline_stage(df, "doc_id", factor=4).collect()
+    }
+    for d, p in payloads.items():
+        row = stage[d]
+        assert row.audiohash == mm.audiohash64(p)
+        assert bytes(row.res_payload) == mm.resample_wav(p, 4)
+        _rate, mono, bits = mm._wav_samples(p)
+        assert bits == 16
+        expected_mean = float(np.abs(mono).mean() / 256.0)
+        assert abs(row.mean_orig - expected_mean) < 1e-9
+        # the old bug clipped every block to 0/255; the fixed payload
+        # must re-decode to non-degenerate centered samples
+        _r2, mono2, _b2 = mm._wav_samples(bytes(row.res_payload))
+        assert np.abs(mono2).max() < 127.0
+        assert np.abs((mono / 256.0)[: len(mono2) * 4].reshape(-1, 4)
+                      .mean(axis=1) - mono2).max() <= 0.5 + 1e-9
