@@ -1710,8 +1710,11 @@ def dedup_apply(
         .where(F.col("__rn") > 1)
         .select("node")
     )
+    # the loser set is component-sized (bounded by the pair census) —
+    # broadcast it so the corpus side's payload never crosses an
+    # exchange just to be anti-filtered (r11 verdict hygiene item)
     return docs.join(
-        losers, docs[id_col] == losers["node"], "left_anti"
+        F.broadcast(losers), docs[id_col] == losers["node"], "left_anti"
     )
 
 

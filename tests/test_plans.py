@@ -237,3 +237,61 @@ def test_plan_shape_per_query(spark, name):
         assert int(m.group(1)) <= _PLAN_LIMIT_BOUND, (
             f"{name}: unbounded driver-sized limit: {m.group(0)}"
         )
+    # sweep 4: anti-joins whose exclusion set is pair/component/hit-
+    # sized must be BROADCAST (r11 verdict hygiene item 1) — these
+    # tails filter the corpus (sometimes with re-encoded payloads, an
+    # ExistingRDD with no stats) against a set bounded by the pair
+    # census, and an SMJ there shuffles payload bytes just to drop a
+    # tiny fraction of rows. Hint-pinned in the builders so the shape
+    # holds at any SF, not only where AQE happens to convert.
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    if name in _COMPONENT_SIZED_ANTI_BHJ:
+        assert anti_lines, f"{name}: expected a LeftAnti tail"
+        bad = [ln.strip()[:90] for ln in anti_lines
+               if "BroadcastHashJoin" not in ln]
+        assert not bad, (
+            f"{name}: component-sized anti side not broadcast: {bad}"
+        )
+    else:
+        # registry-wide backstop: an SMJ LeftAnti is only legitimate
+        # when the anti side is corpus/index-scale (documented list)
+        bad = [ln.strip()[:90] for ln in anti_lines
+               if "SortMergeJoin" in ln]
+        assert not bad or name in _CORPUS_SIZED_ANTI_OK, (
+            f"{name}: SortMergeJoin LeftAnti outside the corpus-sized "
+            f"exemption list: {bad}"
+        )
+
+
+#: Queries whose LEFT ANTI exclusion side is bounded by a pair census
+#: / component set / contamination-hit set / stop-shingle list — tiny
+#: relative to the probe side by construction, so the anti join must
+#: be a BroadcastHashJoin (F.broadcast pinned in the builder; AQE
+#: can't be relied on to convert an ExistingRDD with no stats).
+_COMPONENT_SIZED_ANTI_BHJ = {
+    "q_dedup_apply",
+    "q_dedup_spans_apply",
+    "q_dedup_winnow",
+    "q_dedup_winnow_apply",
+    "q_dedup_ngram",
+    "q_dedup_videos",
+    "q_dedup_phash_apply",
+    "q_dedup_audiohash_apply",
+    "q_dedup_semantic_apply",
+    "q_dedup_ensemble_apply",
+    "q_pipeline_media",
+    "q_pipeline_audio",
+    "q_pipeline_e2e",
+    "q_decontaminate_apply",
+}
+
+#: Anti joins whose exclusion side is corpus- or index-scale — SMJ is
+#: the correct strategy there at 100 TB (broadcasting would OOM the
+#: executors); at test SF AQE may still convert them, which is fine.
+_CORPUS_SIZED_ANTI_OK = {
+    "q_join_anti",  # customers without orders: orders-scale anti side
+    "q_set_except",
+    "q_tpch_q16_supplier_counts",
+    "q_tpch_q21_waiting_suppliers",
+    "q_tpch_q22_dormant_customers",
+}
