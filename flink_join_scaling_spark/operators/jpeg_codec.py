@@ -1,0 +1,756 @@
+"""Baseline-sequential JPEG codec — stdlib + NumPy, no libjpeg.
+
+Closes the last media-codec gate with real user pull (r11 verdict
+task 3): image dedup (``q_dedup_phash``-family) previously decoded
+PNG/APNG only, while ~90% of crawled images are baseline JPEG. This
+module implements the honest subset end to end:
+
+- **Decoder** (:func:`jpeg_pixels`): marker walk (DQT / DHT / SOF0-1 /
+  SOS / DRI), Huffman entropy decode with 0xFF00 unstuffing and RSTn
+  restart handling, dequantize, inverse zigzag, 8×8 integer IDCT,
+  level shift, chroma upsampling for sampling factors up to 2×2
+  (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Grayscale (1 component)
+  and color (3 components) frames. Progressive (SOF2), arithmetic
+  coding, 12-bit precision, and 4-component CMYK raise a loud
+  ValueError — a perceptual hash from a half-decoded image would be
+  silently wrong (the PNG subset stance).
+
+- **Encoder** (:func:`jpeg_encode_gray` / :func:`jpeg_encode_ycbcr`):
+  forward DCT, quantization, and Huffman coding with the ITU T.81
+  Annex K typical tables — real bitstreams, so fixtures and tests
+  round-trip through the real decoder (the ``synth_png`` /
+  ``_wav_encode_u8`` discipline).
+
+Determinism: every DCT pass is an INTEGER matrix product evaluated as
+a sum of eight int64 element-wise products (integer addition is
+associative — no accumulation-order or BLAS variance), with
+fixed-point cosine constants embedded as literals. Identical output
+bits on every host, the property the value-level DuckDB oracle and
+the banded dedup joins require.
+
+Scale shape: the codec runs inside Arrow ``mapInPandas`` batches like
+the PNG/WAV codecs — map-only, payload bytes never shuffle. The
+pure-Python/NumPy constant is the documented swap-native-codecs-here
+slot (SCALING.md); the Spark-side plumbing is identical either way.
+
+Reference parity note: the reference repo has no media operators —
+this module belongs to the LLM-data-pipeline extension surface
+(SURVEY §2.3), not the Flink-join parity surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- constants
+
+#: Fixed-point 8-point DCT-II basis, scaled by 2**13:
+#: M[x][u] = round(2^13 * c(u)/2 * cos((2x+1)·u·π/16)), c(0)=1/√2.
+#: Embedded as literals (not math.cos at import) so the basis is
+#: byte-identical on every host/libm.
+_DCT_SCALE_BITS = 13
+_IDCT_M = np.array(
+    [
+        [2896, 4017, 3784, 3406, 2896, 2276, 1567, 799],
+        [2896, 3406, 1567, -799, -2896, -4017, -3784, -2276],
+        [2896, 2276, -1567, -4017, -2896, 799, 3784, 3406],
+        [2896, 799, -3784, -2276, 2896, 3406, -1567, -4017],
+        [2896, -799, -3784, 2276, 2896, -3406, -1567, 4017],
+        [2896, -2276, -1567, 4017, -2896, -799, 3784, -3406],
+        [2896, -3406, 1567, 799, -2896, 4017, -3784, 2276],
+        [2896, -4017, 3784, -3406, 2896, -2276, 1567, -799],
+    ],
+    dtype=np.int64,
+)
+#: Forward basis is the transpose (DCT-II matrix is orthogonal up to
+#: the same scaling): F[u] = Σ_x M[x][u]·s[x] / 2^13.
+_FDCT_M = _IDCT_M.T.copy()
+
+#: Zigzag scan order (ITU T.81 Figure A.6): zigzag index → (row, col).
+_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+_ZZ_ROWS = np.array([rc[0] for rc in _ZIGZAG])
+_ZZ_COLS = np.array([rc[1] for rc in _ZIGZAG])
+
+# Annex K "typical" Huffman tables (ITU T.81 §K.3.3 — public
+# standard data): (bits[1..16] code counts, huffval symbol list).
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+# ------------------------------------------------------ integer DCTs
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """8×8 inverse DCT over ``coeffs`` of shape (n, 8, 8) (int64,
+    dequantized, natural order) → spatial samples (n, 8, 8) int64 in
+    roughly [-128, 127] before level shift. Two separable passes;
+    each pass is Σ over 8 INTEGER element-wise products (order-free),
+    descaled round-to-nearest."""
+    half = 1 << (_DCT_SCALE_BITS - 1)
+    # pass 1 (columns): tmp[n, x, v] = Σ_u M[x, u] · coeffs[n, u, v]
+    tmp = np.zeros_like(coeffs)
+    for u in range(8):
+        tmp += _IDCT_M[:, u].reshape(1, 8, 1) * coeffs[:, u : u + 1, :]
+    tmp = (tmp + half) >> _DCT_SCALE_BITS
+    # pass 2 (rows): out[n, x, y] = Σ_v M[y, v] · tmp[n, x, v]
+    out = np.zeros_like(coeffs)
+    for v in range(8):
+        out += _IDCT_M[:, v].reshape(1, 1, 8) * tmp[:, :, v : v + 1]
+    return (out + half) >> _DCT_SCALE_BITS
+
+
+def _fdct_blocks(samples: np.ndarray) -> np.ndarray:
+    """Forward 8×8 DCT over level-shifted samples (n, 8, 8) int64 →
+    coefficients (n, 8, 8) int64, the exact adjoint of
+    :func:`_idct_blocks` (same fixed-point basis, same descale)."""
+    half = 1 << (_DCT_SCALE_BITS - 1)
+    tmp = np.zeros_like(samples)
+    for x in range(8):
+        tmp += _FDCT_M[:, x].reshape(1, 8, 1) * samples[:, x : x + 1, :]
+    tmp = (tmp + half) >> _DCT_SCALE_BITS
+    out = np.zeros_like(samples)
+    for y in range(8):
+        out += _FDCT_M[:, y].reshape(1, 1, 8) * tmp[:, :, y : y + 1]
+    return (out + half) >> _DCT_SCALE_BITS
+
+
+# ------------------------------------------------------------ decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any non-stuffed marker (the caller handles
+    RSTn)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # pad with 1-bits per T.81 §F.2.2.5 (end of scan)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    # a real marker: pad without consuming it
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+    def align_to_marker(self) -> int:
+        """Drop partial byte, expect and consume a marker; return its
+        second byte (e.g. 0xD0-0xD7 for RSTn)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("expected a restart marker in scan data")
+        m = d[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _build_huff(bits: list[int], vals: list[int]):
+    """(maxlen-bounded lookup) per T.81 §C.2: returns a dict mapping
+    (length, code) → symbol plus the per-length first-code table for
+    fast decode via peek16."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    word = br.peek16()
+    for length in range(1, 17):
+        code = word >> (16 - length)
+        sym = table.get((length, code))
+        if sym is not None:
+            br.skip(length)
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, t: int) -> int:
+    """DIFF/AC value extension (T.81 §F.2.2.1): t-bit magnitude v →
+    signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode: returns ``(width, height, channels,
+    px)`` with ``px`` an int64 array of shape (height, width·channels)
+    in [0, 255] — the :func:`.multimodal._png_pixels` contract, so
+    every pixel consumer (dHash, resize, features) runs unchanged on
+    JPEG payloads. Supported subset documented in the module
+    docstring; everything else raises a loud ValueError /
+    NotImplementedError."""
+    n = len(payload)
+    if n < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (width, height, [(cid, h, v, tq)])
+    restart_interval = 0
+    pos = 2
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"corrupt JPEG marker stream at byte {pos}")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("truncated JPEG segment body")
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8)
+                    i += 64
+                elif pq == 1:
+                    vals = np.frombuffer(body[i : i + 128], dtype=">u2")
+                    i += 128
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
+                t = np.zeros((8, 8), dtype=np.int64)
+                t[_ZZ_ROWS, _ZZ_COLS] = vals.astype(np.int64)
+                qt[tq] = t
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                i += 17 + nv
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if body[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {body[0]}")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG component count {nc} (grayscale "
+                    "and YCbCr only; CMYK is out of the decoded subset)"
+                )
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline/extended sequential Huffman JPEG is "
+                f"decoded (SOF marker 0x{marker:02X} — progressive/"
+                "lossless/arithmetic frames are out of the subset)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF frame header")
+            ns = body[0]
+            scan = []
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                tables = body[2 + 2 * s]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            return _decode_scan(
+                payload, pos + seglen, frame, scan, qt, huff_dc,
+                huff_ac, restart_interval,
+            )
+        pos += seglen
+    raise ValueError("no JPEG scan data (SOS) found")
+
+
+def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    width, height, comps = frame
+    if width < 1 or height < 1:
+        raise ValueError(f"degenerate JPEG dimensions {width}×{height}")
+    if len(comps) == 1:
+        # T.81 §A.2.4: a single-component scan is non-interleaved and
+        # its sampling factors do not apply — normalize to 1×1 so a
+        # grayscale SOF declaring 2×2 doesn't get MCU-padded wrongly
+        cid, _h, _v, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if hmax > 2 or vmax > 2 or any(
+        h not in (1, 2) or v not in (1, 2) for _, h, v, _ in comps
+    ):
+        raise ValueError(
+            "sampling factors above 2 are out of the decoded subset"
+        )
+    if len(scan) != len(comps):
+        raise ValueError("multi-scan (non-interleaved) JPEG not supported")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # per-component block planes (padded to MCU grid)
+    planes = []
+    scan_by_cid = {cs: (td, ta) for cs, td, ta in scan}
+    comp_info = []
+    for cid, h, v, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        td, ta = scan_by_cid[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing Huffman table for scan component")
+        bw, bh = mcux * h, mcuy * v
+        planes.append(np.zeros((bh * bw, 8, 8), dtype=np.int64))
+        comp_info.append((h, v, qt[tq], huff_dc[td], huff_ac[ta], bw))
+    br = _BitReader(payload, data_pos)
+    pred = [0] * len(comps)
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                m = br.align_to_marker()
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError(f"expected RSTn, got 0x{m:02X}")
+                pred = [0] * len(comps)
+            for ci, (h, v, q, hdc, hac, bw) in enumerate(comp_info):
+                for by in range(v):
+                    for bx in range(h):
+                        blk = np.zeros(64, dtype=np.int64)
+                        t = _huff_decode(br, hdc)
+                        diff = _extend(br.read(t), t)
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, hac)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.read(s), s)
+                            k += 1
+                        row = (my * v + by) * bw + (mx * h + bx)
+                        coef = np.zeros((8, 8), dtype=np.int64)
+                        coef[_ZZ_ROWS, _ZZ_COLS] = blk
+                        planes[ci][row] = coef * q
+            mcu_index += 1
+    # IDCT each component plane, assemble, upsample, color-convert
+    out_planes = []
+    for ci, (h, v, q, hdc, hac, bw) in enumerate(comp_info):
+        bh = planes[ci].shape[0] // bw
+        spat = _idct_blocks(planes[ci]) + 128
+        np.clip(spat, 0, 255, out=spat)
+        # (bh·bw, 8, 8) → (bh·8, bw·8)
+        img = (
+            spat.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution by sample replication
+        ry, rx = vmax // v, hmax // h
+        if ry > 1:
+            img = np.repeat(img, ry, axis=0)
+        if rx > 1:
+            img = np.repeat(img, rx, axis=1)
+        out_planes.append(img[:height, :width])
+    if len(out_planes) == 1:
+        return width, height, 1, out_planes[0].reshape(height, width)
+    # JFIF YCbCr → RGB, rounded half-up, clamped — integer-exact:
+    # r = y + 1.402·(cr−128) etc., computed in scaled int64
+    y = out_planes[0]
+    cb = out_planes[1] - 128
+    cr = out_planes[2] - 128
+    s = 1 << 16
+    half = s // 2
+    r = (y * s + 91881 * cr + half) >> 16       # 1.402 · 2^16
+    g = (y * s - 22554 * cb - 46802 * cr + half) >> 16
+    b = (y * s + 116130 * cb + half) >> 16      # 1.772 · 2^16
+    rgb = np.stack([r, g, b], axis=2)
+    np.clip(rgb, 0, 255, out=rgb)
+    return width, height, 3, rgb.reshape(height, width * 3)
+
+
+# ------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    __slots__ = ("chunks", "acc", "nbits")
+
+    def __init__(self):
+        self.chunks = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.chunks.append(b)
+            if b == 0xFF:
+                self.chunks.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding and emit RSTn (T.81 §F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.chunks += bytes([0xFF, 0xD0 + (n % 8)])
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.chunks)
+
+
+def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category t, t-bit code) per T.81 §F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v > 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _quantize(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Round-half-away integer quantization (deterministic)."""
+    a = np.abs(coefs)
+    out = (2 * a + q) // (2 * q)
+    return np.where(coefs < 0, -out, out)
+
+
+def _encode_component_blocks(img: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples by edge replication, split into (n, 8, 8)
+    int64 blocks in row-major block order."""
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if ph != h or pw != w:
+        img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (
+        img.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.int64)
+    )
+
+
+def _write_block(writer, blk_q: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    """Encode one quantized block (natural order); returns new DC pred."""
+    dc = int(blk_q[0, 0])
+    t, code = _magnitude(dc - pred)
+    c, ln = dc_codes[t]
+    writer.write(c, ln)
+    writer.write(code, t)
+    zz = blk_q[_ZZ_ROWS, _ZZ_COLS]
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            writer.write(c, ln)
+            run -= 16
+        t, code = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | t]
+        writer.write(c, ln)
+        writer.write(code, t)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        writer.write(c, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_seg(tq: int, table: np.ndarray) -> bytes:
+    zz = table[_ZZ_ROWS, _ZZ_COLS].astype(np.int64)
+    if zz.max() > 255:
+        raise ValueError("only 8-bit quantization tables are encoded")
+    return _seg(0xDB, bytes([tq]) + bytes(int(v) for v in zz))
+
+
+def _dht_seg(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+    return _seg(
+        0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    )
+
+
+def jpeg_encode_gray(
+    px, width: int, height: int, qtable=None, restart_interval: int = 0
+) -> bytes:
+    """Minimal REAL baseline JPEG encoder, grayscale: FDCT + quantize
+    + Annex-K Huffman coding. ``px`` is (height, width) int-like in
+    [0, 255]; ``qtable`` an 8×8 int array (default: all ones —
+    near-lossless, the planted-fixture setting where only DCT rounding
+    noise survives the round trip); ``restart_interval`` > 0 emits DRI
+    + RSTn markers every N MCUs (exercises the decoder's restart
+    path). Output decodes with :func:`jpeg_pixels` (and any
+    standards-compliant decoder)."""
+    img = np.asarray(px, dtype=np.int64).reshape(height, width)
+    if img.min() < 0 or img.max() > 255:
+        raise ValueError("pixel values outside [0, 255]")
+    q = (
+        np.ones((8, 8), dtype=np.int64)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    )
+    blocks = _encode_component_blocks(img) - 128
+    coefs = _fdct_blocks(blocks)
+    quant = _quantize(coefs, q.reshape(1, 8, 8))
+    dc_codes = _encode_codes(*_STD_DC_LUM)
+    ac_codes = _encode_codes(*_STD_AC_LUM)
+    writer = _BitWriter()
+    pred = 0
+    rst = 0
+    for b in range(quant.shape[0]):
+        if restart_interval and b and b % restart_interval == 0:
+            writer.restart(rst)
+            rst += 1
+            pred = 0
+        pred = _write_block(writer, quant[b], pred, dc_codes, ac_codes)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, q)
+    out += _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+    )
+    out += _dht_seg(0, 0, *_STD_DC_LUM)
+    out += _dht_seg(1, 0, *_STD_AC_LUM)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_ycbcr(
+    rgb, width: int, height: int, qtable=None, subsample: bool = False
+) -> bytes:
+    """REAL baseline color JPEG encoder: JFIF RGB→YCbCr, optional 4:2:0
+    chroma subsampling (2×2 box mean), FDCT + quantize + Annex-K
+    Huffman tables (luma tables for Y, chroma tables for Cb/Cr). One
+    shared quantization table keeps the fixture story simple. ``rgb``
+    is (height, width, 3) int-like in [0, 255]."""
+    arr = np.asarray(rgb, dtype=np.int64).reshape(height, width, 3)
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("pixel values outside [0, 255]")
+    q = (
+        np.ones((8, 8), dtype=np.int64)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    )
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    s = 1 << 16
+    half = s // 2
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128
+    np.clip(y, 0, 255, out=y)
+    np.clip(cb, 0, 255, out=cb)
+    np.clip(cr, 0, 255, out=cr)
+    if subsample:
+        ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+        cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+        crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+        cb = (cbp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+        cr = (crp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+        hy = vy = 2
+    else:
+        hy = vy = 1
+    # per-component padded block planes in MCU-interleaved scan order
+    mcu_w, mcu_h = 8 * hy, 8 * vy
+    mcux, mcuy = -(-width // mcu_w), -(-height // mcu_h)
+
+    def comp_blocks(img: np.ndarray, h: int, v: int) -> np.ndarray:
+        th, tw = mcuy * v * 8, mcux * h * 8
+        ih, iw = img.shape
+        img = np.pad(img, ((0, th - ih), (0, tw - iw)), mode="edge")
+        blocks = _encode_component_blocks(img) - 128
+        return _quantize(_fdct_blocks(blocks), q.reshape(1, 8, 8))
+
+    yq = comp_blocks(y, hy, vy)
+    cbq = comp_blocks(cb, 1, 1)
+    crq = comp_blocks(cr, 1, 1)
+    dc_l = _encode_codes(*_STD_DC_LUM)
+    ac_l = _encode_codes(*_STD_AC_LUM)
+    dc_c = _encode_codes(*_STD_DC_CHR)
+    ac_c = _encode_codes(*_STD_AC_CHR)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    ybw = mcux * hy  # Y blocks per row
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vy):
+                for bx in range(hy):
+                    idx = (my * vy + by) * ybw + (mx * hy + bx)
+                    preds[0] = _write_block(writer, yq[idx], preds[0], dc_l, ac_l)
+            idx = my * mcux + mx
+            preds[1] = _write_block(writer, cbq[idx], preds[1], dc_c, ac_c)
+            preds[2] = _write_block(writer, crq[idx], preds[2], dc_c, ac_c)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, q)
+    hv_y = (hy << 4) | vy
+    out += _seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([3, 1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht_seg(0, 0, *_STD_DC_LUM)
+    out += _dht_seg(1, 0, *_STD_AC_LUM)
+    out += _dht_seg(0, 1, *_STD_DC_CHR)
+    out += _dht_seg(1, 1, *_STD_AC_CHR)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -7,33 +7,32 @@ columnar batches of payloads, never one row at a time. This is the
 shape that holds at 100 TB: payload bytes stay in the executor, only
 fixed-width features come back.
 
-Pixel/frame codecs (libjpeg/ffmpeg) are NOT in this container, so
-``decode_media`` is gated: for video, ``decoder="real"`` raises
-NotImplementedError at the decode step; ``decoder="fake"`` (default in
-tests, and the DuckDB-oracle path) derives deterministic
-pseudo-features from the raw bytes so the Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is fully real and
-testable. ``audio/wav`` and ``image/png`` have REAL dependency-free
-decoders (:func:`_parse_wav`: RIFF chunk walk + PCM statistics;
-:func:`_parse_png`: chunk walk + stdlib-zlib inflate + full
-None/Sub/Up/Average/Paeth scanline unfiltering), value-checked in
-tests against hand-built bytes. ``image/jpeg`` has a real STRUCTURE
-decoder (:func:`_parse_jpeg_header`: marker-segment walk to SOFn for
-exact width/height/components, ``mean_byte`` null).
+Codec coverage: ``audio/wav`` and ``image/png`` have REAL
+dependency-free decoders (:func:`_parse_wav`: RIFF chunk walk + PCM
+statistics; :func:`_parse_png`: chunk walk + stdlib-zlib inflate +
+full None/Sub/Up/Average/Paeth scanline unfiltering), value-checked
+in tests against hand-built bytes, and ``image/jpeg`` has a REAL
+baseline-sequential pixel decoder (r12 —
+:mod:`~flink_join_scaling_spark.operators.jpeg_codec`: Huffman
+entropy decode, dequantize, integer IDCT, 4:2:0/4:2:2/4:4:4 chroma
+upsampling, restart markers), so the dHash dedup family and the
+feature queries run on the format ~90% of crawled images actually
+use. The structure-only :func:`_parse_jpeg_header` remains for
+metadata paths that must not pay the entropy decode. JPEG variants
+outside the baseline subset (progressive, arithmetic, 12-bit, CMYK)
+raise a LOUD ValueError — a perceptual hash from a half-decoded
+image would be silently wrong.
 
-JPEG PIXEL statistics and video frame decode are a PERMANENT gate in
-this environment, not a TODO: entropy decode (Huffman + dequant +
-IDCT + chroma upsampling, with the restart/progressive variants real
-corpora contain) is a codec, and a from-scratch reimplementation
-would be exactly the slow, subtly-wrong path ``libjpeg[-turbo]`` /
-``ffmpeg`` exist to avoid — a "mostly works" decoder that silently
-miscomputes pixel stats on edge-case files is worse for a curation
-pipeline than a loud refusal. The design stance: structure fields a
-parser can know are decoded for real (and value-tested); anything
-requiring the codec raises ``NotImplementedError`` at the decode
-step, and the production deployment plugs the real library into
-``_real_decode`` — a one-function seam, with the Spark-side schema,
-batching, and partitioning already real and tested around it.
+Video frame decode (ffmpeg-class codecs) stays a PERMANENT gate in
+this environment: ``decoder="real"`` raises ``NotImplementedError``
+at the decode step for ``video/mp4``; ``decoder="fake"`` (default in
+tests, and the DuckDB-oracle path for the generic plumbing queries)
+derives deterministic pseudo-features from the raw bytes so the
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is fully real and testable, and the production deployment plugs the
+real library into ``_real_decode`` — a one-function seam. (The APNG
+container walk exercises real frame-for-frame video-shaped dedup
+without a DCT video codec.)
 """
 
 from __future__ import annotations
@@ -297,18 +296,36 @@ def _parse_jpeg_header(payload: bytes) -> tuple[int, int, int, None]:
     raise ValueError("no SOF frame header before scan data/EOI")
 
 
+def _parse_jpeg(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL baseline JPEG decode to the generic feature fields —
+    the :func:`_parse_png` contract on the
+    :func:`~flink_join_scaling_spark.operators.jpeg_codec.jpeg_pixels`
+    decoder: (width, height, n_channels, mean reconstructed sample /
+    255 half-up-rounded to 4 decimals). Loud ValueError outside the
+    baseline-sequential subset."""
+    import math
+
+    from flink_join_scaling_spark.operators.jpeg_codec import jpeg_pixels
+
+    width, height, channels, px = jpeg_pixels(payload)
+    if width == 0 or height == 0:
+        return width, height, channels, 0.0
+    mean = float(px.mean()) / 255.0
+    return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
+
+
 def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float | None]:
     if media_type == "audio/wav":
         return _parse_wav(payload)
     if media_type == "image/png":
         return _parse_png(payload)
     if media_type == "image/jpeg":
-        return _parse_jpeg_header(payload)
+        return _parse_jpeg(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r}: video decoders (ffmpeg) are not "
-        "available in this environment; plug a decoder in here. (JPEG "
-        "dimensions/components decode via _parse_jpeg_header; its PIXEL "
-        "statistics would need libjpeg and stay gated too.)"
+        "available in this environment; plug a decoder in here. (Images "
+        "decode for real — PNG scanline filters and baseline JPEG "
+        "entropy decode both live in-repo; see jpeg_codec.py.)"
     )
 
 
@@ -379,7 +396,7 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) 
 
 def dhash64(payload: bytes) -> int:
     """64-bit difference hash (dHash — Krawetz's perceptual image
-    fingerprint) over the REAL PNG decoder's pixels: grayscale by
+    fingerprint) over the REAL decoder's pixels: grayscale by
     per-pixel channel mean, area-average downsample to a 9×8 grid,
     then one bit per horizontal neighbor comparison (bit = left <
     right), row-major. Near-identical images (small edits, recompress,
@@ -388,13 +405,25 @@ def dhash64(payload: bytes) -> int:
     candidate generator (:func:`~flink_join_scaling_spark.operators.
     dedup.phash_dedup_pairs`).
 
-    All integer/float64 NumPy arithmetic on the exact unfiltered
-    samples — deterministic across runs and hosts. Returned as a
-    SIGNED 64-bit int (two's complement) so it stores in a Spark
-    ``long`` like the SimHash family. Raises the decoder's loud
-    ValueError outside the supported PNG subset: a perceptual hash
-    from a half-decoded image would be silently wrong."""
-    width, height, channels, px = _png_pixels(payload)
+    Format is sniffed from the payload's magic bytes — PNG
+    (``\\x89PNG`` → :func:`_png_pixels`) and baseline JPEG
+    (``\\xff\\xd8`` → :func:`~flink_join_scaling_spark.operators.
+    jpeg_codec.jpeg_pixels`) — so one fingerprint column covers a
+    MIXED image corpus and the whole pHash dedup family runs
+    unchanged on the format ~90% of crawled images use.
+
+    All integer/int64-NumPy arithmetic on the exact decoded samples —
+    deterministic across runs and hosts. Returned as a SIGNED 64-bit
+    int (two's complement) so it stores in a Spark ``long`` like the
+    SimHash family. Raises the decoder's loud ValueError outside the
+    supported subsets: a perceptual hash from a half-decoded image
+    would be silently wrong."""
+    if payload[:2] == b"\xff\xd8":
+        from flink_join_scaling_spark.operators.jpeg_codec import jpeg_pixels
+
+        width, height, channels, px = jpeg_pixels(payload)
+    else:
+        width, height, channels, px = _png_pixels(payload)
     return _dhash_from_pixels(width, height, channels, px)
 
 
@@ -1104,6 +1133,67 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
     # cost downstream — measured: 1 partition, the serialization this
     # exists to prevent). Production media comes pre-split from
     # binaryFile; this shuffles ids, never payloads.
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(n, id_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary"
+    )
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic baseline-JPEG fixture: a 72×64 grayscale image of
+    constant 8×8 blocks (one per dHash grid cell — 9 cols × 8 rows)
+    with md5-derived levels keyed by ``doc_id // 2``, odd ids bumping
+    block (0, 0)'s level — so consecutive (even, odd) ids are planted
+    near-duplicates (dHash hamming ≤ 1: the bumped block feeds exactly
+    one neighbor comparison) while distinct groups are unrelated
+    (expected hamming ~32). Encoded through the REAL encoder
+    (:func:`~flink_join_scaling_spark.operators.jpeg_codec.
+    jpeg_encode_gray`) with an all-ones quantization table: constant
+    blocks are DC-only, so the lossy round trip reconstructs them
+    EXACTLY (value-tested) and the planted pair set survives
+    compression — the property that makes ``q_dedup_phash_jpeg``'s
+    oracle statable. The JPEG twin of :func:`synth_png`."""
+    import hashlib
+
+    import numpy as np
+
+    group = int(doc_id) // 2
+    levels = np.array(
+        [
+            [
+                hashlib.md5(f"jphash_{group}_{r}_{c}".encode()).digest()[0]
+                for c in range(9)
+            ]
+            for r in range(8)
+        ],
+        dtype=np.int64,
+    )
+    if int(doc_id) % 2 == 1:
+        levels[0, 0] = (levels[0, 0] + 16) % 256
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)  # 64×72
+    from flink_join_scaling_spark.operators.jpeg_codec import jpeg_encode_gray
+
+    return jpeg_encode_gray(img, 72, 64)
+
+
+def attach_synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_jpeg` fixtures — the JPEG twin of
+    :func:`attach_synth_png`; same explicit-count id repartition (the
+    AQE-coalesce trap) so the Arrow encode/decode stages parallelize,
+    payloads built on the executors, never on the driver."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [synth_jpeg(int(i)) for i in pdf[id_col]],
+                }
+            )
+
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.select(id_col).repartition(n, id_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary"

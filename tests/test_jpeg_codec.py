@@ -1,0 +1,170 @@
+"""Baseline JPEG codec: value-level round trips on hand-built images,
+loud refusal outside the decoded subset, and the Spark-side planted
+dedup structure (the synth_png test discipline applied to the r12
+codec)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_join_scaling_spark.operators import jpeg_codec as jc
+from flink_join_scaling_spark.operators import multimodal as mm
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_gray_constant_blocks_roundtrip_exact():
+    """Constant 8×8 blocks are DC-only; with an all-ones quantizer the
+    decode must reproduce them EXACTLY — the property the planted
+    fixture's oracle relies on."""
+    rng = np.random.RandomState(7)
+    levels = rng.randint(0, 256, size=(8, 9))
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    w, h, c, px = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 72, 64))
+    assert (w, h, c) == (72, 64, 1)
+    assert np.array_equal(px.reshape(64, 72), img)
+
+
+def test_gray_random_roundtrip_within_dct_rounding():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(40, 56))
+    w, h, c, px = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 56, 40))
+    assert (w, h, c) == (56, 40, 1)
+    assert np.abs(px.reshape(40, 56) - img).max() <= 2
+
+
+def test_gray_non_multiple_of_8_dimensions_crop():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(13, 21))
+    w, h, c, px = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 21, 13))
+    assert (w, h, c) == (21, 13, 1)
+    assert np.abs(px.reshape(13, 21) - img).max() <= 2
+
+
+def test_color_444_roundtrip():
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, size=(24, 24, 3))
+    w, h, c, px = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, 24, 24))
+    assert (w, h, c) == (24, 24, 3)
+    # color conversion adds rounding on top of the DCT pair
+    assert np.abs(px.reshape(24, 24, 3) - rgb).max() <= 5
+
+
+def test_color_420_subsampled_constant_exact():
+    """4:2:0: chroma-constant input survives 2×2 subsampling +
+    replication upsampling exactly; exercises the MCU interleave with
+    2×2 luma sampling factors."""
+    img = np.zeros((20, 28, 3), dtype=np.int64)
+    img[:, :, 0] = 40
+    img[:, :, 1] = 50
+    img[:, :, 2] = 60
+    w, h, c, px = jc.jpeg_pixels(
+        jc.jpeg_encode_ycbcr(img, 28, 20, subsample=True)
+    )
+    assert (w, h, c) == (28, 20, 3)
+    assert np.array_equal(px.reshape(20, 28, 3), img)
+
+
+def test_color_420_smooth_gradient_within_subsample_error():
+    y, x = np.mgrid[0:16, 0:16]
+    rgb = np.stack([(x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256], axis=2)
+    w, h, c, px = jc.jpeg_pixels(
+        jc.jpeg_encode_ycbcr(rgb, 16, 16, subsample=True)
+    )
+    # 2×2 chroma box-mean + replication: bounded by neighbor deltas
+    assert np.abs(px.reshape(16, 16, 3) - rgb).mean() < 6
+
+
+def test_restart_markers_roundtrip_and_determinism():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(40, 56))
+    p_rst = jc.jpeg_encode_gray(img, 56, 40, restart_interval=3)
+    p_plain = jc.jpeg_encode_gray(img, 56, 40)
+    assert b"\xff\xdd" in p_rst and b"\xff\xd0" in p_rst
+    _, _, _, px = jc.jpeg_pixels(p_rst)
+    _, _, _, px2 = jc.jpeg_pixels(p_plain)
+    assert np.array_equal(px, px2)
+    assert p_rst == jc.jpeg_encode_gray(img, 56, 40, restart_interval=3)
+
+
+def test_coarse_quantization_decodes_and_compresses():
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(32, 32))
+    q16 = jc.jpeg_encode_gray(img, 32, 32, qtable=np.full((8, 8), 16))
+    q1 = jc.jpeg_encode_gray(img, 32, 32)
+    assert len(q16) < len(q1)  # coarser quantizer → smaller stream
+    _, _, _, px = jc.jpeg_pixels(q16)
+    assert np.abs(px.reshape(32, 32) - img).mean() < 16
+
+
+def test_loud_refusal_outside_subset():
+    img = np.full((8, 8), 100)
+    payload = bytearray(jc.jpeg_encode_gray(img, 8, 8))
+    # progressive: rewrite SOF0 (FFC0) to SOF2 (FFC2)
+    i = payload.index(b"\xff\xc0")
+    prog = bytes(payload[:i]) + b"\xff\xc2" + bytes(payload[i + 2 :])
+    with pytest.raises(ValueError, match="progressive"):
+        jc.jpeg_pixels(prog)
+    with pytest.raises(ValueError, match="SOI"):
+        jc.jpeg_pixels(b"notajpeg")
+    with pytest.raises(ValueError, match="truncated"):
+        jc.jpeg_pixels(bytes(payload[:8]))
+    # 4-component (CMYK-style) SOF is refused
+    with pytest.raises(ValueError, match="component count"):
+        sof = (
+            b"\xff\xd8\xff\xc0\x00\x14\x08\x00\x08\x00\x08\x04"
+            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00"
+            + b"\xff\xd9"
+        )
+        jc.jpeg_pixels(sof)
+
+
+def test_dhash64_magic_dispatch_png_vs_jpeg():
+    """One fingerprint column over a MIXED corpus: the same image
+    content hashed through both codecs must land within band distance
+    (the codecs round the pixels slightly differently, but dHash is
+    exactly the thing that's robust to that)."""
+    rng = np.random.RandomState(21)
+    levels = rng.randint(0, 256, size=(8, 9))
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    jp = jc.jpeg_encode_gray(img, 72, 64)
+    pn = mm._png_encode(img.reshape(64, 72), 72, 64, 1)
+    h_j, h_p = mm.dhash64(jp), mm.dhash64(pn)
+    assert h_j == h_p  # constant blocks decode exactly in both codecs
+
+
+def test_real_decode_media_jpeg_mean_byte():
+    img = np.full((16, 16), 64)
+    w, h, c, mean = mm._parse_jpeg(jc.jpeg_encode_gray(img, 16, 16))
+    assert (w, h, c) == (16, 16, 1)
+    assert mean == pytest.approx(64 / 255.0, abs=1e-4)
+
+
+def test_synth_jpeg_planted_structure():
+    hashes = {i: mm.dhash64(mm.synth_jpeg(i)) for i in range(24)}
+    for even in range(0, 24, 2):
+        assert _ham(hashes[even], hashes[even + 1]) <= 3
+    for i in range(24):
+        for j in range(i + 1, 24):
+            if i % 2 == 0 and j == i + 1:
+                continue
+            assert _ham(hashes[i], hashes[j]) > 3, (i, j)
+
+
+def test_q_dedup_phash_jpeg_spark_end_to_end(spark):
+    """The registered query's planted pair set through Spark — real
+    encode on the executors, real entropy decode, band join."""
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    imgs = mm.attach_synth_jpeg(df, "doc_id")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.phash_dedup_pairs(
+            imgs, "doc_id", "payload", max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(i, i + 1) for i in range(0, 12, 2)}
