@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.streaming.dedup import stream_dedup_latest
 
@@ -702,5 +703,123 @@ def test_frames_bucket_state_survives_restart(streaming_spark, tmp_path):
     # after restart must pair with them (nodes 0..n-1 vs 16..16+n-1)
     assert any(p[0] < 16 and 16 <= p[1] < 32 for p in got), (
         "cross-restart frame pair lost — band state not recovered"
+    )
+    assert got == batch
+
+
+def test_minhash_bucket_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous TEXT LSH detector (r12 —
+    the image/audio restart contract applied to the minhash face):
+    bucket-membership state rehydrates from the checkpoint, so a
+    post-restart arrival of a near-duplicate document still emits the
+    cross-restart candidate pair, and the converged candidate set
+    equals the batch banded self-join's on the same corpus."""
+    from flink_join_scaling_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_minhash
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    schema_str = "doc_id long, text string"
+    df1 = spark.createDataFrame(
+        [(0, base), (8, "completely unrelated words about spark shuffles")],
+        schema_str,
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_minhash(
+            _read_stream(spark, src, df1.schema), "doc_id", "text",
+            max_bucket=4096,
+        ),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame([(1, base + " tonight")], schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_minhash(
+            _read_stream(spark, src, df1.schema), "doc_id", "text",
+            max_bucket=4096,
+        ),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = {(int(r.id_a), int(r.id_b)) for r in em[["id_a", "id_b"]].itertuples(index=False)}
+    docs = df1.unionByName(df2)
+    bands = minhash_bands(minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
+    batch = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().collect()
+    }
+    assert (0, 1) in got, (
+        "cross-restart candidate lost — bucket state not recovered"
+    )
+    assert got == batch
+
+
+def test_simhash_bucket_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous SimHash detector (r12):
+    byte-band bucket state rehydrates, the post-restart near-duplicate
+    emits the cross-restart pair, and every emitted pair carries the
+    exact verified hamming the batch pipeline computes."""
+    from flink_join_scaling_spark.operators.dedup import simhash_dedup_pairs
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_simhash
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    schema_str = "doc_id long, text string"
+    df1 = spark.createDataFrame(
+        [(0, base), (8, "completely unrelated words about spark shuffles")],
+        schema_str,
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_simhash(
+            _read_stream(spark, src, df1.schema), "doc_id", "text",
+            max_bucket=4096,
+        ),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame([(1, base + " tonight")], schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_simhash(
+            _read_stream(spark, src, df1.schema), "doc_id", "text",
+            max_bucket=4096,
+        ),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = {
+        (int(r.id_a), int(r.id_b), int(r.hamming))
+        for r in em[["id_a", "id_b", "hamming"]].itertuples(index=False)
+    }
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_dedup_pairs(
+            df1.unionByName(df2), "doc_id", "text"
+        ).collect()
+    }
+    assert any(p[:2] == (0, 1) for p in got), (
+        "cross-restart pair lost — bucket state not recovered"
     )
     assert got == batch
