@@ -1153,11 +1153,22 @@ def synth_jpeg(doc_id: int) -> bytes:
     EXACTLY (value-tested) and the planted pair set survives
     compression — the property that makes ``q_dedup_phash_jpeg``'s
     oracle statable. The JPEG twin of :func:`synth_png`."""
+    from flink_join_scaling_spark.operators.jpeg_codec import jpeg_encode_gray
+
+    return jpeg_encode_gray(_synth_block_image(int(doc_id)), 72, 64)
+
+
+def _synth_block_image(doc_id: int):
+    """The constant-block planted image shared by :func:`synth_jpeg`
+    and :func:`synth_mixed`: a 72×64 grid of 8×8 constant blocks (one
+    per dHash cell, 9 cols × 8 rows) with md5-derived levels keyed by
+    ``doc_id // 2``, odd ids bumping block (0, 0)'s level — returned
+    as a (64, 72) int64 array both encoders accept."""
     import hashlib
 
     import numpy as np
 
-    group = int(doc_id) // 2
+    group = doc_id // 2
     levels = np.array(
         [
             [
@@ -1168,12 +1179,53 @@ def synth_jpeg(doc_id: int) -> bytes:
         ],
         dtype=np.int64,
     )
-    if int(doc_id) % 2 == 1:
+    if doc_id % 2 == 1:
         levels[0, 0] = (levels[0, 0] + 16) % 256
-    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)  # 64×72
+    return np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)  # 64×72
+
+
+def synth_mixed(doc_id: int) -> bytes:
+    """Cross-CODEC fixture: the same constant-block image content as
+    :func:`synth_jpeg` (md5 grid keyed by ``doc_id // 2``, odd ids
+    bumping block (0, 0)) — but encoded as PNG for even ids and
+    baseline JPEG for odd ids, so every planted near-duplicate pair
+    STRADDLES the two formats. Constant 8×8 blocks are DC-only under
+    the all-ones quantizer, so both codecs reconstruct the pixels
+    exactly and the cross-codec dHash distance equals the
+    same-codec distance (≤ 1 within a pair, ~32 across groups) —
+    pinned by ``test_dhash64_magic_dispatch_png_vs_jpeg``. This is
+    the real crawled-corpus scenario: the same image re-hosted in a
+    different format must still dedup."""
     from flink_join_scaling_spark.operators.jpeg_codec import jpeg_encode_gray
 
+    img = _synth_block_image(int(doc_id))
+    if int(doc_id) % 2 == 0:
+        return _png_encode(img, 72, 64, 1)
     return jpeg_encode_gray(img, 72, 64)
+
+
+def attach_synth_mixed(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_mixed` fixtures — the mixed
+    PNG/JPEG corpus attach; same explicit-count id repartition as
+    :func:`attach_synth_png` (the AQE-coalesce trap), payloads built
+    on the executors, never on the driver."""
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload": [synth_mixed(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(id_col).repartition(n, id_col).mapInPandas(
+        run, f"{id_col} {id_t}, payload binary"
+    )
 
 
 def attach_synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:

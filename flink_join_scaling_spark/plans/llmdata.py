@@ -1600,6 +1600,37 @@ def q_dedup_phash_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_phash_mixed",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 2 = 0
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_phash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash dedup over a MIXED-format image corpus (r12): the same
+    planted group content encoded as PNG for even ids and baseline
+    JPEG for odd ids, so every planted near-duplicate pair STRADDLES
+    the two codecs — the crawled-corpus reality where the same image
+    is re-hosted in a different format. ``dhash64``'s magic-byte
+    dispatch makes one fingerprint column cover both; the band join
+    and the whole dedup family run unchanged. Constant DC-only blocks
+    round-trip exactly through both codecs (value-tested), so the
+    cross-codec pair set equals the same-codec one and the oracle is
+    statable.
+
+    Scale shape: identical to ``q_dedup_phash`` / ``q_dedup_phash_jpeg``
+    — one map-only Arrow encode+decode+hash pass (payload bytes never
+    shuffle), 16-byte band-join rows."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = mm.attach_synth_mixed(d, "doc_id")
+    return dd.phash_dedup_pairs(imgs, "doc_id", "payload", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "q_dedup_phash_apply",
     oracle="""
     SELECT d.doc_id, d.lang, d.source, d.n_chars

@@ -164,6 +164,27 @@ def components_forced(spark, sf_dir: str) -> None:
     dd.connected_components(pairs, driver_threshold=0).count()
 
 
+def incremental_winnow_chunked(spark, sf_dir: str) -> None:
+    """Chunked-run face of dedup_incremental_winnow: the corpus
+    arrives as 4 batches against a persisted fingerprint index (wiped
+    per invocation so every timed pass replays the full history from
+    cold). The claim under probe: each run's pair join is capped by
+    max_df² per fingerprint bucket REGARDLESS of index size, and index
+    rows are two longs per selected gram — so total wall over the
+    chunk sequence should track the corpus volume (the fingerprint
+    explode + the per-run capped equi-joins), never the square of the
+    accumulated history."""
+    from flink_join_scaling_spark.operators import incremental as inc
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = os.path.join(ROOT, "winnow_idx_probe")
+    shutil.rmtree(idx, ignore_errors=True)
+    for i in range(4):
+        chunk = d.where(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+        _accepted, flagged = inc.dedup_incremental_winnow(spark, chunk, idx)
+        flagged.count()
+
+
 def streaming_state_probe(spark) -> None:
     """Growth law of the keyed versioned join's per-arrival state cost
     (streaming/joins.py module note): FLAT in versions retained —
@@ -402,6 +423,13 @@ def main() -> None:
         # wall should track the Python decode scan
         "q_dedup_phash": plan_probe("q_dedup_phash"),
         "q_dedup_phash_apply": plan_probe("q_dedup_phash_apply"),
+        # r12: the same pipeline through the real JPEG entropy decoder
+        # (Huffman + IDCT per image — the heaviest per-row decode in
+        # the repo) and over the mixed PNG/JPEG corpus; both should
+        # track the decode scan like q_dedup_phash, with a larger
+        # Python constant for the JPEG legs
+        "q_dedup_phash_jpeg": plan_probe("q_dedup_phash_jpeg"),
+        "q_dedup_phash_mixed": plan_probe("q_dedup_phash_mixed"),
         # audio twin of the phash probe (real WAV decode per row) and
         # the resize stage (decode + area-average + re-encode +
         # re-decode per row — the heaviest per-row Python in the repo;
@@ -464,6 +492,11 @@ def main() -> None:
             load_table(spark, sf, "embeddings"), "embedding", k=16
         ),
         "components (driver_threshold=0)": lambda sf: components_forced(spark, sf),
+        # r12: the chunked incremental-winnow path — 4 sequential runs
+        # against a persisted index; per-run join buckets are capped at
+        # max_df² by the cross-history stop-fingerprint rule, so the
+        # sequence should grow with corpus volume, not history²
+        "dedup_incremental_winnow (4 chunks)": lambda sf: incremental_winnow_chunked(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")
     if only:

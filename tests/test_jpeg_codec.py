@@ -168,3 +168,36 @@ def test_q_dedup_phash_jpeg_spark_end_to_end(spark):
         ).collect()
     }
     assert pairs == {(i, i + 1) for i in range(0, 12, 2)}
+
+
+def test_synth_mixed_is_cross_codec():
+    """Even ids are PNG, odd ids are JPEG, and the planted pair
+    structure holds ACROSS the codec boundary."""
+    for i in range(0, 8, 2):
+        assert mm.synth_mixed(i)[:4] == b"\x89PNG"
+        assert mm.synth_mixed(i + 1)[:2] == b"\xff\xd8"
+    hashes = {i: mm.dhash64(mm.synth_mixed(i)) for i in range(16)}
+    for even in range(0, 16, 2):
+        assert _ham(hashes[even], hashes[even + 1]) <= 3
+    for i in range(16):
+        for j in range(i + 1, 16):
+            if i % 2 == 0 and j == i + 1:
+                continue
+            assert _ham(hashes[i], hashes[j]) > 3, (i, j)
+
+
+def test_q_dedup_phash_mixed_spark_end_to_end(spark):
+    """Cross-format dedup through Spark: the PNG-encoded even doc and
+    the JPEG-encoded odd doc of each group pair up through one
+    magic-dispatched fingerprint column."""
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    imgs = mm.attach_synth_mixed(df, "doc_id")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.phash_dedup_pairs(
+            imgs, "doc_id", "payload", max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(i, i + 1) for i in range(0, 12, 2)}

@@ -201,13 +201,24 @@ def test_parse_jpeg_header_rejects_corrupt():
 
 
 def test_real_jpeg_decode_through_spark(spark):
+    """Since the r12 baseline codec landed, decode_media's real path
+    ENTROPY-DECODES JPEG (jpeg_codec.jpeg_pixels) instead of stopping
+    at the frame header — so the fixture must be a real encoded
+    stream, and mean_byte is a real pixel statistic now (a constant
+    image under the all-ones quantizer is DC-only, hence the lossy
+    round trip is exact and the mean is checkable)."""
+    import numpy as np
+
+    from flink_join_scaling_spark.operators import jpeg_codec as jc
+
+    rgb = np.full((200, 320, 3), 64)
     df = spark.createDataFrame(
-        [(1, bytearray(_jpeg_bytes(320, 200, 3)), "image/jpeg", 100)],
+        [(1, bytearray(jc.jpeg_encode_ycbcr(rgb, 320, 200)), "image/jpeg", 100)],
         "doc_id long, payload binary, media_type string, n_bytes long",
     )
     [row] = mm.decode_media(df, decoder="real").collect()
     assert (row.width, row.height, row.n_channels) == (320, 200, 3)
-    assert row.mean_byte is None  # pixel stats stay gated for JPEG
+    assert row.mean_byte == pytest.approx(64 / 255.0, abs=1e-2)
 
 
 def _png_bytes(pixels, channels: int, filters=None) -> bytes:
