@@ -877,6 +877,40 @@ def test_stream_dedup_phash_matches_batch(streaming_spark, tmp_path):
     assert got == batch
 
 
+def test_stream_dedup_phash_mixed_codecs_matches_batch(streaming_spark, tmp_path):
+    """Cross-CODEC continuous image dedup: the mixed fixture encodes
+    every planted near-duplicate pair as one PNG and one baseline
+    JPEG, so each streaming match REQUIRES the arriving JPEG to decode
+    (real Huffman entropy decode on arrival) and band-collide with the
+    PNG already in state — the re-hosted-image scenario, continuously.
+    Converged pair set equals the batch pipeline's on the same mixed
+    payloads (cap lifted)."""
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.operators import multimodal as mmod
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_phash
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    ids = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    imgs = mmod.attach_synth_mixed(ids, "doc_id")
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.phash_dedup_pairs(imgs, "doc_id", max_hamming=3).collect()
+    }
+    assert batch and all(
+        a % 2 == 0 and b == a + 1 for a, b, _h in batch
+    ), "every planted pair must straddle the PNG/JPEG boundary"
+
+    sdf = chunked_parquet_stream(spark, imgs, str(tmp_path / "chunks"), n_chunks=4)
+    em = run_to_memory(
+        stream_dedup_phash(sdf, "doc_id", max_bucket=1 << 20),
+        output_mode="update",
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
+    assert got == batch
+
+
 def test_stream_dedup_audiohash_matches_batch(streaming_spark, tmp_path):
     """Continuous audio near-dup detection: converged verified pair
     set equals batch audiohash_dedup_pairs on the same WAV payloads
