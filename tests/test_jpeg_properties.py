@@ -1,0 +1,127 @@
+"""Hypothesis property layer for the baseline JPEG codec — the newest
+from-scratch code in the repo, where silently-wrong pixels would
+corrupt every downstream fingerprint (the dedup family hashes the
+DECODED samples). Randomized dimensions, content, quantizers, and
+restart intervals; pure-Python per example (no Spark job), so example
+counts can be higher than the Spark-backed property suites.
+
+Error bounds are empirical-with-margin: 60 random gray images across
+1..64-px dimensions peak at |err| = 2 (fixed-point FDCT→IDCT rounding
+with the all-ones quantizer), 40 random color images at |err| = 5
+(adds YCbCr round trips); the assertions pin 3 and 6 so a real defect
+(wrong coefficient, transposed block, mis-predicted DC) fails loudly
+— such bugs produce errors in the tens — while legitimate rounding
+never flakes."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_join_scaling_spark.operators import jpeg_codec as jc
+from flink_join_scaling_spark.operators import multimodal as mm
+
+SET = settings(max_examples=20, deadline=None)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@given(
+    w=st.integers(1, 64),
+    h=st.integers(1, 64),
+    seed=st.integers(0, 2**31 - 1),
+)
+@SET
+def test_gray_roundtrip_bounded_and_deterministic(w, h, seed):
+    img = np.random.RandomState(seed).randint(0, 256, size=(h, w))
+    payload = jc.jpeg_encode_gray(img, w, h)
+    assert payload == jc.jpeg_encode_gray(img, w, h)  # bit-determinism
+    ww, hh, c, px = jc.jpeg_pixels(payload)
+    assert (ww, hh, c) == (w, h, 1)
+    assert int(np.abs(px.reshape(h, w) - img).max()) <= 3
+
+
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+@SET
+def test_color_444_roundtrip_bounded(w, h, seed):
+    rgb = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3))
+    ww, hh, c, px = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, w, h))
+    assert (ww, hh, c) == (w, h, 3)
+    assert int(np.abs(px.reshape(h, w, 3) - rgb).max()) <= 6
+
+
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    r=st.integers(0, 256),
+    g=st.integers(0, 256),
+    b=st.integers(0, 256),
+)
+@SET
+def test_color_420_equals_444_on_constant_any_dims(w, h, r, g, b):
+    """On chroma-constant input, 4:2:0 box-mean subsampling +
+    replication upsampling must add ZERO error over the 4:4:4 route
+    at every width/height parity — the padded-edge and partial-MCU
+    paths must not smear. (The small residual vs the SOURCE pixels is
+    the YCbCr integer-rounding floor, shared by both routes: e.g.
+    rgb=(0,0,1) shifts blue by 1 before any sampling choice — found
+    by hypothesis, bounded separately.)"""
+    rgb = np.zeros((h, w, 3), dtype=np.int64)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = r % 256, g % 256, b % 256
+    ww, hh, c, p420 = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, w, h, subsample=True))
+    _, _, _, p444 = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, w, h))
+    assert (ww, hh, c) == (w, h, 3)
+    assert np.array_equal(p420, p444)
+    assert int(np.abs(p420.reshape(h, w, 3) - rgb).max()) <= 2
+
+
+@given(seed=st.integers(0, 2**31 - 1), interval=st.integers(1, 9))
+@SET
+def test_restart_interval_invariance(seed, interval):
+    """RSTn emission is a framing choice: any restart interval must
+    decode to the SAME pixels as the unrestarted stream (the decoder
+    resets DC predictors and bit alignment at each marker)."""
+    img = np.random.RandomState(seed).randint(0, 256, size=(24, 40))
+    _, _, _, plain = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 40, 24))
+    _, _, _, rst = jc.jpeg_pixels(
+        jc.jpeg_encode_gray(img, 40, 24, restart_interval=interval)
+    )
+    assert np.array_equal(plain, rst)
+
+
+@given(seed=st.integers(0, 2**31 - 1), q=st.integers(1, 32))
+@SET
+def test_any_uniform_quantizer_decodes(seed, q):
+    """Every uniform quantizer in [1, 32] must produce a decodable
+    stream whose error scales with q, never a crash or a garbage
+    frame (coefficients near zero exercise the EOB/run-length paths
+    hardest at coarse q)."""
+    img = np.random.RandomState(seed).randint(0, 256, size=(16, 24))
+    payload = jc.jpeg_encode_gray(img, 24, 16, qtable=np.full((8, 8), q))
+    ww, hh, c, px = jc.jpeg_pixels(payload)
+    assert (ww, hh, c) == (24, 16, 1)
+    assert float(np.abs(px.reshape(16, 24) - img).mean()) <= q + 2
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@SET
+def test_cross_codec_dhash_equal_on_block_images(seed):
+    """The property q_dedup_phash_mixed's oracle rests on, generalized
+    from the single fixed grid: ANY constant-8×8-block image hashes
+    identically through the PNG and JPEG codecs (DC-only blocks
+    round-trip exactly in both)."""
+    levels = np.random.RandomState(seed).randint(0, 256, size=(8, 9))
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    h_j = mm.dhash64(jc.jpeg_encode_ycbcr(np.stack([img] * 3, axis=2), 72, 64))
+    h_g = mm.dhash64(jc.jpeg_encode_gray(img, 72, 64))
+    h_p = mm.dhash64(mm._png_encode(img, 72, 64, 1))
+    assert h_g == h_p
+    # color route adds YCbCr rounding on gray content; stays in-band
+    assert _ham(h_j, h_p) <= 3
