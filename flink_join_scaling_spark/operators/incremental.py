@@ -352,3 +352,120 @@ def dedup_incremental_winnow(
         F.col("new_id").alias("known_id"), "fp"
     ).write.mode("append").parquet(index_dir)
     return accepted, flagged
+
+
+def dedup_incremental_semantic(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_e6: int = 850_000,
+    num_cells: int = 8,
+    nprobe: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run SEMANTIC (embedding-cosine) dedup against the
+    persisted cell-partitioned IVF index — the SemDeDup face of the
+    incremental family: each new embedding batch is screened against
+    everything ever accepted WITHOUT re-reading history vectors
+    outside the probed cells.
+
+    Returns ``(accepted, flagged)`` with the family's greedy contract
+    (the ``dedup_incremental_minhash`` rule): a new vector is flagged
+    iff its e6-quantized cosine reaches ``threshold_e6`` against an
+    ACCEPTED vector of an earlier run, or against ANY smaller-id
+    vector of its own batch; only accepted vectors append to the
+    index. ``flagged`` carries (new_id, known_id, cosine_e6).
+
+    Mechanics, all reused from the attested components so the scoring
+    contract cannot drift:
+
+    * history screen — ``ann_index.ivf_index_topk`` with ``k=1``
+      (max-cosine is the only statistic the ≥θ rule needs) over the
+      persisted index: the query batch probes ``nprobe`` cells of the
+      index's OWN stored centroids and partition pruning reads only
+      those directories; ``exclude_self=False`` because a re-submitted
+      id must still match its accepted twin.
+    * within-batch screen — ``dedup.embedding_dedup_pairs_ivf``
+      (``emit_e6=True``) over the batch alone, with transient
+      batch-trained cells (the batch is run-sized; its cell space
+      need not match the index's).
+    * index append — ``ann_index.ivf_index_build(mode="append")``:
+      the stored centroids/meta WIN, so the cell space, column
+      schema, and quantizer never shift across runs (first run
+      bootstraps with trained centroids).
+
+    Same approximation class as every IVF consumer here: a pair whose
+    members' probed cells miss each other is not flagged — recall is
+    the ``nprobe``/``num_cells`` dial, exhaustive at
+    ``nprobe=num_cells``. Scale shape: per run, cost is (batch ×
+    probed-cell occupancy) for the screen plus one batch-sized
+    assignment + partitioned append; history VECTORS outside probed
+    cells are never read, and nothing ever touches history²."""
+    from flink_join_scaling_spark.operators.ann_index import (
+        ivf_index_build,
+        ivf_index_topk,
+    )
+    from flink_join_scaling_spark.operators.dedup import (
+        embedding_dedup_pairs_ivf,
+    )
+
+    id_t = new_vecs.schema[id_col].dataType.simpleString()
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        hist_hits = (
+            ivf_index_topk(
+                new_vecs.select(id_col, vec_col),
+                index_dir,
+                k=1,
+                nprobe=nprobe,
+                exclude_self=False,
+            )
+            .where(F.col("cosine_e6") >= threshold_e6)
+            .select(
+                F.col("query_id").alias("new_id"),
+                F.col("vec_id").alias("known_id"),
+                "cosine_e6",
+            )
+        )
+        first_run = False
+    else:
+        hist_hits = spark.createDataFrame(
+            [], f"new_id {id_t}, known_id {id_t}, cosine_e6 bigint"
+        )
+        first_run = True
+    batch_hits = embedding_dedup_pairs_ivf(
+        new_vecs.select(id_col, vec_col),
+        id_col,
+        vec_col,
+        threshold=threshold_e6 / 1_000_000.0,
+        num_cells=num_cells,
+        nprobe=nprobe,
+        emit_e6=True,
+    ).select(
+        # canonicalized id_a < id_b: the greedy rule flags the LARGER id
+        F.col("id_b").alias("new_id"),
+        F.col("id_a").alias("known_id"),
+        "cosine_e6",
+    )
+    flagged = (
+        hist_hits.unionByName(batch_hits).distinct().localCheckpoint(eager=True)
+    )
+    accepted = new_vecs.join(
+        flagged.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    # a fully-flagged (or empty) batch appends nothing; on a FIRST run
+    # it also cannot train centroids, so index creation simply defers
+    # to the next non-empty accepted batch
+    if accepted.count() > 0:
+        ivf_index_build(
+            accepted.select(id_col, vec_col),
+            index_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_cells=num_cells,
+            train=True,
+            mode="overwrite" if first_run else "append",
+        )
+    return accepted, flagged

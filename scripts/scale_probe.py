@@ -185,6 +185,29 @@ def incremental_winnow_chunked(spark, sf_dir: str) -> None:
         flagged.count()
 
 
+def incremental_semantic_chunked(spark, sf_dir: str) -> None:
+    """Chunked-run face of dedup_incremental_semantic: 4 embedding
+    batches against the persisted IVF index (wiped per invocation).
+    num_cells is derived from corpus size (bounded cell occupancy —
+    the operator's documented 100 TB dial, same as the IVF growth
+    probe), so the per-run screen cost is (batch × probed-cell
+    occupancy) and the within-batch cogroup matmul stays
+    cell-occupancy-bounded while volume grows."""
+    from flink_join_scaling_spark.operators import incremental as inc
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    cells = max(8, n // 2500)
+    idx = os.path.join(ROOT, "sem_idx_probe")
+    shutil.rmtree(idx, ignore_errors=True)
+    for i in range(4):
+        chunk = e.where(F.pmod(F.col("vec_id"), F.lit(4)) == i)
+        _accepted, flagged = inc.dedup_incremental_semantic(
+            spark, chunk, idx, num_cells=cells, nprobe=2
+        )
+        flagged.count()
+
+
 def streaming_state_probe(spark) -> None:
     """Growth law of the keyed versioned join's per-arrival state cost
     (streaming/joins.py module note): FLAT in versions retained —
@@ -497,6 +520,10 @@ def main() -> None:
         # max_df² by the cross-history stop-fingerprint rule, so the
         # sequence should grow with corpus volume, not history²
         "dedup_incremental_winnow (4 chunks)": lambda sf: incremental_winnow_chunked(spark, sf),
+        # r12: the semantic incremental face — per-run cost is batch ×
+        # probed-cell occupancy against the persisted IVF index, with
+        # num_cells scaling ∝ corpus (bounded occupancy)
+        "dedup_incremental_semantic (4 chunks)": lambda sf: incremental_semantic_chunked(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")
     if only:

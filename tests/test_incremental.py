@@ -468,3 +468,99 @@ def test_incremental_hash64_accepts_frame_hashes(spark, tmp_path):
     assert flagged == {(16, 0), (17, 1)}  # doc1 frames vs doc0 frames
     n4 = 2 + (4 // 2) % 3  # 4 frames
     assert {r.node for r in acc2.collect()} == {64 + f for f in range(n4)}
+
+
+def _unit(d: int, dim: int = 8, eps_at: int | None = None) -> list:
+    """Deterministic embedding: the d-th standard basis direction,
+    optionally perturbed in one other coordinate — cosine between a
+    base vector and its perturbed twin is 1/sqrt(1+0.01) ≈ 0.995,
+    while distinct directions are orthogonal (cosine 0)."""
+    v = [0.0] * dim
+    v[d % dim] = 1.0
+    if eps_at is not None:
+        v[(d + 1 + eps_at) % dim] = 0.1
+    return v
+
+
+def test_incremental_semantic_flags_cross_run_near_dups(spark, tmp_path):
+    """A near-identical embedding arriving in a LATER run is flagged
+    against the accepted vector from the earlier run (probed through
+    the persisted index's OWN centroids), only non-matching vectors
+    extend the index, and the stored cell space never shifts."""
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_semantic,
+    )
+
+    idx = str(tmp_path / "semidx")
+    run1 = spark.createDataFrame(
+        [(1, _unit(0)), (2, _unit(1))],
+        "vec_id long, embedding array<double>",
+    )
+    # nprobe == num_cells → exhaustive probing: the planted pair sets
+    # below are exact, not recall-dependent
+    acc1, flg1 = dedup_incremental_semantic(
+        spark, run1, idx, num_cells=2, nprobe=2
+    )
+    assert {r.vec_id for r in acc1.collect()} == {1, 2}
+    assert flg1.count() == 0
+
+    cents1 = {
+        (r.cell, tuple(r.cvec))
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+
+    run2 = spark.createDataFrame(
+        [(10, _unit(0, eps_at=0)), (11, _unit(2))],
+        "vec_id long, embedding array<double>",
+    )
+    acc2, flg2 = dedup_incremental_semantic(
+        spark, run2, idx, num_cells=2, nprobe=2
+    )
+    flagged = {(r.new_id, r.known_id) for r in flg2.collect()}
+    assert flagged == {(10, 1)}  # cross-run near-dup caught
+    assert {r.vec_id for r in acc2.collect()} == {11}
+    for r in flg2.collect():
+        assert r.cosine_e6 >= 850_000
+
+    # append mode reused the stored centroids verbatim
+    cents2 = {
+        (r.cell, tuple(r.cvec))
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert cents1 == cents2
+
+    # the run-2 accepted vector joined the index: its twin now flags
+    run3 = spark.createDataFrame(
+        [(20, _unit(2, eps_at=1))], "vec_id long, embedding array<double>"
+    )
+    acc3, flg3 = dedup_incremental_semantic(
+        spark, run3, idx, num_cells=2, nprobe=2
+    )
+    assert acc3.count() == 0
+    assert {(r.new_id, r.known_id) for r in flg3.collect()} == {(20, 11)}
+
+
+def test_incremental_semantic_within_batch_greedy(spark, tmp_path):
+    """Inside one batch the family's greedy rule applies: the smaller
+    id of a ≥θ pair is accepted, the larger flagged against it — and a
+    FULLY-flagged-or-kept first batch still bootstraps the index."""
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_semantic,
+    )
+
+    idx = str(tmp_path / "semidx2")
+    batch = spark.createDataFrame(
+        [(1, _unit(0)), (2, _unit(0, eps_at=0)), (3, _unit(1))],
+        "vec_id long, embedding array<double>",
+    )
+    acc, flg = dedup_incremental_semantic(
+        spark, batch, idx, num_cells=2, nprobe=2
+    )
+    assert {(r.new_id, r.known_id) for r in flg.collect()} == {(2, 1)}
+    assert {r.vec_id for r in acc.collect()} == {1, 3}
+    # only ACCEPTED vectors entered the index
+    stored = {
+        r.vec_id
+        for r in spark.read.parquet(f"{idx}/cells").select("vec_id").collect()
+    }
+    assert stored == {1, 3}
