@@ -939,3 +939,143 @@ def stream_dedup_frames(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_semantic(
+    sdf: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    threshold_e6: int = 850_000,
+    nprobe: int = 1,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming SEMANTIC (embedding-cosine) near-dup detection — the
+    continuous face of the SemDeDup family, completing its four faces
+    next to the batch ``embedding_dedup_pairs_ivf``, the apply tail,
+    and ``incremental.dedup_incremental_semantic``.
+
+    Each arriving vector is assigned to its ``nprobe`` nearest cells
+    against the FIXED closure-captured ``centroids`` (e.g. a persisted
+    IVF index's stored centroids — the stream twin of the incremental
+    face's stable cell space; training centroids per micro-batch would
+    shift the key space under the state) with the batch assignment's
+    tie rule (cosine rounded to 6, ties → lower cell id). The keyed
+    per-cell state holds (id, packed-float64 vector) members; an
+    arrival emits an EXACT e6-quantized-cosine-verified pair against
+    each member at or above ``threshold_e6`` — the same
+    ``round_half_away(cos·1e6)`` integers as the batch cogroup scorer,
+    so the two faces cannot drift — then joins every probed cell's
+    membership. A pair meeting in several probed cells may emit from
+    each; consumers ``distinct()``.
+
+    Convergence contract: at ``nprobe=1`` a pair emits iff both members
+    share a home cell — exactly the batch generator's ``nprobe=1``
+    candidate condition — and at ``nprobe=len(centroids)`` both faces
+    are exhaustive, so converged == batch at either end (modulo the
+    ``max_bucket`` cap, as for every detector here). Between them the
+    stream stores members in ALL probed cells while the batch indexes
+    home cells only, so the stream's candidate set is a SUPERSET of
+    the batch's: every emitted pair is still exact-verified real;
+    recall differs only in the batch's favor being smaller. State cost
+    is ``nprobe`` membership rows per vector (the batch's probe
+    amplification, held as state), capped per cell by ``max_bucket``.
+
+    Payload discipline: the stateful exchange carries (id, vector)
+    rows — vectors are the verifier here, there is no smaller
+    sufficient statistic (unlike the hash64 faces); dim·8 bytes per
+    row, bounded by the embedding width, not by any payload."""
+    import numpy as np
+
+    from flink_join_scaling_spark.functions.vectors import np_round_half_away
+
+    _require_integral_id(sdf, id_col, "stream_dedup_semantic")
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        raise ValueError("stream_dedup_semantic: centroids must be a "
+                         "non-empty list of equal-length vectors")
+    ncells = len(C)
+    if not 1 <= nprobe <= ncells:
+        raise ValueError(
+            f"stream_dedup_semantic: nprobe must be in [1, {ncells}] "
+            f"(got {nprobe})"
+        )
+    cn = np.linalg.norm(C, axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vn = np.linalg.norm(V, axis=1)
+            denom = np.outer(vn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, (V @ C.T) / denom)
+            # the batch tie rule: rank by cosine rounded to 6, ties →
+            # lower cell id (ivf_cells_pandas) — lexsort on
+            # (-rounded, cell) delivers exactly that order
+            r6 = np_round_half_away(cos, 6)
+            order = np.lexsort(
+                (np.broadcast_to(np.arange(ncells), r6.shape), -r6), axis=1
+            )
+            probed = order[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "__sem_id": np.repeat(
+                        pdf[id_col].to_numpy().astype(np.int64), nprobe
+                    ),
+                    "cell": probed.reshape(-1).astype(np.int32),
+                    "__vec": [
+                        V[i].tobytes() for i in range(n) for _ in range(nprobe)
+                    ],
+                }
+            )
+
+    id_t = sdf.schema[id_col].dataType.simpleString()
+    rows = sdf.select(id_col, vec_col).mapInPandas(
+        assign, f"__sem_id {id_t}, cell int, __vec binary"
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids: list[int] = list(state.get[0]) if state.exists else []
+        vecs: list[bytes] = list(state.get[1]) if state.exists else []
+        seen = set(ids)
+        out_a, out_b, out_c = [], [], []
+        changed = False
+        for pdf in pdfs:
+            for vid, vb in zip(pdf["__sem_id"], pdf["__vec"]):
+                new_id = int(vid)
+                if new_id in seen or len(ids) >= max_bucket:
+                    continue
+                nv = np.frombuffer(vb, dtype=np.float64)
+                nn = float(np.linalg.norm(nv))
+                for mid, mb in zip(ids, vecs):
+                    mv = np.frombuffer(mb, dtype=np.float64)
+                    denom = nn * float(np.linalg.norm(mv))
+                    raw = 0.0 if denom == 0.0 else float(nv @ mv) / denom
+                    c6 = int(np_round_half_away(np.array([raw * 1e6]), 0)[0])
+                    if c6 >= threshold_e6:
+                        out_a.append(min(mid, new_id))
+                        out_b.append(max(mid, new_id))
+                        out_c.append(c6)
+                ids.append(new_id)
+                vecs.append(bytes(vb))
+                seen.add(new_id)
+                changed = True
+        if changed:
+            state.update((ids, vecs))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine_e6": out_c}
+            )
+
+    return rows.groupBy("cell").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long, cosine_e6 long",
+        stateStructType="ids array<long>, vecs array<binary>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -823,3 +823,60 @@ def test_simhash_bucket_state_survives_restart(streaming_spark, tmp_path):
         "cross-restart pair lost — bucket state not recovered"
     )
     assert got == batch
+
+
+def test_semantic_cell_state_survives_restart(streaming_spark, tmp_path):
+    """Kill-and-restart for the continuous SEMANTIC detector: the
+    per-cell (id, packed-vector) membership state rehydrates from the
+    checkpoint, so a post-restart arrival of a near-identical
+    embedding still emits the cross-restart pair with the exact batch
+    e6 cosine."""
+    from flink_join_scaling_spark.operators.dedup import (
+        embedding_dedup_pairs_exact,
+    )
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_semantic
+
+    spark = streaming_spark
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src), os.makedirs(sink)
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    schema_str = "vec_id long, embedding array<double>"
+    df1 = spark.createDataFrame(
+        [(0, [1.0, 0.02, 0.0, 0.0]), (5, [0.0, 0.0, 1.0, 0.0])], schema_str
+    )
+    _write_chunk(spark, df1, src, "chunk-000")
+    _run_once(
+        stream_dedup_semantic(
+            _read_stream(spark, src, df1.schema), "vec_id", "embedding", cents
+        ),
+        sink, ckpt,
+    )
+
+    df2 = spark.createDataFrame([(1, [1.0, 0.03, 0.0, 0.0])], schema_str)
+    _write_chunk(spark, df2, src, "chunk-001")
+    _run_once(
+        stream_dedup_semantic(
+            _read_stream(spark, src, df1.schema), "vec_id", "embedding", cents
+        ),
+        sink, ckpt,
+    )
+
+    em = _emissions(sink)
+    got = {
+        (int(r.id_a), int(r.id_b), int(r.cosine_e6))
+        for r in em.itertuples(index=False)
+    }
+    batch = {
+        (r.id_a, r.id_b, r.cosine_e6)
+        for r in embedding_dedup_pairs_exact(
+            df1.unionByName(df2), "vec_id", "embedding",
+            threshold=0.85, emit_e6=True,
+        ).collect()
+    }
+    assert any(p[:2] == (0, 1) for p in got), (
+        "cross-restart pair lost — cell state not recovered"
+    )
+    assert got == batch

@@ -971,3 +971,62 @@ def test_stream_dedup_frames_matches_batch(streaming_spark, tmp_path):
     )
     got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
     assert got == batch
+
+
+def _sem_fixture(spark):
+    """Three well-separated embedding clusters (orthogonal axes, small
+    in-cluster perturbations): every within-cluster pair's e6 cosine
+    clears 850000, every cross-cluster cosine is ~0."""
+    rows = []
+    for g in range(3):
+        for j in range(4):
+            v = [0.0] * 6
+            v[g * 2] = 1.0
+            v[g * 2 + 1] = 0.02 * j
+            rows.append((g * 10 + j, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = []
+    for g in range(3):
+        c = [0.0] * 6
+        c[g * 2] = 1.0
+        cents.append(c)
+    return df, cents
+
+
+def test_stream_dedup_semantic_matches_exact(streaming_spark, tmp_path):
+    """Continuous embedding near-dup detection: the converged verified
+    pair set equals the exact quadratic reference generator at BOTH
+    documented equivalence points — nprobe=1 (clusters aligned to the
+    fixed centroids, so home-cell routing loses nothing) and the
+    exhaustive nprobe=len(centroids) — including the e6 cosine values
+    (the stream scores with the same round_half_away integers as the
+    batch Arrow scorer)."""
+    from flink_join_scaling_spark.operators.dedup import (
+        embedding_dedup_pairs_exact,
+    )
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_semantic
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    df, cents = _sem_fixture(spark)
+    batch = {
+        (r.id_a, r.id_b, r.cosine_e6)
+        for r in embedding_dedup_pairs_exact(
+            df, "vec_id", "embedding", threshold=0.85, emit_e6=True
+        ).collect()
+    }
+    assert len(batch) == 3 * 6  # C(4,2) per cluster
+
+    for nprobe in (1, 3):
+        sdf = chunked_parquet_stream(
+            spark, df, str(tmp_path / f"chunks{nprobe}"), n_chunks=3
+        )
+        em = run_to_memory(
+            stream_dedup_semantic(
+                sdf, "vec_id", "embedding", cents, nprobe=nprobe
+            ),
+            output_mode="update",
+        )
+        got = {(r.id_a, r.id_b, r.cosine_e6) for r in em.collect()}
+        assert got == batch, f"nprobe={nprobe}"
