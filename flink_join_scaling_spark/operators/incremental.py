@@ -102,6 +102,7 @@ def dedup_incremental_minhash(
     text_col: str = "text",
     num_hashes: int = 8,
     band_size: int = 2,
+    append: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup screening of a new batch against the historical band
     index. Returns ``(accepted, flagged)``:
@@ -115,6 +116,12 @@ def dedup_incremental_minhash(
 
     The same band formulas as the batch/streaming paths: an index
     bootstrapped by a batch backfill keeps working incrementally.
+
+    ``append=False`` runs the SCREEN only (no index write) — for
+    composers like :func:`dedup_incremental_ensemble` that must decide
+    the accepted set from SEVERAL screens before any index commits
+    (an eager per-face append would admit docs a sibling screen
+    rejects).
     """
     sigs = minhash_signatures(new_docs, id_col, text_col, num_hashes)
     bands = minhash_bands(sigs, id_col, num_hashes, band_size).select(
@@ -151,12 +158,13 @@ def dedup_incremental_minhash(
         id_col,
         "left_anti",
     ).localCheckpoint(eager=True)
-    accepted_bands = bands.join(
-        accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
-    )
-    accepted_bands.select(
-        F.col("new_id").alias("known_id"), "band_idx", "band_hash"
-    ).write.mode("append").parquet(index_dir)
+    if append:
+        accepted_bands = bands.join(
+            accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
+        )
+        accepted_bands.select(
+            F.col("new_id").alias("known_id"), "band_idx", "band_hash"
+        ).write.mode("append").parquet(index_dir)
     return accepted, flagged
 
 
@@ -363,6 +371,7 @@ def dedup_incremental_semantic(
     threshold_e6: int = 850_000,
     num_cells: int = 8,
     nprobe: int = 2,
+    append: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-run SEMANTIC (embedding-cosine) dedup against the
     persisted cell-partitioned IVF index — the SemDeDup face of the
@@ -457,8 +466,9 @@ def dedup_incremental_semantic(
     ).localCheckpoint(eager=True)
     # a fully-flagged (or empty) batch appends nothing; on a FIRST run
     # it also cannot train centroids, so index creation simply defers
-    # to the next non-empty accepted batch
-    if accepted.count() > 0:
+    # to the next non-empty accepted batch. append=False = screen only
+    # (the ensemble composer commits both indexes itself)
+    if append and accepted.count() > 0:
         ivf_index_build(
             accepted.select(id_col, vec_col),
             index_dir,
@@ -467,5 +477,108 @@ def dedup_incremental_semantic(
             num_cells=num_cells,
             train=True,
             mode="overwrite" if first_run else "append",
+        )
+    return accepted, flagged
+
+
+def dedup_incremental_ensemble(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold_e6: int = 850_000,
+    num_cells: int = 8,
+    nprobe: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-run ENSEMBLE dedup — the incremental face of
+    ``q_dedup_ensemble``'s either-generator-fires policy: a new doc
+    (carrying both text and its embedding) is flagged iff the minhash
+    band screen OR the semantic cosine screen fires against the
+    respective persisted index (or a smaller-id batch peer); the
+    SINGLE accepted set then extends BOTH indexes.
+
+    The decide-then-commit order is the point of the ``append=False``
+    screen mode: running the two faces independently would let each
+    admit docs the other rejects, and the two indexes would drift
+    apart — after a few runs neither index describes the surviving
+    corpus. Here both sub-indexes always describe exactly the
+    ensemble-accepted history (asserted by the composition test).
+
+    Returns ``(accepted, flagged)``; ``flagged`` carries
+    (new_id, known_id, via ∈ {'minhash','semantic'}) — a pair caught
+    by both screens appears once per generator, like the batch
+    ensemble's pair-set union before distinct.
+
+    Scale shape: the union of the two faces' screens (each one
+    equi-join of the batch against its index) plus one batch-sized
+    band recomputation and one cell assignment for the commits —
+    still nothing history-sized."""
+    acc_mh, flag_mh = dedup_incremental_minhash(
+        spark,
+        new_docs,
+        os.path.join(index_dir, "minhash"),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        append=False,
+    )
+    acc_sem, flag_sem = dedup_incremental_semantic(
+        spark,
+        new_docs,
+        os.path.join(index_dir, "semantic"),
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold_e6=threshold_e6,
+        num_cells=num_cells,
+        nprobe=nprobe,
+        append=False,
+    )
+    flagged = (
+        flag_mh.select("new_id", "known_id", F.lit("minhash").alias("via"))
+        .unionByName(
+            flag_sem.select(
+                "new_id", "known_id", F.lit("semantic").alias("via")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    accepted = new_docs.join(
+        flagged.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    # commit BOTH indexes from the one ensemble-accepted set
+    mh_dir = os.path.join(index_dir, "minhash")
+    bands = minhash_bands(
+        minhash_signatures(accepted, id_col, text_col, num_hashes),
+        id_col,
+        num_hashes,
+        band_size,
+    )
+    bands.select(
+        F.col(id_col).alias("known_id"), "band_idx", "band_hash"
+    ).write.mode("append").parquet(mh_dir)
+    if accepted.count() > 0:
+        from flink_join_scaling_spark.operators.ann_index import ivf_index_build
+
+        sem_dir = os.path.join(index_dir, "semantic")
+        ivf_index_build(
+            accepted.select(id_col, vec_col),
+            sem_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_cells=num_cells,
+            train=True,
+            mode=(
+                "append"
+                if os.path.exists(os.path.join(sem_dir, "meta.json"))
+                else "overwrite"
+            ),
         )
     return accepted, flagged

@@ -564,3 +564,73 @@ def test_incremental_semantic_within_batch_greedy(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/cells").select("vec_id").collect()
     }
     assert stored == {1, 3}
+
+
+def test_incremental_ensemble_composes_both_screens(spark, tmp_path):
+    """Either-generator-fires across runs, with ONE accepted set
+    committed to BOTH indexes: a text copy with an unrelated embedding
+    flags via minhash, an embedding twin with unrelated text flags via
+    semantic, and a doc accepted because neither fired extends both
+    indexes — so ITS later twins flag through each respective index
+    (the decide-then-commit property an eager per-face append would
+    break)."""
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_ensemble,
+    )
+
+    idx = str(tmp_path / "ens")
+    schema = "doc_id long, text string, embedding array<double>"
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words entirely here today my friend yes"
+    t3 = "a third separate document about winnowing rivers and stones"
+    run1 = spark.createDataFrame(
+        [(1, t1, _unit(0)), (2, t2, _unit(1))], schema
+    )
+    acc1, flg1 = dedup_incremental_ensemble(
+        spark, run1, idx, num_cells=2, nprobe=2
+    )
+    assert {r.doc_id for r in acc1.collect()} == {1, 2}
+    assert flg1.count() == 0
+
+    run2 = spark.createDataFrame(
+        [
+            (10, t1, _unit(2)),            # text copy of 1, foreign vec
+            (11, "unrelated fresh content nothing shared at all",
+             _unit(1, eps_at=0)),          # vec twin of 2, foreign text
+            (12, t3, _unit(3)),            # new on both axes
+        ],
+        schema,
+    )
+    acc2, flg2 = dedup_incremental_ensemble(
+        spark, run2, idx, num_cells=2, nprobe=2
+    )
+    flagged = {(r.new_id, r.known_id, r.via) for r in flg2.collect()}
+    assert (10, 1, "minhash") in flagged
+    assert (11, 2, "semantic") in flagged
+    assert {r.new_id for r in flg2.collect()} == {10, 11}
+    assert {r.doc_id for r in acc2.collect()} == {12}
+
+    # both sub-indexes describe exactly the ensemble-accepted history
+    mh_ids = {
+        r.known_id
+        for r in spark.read.parquet(f"{idx}/minhash").select("known_id").collect()
+    }
+    sem_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/semantic/cells").select("doc_id").collect()
+    }
+    assert mh_ids == sem_ids == {1, 2, 12}
+
+    # doc 12's commit reached BOTH indexes: its text twin flags via
+    # minhash, its embedding twin via semantic
+    run3 = spark.createDataFrame(
+        [(20, t3, _unit(0, eps_at=2)), (21, "totally novel sentence here",
+                                        _unit(3, eps_at=1))],
+        schema,
+    )
+    _acc3, flg3 = dedup_incremental_ensemble(
+        spark, run3, idx, num_cells=2, nprobe=2
+    )
+    f3 = {(r.new_id, r.known_id, r.via) for r in flg3.collect()}
+    assert (20, 12, "minhash") in f3
+    assert (21, 12, "semantic") in f3
