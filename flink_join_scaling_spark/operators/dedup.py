@@ -1127,16 +1127,21 @@ def container_majority_pairs(
             (F.col("id_b") - F.col("id_b") % stride).alias("node_b"),
         )
         .agg(F.count("*").alias("n_match"))
+        # integer DIV, not `/`: Spark's `/` on longs routes through
+        # DOUBLE, whose 53-bit mantissa rounds node ids above 2^53
+        # (doc_id ≳ 2^49 at stride 16) — distinct containers would
+        # collapse to one doc id and the election would delete the
+        # wrong video
         .select(
-            (F.col("node_a") / stride).cast("long").alias("doc_a"),
-            (F.col("node_b") / stride).cast("long").alias("doc_b"),
+            F.expr(f"node_a DIV {int(stride)}").alias("doc_a"),
+            F.expr(f"node_b DIV {int(stride)}").alias("doc_b"),
             "n_match",
         )
     )
     nframes = frame_hashes.groupBy(
         (F.col(node_col) - F.col(node_col) % stride).alias("__doc_node")
     ).agg(F.count("*").alias("n_frames")).select(
-        (F.col("__doc_node") / stride).cast("long").alias("doc_id"),
+        F.expr(f"__doc_node DIV {int(stride)}").alias("doc_id"),
         "n_frames",
     )
     return (
@@ -1399,8 +1404,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= driver_threshold:
-        return _cc_driver(edges)
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        comp = _cc_driver(edges)
+        # the edge count is a PROVEN node bound (every component member
+        # touches an edge; nodes ≤ symmetrized edges) — stash it so
+        # apply tails can broadcast loser sets derived from this frame
+        # without re-counting (anti_exclude's known_rows_bound)
+        comp._fjss_node_bound = n_edges
+        return comp
     # Long iterations pin their per-round state to SCRATCH PARQUET,
     # not localCheckpoint: the cached-block checkpoint degrades on
     # graphs needing many rounds (measured on a fused 740k-edge graph
@@ -1508,7 +1520,9 @@ def connected_components(
         # standard localCheckpoint trade, same as every other use in
         # this repo); a consumer needing executor-loss durability
         # should write the result to a table immediately.
-        return out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
+        out._fjss_node_bound = n_edges  # same proven bound as above
+        return out
     finally:
         _cleanup()
 
@@ -1710,12 +1724,64 @@ def dedup_apply(
         .where(F.col("__rn") > 1)
         .select("node")
     )
-    # the loser set is component-sized (bounded by the pair census) —
-    # broadcast it so the corpus side's payload never crosses an
-    # exchange just to be anti-filtered (r11 verdict hygiene item)
-    return docs.join(
-        F.broadcast(losers), docs[id_col] == losers["node"], "left_anti"
+    return anti_exclude(
+        docs, losers, docs[id_col], "node",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
     )
+
+
+#: anti_exclude's broadcast cutoff, in EXCLUSION-SET ROWS: 5M ids ≈
+#: 40 MB broadcast — far under Spark's 8 GB broadcast hard limit and
+#: any sane driver heap, far above every planted fixture. Exposed for
+#: memory-constrained deployments to dial down.
+ANTI_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def anti_exclude(
+    docs: DataFrame,
+    excl: DataFrame,
+    doc_key,
+    excl_key: str,
+    max_broadcast_rows: int = ANTI_BROADCAST_MAX_ROWS,
+    known_rows_bound: int | None = None,
+) -> DataFrame:
+    """LEFT ANTI of the corpus against an exclusion-id set, with a
+    SIZE-ADAPTIVE broadcast — the shared tail of every ``*_apply``
+    builder.
+
+    Why not always broadcast: the exclusion set scales with the
+    DUPLICATE FRACTION of the corpus, not with component count — at a
+    realistic 20-50% near-dup rate on 100 TB it is billions of ids,
+    and an unconditional ``F.broadcast`` pin would collect them to the
+    driver and die on Spark's 8 GB broadcast limit. Why not never: the
+    probe side is often a stats-less ExistingRDD (re-encoded payloads
+    from an Arrow stage), where AQE cannot see that the anti side is
+    tiny and keeps a SortMergeJoin — payload bytes crossing an
+    exchange just to be filtered (the r11 hygiene item). So the set is
+    pinned (it feeds the join either way) and COUNTED: small → explicit
+    broadcast; large → plain join, where shuffling the corpus on its
+    id is the honest cost of subtracting a corpus-scale set.
+
+    Fast paths that skip the pin-and-count jobs (~1 s of scheduling
+    per query at sf0.1, measured on q_pipeline_media):
+
+    * ``known_rows_bound`` — the caller has a PROVEN upper bound on
+      the exclusion rows, e.g. ``connected_components`` stashes its
+      symmetrized edge count on the result (``_fjss_node_bound``) and
+      every loser is a node of that pair graph;
+    * a DRIVER-LOCAL exclusion relation (``isLocal()``) is small by
+      construction."""
+    if (known_rows_bound is not None and known_rows_bound <= max_broadcast_rows) or excl.isLocal():
+        excl = F.broadcast(excl)
+    else:
+        excl = excl.localCheckpoint(eager=True)
+        if excl.count() <= max_broadcast_rows:
+            excl = F.broadcast(excl)
+    if isinstance(doc_key, str):
+        if doc_key == excl_key:
+            return docs.join(excl, doc_key, "left_anti")
+        doc_key = docs[doc_key]
+    return docs.join(excl, doc_key == excl[excl_key], "left_anti")
 
 
 def pagerank(

@@ -157,8 +157,12 @@ def dedup_incremental_minhash(
         flagged.select(F.col("new_id").alias(id_col)).distinct(),
         id_col,
         "left_anti",
-    ).localCheckpoint(eager=True)
+    )
     if append:
+        # pinned only on the commit path: screen-only callers (the
+        # ensemble composer) decide acceptance from SEVERAL screens and
+        # would throw this frame away — an eager job for nothing
+        accepted = accepted.localCheckpoint(eager=True)
         accepted_bands = bands.join(
             accepted.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
         )
@@ -463,7 +467,11 @@ def dedup_incremental_semantic(
         flagged.select(F.col("new_id").alias(id_col)).distinct(),
         id_col,
         "left_anti",
-    ).localCheckpoint(eager=True)
+    )
+    if append:
+        # pinned only on the commit path (the minhash face's rule):
+        # screen-only callers decide acceptance elsewhere
+        accepted = accepted.localCheckpoint(eager=True)
     # a fully-flagged (or empty) batch appends nothing; on a FIRST run
     # it also cannot train centroids, so index creation simply defers
     # to the next non-empty accepted batch. append=False = screen only
@@ -517,7 +525,10 @@ def dedup_incremental_ensemble(
     equi-join of the batch against its index) plus one batch-sized
     band recomputation and one cell assignment for the commits —
     still nothing history-sized."""
-    acc_mh, flag_mh = dedup_incremental_minhash(
+    # each face's lazy accepted frame is discarded — the composer
+    # decides acceptance from the UNION of flags (append=False also
+    # skips the faces' commit-path checkpoints, so no job runs for it)
+    _acc_mh, flag_mh = dedup_incremental_minhash(
         spark,
         new_docs,
         os.path.join(index_dir, "minhash"),
@@ -527,7 +538,7 @@ def dedup_incremental_ensemble(
         band_size=band_size,
         append=False,
     )
-    acc_sem, flag_sem = dedup_incremental_semantic(
+    _acc_sem, flag_sem = dedup_incremental_semantic(
         spark,
         new_docs,
         os.path.join(index_dir, "semantic"),

@@ -40,6 +40,7 @@ this module belongs to the LLM-data-pipeline extension surface
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -247,31 +248,39 @@ class _BitReader:
         return m
 
 
-def _build_huff(bits: list[int], vals: list[int]):
-    """(maxlen-bounded lookup) per T.81 §C.2: returns a dict mapping
-    (length, code) → symbol plus the per-length first-code table for
-    fast decode via peek16."""
-    table = {}
+@functools.lru_cache(maxsize=64)
+def _huff_lut(bits: tuple, vals: tuple) -> list[int]:
+    """16-bit-prefix decode LUT per T.81 §C.2/F.16: entry ``w`` packs
+    ``(symbol << 5) | code_length`` for the canonical code that
+    prefixes the 16-bit word ``w`` (-1 = invalid prefix), so a decode
+    is ONE ``peek16`` + one list index + a skip. Cached per distinct
+    (bits, vals) table across payloads — the Annex-K tables every
+    encoder here emits are identical, so an executor builds each LUT
+    once per process, not once per image (the build is 65536 slots;
+    per-image it would dominate small fixtures)."""
+    lut = np.full(1 << 16, -1, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (vals[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut.tolist()  # plain-list indexing beats np scalar extraction
 
 
-def _huff_decode(br: _BitReader, table) -> int:
-    word = br.peek16()
-    for length in range(1, 17):
-        code = word >> (16 - length)
-        sym = table.get((length, code))
-        if sym is not None:
-            br.skip(length)
-            return sym
-    raise ValueError("invalid Huffman code in JPEG scan")
+def _build_huff(bits: list[int], vals: list[int]) -> list[int]:
+    return _huff_lut(tuple(bits), tuple(vals))
+
+
+def _huff_decode(br: _BitReader, table: list[int]) -> int:
+    packed = table[br.peek16()]
+    if packed < 0:
+        raise ValueError("invalid Huffman code in JPEG scan")
+    br.skip(packed & 31)
+    return packed >> 5
 
 
 def _extend(v: int, t: int) -> int:
@@ -329,6 +338,15 @@ def jpeg_pixels(payload: bytes):
                     i += 128
                 else:
                     raise ValueError(f"invalid DQT precision {pq}")
+                if len(vals) < 64 or not vals.all():
+                    # T.81 forbids zero quantizer entries; a zero here
+                    # would silently zero coefficients downstream —
+                    # the silent-wrong-pixels failure this module
+                    # refuses by convention
+                    raise ValueError(
+                        "JPEG DQT table is truncated or contains zero "
+                        "entries"
+                    )
                 t = np.zeros((8, 8), dtype=np.int64)
                 t[_ZZ_ROWS, _ZZ_COLS] = vals.astype(np.int64)
                 qt[tq] = t
@@ -612,6 +630,25 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
+def _qtable_of(qtable) -> np.ndarray:
+    """Build + validate an encoder quantization table. T.81 baseline
+    tables are 8-bit values in [1, 255]; a ZERO entry would make
+    ``_quantize``'s integer divide silently zero the coefficient
+    (NumPy emits only a RuntimeWarning), decoding to a constant-128
+    frame — silent corruption, not the loud refusal this module
+    promises. Default: all ones (near-lossless)."""
+    if qtable is None:
+        return np.ones((8, 8), dtype=np.int64)
+    q = np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError(
+            "quantization table entries must be in [1, 255] (zero "
+            "would silently zero coefficients; >255 does not fit the "
+            "8-bit DQT emitted here)"
+        )
+    return q
+
+
 def _dqt_seg(tq: int, table: np.ndarray) -> bytes:
     zz = table[_ZZ_ROWS, _ZZ_COLS].astype(np.int64)
     if zz.max() > 255:
@@ -639,11 +676,7 @@ def jpeg_encode_gray(
     img = np.asarray(px, dtype=np.int64).reshape(height, width)
     if img.min() < 0 or img.max() > 255:
         raise ValueError("pixel values outside [0, 255]")
-    q = (
-        np.ones((8, 8), dtype=np.int64)
-        if qtable is None
-        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
-    )
+    q = _qtable_of(qtable)
     blocks = _encode_component_blocks(img) - 128
     coefs = _fdct_blocks(blocks)
     quant = _quantize(coefs, q.reshape(1, 8, 8))
@@ -685,11 +718,7 @@ def jpeg_encode_ycbcr(
     arr = np.asarray(rgb, dtype=np.int64).reshape(height, width, 3)
     if arr.min() < 0 or arr.max() > 255:
         raise ValueError("pixel values outside [0, 255]")
-    q = (
-        np.ones((8, 8), dtype=np.int64)
-        if qtable is None
-        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
-    )
+    q = _qtable_of(qtable)
     r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
     s = 1 << 16
     half = s // 2

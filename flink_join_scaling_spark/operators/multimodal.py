@@ -149,13 +149,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, int, float]:
     table or Adam7 pass logic. Anything else raises ValueError
     (loudly, not a guess).
     """
-    import math
-
-    width, height, channels, px = _png_pixels(payload)
-    if width == 0 or height == 0:
-        return width, height, channels, 0.0
-    mean = float(px.mean()) / 255.0
-    return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
+    return _pixels_to_features(*_png_pixels(payload))
 
 
 def _png_pixels(payload: bytes):
@@ -296,22 +290,31 @@ def _parse_jpeg_header(payload: bytes) -> tuple[int, int, int, None]:
     raise ValueError("no SOF frame header before scan data/EOI")
 
 
-def _parse_jpeg(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL baseline JPEG decode to the generic feature fields —
-    the :func:`_parse_png` contract on the
-    :func:`~flink_join_scaling_spark.operators.jpeg_codec.jpeg_pixels`
-    decoder: (width, height, n_channels, mean reconstructed sample /
-    255 half-up-rounded to 4 decimals). Loud ValueError outside the
-    baseline-sequential subset."""
+def _pixels_to_features(
+    width: int, height: int, channels: int, px
+) -> tuple[int, int, int, float]:
+    """Shared decoded-pixels → FEATURE_SCHEMA reduction for the image
+    codecs: mean reconstructed sample / 255, SQL-style half-up rounded
+    to 4 decimals (the WAV path's rounding). One function so the two
+    codecs' feature contract cannot drift. The degenerate-dimension
+    branch is only reachable from the PNG side (``jpeg_pixels`` raises
+    on zero dimensions before returning)."""
     import math
 
-    from flink_join_scaling_spark.operators.jpeg_codec import jpeg_pixels
-
-    width, height, channels, px = jpeg_pixels(payload)
     if width == 0 or height == 0:
         return width, height, channels, 0.0
     mean = float(px.mean()) / 255.0
     return width, height, channels, math.floor(mean * 10000 + 0.5) / 10000
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL baseline JPEG decode to the generic feature fields —
+    the :func:`_parse_png` contract on the
+    :func:`~flink_join_scaling_spark.operators.jpeg_codec.jpeg_pixels`
+    decoder. Loud ValueError outside the baseline-sequential subset."""
+    from flink_join_scaling_spark.operators.jpeg_codec import jpeg_pixels
+
+    return _pixels_to_features(*jpeg_pixels(payload))
 
 
 def _real_decode(payload: bytes, media_type: str) -> tuple[int, int, int, float | None]:
@@ -992,9 +995,21 @@ def synth_apng_group(doc_id: int, size: int = 16) -> bytes:
     return _apng_encode(frames, size, size, 1)
 
 
-def attach_synth_apng_group(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, payload) of :func:`synth_apng_group` fixtures, built
-    Arrow-side on the executors."""
+def _attach_fixture(df: DataFrame, id_col: str, fixture_fn) -> DataFrame:
+    """Shared (id, payload) fixture-attach plumbing: one Arrow
+    ``mapInPandas`` pass building ``fixture_fn(id)`` payloads on the
+    EXECUTORS (never the driver), fed by an id-projection repartition.
+
+    The repartition is load-bearing: a single-file parquet scan
+    arrives as ONE partition, which would serialize every downstream
+    Arrow decode stage on one core (measured 3.5x on the sf0.1
+    pipeline stage). The partition count must be EXPLICIT — a bare
+    ``repartition(col)`` lets AQE coalesce the tiny id shuffle back to
+    one partition (it sizes by shuffle bytes and cannot see the
+    per-row Python decode cost downstream; measured: 1 partition, the
+    exact serialization this exists to prevent). Production media
+    comes pre-split from binaryFile; this shuffles 8-byte ids, never
+    payloads."""
     id_t = df.schema[id_col].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1004,24 +1019,20 @@ def attach_synth_apng_group(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "payload": [synth_apng_group(int(i)) for i in pdf[id_col]],
+                    "payload": [fixture_fn(int(i)) for i in pdf[id_col]],
                 }
             )
 
-    # repartition the 8-byte id projection before synthesizing
-    # payloads: a single-file parquet scan arrives as ONE partition,
-    # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage). The
-    # partition count must be EXPLICIT: a bare repartition(col) lets
-    # AQE coalesce the tiny id shuffle back to one partition (it
-    # sizes by shuffle bytes and cannot see the per-row Python decode
-    # cost downstream — measured: 1 partition, the serialization this
-    # exists to prevent). Production media comes pre-split from
-    # binaryFile; this shuffles ids, never payloads.
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.select(id_col).repartition(n, id_col).mapInPandas(
         run, f"{id_col} {id_t}, payload binary"
     )
+
+
+def attach_synth_apng_group(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_apng_group` fixtures — see
+    :func:`_attach_fixture` for the shared executor-side plumbing."""
+    return _attach_fixture(df, id_col, synth_apng_group)
 
 
 def synth_apng(doc_id: int, size: int = 16) -> bytes:
@@ -1048,36 +1059,9 @@ def synth_apng(doc_id: int, size: int = 16) -> bytes:
 
 
 def attach_synth_apng(df: DataFrame, id_col: str) -> DataFrame:
-    """(id, payload) of :func:`synth_apng` fixtures, built Arrow-side
-    on the executors — the animated-media corpus stand-in (same
-    rationale as :func:`attach_synth_png`)."""
-    id_t = df.schema[id_col].dataType.simpleString()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "payload": [synth_apng(int(i)) for i in pdf[id_col]],
-                }
-            )
-
-    # repartition the 8-byte id projection before synthesizing
-    # payloads: a single-file parquet scan arrives as ONE partition,
-    # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage). The
-    # partition count must be EXPLICIT: a bare repartition(col) lets
-    # AQE coalesce the tiny id shuffle back to one partition (it
-    # sizes by shuffle bytes and cannot see the per-row Python decode
-    # cost downstream — measured: 1 partition, the serialization this
-    # exists to prevent). Production media comes pre-split from
-    # binaryFile; this shuffles ids, never payloads.
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(id_col).repartition(n, id_col).mapInPandas(
-        run, f"{id_col} {id_t}, payload binary"
-    )
+    """(id, payload) of :func:`synth_apng` fixtures — the
+    animated-media corpus stand-in; plumbing in :func:`_attach_fixture`."""
+    return _attach_fixture(df, id_col, synth_apng)
 
 
 def synth_png(doc_id: int, size: int = 16) -> bytes:
@@ -1108,35 +1092,8 @@ def attach_synth_png(df: DataFrame, id_col: str) -> DataFrame:
     """(id, payload) of :func:`synth_png` fixtures — the image-corpus
     stand-in this container can't produce from real files (no image
     libs to ENCODE anything richer; the DECODE side is the real
-    dependency-free parser). Arrow-batched; payloads are built on the
-    executors, never on the driver."""
-    id_t = df.schema[id_col].dataType.simpleString()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "payload": [synth_png(int(i)) for i in pdf[id_col]],
-                }
-            )
-
-    # repartition the 8-byte id projection before synthesizing
-    # payloads: a single-file parquet scan arrives as ONE partition,
-    # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage). The
-    # partition count must be EXPLICIT: a bare repartition(col) lets
-    # AQE coalesce the tiny id shuffle back to one partition (it
-    # sizes by shuffle bytes and cannot see the per-row Python decode
-    # cost downstream — measured: 1 partition, the serialization this
-    # exists to prevent). Production media comes pre-split from
-    # binaryFile; this shuffles ids, never payloads.
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(id_col).repartition(n, id_col).mapInPandas(
-        run, f"{id_col} {id_t}, payload binary"
-    )
+    dependency-free parser); plumbing in :func:`_attach_fixture`."""
+    return _attach_fixture(df, id_col, synth_png)
 
 
 def synth_jpeg(doc_id: int) -> bytes:
@@ -1206,50 +1163,14 @@ def synth_mixed(doc_id: int) -> bytes:
 
 def attach_synth_mixed(df: DataFrame, id_col: str) -> DataFrame:
     """(id, payload) of :func:`synth_mixed` fixtures — the mixed
-    PNG/JPEG corpus attach; same explicit-count id repartition as
-    :func:`attach_synth_png` (the AQE-coalesce trap), payloads built
-    on the executors, never on the driver."""
-    id_t = df.schema[id_col].dataType.simpleString()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "payload": [synth_mixed(int(i)) for i in pdf[id_col]],
-                }
-            )
-
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(id_col).repartition(n, id_col).mapInPandas(
-        run, f"{id_col} {id_t}, payload binary"
-    )
+    PNG/JPEG corpus attach; plumbing in :func:`_attach_fixture`."""
+    return _attach_fixture(df, id_col, synth_mixed)
 
 
 def attach_synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     """(id, payload) of :func:`synth_jpeg` fixtures — the JPEG twin of
-    :func:`attach_synth_png`; same explicit-count id repartition (the
-    AQE-coalesce trap) so the Arrow encode/decode stages parallelize,
-    payloads built on the executors, never on the driver."""
-    id_t = df.schema[id_col].dataType.simpleString()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "payload": [synth_jpeg(int(i)) for i in pdf[id_col]],
-                }
-            )
-
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(id_col).repartition(n, id_col).mapInPandas(
-        run, f"{id_col} {id_t}, payload binary"
-    )
+    :func:`attach_synth_png`; plumbing in :func:`_attach_fixture`."""
+    return _attach_fixture(df, id_col, synth_jpeg)
 
 
 # ------------------------------------------------- audio fingerprinting
@@ -1594,33 +1515,5 @@ def synth_wav(doc_id: int, n_windows: int = 65, window: int = 32) -> bytes:
 
 def attach_synth_wav(df: DataFrame, id_col: str) -> DataFrame:
     """(id, payload) of :func:`synth_wav` fixtures — the audio-corpus
-    stand-in (this container can't encode real recordings; the DECODE
-    side is the real dependency-free parser). Arrow-batched on the
-    executors like :func:`attach_synth_png`."""
-    id_t = df.schema[id_col].dataType.simpleString()
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "payload": [synth_wav(int(i)) for i in pdf[id_col]],
-                }
-            )
-
-    # repartition the 8-byte id projection before synthesizing
-    # payloads: a single-file parquet scan arrives as ONE partition,
-    # which would serialize every downstream Arrow decode stage on
-    # one core (measured 3.5x on the sf0.1 pipeline stage). The
-    # partition count must be EXPLICIT: a bare repartition(col) lets
-    # AQE coalesce the tiny id shuffle back to one partition (it
-    # sizes by shuffle bytes and cannot see the per-row Python decode
-    # cost downstream — measured: 1 partition, the serialization this
-    # exists to prevent). Production media comes pre-split from
-    # binaryFile; this shuffles ids, never payloads.
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(id_col).repartition(n, id_col).mapInPandas(
-        run, f"{id_col} {id_t}, payload binary"
-    )
+    stand-in; plumbing in :func:`_attach_fixture`."""
+    return _attach_fixture(df, id_col, synth_wav)

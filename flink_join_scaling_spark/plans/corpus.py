@@ -1154,9 +1154,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench = d.where(F.col("doc_id") % 50 == 0)
     hits = dd.ngram_contamination(keeper, bench, "doc_id", "text", shingle_n=3)
-    clean = keeper.join(
-        F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
-    )
+    clean = dd.anti_exclude(keeper, hits.select("doc_id"), "doc_id", "doc_id")
     wpack = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -1021,8 +1021,10 @@ def q_dedup_winnow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    return d.select("doc_id", "lang", "source", "n_chars").join(
-        F.broadcast(losers), "doc_id", "left_anti"
+    return dd.anti_exclude(
+        d.select("doc_id", "lang", "source", "n_chars"), losers,
+        "doc_id", "doc_id",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
     )
 
 
@@ -1517,9 +1519,10 @@ def q_dedup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return dd.anti_exclude(
+        d, losers, "doc_id", "doc_id",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @query(
@@ -1665,9 +1668,10 @@ def q_dedup_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return dd.anti_exclude(
+        d, losers, "doc_id", "doc_id",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @query(
@@ -1749,11 +1753,15 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    # broadcast pin (r11 verdict): the loser set is pair-census-
-    # bounded, but the stage is an ExistingRDD with no stats — without
-    # the hint AQE keeps a SortMergeJoin and the re-encoded payloads
-    # cross an exchange just to be filtered by a component-sized set.
-    kept = stage.join(F.broadcast(losers), "doc_id", "left_anti")
+    # size-adaptive anti (r12, generalizing the r11 broadcast pin):
+    # the stage is an ExistingRDD with no stats, so without a hint AQE
+    # keeps a SortMergeJoin and the re-encoded payloads cross an
+    # exchange just to be filtered — anti_exclude counts the loser set
+    # and broadcasts only while it actually fits.
+    kept = dd.anti_exclude(
+        stage, losers, "doc_id", "doc_id",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+    )
     rfeat = mm.png_features(
         kept.select("doc_id", "res_payload"), "doc_id", "res_payload"
     ).select("doc_id", "width", "height", F.col("mean_byte").alias("mean_res"))
@@ -1797,9 +1805,10 @@ def q_dedup_audiohash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return dd.anti_exclude(
+        d, losers, "doc_id", "doc_id",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 @query(
@@ -1838,11 +1847,15 @@ def q_pipeline_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
-    # broadcast pin (r11 verdict): the loser set is pair-census-
-    # bounded, but the stage is an ExistingRDD with no stats — without
-    # the hint AQE keeps a SortMergeJoin and the re-encoded payloads
-    # cross an exchange just to be filtered by a component-sized set.
-    kept = stage.join(F.broadcast(losers), "doc_id", "left_anti")
+    # size-adaptive anti (r12, generalizing the r11 broadcast pin):
+    # the stage is an ExistingRDD with no stats, so without a hint AQE
+    # keeps a SortMergeJoin and the re-encoded payloads cross an
+    # exchange just to be filtered — anti_exclude counts the loser set
+    # and broadcasts only while it actually fits.
+    kept = dd.anti_exclude(
+        stage, losers, "doc_id", "doc_id",
+        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+    )
     rfeat = mm.wav_features(
         kept.select("doc_id", "res_payload"), "doc_id", "res_payload"
     ).select(
@@ -2075,8 +2088,9 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 50 == 0)
     corp = d.where(F.col("doc_id") % 50 != 0)
     hits = dd.ngram_contamination(corp, bench, "doc_id", "text", shingle_n=3)
-    return corp.select("doc_id", "lang", "source", "n_chars").join(
-        F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
+    return dd.anti_exclude(
+        corp.select("doc_id", "lang", "source", "n_chars"),
+        hits.select("doc_id"), "doc_id", "doc_id",
     )
 
 
@@ -3020,7 +3034,7 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("vec_id"))
     )
     e = load_table(spark, sf_dir, "embeddings")
-    return e.join(F.broadcast(losers), "vec_id", "left_anti").select(
+    return dd.anti_exclude(e, losers, "vec_id", "vec_id").select(
         "vec_id", F.col("label").cast("bigint").alias("label")
     )
 

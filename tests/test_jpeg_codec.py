@@ -201,3 +201,22 @@ def test_q_dedup_phash_mixed_spark_end_to_end(spark):
         ).collect()
     }
     assert pairs == {(i, i + 1) for i in range(0, 12, 2)}
+
+
+def test_zero_quantizer_refuses_loudly():
+    """A zero qtable entry would make the encoder's integer divide
+    silently zero coefficients (NumPy //0 → 0 + RuntimeWarning) and
+    decode to a constant-gray frame — both sides must refuse instead."""
+    img = np.full((8, 8), 200)
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        jc.jpeg_encode_gray(img, 8, 8, qtable=np.zeros((8, 8)))
+    with pytest.raises(ValueError, match=r"\[1, 255\]"):
+        jc.jpeg_encode_ycbcr(
+            np.stack([img] * 3, axis=2), 8, 8, qtable=np.full((8, 8), 256)
+        )
+    # decoder side: rewrite a valid stream's DQT to contain a zero
+    payload = bytearray(jc.jpeg_encode_gray(img, 8, 8))
+    i = payload.index(b"\xff\xdb")
+    payload[i + 5] = 0  # first zigzag entry of the table body
+    with pytest.raises(ValueError, match="zero"):
+        jc.jpeg_pixels(bytes(payload))

@@ -1086,3 +1086,54 @@ def test_container_majority_is_symmetric_on_unequal_lengths(spark):
         "the asymmetric rule would delete the longer container here"
     )
     assert pairs == {(2, 3)}
+
+
+def test_container_majority_exact_above_double_mantissa(spark):
+    """Doc-id recovery from composite node ids must be INTEGER
+    division: node = doc·16 + frame exceeds 2^53 once doc_id ≳ 2^49,
+    where a double's ulp (32 at 2^57) exceeds the stride — the float
+    route collapses ADJACENT doc ids to one value and the election
+    deletes the wrong video. Two distinct huge-id containers with
+    identical frames must come back as exactly their own pair."""
+    import hashlib
+
+    def h64(tag: str) -> int:
+        v = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    big_a = 1 << 53
+    big_b = (1 << 53) + 1
+    rows = []
+    for doc in (big_a, big_b):
+        for f in range(4):
+            rows.append((doc * 16 + f, h64(f"huge_{f}")))
+    fh = spark.createDataFrame(rows, "node long, fhash long")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.container_majority_pairs(
+            fh, "node", "fhash", stride=16, max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(big_a, big_b)}
+
+
+def test_anti_exclude_size_adaptive(spark):
+    """The shared *_apply anti tail broadcasts the exclusion set only
+    while it fits (an unconditional pin would collect a duplicate-
+    fraction-sized id list to the driver at 100 TB); both branches
+    return identical results."""
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    excl = spark.range(0, 100, 2).select(F.col("id").alias("doc_id"))
+    small = dd.anti_exclude(docs, excl, "doc_id", "doc_id")
+    assert {r.doc_id for r in small.collect()} == set(range(1, 100, 2))
+    # the pre-AQE physical plan carries the explicit broadcast
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    # above-threshold: same rows through the plain (non-hinted) join —
+    # AQE may still choose a broadcast at runtime from OBSERVED sizes,
+    # which is exactly the adaptive behavior the pin bypassed
+    large = dd.anti_exclude(docs, excl, "doc_id", "doc_id", max_broadcast_rows=0)
+    assert {r.doc_id for r in large.collect()} == set(range(1, 100, 2))
+    # the key-mismatch form (dedup_apply's docs[id] == excl[node])
+    excl2 = excl.select(F.col("doc_id").alias("node"))
+    mixed = dd.anti_exclude(docs, excl2, docs["doc_id"], "node")
+    assert {r.doc_id for r in mixed.collect()} == set(range(1, 100, 2))
