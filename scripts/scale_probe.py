@@ -208,6 +208,31 @@ def incremental_semantic_chunked(spark, sf_dir: str) -> None:
         flagged.count()
 
 
+def incremental_ensemble_chunked(spark, sf_dir: str) -> None:
+    """Chunked-run face of dedup_incremental_ensemble: 4 batches of
+    (text, embedding) docs against BOTH persisted sub-indexes (wiped
+    per invocation). Cost should be ~the sum of the two faces' screens
+    plus the commit passes — the composition adds decision logic, not
+    a new growth law."""
+    from flink_join_scaling_spark.operators import incremental as inc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    docs = d.join(e, "doc_id")
+    n = docs.count()
+    cells = max(8, n // 2500)
+    idx = os.path.join(ROOT, "ens_idx_probe")
+    shutil.rmtree(idx, ignore_errors=True)
+    for i in range(4):
+        chunk = docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+        _accepted, flagged = inc.dedup_incremental_ensemble(
+            spark, chunk, idx, num_cells=cells, nprobe=2
+        )
+        flagged.count()
+
+
 def streaming_state_probe(spark) -> None:
     """Growth law of the keyed versioned join's per-arrival state cost
     (streaming/joins.py module note): FLAT in versions retained —
@@ -524,6 +549,8 @@ def main() -> None:
         # probed-cell occupancy against the persisted IVF index, with
         # num_cells scaling ∝ corpus (bounded occupancy)
         "dedup_incremental_semantic (4 chunks)": lambda sf: incremental_semantic_chunked(spark, sf),
+        # r12: the ensemble composer — both screens + one commit per run
+        "dedup_incremental_ensemble (4 chunks)": lambda sf: incremental_ensemble_chunked(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")
     if only:
