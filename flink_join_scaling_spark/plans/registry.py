@@ -219,15 +219,25 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #:   (max of both frame counts) via dedup.container_majority_pairs —
 #:   the planted fixture has equal counts per pair, outputs
 #:   unchanged; the unequal-length case is pinned by
-#:   tests/test_llmdata_ops.py::test_container_majority_is_symmetric*.
+#:   tests/test_llmdata_ops.py::test_container_majority_is_symmetric*
+#:   — and its doc-id recovery is now integer DIV (identical values
+#:   for every id below 2^53; the huge-id regime is pinned by
+#:   test_container_majority_exact_above_double_mantissa).
 #: Deliberately NOT listed (documented narrow-policy exclusions —
 #: semantics-preserving refactors whose outputs are pinned by unit
 #: tests and re-verified at sf0.01 in-session; listing them would
 #: crowd the 44-name r8-stale cohort out of the 50-slot window):
 #: q_audio_resample / q_dedup_audiohash / q_dedup_audiohash_apply
 #: (the _wav_samples 3-tuple unpack — resample_wav reads the SAME
-#: fmt-chunk value it previously re-walked), and any name whose only
-#: change is an output-invariant join-strategy hint (F.broadcast).
+#: fmt-chunk value it previously re-walked); any name whose only
+#: change is an output-invariant join-strategy choice (the r11
+#: F.broadcast pins, generalized in r12 to the size-adaptive
+#: dedup.anti_exclude — same rows, different physical join); the
+#: attach-plumbing/_pixels_to_features extractions (byte-identical
+#: fixtures and features); and the JPEG Huffman LUT (value-identical
+#: decode, pinned by the codec round-trip + property suites). All of
+#: these were covered by FOUR full 192-query DuckDB contract runs in
+#: the r12 session, every one FAILURES: none.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {"q_pipeline_audio", "q_dedup_videos"}
 )
