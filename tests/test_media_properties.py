@@ -99,12 +99,20 @@ def test_resample_matches_numpy_boxcar(n, factor, bits, channels, seed):
     boxcar mean → half-up round), for every factor / bit depth /
     channel count — including factor=1 (pure requantization) and the
     trailing-partial-block drop."""
+    import pytest
+
     rng = np.random.RandomState(seed)
     if bits == 16:
         raw = rng.randint(-32768, 32768, size=n * channels)
     else:
         raw = rng.randint(0, 256, size=n * channels)
     payload = _wav_bytes(list(raw), channels=channels, rate=8000, bits=bits)
+    if factor > n:
+        # fewer mono frames than the factor is not a downsample — the
+        # operator refuses loudly rather than emitting an empty clip
+        with pytest.raises(ValueError, match="downsample"):
+            mm.resample_wav(payload, factor)
+        return
     out = mm.resample_wav(payload, factor)
     got_rate, got, gbits = mm._wav_samples(out)
     assert (got_rate, gbits) == (8000 // factor, 8)
