@@ -1,25 +1,36 @@
-"""Baseline-sequential JPEG codec — stdlib + NumPy, no libjpeg.
+"""Sequential + progressive JPEG codec — stdlib + NumPy, no libjpeg.
 
 Closes the last media-codec gate with real user pull (r11 verdict
 task 3): image dedup (``q_dedup_phash``-family) previously decoded
 PNG/APNG only, while ~90% of crawled images are baseline JPEG. This
 module implements the honest subset end to end:
 
-- **Decoder** (:func:`jpeg_pixels`): marker walk (DQT / DHT / SOF0-1 /
+- **Decoder** (:func:`jpeg_pixels`): marker walk (DQT / DHT / SOF0-2 /
   SOS / DRI), Huffman entropy decode with 0xFF00 unstuffing and RSTn
   restart handling, dequantize, inverse zigzag, 8×8 integer IDCT,
   level shift, chroma upsampling for sampling factors up to 2×2
   (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Grayscale (1 component)
-  and color (3 components) frames. Progressive (SOF2), arithmetic
-  coding, 12-bit precision, and 4-component CMYK raise a loud
-  ValueError — a perceptual hash from a half-decoded image would be
-  silently wrong (the PNG subset stance).
+  and color (3 components) frames. Both baseline/extended SEQUENTIAL
+  (SOF0/SOF1, single interleaved scan) and PROGRESSIVE (SOF2, r13):
+  multi-scan spectral selection + successive approximation per ITU
+  T.81 Annex G — DC first/refinement scans (interleaved or not), AC
+  first scans with EOB-run coding, AC refinement scans with
+  correction bits, with the per-coefficient Al-progression validated
+  across scans (a file that skips a band or repeats a pass refuses
+  loudly instead of producing silently-wrong pixels). Arithmetic
+  coding, lossless/hierarchical frames, 12-bit precision, and
+  4-component CMYK raise a loud ValueError (the PNG subset stance).
 
-- **Encoder** (:func:`jpeg_encode_gray` / :func:`jpeg_encode_ycbcr`):
-  forward DCT, quantization, and Huffman coding with the ITU T.81
-  Annex K typical tables — real bitstreams, so fixtures and tests
-  round-trip through the real decoder (the ``synth_png`` /
-  ``_wav_encode_u8`` discipline).
+- **Encoder** (:func:`jpeg_encode_gray` / :func:`jpeg_encode_ycbcr` /
+  :func:`jpeg_encode_progressive_gray` /
+  :func:`jpeg_encode_progressive_ycbcr`): forward DCT, quantization,
+  and Huffman coding with the ITU T.81 Annex K typical tables — real
+  bitstreams, so fixtures and tests round-trip through the real
+  decoder (the ``synth_png`` / ``_wav_encode_u8`` discipline). The
+  progressive encoders emit a real multi-scan script (DC at Al>0 +
+  refinement, split spectral bands, two successive-approximation
+  levels) with cross-block EOB-run accumulation and buffered
+  correction bits, exercising every decoder scan kind.
 
 Determinism: every DCT pass is an INTEGER matrix product evaluated as
 a sum of eight int64 element-wise products (integer addition is
@@ -40,6 +51,7 @@ this module belongs to the LLM-data-pipeline extension surface
 
 from __future__ import annotations
 
+import array
 import functools
 import struct
 
@@ -249,15 +261,18 @@ class _BitReader:
 
 
 @functools.lru_cache(maxsize=64)
-def _huff_lut(bits: tuple, vals: tuple) -> list[int]:
+def _huff_lut(bits: tuple, vals: tuple) -> array.array:
     """16-bit-prefix decode LUT per T.81 §C.2/F.16: entry ``w`` packs
     ``(symbol << 5) | code_length`` for the canonical code that
     prefixes the 16-bit word ``w`` (-1 = invalid prefix), so a decode
-    is ONE ``peek16`` + one list index + a skip. Cached per distinct
-    (bits, vals) table across payloads — the Annex-K tables every
-    encoder here emits are identical, so an executor builds each LUT
-    once per process, not once per image (the build is 65536 slots;
-    per-image it would dominate small fixtures)."""
+    is ONE ``peek16`` + one index + a skip. Cached per distinct
+    (bits, vals) table across payloads — in-repo encoders emit a
+    fixed table set, but real crawled JPEGs commonly carry per-image
+    OPTIMIZED tables, so the cache must tolerate churn: the LUT is a
+    stdlib ``array('i')`` (256 KB — a worst-case-full cache is ~17 MB
+    per worker, vs ~150 MB as Python lists) built by one memcpy from
+    the numpy fill (``frombytes``); scalar ``array`` indexing matches
+    plain-list speed in the decode hot loop (measured, r13)."""
     lut = np.full(1 << 16, -1, dtype=np.int32)
     code = 0
     k = 0
@@ -268,14 +283,16 @@ def _huff_lut(bits: tuple, vals: tuple) -> list[int]:
             code += 1
             k += 1
         code <<= 1
-    return lut.tolist()  # plain-list indexing beats np scalar extraction
+    out = array.array("i")
+    out.frombytes(lut.tobytes())
+    return out
 
 
-def _build_huff(bits: list[int], vals: list[int]) -> list[int]:
+def _build_huff(bits: list[int], vals: list[int]) -> array.array:
     return _huff_lut(tuple(bits), tuple(vals))
 
 
-def _huff_decode(br: _BitReader, table: list[int]) -> int:
+def _huff_decode(br: _BitReader, table: array.array) -> int:
     packed = table[br.peek16()]
     if packed < 0:
         raise ValueError("invalid Huffman code in JPEG scan")
@@ -292,13 +309,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode: returns ``(width, height, channels,
-    px)`` with ``px`` an int64 array of shape (height, width·channels)
-    in [0, 255] — the :func:`.multimodal._png_pixels` contract, so
-    every pixel consumer (dHash, resize, features) runs unchanged on
-    JPEG payloads. Supported subset documented in the module
-    docstring; everything else raises a loud ValueError /
-    NotImplementedError."""
+    """REAL JPEG decode (baseline/extended sequential AND progressive):
+    returns ``(width, height, channels, px)`` with ``px`` an int64
+    array of shape (height, width·channels) in [0, 255] — the
+    :func:`.multimodal._png_pixels` contract, so every pixel consumer
+    (dHash, resize, features) runs unchanged on JPEG payloads.
+    Supported subset documented in the module docstring; everything
+    else raises a loud ValueError / NotImplementedError."""
     n = len(payload)
     if n < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -306,6 +323,8 @@ def jpeg_pixels(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (width, height, [(cid, h, v, tq)])
+    progressive = False
+    prog = None  # progressive coefficient state (built at first SOS)
     restart_interval = 0
     pos = 2
     while pos + 1 < n:
@@ -359,9 +378,11 @@ def jpeg_pixels(payload: bytes):
                 vals = list(body[i + 17 : i + 17 + nv])
                 i += 17 + nv
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             if body[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {body[0]}")
+            if frame is not None:
+                raise ValueError("multiple SOF frames in one JPEG")
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -376,12 +397,13 @@ def jpeg_pixels(payload: bytes):
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/extended sequential Huffman JPEG is "
-                f"decoded (SOF marker 0x{marker:02X} — progressive/"
-                "lossless/arithmetic frames are out of the subset)"
+                "only sequential/progressive Huffman JPEG is decoded "
+                f"(SOF marker 0x{marker:02X} — lossless/hierarchical/"
+                "arithmetic frames are out of the subset)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -394,11 +416,26 @@ def jpeg_pixels(payload: bytes):
                 cs = body[1 + 2 * s]
                 tables = body[2 + 2 * s]
                 scan.append((cs, tables >> 4, tables & 0x0F))
-            return _decode_scan(
-                payload, pos + seglen, frame, scan, qt, huff_dc,
-                huff_ac, restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated progressive SOS header")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _prog_init(frame)
+            pos = _decode_prog_scan(
+                payload, pos + seglen, prog, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval,
             )
+            continue
         pos += seglen
+    if prog is not None:
+        return _reconstruct_progressive(prog, qt)
     raise ValueError("no JPEG scan data (SOS) found")
 
 
@@ -475,11 +512,21 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
                         coef[_ZZ_ROWS, _ZZ_COLS] = blk
                         planes[ci][row] = coef * q
             mcu_index += 1
-    # IDCT each component plane, assemble, upsample, color-convert
+    return _reconstruct(
+        [(h, v, bw) for h, v, q, hdc, hac, bw in comp_info],
+        planes, width, height, hmax, vmax,
+    )
+
+
+def _reconstruct(infos, planes, width, height, hmax, vmax):
+    """Shared decode tail for the sequential and progressive paths:
+    IDCT each component's dequantized natural-order block plane
+    (``infos`` = per-component ``(h, v, blocks_per_row)``), assemble,
+    upsample by sample replication, crop, and color-convert."""
     out_planes = []
-    for ci, (h, v, q, hdc, hac, bw) in enumerate(comp_info):
-        bh = planes[ci].shape[0] // bw
-        spat = _idct_blocks(planes[ci]) + 128
+    for (h, v, bw), plane in zip(infos, planes):
+        bh = plane.shape[0] // bw
+        spat = _idct_blocks(plane) + 128
         np.clip(spat, 0, 255, out=spat)
         # (bh·bw, 8, 8) → (bh·8, bw·8)
         img = (
@@ -509,6 +556,305 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
     rgb = np.stack([r, g, b], axis=2)
     np.clip(rgb, 0, 255, out=rgb)
     return width, height, 3, rgb.reshape(height, width * 3)
+
+
+# ----------------------------------------------- progressive decoder
+#
+# T.81 Annex G, Huffman path. Coefficients accumulate across scans in
+# per-component ZIGZAG-order block planes (plain Python int lists —
+# the entropy loops are scalar; NumPy enters at reconstruction);
+# ``coef_bits[ci][k]`` tracks each coefficient's current successive-
+# approximation bit position so an out-of-order or overlapping scan
+# refuses loudly instead of decoding silently-wrong pixels.
+
+
+def _prog_init(prog_frame):
+    """Build the progressive decode state from the SOF2 frame header:
+    per-component padded block planes (MCU grid, shared with any
+    interleaved DC scan), the ACTUAL block grid used by
+    non-interleaved scans (T.81 §A.2.2 — ceil of the scaled component
+    size, NOT the MCU-padded width), and the Al-progression tracker."""
+    width, height, comps = prog_frame
+    if width < 1 or height < 1:
+        raise ValueError(f"degenerate JPEG dimensions {width}×{height}")
+    if len(comps) == 1:
+        # single-component frame: sampling factors do not apply
+        cid, _h, _v, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if any(h not in (1, 2) or v not in (1, 2) for _, h, v, _ in comps):
+        raise ValueError(
+            "sampling factors above 2 are out of the decoded subset"
+        )
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    layout = []
+    coef = []
+    coef_bits = []
+    for cid, h, v, tq in comps:
+        bw, bh = mcux * h, mcuy * v
+        cw = -(-(width * h) // hmax)    # component width in samples
+        ch = -(-(height * v) // vmax)
+        nbw = -(-cw // 8)               # actual block grid (non-interleaved)
+        nbh = -(-ch // 8)
+        layout.append((cid, h, v, tq, bw, bh, nbw, nbh))
+        coef.append([[0] * 64 for _ in range(bw * bh)])
+        coef_bits.append([-1] * 64)
+    return {
+        "width": width, "height": height, "hmax": hmax, "vmax": vmax,
+        "mcux": mcux, "mcuy": mcuy, "layout": layout, "coef": coef,
+        "coef_bits": coef_bits,
+    }
+
+
+def _expect_rst(br: _BitReader) -> None:
+    m = br.align_to_marker()
+    if not (0xD0 <= m <= 0xD7):
+        raise ValueError(f"expected RSTn, got 0x{m:02X}")
+
+
+def _decode_prog_scan(payload, data_pos, prog, scan, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval):
+    """Decode ONE progressive scan into ``prog``'s coefficient planes;
+    returns the byte offset of the next marker. Validates the scan
+    against the per-coefficient Al progression (first pass exactly
+    once per band, refinements strictly Ah = previous Al = Al + 1)."""
+    layout = prog["layout"]
+    cid_to_ci = {lay[0]: i for i, lay in enumerate(layout)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in cid_to_ci:
+            raise ValueError(f"scan references unknown component {cs}")
+        sel.append((cid_to_ci[cs], td, ta))
+    coef_bits = prog["coef_bits"]
+    if al > 13 or ah > 13:
+        raise ValueError("successive approximation beyond 13 bits")
+    br = _BitReader(payload, data_pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "progressive scan mixes DC and AC (Ss=0 requires Se=0)"
+            )
+        for ci, _td, _ta in sel:
+            cb = coef_bits[ci]
+            if ah == 0:
+                if cb[0] != -1:
+                    raise ValueError("duplicate progressive DC first scan")
+            elif al != ah - 1 or cb[0] != ah:
+                raise ValueError(
+                    "inconsistent DC successive-approximation progression"
+                )
+            cb[0] = al
+        _prog_dc_scan(br, prog, sel, ah, al, huff_dc, restart_interval)
+    else:
+        if len(sel) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component (T.81 G.1)"
+            )
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad progressive spectral band {ss}..{se}")
+        ci, _td, ta = sel[0]
+        cb = coef_bits[ci]
+        if cb[0] < 0:
+            raise ValueError("progressive AC scan before the DC scan")
+        for k in range(ss, se + 1):
+            if ah == 0:
+                if cb[k] != -1:
+                    raise ValueError(
+                        "overlapping progressive AC first scans"
+                    )
+            elif al != ah - 1 or cb[k] != ah:
+                raise ValueError(
+                    "inconsistent AC successive-approximation progression"
+                )
+            cb[k] = al
+        if ta not in huff_ac:
+            raise ValueError("missing AC Huffman table for scan")
+        _prog_ac_scan(br, prog, ci, huff_ac[ta], ss, se, ah, al,
+                      restart_interval)
+    # resume the marker walk: seek the next real marker (skips any
+    # trailing stuffed pad byte the scan's bit consumer never pulled)
+    p, n = br.pos, len(payload)
+    while p + 1 < n and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _prog_dc_scan(br, prog, sel, ah, al, huff_dc, restart_interval):
+    """DC scan (T.81 G.1.2.1): first pass (Ah=0) Huffman-decodes DIFF
+    values into bit position Al; refinement passes read one raw bit
+    per block into bit Al (twos-complement OR — exact for negatives).
+    Interleaved scans walk the MCU grid (including dummy pad blocks);
+    a single-component scan walks that component's actual grid."""
+    layout, coef = prog["layout"], prog["coef"]
+    tabs = []
+    for _ci, td, _ta in sel:
+        if ah == 0:
+            if td not in huff_dc:
+                raise ValueError("missing DC Huffman table for scan")
+            tabs.append(huff_dc[td])
+        else:
+            tabs.append(None)
+    preds = [0] * len(sel)
+    bit = 1 << al
+
+    def block(si: int, ci: int, row: int) -> None:
+        c = coef[ci][row]
+        if ah == 0:
+            t = _huff_decode(br, tabs[si])
+            preds[si] += _extend(br.read(t), t)
+            c[0] = preds[si] << al
+        elif br.read(1):
+            c[0] |= bit
+
+    mcu_index = 0
+    if len(sel) > 1:
+        mcux, mcuy = prog["mcux"], prog["mcuy"]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and mcu_index
+                        and mcu_index % restart_interval == 0):
+                    _expect_rst(br)
+                    preds = [0] * len(sel)
+                for si, (ci, _td, _ta) in enumerate(sel):
+                    _cid, h, v, _tq, bw = layout[ci][:5]
+                    for by in range(v):
+                        for bx in range(h):
+                            block(si, ci, (my * v + by) * bw + mx * h + bx)
+                mcu_index += 1
+    else:
+        ci = sel[0][0]
+        _cid, _h, _v, _tq, bw, _bh, nbw, nbh = layout[ci]
+        for y in range(nbh):
+            for x in range(nbw):
+                if (restart_interval and mcu_index
+                        and mcu_index % restart_interval == 0):
+                    _expect_rst(br)
+                    preds = [0] * len(sel)
+                block(0, ci, y * bw + x)
+                mcu_index += 1
+
+
+def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
+    """AC scan over one component's ACTUAL block grid (T.81 G.1.2.2 /
+    G.1.2.3). First pass (Ah=0): run/size symbols place values at bit
+    Al, EOBn symbols start end-of-band runs spanning whole blocks.
+    Refinement (Ah>0): already-nonzero coefficients take correction
+    bits (magnitude grows only if bit Al is clear), newly-nonzero
+    coefficients arrive as ±1·2^Al after a zero-history run; an EOB
+    run still consumes correction bits for the rest of each block."""
+    _cid, _h, _v, _tq, bw, _bh, nbw, nbh = prog["layout"][ci]
+    coef = prog["coef"][ci]
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    mcu_index = 0
+    for y in range(nbh):
+        for x in range(nbw):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                _expect_rst(br)
+                eobrun = 0
+            mcu_index += 1
+            c = coef[y * bw + x]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("progressive AC run past band end")
+                    c[k] = _extend(br.read(s), s) << al
+                    k += 1
+                continue
+            # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, ac)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.read(r)
+                            break  # rest of block via the EOB sweep
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid magnitude in AC refinement scan"
+                            )
+                        val = p1 if br.read(1) else m1
+                    # advance over r zero-history positions, applying
+                    # correction bits at already-nonzero ones
+                    while k <= se:
+                        cv = c[k]
+                        if cv != 0:
+                            if br.read(1) and (cv & p1) == 0:
+                                c[k] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s:
+                        if k > se:
+                            raise ValueError(
+                                "progressive AC refinement run past band end"
+                            )
+                        c[k] = val
+                    k += 1
+            if eobrun:
+                while k <= se:  # EOB covers this block's remainder too
+                    cv = c[k]
+                    if cv != 0:
+                        if br.read(1) and (cv & p1) == 0:
+                            c[k] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(prog, qt):
+    """Dequantize the accumulated coefficient planes and run the
+    shared IDCT/assemble/color tail. Refuses if any coefficient
+    position was never coded by a first-pass scan — a partial
+    progression would decode to silently-wrong pixels."""
+    for ci, cb in enumerate(prog["coef_bits"]):
+        if any(b < 0 for b in cb):
+            raise ValueError(
+                "progressive JPEG leaves coefficients uncoded "
+                "(incomplete spectral coverage at EOI)"
+            )
+    infos = []
+    planes = []
+    for (cid, h, v, tq, bw, _bh, _nbw, _nbh), cf in zip(
+        prog["layout"], prog["coef"]
+    ):
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        zz = np.array(cf, dtype=np.int64)  # (nblocks, 64) zigzag
+        nat = np.zeros((zz.shape[0], 8, 8), dtype=np.int64)
+        nat[:, _ZZ_ROWS, _ZZ_COLS] = zz
+        infos.append((h, v, bw))
+        planes.append(nat * qt[tq].reshape(1, 8, 8))
+    return _reconstruct(
+        infos, planes, prog["width"], prog["height"],
+        prog["hmax"], prog["vmax"],
+    )
 
 
 # ------------------------------------------------------------ encoder
@@ -781,5 +1127,368 @@ def jpeg_encode_ycbcr(
     out += _dht_seg(1, 1, *_STD_AC_CHR)
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------- progressive encoder
+#
+# The Annex K "typical" AC tables carry no EOBn symbols (0x10..0xE0)
+# — they are baseline tables; progressive scans code end-of-band runs
+# longer than 1 with EOBn, which is why libjpeg switches to custom
+# tables in progressive mode. This flat canonical table assigns every
+# symbol the progressive AC encoder can emit — (run 0..15) × (size
+# 0..10), i.e. run/size values, ZRL (0xF0), and EOBn (r<<4 | 0) — a
+# 9-bit code each (176 codes of 512; no all-ones code, so the T.81
+# padding rule holds). Compression is ~2× worse than an optimized
+# table, which is irrelevant for fixtures and round-trip tests.
+_PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+#
+# Real multi-scan T.81 Annex G bitstreams so progressive fixtures and
+# round-trip tests run through the real refinement decoder. Scan
+# scripts use TWO successive-approximation levels for AC and one for
+# DC, with split first-pass spectral bands refined by a single
+# whole-band scan — covering every decoder scan kind (DC first at
+# Al>0, DC refinement, AC first with EOB runs across split bands, AC
+# refinement with correction bits and cross-block EOB accumulation).
+
+
+def _emit_eobrun(writer, ac_codes, eobrun: int, pending: list[int]) -> int:
+    """Flush an accumulated end-of-band run (+ the correction bits it
+    covers, refinement scans only); returns the reset run count."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        c, ln = ac_codes[nbits << 4]
+        writer.write(c, ln)
+        if nbits:
+            writer.write(eobrun & ((1 << nbits) - 1), nbits)
+        for b in pending:
+            writer.write(b, 1)
+        pending.clear()
+    return 0
+
+
+def _prog_encode_dc_scan(writer, seq, dc_codes_by_slot, ah, al) -> None:
+    """DC scan over ``seq`` = iterable of (component_slot, zigzag
+    block). First pass: Huffman DIFFs of the point-transformed values
+    (arithmetic >> Al, T.81 G.1.2.1); refinement: one raw bit Al per
+    block — the decoder ORs it in, exact for negatives in
+    twos-complement."""
+    if ah == 0:
+        preds: dict[int, int] = {}
+        for si, zz in seq:
+            v = int(zz[0]) >> al
+            t, code = _magnitude(v - preds.get(si, 0))
+            c, ln = dc_codes_by_slot[si][t]
+            writer.write(c, ln)
+            writer.write(code, t)
+            preds[si] = v
+    else:
+        for _si, zz in seq:
+            writer.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _prog_encode_ac_first(writer, blocks, ac_codes, ss, se, al) -> None:
+    """AC first pass (T.81 G.1.2.2): run/size coding of the point-
+    transformed band (sign·(|v| >> Al)), all-zero bands folded into
+    cross-block EOB runs."""
+    eobrun = 0
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            if v < 0:
+                t = -t
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, [])
+            while r > 15:
+                c, ln = ac_codes[0xF0]
+                writer.write(c, ln)
+                r -= 16
+            nb, code = _magnitude(t)
+            c, ln = ac_codes[(r << 4) | nb]
+            writer.write(c, ln)
+            writer.write(code, nb)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(writer, ac_codes, eobrun, [])
+    _emit_eobrun(writer, ac_codes, eobrun, [])
+
+
+def _prog_encode_ac_refine(writer, blocks, ac_codes, ss, se, al) -> None:
+    """AC refinement (T.81 G.1.2.3): newly-nonzero coefficients
+    (|v| >> Al == 1) emit run/1 symbols + sign, already-nonzero ones
+    buffer correction bits that ride behind the next emitted symbol;
+    ZRLs only when a newly-nonzero coefficient still follows in the
+    block (otherwise the tail folds into the EOB run, whose buffered
+    correction bits ride behind the EOBn symbol)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits covered by pending EOB run
+    for zz in blocks:
+        absv = [0] * (se + 1)
+        eob = ss - 1  # index of last newly-nonzero coefficient
+        for k in range(ss, se + 1):
+            t = abs(int(zz[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+                c, ln = ac_codes[0xF0]
+                writer.write(c, ln)
+                r -= 16
+                for b in br_bits:
+                    writer.write(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+            c, ln = ac_codes[(r << 4) | 1]
+            writer.write(c, ln)
+            writer.write(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br_bits:
+                writer.write(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+            if eobrun == 0x7FFF or len(pending) > 937:
+                eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+    _emit_eobrun(writer, ac_codes, eobrun, pending)
+
+
+def _prog_scan_segments(scans, zz_planes, layouts, dc_codes, ac_codes,
+                        comp_ids, table_slots,
+                        restart_interval: int = 0,
+                        blocks_per_mcu: int = 1) -> bytes:
+    """Emit SOS header + entropy data for each scan in ``scans`` =
+    [(slots, ss, se, ah, al)]. ``zz_planes[si]`` is that component's
+    (nblocks, 64) quantized zigzag plane over the padded MCU grid;
+    ``layouts[si] = (bw, nbw, nbh)`` gives padded row stride and the
+    actual block grid for non-interleaved scans; interleaved DC scans
+    take the precomputed MCU block order in ``layouts[si][3]`` (whose
+    per-MCU entry count is ``blocks_per_mcu``). A nonzero
+    ``restart_interval`` splits every scan into intervals of that
+    many MCUs, each encoded with fresh predictors/EOB state and
+    separated by byte-aligned RSTn markers (T.81 §G.1.2 restart
+    semantics fall out of per-chunk re-encoding)."""
+    out = bytearray()
+    for slots, ss, se, ah, al in scans:
+        body = bytearray([len(slots)])
+        for si in slots:
+            td, ta = table_slots[si]
+            body += bytes([comp_ids[si], (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, bytes(body))
+        writer = _BitWriter()
+        interleaved = ss == 0 and len(slots) > 1
+        if ss == 0:
+            if interleaved:
+                seq = layouts[slots[0]][3]  # shared MCU-interleaved order
+            else:
+                si = slots[0]
+                bw, nbw, nbh = layouts[si][:3]
+                seq = [
+                    (si, zz_planes[si][y * bw + x])
+                    for y in range(nbh)
+                    for x in range(nbw)
+                ]
+        else:
+            si = slots[0]
+            bw, nbw, nbh = layouts[si][:3]
+            seq = [
+                zz_planes[si][y * bw + x]
+                for y in range(nbh)
+                for x in range(nbw)
+            ]
+        per_mcu = blocks_per_mcu if interleaved else 1
+        chunk = restart_interval * per_mcu if restart_interval else len(seq)
+        chunk = max(chunk, 1)
+        rst = 0
+        for start in range(0, len(seq), chunk):
+            if start:
+                writer.restart(rst)
+                rst += 1
+            part = seq[start : start + chunk]
+            if ss == 0:
+                _prog_encode_dc_scan(writer, part, dc_codes, ah, al)
+            elif ah == 0:
+                _prog_encode_ac_first(writer, part, ac_codes[slots[0]],
+                                      ss, se, al)
+            else:
+                _prog_encode_ac_refine(writer, part, ac_codes[slots[0]],
+                                       ss, se, al)
+        out += writer.flush()
+    return bytes(out)
+
+
+def jpeg_encode_progressive_gray(px, width: int, height: int,
+                                 qtable=None, scans=None,
+                                 restart_interval: int = 0) -> bytes:
+    """REAL progressive (SOF2) grayscale encoder. Default scan
+    script: DC first at Al=1 → AC bands 1-5 and 6-63 first-pass at
+    Al=2 → two whole-band AC refinements (Ah=2→Al=1, Ah=1→Al=0) → DC
+    refinement (Ah=1→Al=0) — successive approximation AND spectral
+    selection, decoding bit-exactly to the same pixels as
+    :func:`jpeg_encode_gray` of the same input (the coefficients are
+    identical; only the entropy-coding order differs). ``scans``
+    overrides the script with ``[(slots, Ss, Se, Ah, Al)]`` tuples
+    (``slots`` is always ``[0]`` here) so property tests can exercise
+    arbitrary legal progressions; the DECODER's per-coefficient
+    progression tracker is the validity check — an illegal script
+    produces a stream it refuses."""
+    img = np.asarray(px, dtype=np.int64).reshape(height, width)
+    if img.min() < 0 or img.max() > 255:
+        raise ValueError("pixel values outside [0, 255]")
+    q = _qtable_of(qtable)
+    blocks = _encode_component_blocks(img) - 128
+    quant = _quantize(_fdct_blocks(blocks), q.reshape(1, 8, 8))
+    zz = quant[:, _ZZ_ROWS, _ZZ_COLS]
+    nbw, nbh = -(-width // 8), -(-height // 8)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, q)
+    out += _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0]),
+    )
+    out += _dht_seg(0, 0, *_STD_DC_LUM)
+    out += _dht_seg(1, 0, *_PROG_AC)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    if scans is None:
+        scans = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 1, 63, 1, 0),
+            ([0], 0, 0, 1, 0),
+        ]
+    out += _prog_scan_segments(
+        scans, [zz], [(nbw, nbw, nbh)],
+        [_encode_codes(*_STD_DC_LUM)], [_encode_codes(*_PROG_AC)],
+        comp_ids=[1], table_slots=[(0, 0)],
+        restart_interval=restart_interval,
+    )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_progressive_ycbcr(
+    rgb, width: int, height: int, qtable=None, subsample: bool = False
+) -> bytes:
+    """REAL progressive (SOF2) color encoder — the
+    :func:`jpeg_encode_ycbcr` pixel pipeline (JFIF RGB→YCbCr, optional
+    4:2:0 subsampling) under a progressive scan script: interleaved
+    3-component DC first at Al=1, per-component whole-band AC first
+    passes at Al=1, per-component AC refinements to Al=0, interleaved
+    DC refinement. With ``subsample`` the non-interleaved chroma scans
+    walk the ACTUAL block grid while the interleaved DC scans walk the
+    padded MCU grid — the grid-divergence case the decoder must get
+    right."""
+    arr = np.asarray(rgb, dtype=np.int64).reshape(height, width, 3)
+    if arr.min() < 0 or arr.max() > 255:
+        raise ValueError("pixel values outside [0, 255]")
+    q = _qtable_of(qtable)
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    s = 1 << 16
+    half = s // 2
+    y = (19595 * r + 38470 * g + 7471 * b + half) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + half) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + half) >> 16) + 128
+    np.clip(y, 0, 255, out=y)
+    np.clip(cb, 0, 255, out=cb)
+    np.clip(cr, 0, 255, out=cr)
+    if subsample:
+        ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+        cbp = np.pad(cb, ((0, ph - height), (0, pw - width)), mode="edge")
+        crp = np.pad(cr, ((0, ph - height), (0, pw - width)), mode="edge")
+        cb = (cbp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+        cr = (crp.reshape(ph // 2, 2, pw // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+        hy = vy = 2
+    else:
+        hy = vy = 1
+    mcux, mcuy = -(-width // (8 * hy)), -(-height // (8 * vy))
+
+    def comp_plane(img: np.ndarray, h: int, v: int) -> np.ndarray:
+        th, tw = mcuy * v * 8, mcux * h * 8
+        ih, iw = img.shape
+        img = np.pad(img, ((0, th - ih), (0, tw - iw)), mode="edge")
+        blocks = _encode_component_blocks(img) - 128
+        quant = _quantize(_fdct_blocks(blocks), q.reshape(1, 8, 8))
+        return quant[:, _ZZ_ROWS, _ZZ_COLS]
+
+    planes = [comp_plane(y, hy, vy), comp_plane(cb, 1, 1),
+              comp_plane(cr, 1, 1)]
+    # actual (non-interleaved) grids + padded strides per component
+    hmax, vmax = hy, vy
+    samp = [(hy, vy), (1, 1), (1, 1)]
+    layouts = []
+    for h, v in samp:
+        bw = mcux * h
+        cw = -(-(width * h) // hmax)    # component size in samples
+        ch = -(-(height * v) // vmax)
+        layouts.append((bw, -(-cw // 8), -(-ch // 8)))
+    # shared MCU-interleaved DC block order
+    mcu_order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (h, v) in enumerate(samp):
+                bw = mcux * h
+                for by in range(v):
+                    for bx in range(h):
+                        mcu_order.append(
+                            (si, planes[si][(my * v + by) * bw + mx * h + bx])
+                        )
+    layouts = [lay + (mcu_order,) for lay in layouts]
+    dc_codes = [_encode_codes(*_STD_DC_LUM), _encode_codes(*_STD_DC_CHR),
+                _encode_codes(*_STD_DC_CHR)]
+    prog_ac = _encode_codes(*_PROG_AC)
+    ac_codes = [prog_ac, prog_ac, prog_ac]
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg(0, q)
+    hv_y = (hy << 4) | vy
+    out += _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([3, 1, hv_y, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht_seg(0, 0, *_STD_DC_LUM)
+    out += _dht_seg(1, 0, *_PROG_AC)
+    out += _dht_seg(0, 1, *_STD_DC_CHR)
+    out += _dht_seg(1, 1, *_PROG_AC)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 1),
+        ([0], 6, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0, 1, 2], 0, 0, 1, 0),
+    ]
+    out += _prog_scan_segments(
+        scans, planes, layouts, dc_codes, ac_codes,
+        comp_ids=[1, 2, 3], table_slots=[(0, 0), (1, 1), (1, 1)],
+    )
     out += b"\xff\xd9"
     return bytes(out)

@@ -103,10 +103,17 @@ def test_coarse_quantization_decodes_and_compresses():
 def test_loud_refusal_outside_subset():
     img = np.full((8, 8), 100)
     payload = bytearray(jc.jpeg_encode_gray(img, 8, 8))
-    # progressive: rewrite SOF0 (FFC0) to SOF2 (FFC2)
     i = payload.index(b"\xff\xc0")
+    # lossless (SOF3) and arithmetic (SOF9) stay out of the subset
+    for sof in (b"\xff\xc3", b"\xff\xc9"):
+        bad = bytes(payload[:i]) + sof + bytes(payload[i + 2 :])
+        with pytest.raises(ValueError, match="lossless/hierarchical/arith"):
+            jc.jpeg_pixels(bad)
+    # SOF2 is decoded since r13 — but a progressive frame carrying a
+    # BASELINE full-band scan header is structurally invalid and must
+    # refuse, not decode half a progression
     prog = bytes(payload[:i]) + b"\xff\xc2" + bytes(payload[i + 2 :])
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         jc.jpeg_pixels(prog)
     with pytest.raises(ValueError, match="SOI"):
         jc.jpeg_pixels(b"notajpeg")
@@ -220,3 +227,182 @@ def test_zero_quantizer_refuses_loudly():
     payload[i + 5] = 0  # first zigzag entry of the table body
     with pytest.raises(ValueError, match="zero"):
         jc.jpeg_pixels(bytes(payload))
+
+
+# ------------------------------------------------- progressive (r13)
+
+
+def test_progressive_equals_baseline_gray():
+    """Progressive and baseline encode the SAME quantized coefficients
+    through different entropy layers — decode must be bit-identical.
+    Covers DC first at Al>0, DC refinement, split-band AC first passes
+    at Al=2, and two AC refinement levels (the default scan script)."""
+    rng = np.random.RandomState(31)
+    for w, h in [(8, 8), (72, 64), (17, 23), (1, 1), (5, 40)]:
+        img = rng.randint(0, 256, size=(h, w))
+        base = jc.jpeg_pixels(jc.jpeg_encode_gray(img, w, h))
+        prog = jc.jpeg_pixels(jc.jpeg_encode_progressive_gray(img, w, h))
+        assert base[:3] == prog[:3] == (w, h, 1)
+        assert np.array_equal(base[3], prog[3]), (w, h)
+
+
+def test_progressive_equals_baseline_color_and_subsampled():
+    """Color path: interleaved 3-component DC scans over the padded
+    MCU grid + non-interleaved AC scans over each component's ACTUAL
+    block grid — with 4:2:0 the two grids diverge (e.g. 72 px wide at
+    2×2 luma: padded stride 10 blocks vs actual 9), the case the
+    decoder must index correctly."""
+    rng = np.random.RandomState(37)
+    for w, h in [(16, 16), (72, 64), (17, 23)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3))
+        for sub in (False, True):
+            base = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, w, h, subsample=sub))
+            prog = jc.jpeg_pixels(
+                jc.jpeg_encode_progressive_ycbcr(rgb, w, h, subsample=sub)
+            )
+            assert np.array_equal(base[3], prog[3]), (w, h, sub)
+
+
+def test_progressive_alternative_scan_scripts():
+    """The decoder accepts ANY legal progression, not just the default
+    script: spectral-selection-only (Al=0 everywhere), many small
+    bands, and a deep 3-level successive approximation all decode to
+    the baseline pixels."""
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(40, 56))
+    base = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 56, 40))[3]
+    scripts = [
+        [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        [([0], 0, 0, 0, 0)]
+        + [([0], 1 + 9 * i, min(9 + 9 * i, 63), 0, 0) for i in range(7)],
+        [([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+         ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2),
+         ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)],
+    ]
+    for sc in scripts:
+        px = jc.jpeg_pixels(
+            jc.jpeg_encode_progressive_gray(img, 56, 40, scans=sc)
+        )[3]
+        assert np.array_equal(px, base), sc
+
+
+def test_progressive_restart_markers():
+    """RSTn inside progressive scans: every interval re-encodes with
+    fresh DC predictors and EOB-run state; the decoder must reset the
+    same state at each marker."""
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, size=(48, 80))
+    base = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 80, 48))[3]
+    for ri in (1, 3, 7, 100):
+        payload = jc.jpeg_encode_progressive_gray(img, 80, 48,
+                                                  restart_interval=ri)
+        if ri < 60:
+            assert b"\xff\xd0" in payload
+        assert np.array_equal(jc.jpeg_pixels(payload)[3], base), ri
+
+
+def test_progressive_illegal_progressions_refuse():
+    """The per-coefficient Al tracker refuses streams whose scans skip
+    a band, refine before the first pass, skip an approximation level,
+    or repeat a first pass — each would otherwise decode to silently
+    wrong pixels (the loud-refusal stance)."""
+    img = np.full((16, 16), 77)
+    cases = [
+        ([([0], 0, 0, 0, 0), ([0], 1, 30, 0, 0)], "uncoded"),
+        ([([0], 1, 63, 0, 0), ([0], 0, 0, 0, 0)], "before the DC scan"),
+        ([([0], 0, 0, 0, 2), ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 0)],
+         "DC successive-approximation"),
+        ([([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0), ([0], 1, 63, 0, 0)],
+         "overlapping"),
+    ]
+    for scans, msg in cases:
+        payload = jc.jpeg_encode_progressive_gray(img, 16, 16, scans=scans)
+        with pytest.raises(ValueError, match=msg):
+            jc.jpeg_pixels(payload)
+
+
+def test_progressive_hand_built_stream_decodes_expected_pixels():
+    """Decoder-only check against a HAND-ASSEMBLED progressive stream
+    (bit codes written from the T.81 Annex K tables by hand, not by
+    the repo encoder) — guards the entropy layer against a
+    complementary encoder/decoder bug, which round-trip tests cannot
+    see. One 8×8 block, q=1, DC diff 5 (category 3: DC-lum code 100 +
+    bits 101), then AC scan: symbol 0x01 (AC-lum code 00) + value bit
+    1 (coefficient +1 at zigzag k=1), EOB (code 1010)."""
+    out = bytearray(b"\xff\xd8")
+    out += jc._dqt_seg(0, np.ones((8, 8), dtype=np.int64))
+    out += jc._seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    out += jc._dht_seg(0, 0, *jc._STD_DC_LUM)
+    out += jc._dht_seg(1, 0, *jc._STD_AC_LUM)
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += bytes([0b10010111])  # 100 101 + 1-pad
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    out += bytes([0b00110101])  # 00 1 1010 + 1-pad
+    out += b"\xff\xd9"
+    w, h, c, px = jc.jpeg_pixels(bytes(out))
+    assert (w, h, c) == (8, 8, 1)
+    coef = np.zeros((1, 8, 8), dtype=np.int64)
+    coef[0, 0, 0] = 5
+    coef[0, 0, 1] = 1  # zigzag k=1 → natural (0, 1)
+    expected = np.clip(jc._idct_blocks(coef)[0] + 128, 0, 255)
+    assert np.array_equal(px.reshape(8, 8), expected)
+
+
+def test_dhash64_magic_dispatch_covers_progressive():
+    """dhash64's JPEG branch needs no change for progressive payloads
+    — same SOI magic, same decoder entry — and the fingerprint equals
+    the baseline encoding's (identical decoded pixels)."""
+    rng = np.random.RandomState(47)
+    levels = rng.randint(0, 256, size=(8, 9))
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)
+    h_base = mm.dhash64(jc.jpeg_encode_gray(img, 72, 64))
+    h_prog = mm.dhash64(jc.jpeg_encode_progressive_gray(img, 72, 64))
+    assert h_base == h_prog
+
+
+def test_synth_progressive_planted_structure():
+    """Even ids baseline (SOF0), odd ids progressive (SOF2), pair
+    structure holds across the coding boundary."""
+    for i in range(0, 8, 2):
+        assert b"\xff\xc0" in mm.synth_progressive(i)
+        assert b"\xff\xc2" in mm.synth_progressive(i + 1)
+    hashes = {i: mm.dhash64(mm.synth_progressive(i)) for i in range(16)}
+    for even in range(0, 16, 2):
+        assert _ham(hashes[even], hashes[even + 1]) <= 3
+    for i in range(16):
+        for j in range(i + 1, 16):
+            if i % 2 == 0 and j == i + 1:
+                continue
+            assert _ham(hashes[i], hashes[j]) > 3, (i, j)
+
+
+def test_synth_progressive_carries_real_ac_energy():
+    """The texture must put nonzero AC coefficients through the
+    progressive scans — otherwise the e2e query only proves the DC
+    path (the all-constant-block trap)."""
+    payload = mm.synth_progressive(1)
+    # a DC-only 72×64 progressive stream of this script is ~1.2 KB;
+    # real AC energy across 72 blocks × 5 scans is far larger
+    assert len(payload) > 3000
+    # and decodes to the textured image exactly (q=1, within DCT
+    # rounding — the texture survives, it is not quantized away)
+    w, h, c, px = jc.jpeg_pixels(payload)
+    img = mm._synth_textured_image(1)
+    assert int(np.abs(px.reshape(64, 72) - img).max()) <= 2
+
+
+def test_q_dedup_phash_progressive_spark_end_to_end(spark):
+    """The registered query's planted pair set through Spark — real
+    progressive encode on the executors, real refinement decode,
+    band join."""
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    imgs = mm.attach_synth_progressive(df, "doc_id")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.phash_dedup_pairs(
+            imgs, "doc_id", "payload", max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(i, i + 1) for i in range(0, 12, 2)}

@@ -125,3 +125,84 @@ def test_cross_codec_dhash_equal_on_block_images(seed):
     assert h_g == h_p
     # color route adds YCbCr rounding on gray content; stays in-band
     assert _ham(h_j, h_p) <= 3
+
+
+# ------------------------------------------------- progressive (r13)
+#
+# The strongest available oracle without libjpeg: progressive and
+# baseline are two entropy codings of the SAME quantized
+# coefficients, so decoded pixels must be bit-identical — any
+# refinement/EOB-run/band bug shows up as a pixel diff. Randomized
+# scripts explore the progression space the fixed default script
+# can't.
+
+
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 48),
+    seed=st.integers(0, 2**31 - 1),
+    q=st.integers(1, 32),
+)
+@SET
+def test_progressive_gray_equals_baseline(w, h, seed, q):
+    img = np.random.RandomState(seed).randint(0, 256, size=(h, w))
+    qt = np.full((8, 8), q)
+    base = jc.jpeg_pixels(jc.jpeg_encode_gray(img, w, h, qtable=qt))
+    prog = jc.jpeg_pixels(
+        jc.jpeg_encode_progressive_gray(img, w, h, qtable=qt)
+    )
+    assert base[:3] == prog[:3]
+    assert np.array_equal(base[3], prog[3])
+
+
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+@SET
+def test_progressive_color_equals_baseline(w, h, seed, sub):
+    rgb = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3))
+    base = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, w, h, subsample=sub))
+    prog = jc.jpeg_pixels(
+        jc.jpeg_encode_progressive_ycbcr(rgb, w, h, subsample=sub)
+    )
+    assert np.array_equal(base[3], prog[3])
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    cuts=st.sets(st.integers(2, 63), max_size=6),
+    al_dc=st.integers(0, 3),
+    al_ac=st.integers(0, 3),
+    interval=st.integers(0, 9),
+)
+@SET
+def test_progressive_random_scan_scripts(seed, cuts, al_dc, al_ac, interval):
+    """Random legal progression: random spectral-band partition of
+    1..63, random successive-approximation depths for DC and AC
+    (refined level-by-level to 0), random restart interval — all must
+    decode to the baseline pixels."""
+    img = np.random.RandomState(seed).randint(0, 256, size=(24, 24))
+    bounds = sorted(cuts) + [64]
+    scans = [([0], 0, 0, 0, al_dc)]
+    lo = 1
+    bands = []
+    for b in bounds:
+        if b > lo:
+            bands.append((lo, b - 1))
+            lo = b
+    for s, e in bands:
+        scans.append(([0], s, e, 0, al_ac))
+    for lvl in range(al_ac, 0, -1):
+        scans.append(([0], 1, 63, lvl, lvl - 1))
+    for lvl in range(al_dc, 0, -1):
+        scans.append(([0], 0, 0, lvl, lvl - 1))
+    base = jc.jpeg_pixels(jc.jpeg_encode_gray(img, 24, 24))[3]
+    prog = jc.jpeg_pixels(
+        jc.jpeg_encode_progressive_gray(
+            img, 24, 24, scans=scans, restart_interval=interval
+        )
+    )[3]
+    assert np.array_equal(base, prog)
