@@ -1370,6 +1370,22 @@ def connected_components(
     transitive, so A~B and B~C must collapse into one group {A,B,C}
     before a representative can be chosen.
 
+    ATTRIBUTE CONTRACT (``_fjss_node_bound``): when the driver-side
+    path runs, the returned DataFrame carries a Python attribute
+    holding the symmetrized edge count — a PROVEN upper bound on the
+    number of nodes (every component member touches an edge), which
+    apply tails pass to :func:`anti_exclude` as ``known_rows_bound``
+    to skip its pin-and-count job. It is an ad-hoc attribute, NOT
+    part of the DataFrame: any wrapper (``join``/``select``/
+    ``cache``) returns a new object without it, and callers must
+    either consume it immediately (``getattr(comp,
+    "_fjss_node_bound", None)`` — None falls back to the honest
+    count) or explicitly re-stash it on their derived frame when the
+    bound still holds (every row still a component node — see
+    ``plans/llmdata._semantic_members``). The distributed path leaves
+    it unset: a graph past ``driver_threshold`` edges has no cheap
+    bound worth proving.
+
     Distributed min-label propagation with pointer jumping: each round
     a node takes the min over its own label, its neighbours' labels,
     and its label's label (the jump — label chains halve every round,

@@ -564,18 +564,21 @@ def dedup_incremental_ensemble(
         id_col,
         "left_anti",
     ).localCheckpoint(eager=True)
-    # commit BOTH indexes from the one ensemble-accepted set
-    mh_dir = os.path.join(index_dir, "minhash")
-    bands = minhash_bands(
-        minhash_signatures(accepted, id_col, text_col, num_hashes),
-        id_col,
-        num_hashes,
-        band_size,
-    )
-    bands.select(
-        F.col(id_col).alias("known_id"), "band_idx", "band_hash"
-    ).write.mode("append").parquet(mh_dir)
+    # commit BOTH indexes from the one ensemble-accepted set; an
+    # empty batch short-circuits BOTH commits symmetrically (an
+    # unconditional band append would create an empty minhash index
+    # directory while the guarded semantic commit skips — r12 advisor)
     if accepted.count() > 0:
+        mh_dir = os.path.join(index_dir, "minhash")
+        bands = minhash_bands(
+            minhash_signatures(accepted, id_col, text_col, num_hashes),
+            id_col,
+            num_hashes,
+            band_size,
+        )
+        bands.select(
+            F.col(id_col).alias("known_id"), "band_idx", "band_hash"
+        ).write.mode("append").parquet(mh_dir)
         from flink_join_scaling_spark.operators.ann_index import ivf_index_build
 
         sem_dir = os.path.join(index_dir, "semantic")

@@ -1167,6 +1167,74 @@ def attach_synth_mixed(df: DataFrame, id_col: str) -> DataFrame:
     return _attach_fixture(df, id_col, synth_mixed)
 
 
+def synth_progressive(doc_id: int) -> bytes:
+    """Cross-ENTROPY-CODING fixture (r13): the planted block image —
+    md5 levels keyed by ``doc_id // 2`` over a fixed in-block texture,
+    odd ids bumping block (0, 0)'s level — encoded BASELINE for even
+    ids and PROGRESSIVE (SOF2: successive approximation + spectral
+    selection) for odd ids, so every planted near-duplicate pair
+    straddles the two entropy codings: the crawled-corpus reality
+    where the same image is saved once sequential, once progressive.
+
+    The texture (identical in every block) puts real nonzero AC
+    coefficients through the progressive first-pass AND refinement
+    scans; it cannot perturb the pair structure because (a) baseline
+    and progressive decode the SAME quantized coefficients to
+    bit-identical pixels (pinned by the codec parity suites), and
+    (b) within a pair only block (0, 0) differs, so all other dHash
+    cells decode identically in both members — pair hamming ≤ 1,
+    cross-group ~32, exactly the ``synth_jpeg`` geometry."""
+    from flink_join_scaling_spark.operators.jpeg_codec import (
+        jpeg_encode_gray,
+        jpeg_encode_progressive_gray,
+    )
+
+    img = _synth_textured_image(int(doc_id))
+    if int(doc_id) % 2 == 0:
+        return jpeg_encode_gray(img, 72, 64)
+    return jpeg_encode_progressive_gray(img, 72, 64)
+
+
+def _synth_textured_image(doc_id: int):
+    """The textured planted image behind :func:`synth_progressive`:
+    :func:`_synth_block_image`'s md5 level grid (compressed to
+    [16, 215] so the bump and texture stay in gamut) plus a fixed
+    per-block texture ``((3x + 5y) mod 7) · 4`` ∈ [0, 24] tiled over
+    every 8×8 block — the same offset pattern in every dHash cell, so
+    cell-mean ORDER relations (hence the planted dHash structure) are
+    exactly the level grid's, while the JPEG blocks carry real AC
+    energy through the entropy coders."""
+    import hashlib
+
+    import numpy as np
+
+    group = doc_id // 2
+    levels = np.array(
+        [
+            [
+                hashlib.md5(f"jpprog_{group}_{r}_{c}".encode()).digest()[0]
+                % 200 + 16
+                for c in range(9)
+            ]
+            for r in range(8)
+        ],
+        dtype=np.int64,
+    )
+    if doc_id % 2 == 1:
+        levels[0, 0] += 16  # ≤ 231; +24 texture peaks at 255
+    img = np.repeat(np.repeat(levels, 8, axis=0), 8, axis=1)  # 64×72
+    yy, xx = np.mgrid[0:8, 0:8]
+    texture = ((3 * xx + 5 * yy) % 7) * 4
+    return img + np.tile(texture, (8, 9))
+
+
+def attach_synth_progressive(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, payload) of :func:`synth_progressive` fixtures — the
+    baseline/progressive cross-coding corpus attach; plumbing in
+    :func:`_attach_fixture`."""
+    return _attach_fixture(df, id_col, synth_progressive)
+
+
 def attach_synth_jpeg(df: DataFrame, id_col: str) -> DataFrame:
     """(id, payload) of :func:`synth_jpeg` fixtures — the JPEG twin of
     :func:`attach_synth_png`; plumbing in :func:`_attach_fixture`."""

@@ -1634,6 +1634,48 @@ def q_dedup_phash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_phash_progressive",
+    headline=True,
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 2 = 0
+    """,
+    tags=("llmdata", "multimodal", "dedup"),
+)
+def q_dedup_phash_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash dedup across the two JPEG ENTROPY CODINGS (r13): the same
+    planted textured group image encoded baseline-sequential for even
+    ids and PROGRESSIVE (SOF2) for odd ids, so every planted
+    near-duplicate pair straddles the codings — the crawled-corpus
+    reality the r12 verdict called the largest honest media gap
+    (baseline covered only part of the format ~90% of crawled images
+    use). The progressive decode is the real thing
+    (``operators/jpeg_codec.py``: successive-approximation DC/AC
+    first + refinement scans, spectral selection, EOB runs), and the
+    fixture's in-block texture pushes real nonzero AC coefficients
+    through the refinement path end-to-end, not just in unit tests.
+
+    The oracle is statable for the ``synth_jpeg`` reason: baseline
+    and progressive decode the SAME quantized coefficients to
+    bit-identical pixels (codec parity suites), and within a pair
+    only block (0, 0) differs → dHash hamming ≤ 1 in-pair, ~32
+    cross-group.
+
+    Scale shape: identical to ``q_dedup_phash_jpeg`` — one map-only
+    Arrow encode+decode+hash pass (payload bytes never shuffle),
+    16-byte band-join rows. Progressive decode is the same pure-
+    Python entropy constant (~1.5× baseline: multiple passes over
+    the coefficient planes), in the same documented swap-libjpeg
+    slot."""
+    d = load_table(spark, sf_dir, "documents")
+    imgs = mm.attach_synth_progressive(d, "doc_id")
+    return dd.phash_dedup_pairs(imgs, "doc_id", "payload", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+
+
+@query(
     "q_dedup_phash_apply",
     oracle="""
     SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -2088,6 +2130,11 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 50 == 0)
     corp = d.where(F.col("doc_id") % 50 != 0)
     hits = dd.ngram_contamination(corp, bench, "doc_id", "text", shingle_n=3)
+    # no known_rows_bound on purpose: contamination hits scale with
+    # the CORPUS' contamination rate, not the benchmark size (one hot
+    # benchmark shingle can flag millions of docs), so there is no
+    # honest proven bound — anti_exclude's pin-and-count IS the
+    # size-adaptive decision here, ~1 job of scheduling at test scale
     return dd.anti_exclude(
         corp.select("doc_id", "lang", "source", "n_chars"),
         hits.select("doc_id"), "doc_id", "doc_id",
@@ -3004,6 +3051,11 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("component_id", "node", "ccos_e6")
     )
+    # re-stash the node bound: the joins above return a NEW DataFrame
+    # object, dropping connected_components' ad-hoc attribute (its
+    # documented caveat) — every memb row is a component node, so the
+    # bound still holds and the apply tail can skip its count job
+    memb._fjss_node_bound = getattr(comp, "_fjss_node_bound", None)
     return memb
 
 
@@ -3034,9 +3086,10 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("vec_id"))
     )
     e = load_table(spark, sf_dir, "embeddings")
-    return dd.anti_exclude(e, losers, "vec_id", "vec_id").select(
-        "vec_id", F.col("label").cast("bigint").alias("label")
-    )
+    return dd.anti_exclude(
+        e, losers, "vec_id", "vec_id",
+        known_rows_bound=getattr(memb, "_fjss_node_bound", None),
+    ).select("vec_id", F.col("label").cast("bigint").alias("label"))
 
 
 @query(
