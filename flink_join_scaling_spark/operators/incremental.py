@@ -179,6 +179,7 @@ def dedup_incremental_hash64(
     id_col: str = "doc_id",
     hash_col: str = "phash",
     max_hamming: int = 3,
+    append: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-run MEDIA near-dup screening against a persisted 64-bit
     fingerprint index — the incremental face of the perceptual
@@ -203,7 +204,13 @@ def dedup_incremental_hash64(
     one exact match at hamming ≤ 3) carries over. Index rows are
     (known_id, band_idx, band_val, h64) — ~32 bytes × 4 per media
     item, orders of magnitude smaller than the payload corpus the
-    history never re-reads."""
+    history never re-reads.
+
+    ``append=False`` runs the SCREEN only (no index write) — the
+    decide-then-commit mode :func:`dedup_incremental_ensemble` uses
+    to compose this face with the text/semantic generators (an eager
+    per-face append would admit items a sibling screen rejects,
+    drifting the sub-indexes apart)."""
     if max_hamming > 3:
         raise ValueError(
             "dedup_incremental_hash64: the 4x16-bit band layout is "
@@ -261,12 +268,15 @@ def dedup_incremental_hash64(
         )
         .localCheckpoint(eager=True)
     )
-    accepted_bands = bands.join(
-        accepted_ids.select(F.col(id_col).alias("new_id")), "new_id", "left_semi"
-    )
-    accepted_bands.select(
-        F.col("new_id").alias("known_id"), "band_idx", "band_val", "h64"
-    ).write.mode("append").parquet(index_dir)
+    if append:
+        accepted_bands = bands.join(
+            accepted_ids.select(F.col(id_col).alias("new_id")),
+            "new_id",
+            "left_semi",
+        )
+        accepted_bands.select(
+            F.col("new_id").alias("known_id"), "band_idx", "band_val", "h64"
+        ).write.mode("append").parquet(index_dir)
     return accepted_ids, flagged
 
 
@@ -501,30 +511,36 @@ def dedup_incremental_ensemble(
     threshold_e6: int = 850_000,
     num_cells: int = 8,
     nprobe: int = 2,
+    hash_col: str | None = None,
+    max_hamming: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-run ENSEMBLE dedup — the incremental face of
-    ``q_dedup_ensemble``'s either-generator-fires policy: a new doc
-    (carrying both text and its embedding) is flagged iff the minhash
-    band screen OR the semantic cosine screen fires against the
-    respective persisted index (or a smaller-id batch peer); the
-    SINGLE accepted set then extends BOTH indexes.
+    ``q_dedup_ensemble``'s any-generator-fires policy: a new doc
+    (carrying text, its embedding, and — with ``hash_col`` — a 64-bit
+    perceptual media fingerprint) is flagged iff the minhash band
+    screen OR the semantic cosine screen OR the perceptual hamming
+    screen fires against the respective persisted index (or a
+    smaller-id batch peer); the SINGLE accepted set then extends ALL
+    participating indexes.
 
     The decide-then-commit order is the point of the ``append=False``
-    screen mode: running the two faces independently would let each
-    admit docs the other rejects, and the two indexes would drift
-    apart — after a few runs neither index describes the surviving
-    corpus. Here both sub-indexes always describe exactly the
-    ensemble-accepted history (asserted by the composition test).
+    screen mode: running the faces independently would let each admit
+    docs a sibling rejects, and the indexes would drift apart — after
+    a few runs none would describe the surviving corpus. Here every
+    sub-index always describes exactly the ensemble-accepted history
+    (asserted by the composition tests, including the 3-face one).
 
     Returns ``(accepted, flagged)``; ``flagged`` carries
-    (new_id, known_id, via ∈ {'minhash','semantic'}) — a pair caught
-    by both screens appears once per generator, like the batch
-    ensemble's pair-set union before distinct.
+    (new_id, known_id, via ∈ {'minhash','semantic','phash'}) — a pair
+    caught by several screens appears once per generator, like the
+    batch ensemble's pair-set union before distinct.
 
-    Scale shape: the union of the two faces' screens (each one
-    equi-join of the batch against its index) plus one batch-sized
-    band recomputation and one cell assignment for the commits —
-    still nothing history-sized."""
+    Scale shape: the union of the faces' screens (each one equi-join
+    of the batch against its index) plus one batch-sized band
+    recomputation, one cell assignment, and one 4-band explode for
+    the commits — still nothing history-sized; media PAYLOADS never
+    enter (``hash_col`` is the caller's precomputed fingerprint from
+    the one map-only decode pass)."""
     # each face's lazy accepted frame is discarded — the composer
     # decides acceptance from the UNION of flags (append=False also
     # skips the faces' commit-path checkpoints, so no job runs for it)
@@ -549,16 +565,25 @@ def dedup_incremental_ensemble(
         nprobe=nprobe,
         append=False,
     )
-    flagged = (
-        flag_mh.select("new_id", "known_id", F.lit("minhash").alias("via"))
-        .unionByName(
-            flag_sem.select(
-                "new_id", "known_id", F.lit("semantic").alias("via")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    flagged = flag_mh.select(
+        "new_id", "known_id", F.lit("minhash").alias("via")
+    ).unionByName(
+        flag_sem.select("new_id", "known_id", F.lit("semantic").alias("via"))
     )
+    if hash_col is not None:
+        _acc_ph, flag_ph = dedup_incremental_hash64(
+            spark,
+            new_docs.select(id_col, hash_col),
+            os.path.join(index_dir, "phash"),
+            id_col=id_col,
+            hash_col=hash_col,
+            max_hamming=max_hamming,
+            append=False,
+        )
+        flagged = flagged.unionByName(
+            flag_ph.select("new_id", "known_id", F.lit("phash").alias("via"))
+        )
+    flagged = flagged.distinct().localCheckpoint(eager=True)
     accepted = new_docs.join(
         flagged.select(F.col("new_id").alias(id_col)).distinct(),
         id_col,
@@ -579,6 +604,22 @@ def dedup_incremental_ensemble(
         bands.select(
             F.col(id_col).alias("known_id"), "band_idx", "band_hash"
         ).write.mode("append").parquet(mh_dir)
+        if hash_col is not None:
+            band4 = F.array(
+                *[
+                    F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for j in range(4)
+                ]
+            )
+            accepted.select(
+                F.col(id_col).alias("known_id"),
+                F.col(hash_col).alias("h64"),
+                F.posexplode(band4).alias("band_idx", "band_val"),
+            ).select("known_id", "band_idx", "band_val", "h64").write.mode(
+                "append"
+            ).parquet(os.path.join(index_dir, "phash"))
         from flink_join_scaling_spark.operators.ann_index import ivf_index_build
 
         sem_dir = os.path.join(index_dir, "semantic")

@@ -634,3 +634,106 @@ def test_incremental_ensemble_composes_both_screens(spark, tmp_path):
     f3 = {(r.new_id, r.known_id, r.via) for r in flg3.collect()}
     assert (20, 12, "minhash") in f3
     assert (21, 12, "semantic") in f3
+
+
+def test_incremental_ensemble_three_faces(spark, tmp_path):
+    """The media-aware ensemble (r13): text + embedding + perceptual
+    fingerprint. Any of the THREE screens firing flags the doc, and
+    the single accepted set extends all three indexes — so a later
+    perceptual twin of an accepted doc flags through the phash index
+    (decide-then-commit for the new face), and an all-flagged batch
+    leaves every index untouched (the symmetric empty-commit guard)."""
+    from flink_join_scaling_spark.operators.incremental import (
+        dedup_incremental_ensemble,
+    )
+
+    idx = str(tmp_path / "ens3")
+    schema = (
+        "doc_id long, text string, embedding array<double>, phash long"
+    )
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words entirely here today my friend yes"
+    t3 = "a third separate document about winnowing rivers and stones"
+    h1 = 0x1234_5678_9ABC_DEF0
+    h2 = 0x0F0F_F0F0_3C3C_C3C3
+    h3 = 0x7777_0000_FFFF_1111
+    h4 = 0x00FF_AA55_1357_9BDF
+    run1 = spark.createDataFrame(
+        [(1, t1, _unit(0), h1), (2, t2, _unit(1), h2)], schema
+    )
+    acc1, flg1 = dedup_incremental_ensemble(
+        spark, run1, idx, num_cells=2, nprobe=2, hash_col="phash"
+    )
+    assert {r.doc_id for r in acc1.collect()} == {1, 2}
+    assert flg1.count() == 0
+
+    run2 = spark.createDataFrame(
+        [
+            # perceptual twin of 1 (hamming 2), foreign text + vec
+            (10, "nothing shared textually with anyone here at all",
+             _unit(4), h1 ^ 0b101),
+            # text copy of 2, foreign vec + far hash
+            (11, t2, _unit(5), h3),
+            # new on all three axes
+            (12, t3, _unit(3), h4),
+        ],
+        schema,
+    )
+    acc2, flg2 = dedup_incremental_ensemble(
+        spark, run2, idx, num_cells=2, nprobe=2, hash_col="phash"
+    )
+    flagged = {(r.new_id, r.known_id, r.via) for r in flg2.collect()}
+    assert (10, 1, "phash") in flagged
+    assert (11, 2, "minhash") in flagged
+    assert {r.new_id for r in flg2.collect()} == {10, 11}
+    assert {r.doc_id for r in acc2.collect()} == {12}
+
+    # ALL THREE sub-indexes describe exactly the accepted history
+    mh_ids = {
+        r.known_id
+        for r in spark.read.parquet(f"{idx}/minhash").select("known_id").collect()
+    }
+    sem_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/semantic/cells")
+        .select("doc_id").collect()
+    }
+    ph_ids = {
+        r.known_id
+        for r in spark.read.parquet(f"{idx}/phash").select("known_id").collect()
+    }
+    assert mh_ids == sem_ids == ph_ids == {1, 2, 12}
+
+    # doc 12's commit reached the phash index: its perceptual twin
+    # flags cross-run through the committed third face
+    run3 = spark.createDataFrame(
+        [(20, "yet another completely original text right here",
+          _unit(6), h4 ^ 0b11)],
+        schema,
+    )
+    _acc3, flg3 = dedup_incremental_ensemble(
+        spark, run3, idx, num_cells=2, nprobe=2, hash_col="phash"
+    )
+    assert {(r.new_id, r.known_id, r.via) for r in flg3.collect()} == {
+        (20, 12, "phash")
+    }
+
+    # all-flagged batch: the symmetric guard skips every commit
+    # (h2 ^ 1 twins ACCEPTED doc 2's committed hash — h3 was doc 11's,
+    # which was flagged and therefore never reached the index)
+    run4 = spark.createDataFrame([(30, t1, _unit(7), h2 ^ 0b1)], schema)
+    acc4, flg4 = dedup_incremental_ensemble(
+        spark, run4, idx, num_cells=2, nprobe=2, hash_col="phash"
+    )
+    assert acc4.count() == 0
+    assert {(r.new_id, r.via) for r in flg4.collect()} == {
+        (30, "minhash"), (30, "phash")
+    }
+    assert {
+        r.known_id
+        for r in spark.read.parquet(f"{idx}/phash").select("known_id").collect()
+    } == {1, 2, 12}
+    assert {
+        r.known_id
+        for r in spark.read.parquet(f"{idx}/minhash").select("known_id").collect()
+    } == {1, 2, 12}
