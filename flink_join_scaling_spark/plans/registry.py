@@ -202,14 +202,22 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #: Names whose operator code changed after their latest green row was
 #: recorded, with an argument — not a driver-attested proof — that
 #: outputs are unchanged. Promoted ahead of their same-staleness peers
-#: so the window re-executes the argument cheaply. Round 13: EMPTY at
-#: fold time — both r12 residents (q_pipeline_audio, q_dedup_videos)
-#: were re-attested hash-green by the r12 driver run and their rows
-#: are folded above. Names touched during round 13 are added here in
-#: the same commit that touches their operator code (standing policy;
-#: the r12 narrow exclusions — unit-pinned semantics-preserving
-#: refactors verified by in-session full contract runs — remain the
-#: documented exception class).
+#: so the window re-executes the argument cheaply. Round 13: EMPTY —
+#: both r12 residents (q_pipeline_audio, q_dedup_videos) were
+#: re-attested hash-green by the r12 driver run and their rows are
+#: folded above. Round-13 changes falling under the documented
+#: narrow-policy exclusion class (unit-pinned semantics-preserving
+#: changes, each covered by an in-session full 193-query DuckDB
+#: contract run with FAILURES: none):
+#: - the JPEG phash family (q_dedup_phash_jpeg / q_dedup_phash_mixed):
+#:   the Huffman LUT moved to array('i') (value-identical decode,
+#:   pinned by the codec round-trip + hypothesis suites) and the
+#:   sequential decode tail was factored into the shared
+#:   _reconstruct (code moved, not changed);
+#: - q_dedup_semantic_apply: output-invariant join-strategy choice
+#:   only (the re-stashed _fjss_node_bound lets anti_exclude take its
+#:   broadcast fast path — same rows, different physical join, the
+#:   same exclusion the r11 F.broadcast pins used).
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset()
 
 #: Names explicitly deferred from the previous round, ordered at the

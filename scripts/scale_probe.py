@@ -325,6 +325,78 @@ def streaming_state_probe(spark) -> None:
         print(f"| {n_ids} | {per * 1e3:.2f} ms |")
 
 
+def stream_semantic_skew_probe(spark) -> None:
+    """stream_dedup_semantic under ONE HOT CELL (r13 verdict task 7):
+    every arrival lands on the same centroid, at 1x / 10x / 100x the
+    cap. The ``max_bucket`` contract says a full bucket stops admitting
+    members AND stops emitting pairs (bounded state + bounded
+    per-arrival work under adversarial skew — the family contract all
+    detectors share); this measures what that costs and what it drops:
+
+    * state stays at max_bucket members regardless of arrivals;
+    * wall stays ~linear in arrivals (post-cap arrivals are an O(1)
+      skip; the per-batch constant is the GroupState deserialize of
+      the capped member list);
+    * emitted pairs freeze at the cap: C(cap_dupes_seen, 2)-shaped,
+      quantified against the planted duplicate count so the recall
+      drop under skew is a NUMBER, not a vibe.
+
+    All vectors here are near-identical (cos > 0.9999 ≫ θ) so every
+    admitted pair verifies: emitted == C(admitted, 2) exactly."""
+    import tempfile
+
+    import numpy as np
+
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_semantic
+    from flink_join_scaling_spark.streaming.harness import (
+        chunked_parquet_stream,
+    )
+
+    dim = 16
+    cap = 64
+    base = np.zeros(dim)
+    base[0] = 1.0
+    centroids = [list(base), list(-base)]  # cell 1 never probed
+
+    def run(n_rows: int):
+        rows = []
+        for i in range(n_rows):
+            v = base.copy()
+            v[1 + (i % (dim - 1))] = 1e-4 * (1 + i % 7)  # cos≈1 tweaks
+            rows.append((i, [float(x) for x in v]))
+        df = spark.createDataFrame(rows, "doc_id long, v array<double>")
+        with tempfile.TemporaryDirectory() as td:
+            sdf = chunked_parquet_stream(spark, df, td, n_chunks=8)
+            out = stream_dedup_semantic(
+                sdf, "doc_id", "v", centroids, threshold_e6=850_000,
+                nprobe=1, max_bucket=cap,
+            )
+            from flink_join_scaling_spark.streaming.harness import (
+                run_to_memory,
+            )
+            t0 = time.perf_counter()
+            emitted = run_to_memory(out).collect()
+            wall = time.perf_counter() - t0
+        pairs = {(r.id_a, r.id_b) for r in emitted}
+        return wall, len(pairs)
+
+    run(32)  # warm the streaming machinery
+    expect = cap * (cap - 1) // 2
+    print("| arrivals on one cell | wall | µs/arrival | emitted pairs "
+          "| planted pairs | kept |")
+    print("|---|---|---|---|---|---|")
+    for n in (cap, cap * 10, cap * 100):
+        wall, got = run(n)
+        planted = n * (n - 1) // 2
+        print(
+            f"| {n} | {wall:.2f} s | {wall / n * 1e6:.0f} | {got} "
+            f"| {planted} | {got / planted:.4f} |"
+        )
+    print(f"(cap={cap}: emitted freezes at C(cap,2)={expect} — state and "
+          "per-arrival work bounded, recall beyond the cap is the "
+          "documented drop)")
+
+
 def main() -> None:
     spark = get_spark(
         app_name="fjss-scale-probe", cpus=32, shuffle_partitions=32,
@@ -334,6 +406,11 @@ def main() -> None:
         "PROBE_STREAMING_STATE"
     ) == "1":
         streaming_state_probe(spark)
+        return
+    if "--stream-semantic-skew" in sys.argv or os.environ.get(
+        "PROBE_STREAM_SEMANTIC_SKEW"
+    ) == "1":
+        stream_semantic_skew_probe(spark)
         return
     if os.environ.get("PROBE_PROD") != "1":
         inflate(spark)
@@ -478,6 +555,7 @@ def main() -> None:
         # Python constant for the JPEG legs
         "q_dedup_phash_jpeg": plan_probe("q_dedup_phash_jpeg"),
         "q_dedup_phash_mixed": plan_probe("q_dedup_phash_mixed"),
+        "q_dedup_phash_progressive": plan_probe("q_dedup_phash_progressive"),
         # audio twin of the phash probe (real WAV decode per row) and
         # the resize stage (decode + area-average + re-encode +
         # re-decode per row — the heaviest per-row Python in the repo;

@@ -911,6 +911,42 @@ def test_stream_dedup_phash_mixed_codecs_matches_batch(streaming_spark, tmp_path
     assert got == batch
 
 
+def test_stream_dedup_phash_progressive_codings_matches_batch(
+    streaming_spark, tmp_path
+):
+    """Cross-ENTROPY-CODING continuous image dedup (r13): the
+    progressive fixture encodes every planted pair as one
+    baseline-sequential and one PROGRESSIVE (SOF2) JPEG, so each
+    streaming match requires the arriving progressive payload to run
+    the real multi-scan refinement decode on arrival and band-collide
+    with the baseline sibling already in state. Converged pair set
+    equals the batch pipeline's on the same payloads (cap lifted)."""
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.operators import multimodal as mmod
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.dedup import stream_dedup_phash
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    ids = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    imgs = mmod.attach_synth_progressive(ids, "doc_id")
+    batch = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dd.phash_dedup_pairs(imgs, "doc_id", max_hamming=3).collect()
+    }
+    assert batch and all(
+        a % 2 == 0 and b == a + 1 for a, b, _h in batch
+    ), "every planted pair must straddle the baseline/progressive boundary"
+
+    sdf = chunked_parquet_stream(spark, imgs, str(tmp_path / "chunks"), n_chunks=4)
+    em = run_to_memory(
+        stream_dedup_phash(sdf, "doc_id", max_bucket=1 << 20),
+        output_mode="update",
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in em.collect()}
+    assert got == batch
+
+
 def test_stream_dedup_audiohash_matches_batch(streaming_spark, tmp_path):
     """Continuous audio near-dup detection: converged verified pair
     set equals batch audiohash_dedup_pairs on the same WAV payloads
