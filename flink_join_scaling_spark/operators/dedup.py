@@ -1034,6 +1034,23 @@ def simhash_dedup_pairs(
     )
 
 
+def hash64_band_array(hash_col: str):
+    """THE 4×16-bit band decomposition of a 64-bit fingerprint, as an
+    array Column — the hash64 family's single band-layout definition,
+    shared by the batch pair generator, the incremental index (screen
+    AND ensemble commit), and the streaming detectors. Index
+    interoperability requires every face to split identically; a
+    drifted copy would make cross-run band joins silently stop
+    matching (no error — just no collisions), which is why this is
+    one function and not six inlined expressions (r13 review)."""
+    return F.array(
+        *[
+            F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
+            for j in range(4)
+        ]
+    )
+
+
 def hash64_band_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -1060,16 +1077,12 @@ def hash64_band_pairs(
             "a larger radius would silently drop candidate pairs — use "
             "more/narrower bands or an exact pass instead"
         )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
-    )
     bands = hashes.select(
         F.col(id_col),
         F.col(hash_col).alias("__h64"),
-        F.posexplode(band_arr).alias("band_idx", "band_val"),
+        F.posexplode(hash64_band_array(hash_col)).alias(
+            "band_idx", "band_val"
+        ),
     )
     left = bands.select(
         F.col(id_col).alias("id_a"), F.col("__h64").alias("h_a"), "band_idx", "band_val"

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from flink_join_scaling_spark.functions.text import norm_text
 from flink_join_scaling_spark.operators.dedup import (
+    hash64_band_array,
     minhash_bands,
     minhash_signatures,
 )
@@ -218,16 +219,12 @@ def dedup_incremental_hash64(
             f"{max_hamming}); pairs beyond that radius would be "
             "silently missed"
         )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
-    )
     bands = hashes.select(
         F.col(id_col).alias("new_id"),
         F.col(hash_col).alias("h64"),
-        F.posexplode(band_arr).alias("band_idx", "band_val"),
+        F.posexplode(hash64_band_array(hash_col)).alias(
+            "band_idx", "band_val"
+        ),
     ).localCheckpoint(eager=True)
     ham = F.bit_count(F.expr("h64 ^ known_h64")).cast("bigint").alias("hamming")
     if _index_exists(index_dir):
@@ -259,16 +256,17 @@ def dedup_incremental_hash64(
     flagged = (
         hist_hits.unionByName(batch_hits).distinct().localCheckpoint(eager=True)
     )
-    accepted_ids = (
-        hashes.select(F.col(id_col))
-        .join(
-            flagged.select(F.col("new_id").alias(id_col)).distinct(),
-            id_col,
-            "left_anti",
-        )
-        .localCheckpoint(eager=True)
+    accepted_ids = hashes.select(F.col(id_col)).join(
+        flagged.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
     )
     if append:
+        # pin only on the commit path: in append=False screen mode the
+        # ensemble composer discards this frame, and an eager pin
+        # would run a batch-sized anti-join job for nothing (the
+        # minhash/semantic faces' guard, r13 review)
+        accepted_ids = accepted_ids.localCheckpoint(eager=True)
         accepted_bands = bands.join(
             accepted_ids.select(F.col(id_col).alias("new_id")),
             "new_id",
@@ -605,18 +603,12 @@ def dedup_incremental_ensemble(
             F.col(id_col).alias("known_id"), "band_idx", "band_hash"
         ).write.mode("append").parquet(mh_dir)
         if hash_col is not None:
-            band4 = F.array(
-                *[
-                    F.shiftright(F.col(hash_col), 16 * j).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for j in range(4)
-                ]
-            )
             accepted.select(
                 F.col(id_col).alias("known_id"),
                 F.col(hash_col).alias("h64"),
-                F.posexplode(band4).alias("band_idx", "band_val"),
+                F.posexplode(hash64_band_array(hash_col)).alias(
+                    "band_idx", "band_val"
+                ),
             ).select("known_id", "band_idx", "band_val", "h64").write.mode(
                 "append"
             ).parquet(os.path.join(index_dir, "phash"))

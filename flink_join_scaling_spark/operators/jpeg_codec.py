@@ -1278,18 +1278,20 @@ def _prog_encode_ac_refine(writer, blocks, ac_codes, ss, se, al) -> None:
 def _prog_scan_segments(scans, zz_planes, layouts, dc_codes, ac_codes,
                         comp_ids, table_slots,
                         restart_interval: int = 0,
+                        mcu_order=None,
                         blocks_per_mcu: int = 1) -> bytes:
     """Emit SOS header + entropy data for each scan in ``scans`` =
     [(slots, ss, se, ah, al)]. ``zz_planes[si]`` is that component's
     (nblocks, 64) quantized zigzag plane over the padded MCU grid;
     ``layouts[si] = (bw, nbw, nbh)`` gives padded row stride and the
     actual block grid for non-interleaved scans; interleaved DC scans
-    take the precomputed MCU block order in ``layouts[si][3]`` (whose
-    per-MCU entry count is ``blocks_per_mcu``). A nonzero
-    ``restart_interval`` splits every scan into intervals of that
-    many MCUs, each encoded with fresh predictors/EOB state and
-    separated by byte-aligned RSTn markers (T.81 §G.1.2 restart
-    semantics fall out of per-chunk re-encoding)."""
+    take ``mcu_order`` — the precomputed (slot, block) MCU-interleaved
+    sequence, ``blocks_per_mcu`` entries per MCU (required iff any
+    scan is interleaved). A nonzero ``restart_interval`` splits every
+    scan into intervals of that many MCUs, each encoded with fresh
+    predictors/EOB state and separated by byte-aligned RSTn markers
+    (T.81 §G.1.2 restart semantics fall out of per-chunk
+    re-encoding)."""
     out = bytearray()
     for slots, ss, se, ah, al in scans:
         body = bytearray([len(slots)])
@@ -1302,7 +1304,11 @@ def _prog_scan_segments(scans, zz_planes, layouts, dc_codes, ac_codes,
         interleaved = ss == 0 and len(slots) > 1
         if ss == 0:
             if interleaved:
-                seq = layouts[slots[0]][3]  # shared MCU-interleaved order
+                if mcu_order is None:
+                    raise ValueError(
+                        "interleaved progressive scan needs mcu_order"
+                    )
+                seq = mcu_order
             else:
                 si = slots[0]
                 bw, nbw, nbh = layouts[si][:3]
@@ -1447,7 +1453,8 @@ def jpeg_encode_progressive_ycbcr(
         cw = -(-(width * h) // hmax)    # component size in samples
         ch = -(-(height * v) // vmax)
         layouts.append((bw, -(-cw // 8), -(-ch // 8)))
-    # shared MCU-interleaved DC block order
+    # shared MCU-interleaved DC block order (blocks_per_mcu entries
+    # per MCU: Σ h·v over components)
     mcu_order = []
     for my in range(mcuy):
         for mx in range(mcux):
@@ -1458,7 +1465,6 @@ def jpeg_encode_progressive_ycbcr(
                         mcu_order.append(
                             (si, planes[si][(my * v + by) * bw + mx * h + bx])
                         )
-    layouts = [lay + (mcu_order,) for lay in layouts]
     dc_codes = [_encode_codes(*_STD_DC_LUM), _encode_codes(*_STD_DC_CHR),
                 _encode_codes(*_STD_DC_CHR)]
     prog_ac = _encode_codes(*_PROG_AC)
@@ -1489,6 +1495,8 @@ def jpeg_encode_progressive_ycbcr(
     out += _prog_scan_segments(
         scans, planes, layouts, dc_codes, ac_codes,
         comp_ids=[1, 2, 3], table_slots=[(0, 0), (1, 1), (1, 1)],
+        mcu_order=mcu_order,
+        blocks_per_mcu=sum(h * v for h, v in samp),
     )
     out += b"\xff\xd9"
     return bytes(out)

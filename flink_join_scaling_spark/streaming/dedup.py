@@ -823,14 +823,14 @@ def stream_dedup_phash(
         F.col(id_col).cast("long").alias("__sim_id"),
         F.col("phash").alias("simhash"),
     )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
-    )
+    from flink_join_scaling_spark.operators.dedup import hash64_band_array
+
     bands = hashes.select(
-        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+        "__sim_id",
+        "simhash",
+        F.posexplode(hash64_band_array("simhash")).alias(
+            "band_idx", "band_val"
+        ),
     )
     return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
         _sim_members_fn(max_bucket, max_hamming, bits=64),
@@ -869,14 +869,14 @@ def stream_dedup_audiohash(
         F.col(id_col).cast("long").alias("__sim_id"),
         F.col("audiohash").alias("simhash"),
     )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
-    )
+    from flink_join_scaling_spark.operators.dedup import hash64_band_array
+
     bands = hashes.select(
-        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+        "__sim_id",
+        "simhash",
+        F.posexplode(hash64_band_array("simhash")).alias(
+            "band_idx", "band_val"
+        ),
     )
     return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
         _sim_members_fn(max_bucket, max_hamming, bits=64),
@@ -923,14 +923,14 @@ def stream_dedup_frames(
         F.col("node").alias("__sim_id"),
         F.col("fhash").alias("simhash"),
     )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-            for j in range(4)
-        ]
-    )
+    from flink_join_scaling_spark.operators.dedup import hash64_band_array
+
     bands = hashes.select(
-        "__sim_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+        "__sim_id",
+        "simhash",
+        F.posexplode(hash64_band_array("simhash")).alias(
+            "band_idx", "band_val"
+        ),
     )
     return bands.groupBy("band_idx", "band_val").applyInPandasWithState(
         _sim_members_fn(max_bucket, max_hamming, bits=64),
