@@ -1399,7 +1399,8 @@ def jpeg_encode_progressive_gray(px, width: int, height: int,
 
 
 def jpeg_encode_progressive_ycbcr(
-    rgb, width: int, height: int, qtable=None, subsample: bool = False
+    rgb, width: int, height: int, qtable=None, subsample: bool = False,
+    restart_interval: int = 0
 ) -> bytes:
     """REAL progressive (SOF2) color encoder — the
     :func:`jpeg_encode_ycbcr` pixel pipeline (JFIF RGB→YCbCr, optional
@@ -1481,6 +1482,8 @@ def jpeg_encode_progressive_ycbcr(
     out += _dht_seg(1, 0, *_PROG_AC)
     out += _dht_seg(0, 1, *_STD_DC_CHR)
     out += _dht_seg(1, 1, *_PROG_AC)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     scans = [
         ([0, 1, 2], 0, 0, 0, 1),
         ([0], 1, 5, 0, 1),
@@ -1495,6 +1498,7 @@ def jpeg_encode_progressive_ycbcr(
     out += _prog_scan_segments(
         scans, planes, layouts, dc_codes, ac_codes,
         comp_ids=[1, 2, 3], table_slots=[(0, 0), (1, 1), (1, 1)],
+        restart_interval=restart_interval,
         mcu_order=mcu_order,
         blocks_per_mcu=sum(h * v for h, v in samp),
     )

@@ -406,3 +406,35 @@ def test_q_dedup_phash_progressive_spark_end_to_end(spark):
         ).collect()
     }
     assert pairs == {(i, i + 1) for i in range(0, 12, 2)}
+
+
+def test_appn_and_com_segments_are_skipped():
+    """Real crawled JPEGs open with JFIF APP0 / EXIF APP1 / COM
+    segments our encoders never emit — the marker walk must skip any
+    length-bearing segment it doesn't model, in both frame types."""
+    img = np.random.RandomState(5).randint(0, 256, size=(16, 16))
+    app0 = jc._seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    app1 = jc._seg(0xE1, b"Exif\x00\x00" + b"\x00" * 16)
+    com = jc._seg(0xFE, b"written by a camera")
+    for maker in (jc.jpeg_encode_gray, jc.jpeg_encode_progressive_gray):
+        payload = maker(img, 16, 16)
+        spliced = payload[:2] + app0 + app1 + com + payload[2:]
+        assert np.array_equal(
+            jc.jpeg_pixels(spliced)[3], jc.jpeg_pixels(payload)[3]
+        )
+
+
+def test_progressive_color_restart_markers():
+    """RSTn in INTERLEAVED progressive DC scans (3 components × h·v
+    blocks per MCU — the restart interval counts MCUs, not blocks)
+    and in the per-component AC scans, with and without 4:2:0."""
+    rng = np.random.RandomState(53)
+    rgb = rng.randint(0, 256, size=(24, 40, 3))
+    for sub in (False, True):
+        base = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, 40, 24, subsample=sub))[3]
+        for ri in (1, 2, 5):
+            payload = jc.jpeg_encode_progressive_ycbcr(
+                rgb, 40, 24, subsample=sub, restart_interval=ri
+            )
+            assert b"\xff\xd0" in payload
+            assert np.array_equal(jc.jpeg_pixels(payload)[3], base), (sub, ri)
