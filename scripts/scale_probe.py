@@ -233,6 +233,35 @@ def incremental_ensemble_chunked(spark, sf_dir: str) -> None:
         flagged.count()
 
 
+def incremental_ensemble3_chunked(spark, sf_dir: str) -> None:
+    """The 3-face composer (r13): same chunked flow with a synthetic
+    64-bit perceptual fingerprint column riding along (xxhash64 of the
+    id — the screen only needs SOME 64-bit value per doc; a real
+    corpus computes it once in the map-only decode pass, which the
+    media probes already measure separately). Expect the same growth
+    law as the 2-face probe plus one batch-sized band screen+commit —
+    no history-sized term."""
+    from flink_join_scaling_spark.operators import incremental as inc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    docs = d.join(e, "doc_id").withColumn(
+        "phash", F.xxhash64(F.col("doc_id"))
+    )
+    n = docs.count()
+    cells = max(8, n // 2500)
+    idx = os.path.join(ROOT, "ens3_idx_probe")
+    shutil.rmtree(idx, ignore_errors=True)
+    for i in range(4):
+        chunk = docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+        _accepted, flagged = inc.dedup_incremental_ensemble(
+            spark, chunk, idx, num_cells=cells, nprobe=2, hash_col="phash"
+        )
+        flagged.count()
+
+
 def streaming_state_probe(spark) -> None:
     """Growth law of the keyed versioned join's per-arrival state cost
     (streaming/joins.py module note): FLAT in versions retained —
@@ -629,6 +658,7 @@ def main() -> None:
         "dedup_incremental_semantic (4 chunks)": lambda sf: incremental_semantic_chunked(spark, sf),
         # r12: the ensemble composer — both screens + one commit per run
         "dedup_incremental_ensemble (4 chunks)": lambda sf: incremental_ensemble_chunked(spark, sf),
+        "dedup_incremental_ensemble3 (4 chunks)": lambda sf: incremental_ensemble3_chunked(spark, sf),
     }
     only = os.environ.get("PROBE_ONLY")
     if only:
