@@ -1433,7 +1433,7 @@ def jpeg_encode_progressive_gray(px, width: int, height: int,
 
 def jpeg_encode_progressive_ycbcr(
     rgb, width: int, height: int, qtable=None, subsample: bool = False,
-    restart_interval: int = 0
+    restart_interval: int = 0, scans=None
 ) -> bytes:
     """REAL progressive (SOF2) color encoder — the
     :func:`jpeg_encode_ycbcr` pixel pipeline (JFIF RGB→YCbCr, optional
@@ -1517,17 +1517,18 @@ def jpeg_encode_progressive_ycbcr(
     out += _dht_seg(1, 1, *_PROG_AC)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    scans = [
-        ([0, 1, 2], 0, 0, 0, 1),
-        ([0], 1, 5, 0, 1),
-        ([0], 6, 63, 0, 1),
-        ([1], 1, 63, 0, 1),
-        ([2], 1, 63, 0, 1),
-        ([0], 1, 63, 1, 0),
-        ([1], 1, 63, 1, 0),
-        ([2], 1, 63, 1, 0),
-        ([0, 1, 2], 0, 0, 1, 0),
-    ]
+    if scans is None:
+        scans = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1),
+            ([0], 6, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0, 1, 2], 0, 0, 1, 0),
+        ]
     out += _prog_scan_segments(
         scans, planes, layouts, dc_codes, ac_codes,
         comp_ids=[1, 2, 3], table_slots=[(0, 0), (1, 1), (1, 1)],

@@ -206,3 +206,48 @@ def test_progressive_random_scan_scripts(seed, cuts, al_dc, al_ac, interval):
         )
     )[3]
     assert np.array_equal(base, prog)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+    cuts=st.sets(st.integers(2, 63), max_size=3),
+    al_ac=st.integers(0, 2),
+    dc_first=st.booleans(),
+    y_first=st.booleans(),
+)
+@SET
+def test_progressive_random_color_scan_scripts(
+    seed, sub, cuts, al_ac, dc_first, y_first
+):
+    """Random legal COLOR progressions: interleaved 3-component DC
+    (with or without successive approximation), per-component AC
+    band partitions in either component order, refinements
+    level-by-level — all must decode to the baseline pixels, with and
+    without 4:2:0 (where non-interleaved chroma grids diverge from
+    the padded MCU grid)."""
+    rgb = np.random.RandomState(seed).randint(0, 256, size=(21, 19, 3))
+    bounds = sorted(cuts) + [64]
+    bands = []
+    lo = 1
+    for b in bounds:
+        if b > lo:
+            bands.append((lo, b - 1))
+            lo = b
+    al_dc = 1 if dc_first else 0
+    scans = [([0, 1, 2], 0, 0, 0, al_dc)]
+    comps = [0, 1, 2] if y_first else [2, 1, 0]
+    for ci in comps:
+        for s, e in bands:
+            scans.append(([ci], s, e, 0, al_ac))
+    for lvl in range(al_ac, 0, -1):
+        for ci in comps:
+            scans.append(([ci], 1, 63, lvl, lvl - 1))
+    if al_dc:
+        scans.append(([0, 1, 2], 0, 0, 1, 0))
+    base = jc.jpeg_pixels(jc.jpeg_encode_ycbcr(rgb, 19, 21, subsample=sub))[3]
+    prog = jc.jpeg_pixels(
+        jc.jpeg_encode_progressive_ycbcr(rgb, 19, 21, subsample=sub,
+                                         scans=scans)
+    )[3]
+    assert np.array_equal(base, prog)
