@@ -209,11 +209,13 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #: narrow-policy exclusion class (unit-pinned semantics-preserving
 #: changes, each covered by an in-session full 193-query DuckDB
 #: contract run with FAILURES: none):
-#: - the JPEG phash family (q_dedup_phash_jpeg / q_dedup_phash_mixed):
-#:   the Huffman LUT moved to array('i') (value-identical decode,
-#:   pinned by the codec round-trip + hypothesis suites) and the
-#:   sequential decode tail was factored into the shared
-#:   _reconstruct (code moved, not changed);
+#: - the JPEG phash family (q_dedup_phash_jpeg / q_dedup_phash_mixed
+#:   / q_dedup_phash_progressive after its first green): the Huffman
+#:   LUT moved to array('i'), the sequential decode tail was factored
+#:   into the shared _reconstruct (code moved, not changed), and the
+#:   bit-reader hot ops were fused (peek/skip inlined, bulk refill) —
+#:   all value-identical decode, pinned by the codec round-trip +
+#:   hypothesis + hand-built-bitstream suites;
 #: - q_dedup_semantic_apply: output-invariant join-strategy choice
 #:   only (the re-stashed _fjss_node_bound lets anti_exclude take its
 #:   broadcast fast path — same rows, different physical join, the
