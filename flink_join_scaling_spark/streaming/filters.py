@@ -74,16 +74,22 @@ def stream_decontaminate(
 
     from flink_join_scaling_spark.functions.text import exploded_shingles
 
+    # LIMIT to cap+1 BEFORE collecting: the cap is the operator's
+    # memory-safety contract, and a corpus-sized benchmark must trip
+    # the refusal without first materializing its full shingle set on
+    # the driver (the similarity.py:256 / io.py pattern — collect at
+    # most one row past the cap, then refuse).
     bench_rows = (
         exploded_shingles(benchmark, id_col, text_col, shingle_n)
         .select("shingle")
         .distinct()
+        .limit(_MAX_BENCHMARK_SHINGLES + 1)
         .collect()
     )
     if len(bench_rows) > _MAX_BENCHMARK_SHINGLES:
         raise ValueError(
-            f"benchmark has {len(bench_rows)} distinct shingles "
-            f"(> {_MAX_BENCHMARK_SHINGLES}); that is a corpus, not an "
+            f"benchmark has more than {_MAX_BENCHMARK_SHINGLES} "
+            "distinct shingles; that is a corpus, not an "
             "eval set — use the batch equi-join path "
             "(operators.dedup.ngram_contamination with "
             "broadcast_benchmark=False)"

@@ -351,6 +351,41 @@ def test_stream_decontaminate_matches_batch(streaming_spark, tmp_path):
     assert got_hits == batch_hits
 
 
+def test_stream_decontaminate_refuses_oversized_benchmark(
+    streaming_spark, monkeypatch
+):
+    """A corpus-sized 'benchmark' must trip the loud refusal WITHOUT
+    first materializing its full distinct-shingle set on the driver:
+    the collect is LIMITed to cap+1 rows, so the refusal — the
+    operator's whole memory-safety contract — fires before the driver
+    holds more than cap+1 shingles. Pinned by spying on collect()."""
+    import pytest
+
+    import flink_join_scaling_spark.streaming.filters as filters_mod
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    bench = docs.limit(20)  # hundreds of distinct 3-gram shingles
+    monkeypatch.setattr(filters_mod, "_MAX_BENCHMARK_SHINGLES", 3)
+
+    cls = type(docs)
+    orig_collect = cls.collect
+    sizes: list[int] = []
+
+    def spying_collect(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spying_collect)
+    with pytest.raises(ValueError, match="corpus, not an"):
+        filters_mod.stream_decontaminate(docs, bench)
+    monkeypatch.setattr(cls, "collect", orig_collect)
+    # the driver materialized at most cap+1 benchmark shingles — never
+    # the full set (which is far larger than 4 for 20 documents)
+    assert sizes and max(sizes) == 4, sizes
+
+
 def test_stream_decontaminate_semantic_matches_batch(streaming_spark, tmp_path):
     """The vector twin of stream_decontaminate: converged output is
     bit-identical to batch semantic_contamination on the same data —
