@@ -806,6 +806,10 @@ def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
                                 eobrun += br.read(r)
                             break
                         k += 16  # ZRL
+                        if k > se + 1:
+                            raise ValueError(
+                                "progressive AC run past band end"
+                            )
                         continue
                     k += r
                     if k > se:
@@ -1440,10 +1444,12 @@ def jpeg_encode_progressive_ycbcr(
     4:2:0 subsampling) under a progressive scan script: interleaved
     3-component DC first at Al=1, per-component whole-band AC first
     passes at Al=1, per-component AC refinements to Al=0, interleaved
-    DC refinement. With ``subsample`` the non-interleaved chroma scans
-    walk the ACTUAL block grid while the interleaved DC scans walk the
-    padded MCU grid — the grid-divergence case the decoder must get
-    right."""
+    DC refinement. With ``subsample`` the non-interleaved LUMA scans
+    walk the ACTUAL luma block grid (e.g. width 72: 9 blocks/row)
+    while the interleaved DC scans walk the padded MCU grid (stride
+    10) — the grid-divergence case the decoder must get right; the
+    chroma grids (h=v=1) never diverge, since
+    ceil(ceil(w/2)/8) == ceil(w/16) == the MCU count."""
     arr = np.asarray(rgb, dtype=np.int64).reshape(height, width, 3)
     if arr.min() < 0 or arr.max() > 255:
         raise ValueError("pixel values outside [0, 255]")

@@ -348,6 +348,28 @@ def test_progressive_hand_built_stream_decodes_expected_pixels():
     assert np.array_equal(px.reshape(8, 8), expected)
 
 
+def test_progressive_zrl_past_band_end_refuses():
+    """A ZRL whose 16-zero run overruns the scan's band end is corrupt
+    (T.81 G.1.2.2: runs never cross a spectral band) and must refuse
+    loudly like the coded-value overrun path — not silently drop the
+    block remainder. Hand-assembled stream: DC first pass (diff 0,
+    DC-lum category-0 code 00), then an AC first pass over band
+    [1, 5] whose sole symbol is ZRL (AC-lum code 11111111001):
+    k = 1 + 16 = 17 > Se + 1 = 6."""
+    out = bytearray(b"\xff\xd8")
+    out += jc._dqt_seg(0, np.ones((8, 8), dtype=np.int64))
+    out += jc._seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    out += jc._dht_seg(0, 0, *jc._STD_DC_LUM)
+    out += jc._dht_seg(1, 0, *jc._STD_AC_LUM)
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    out += bytes([0b00111111])  # DC code 00 + 1-pad
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0x00]))
+    out += bytes([0xFF, 0x00, 0b00111111])  # ZRL 11111111(001) stuffed + pad
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="AC run past band end"):
+        jc.jpeg_pixels(bytes(out))
+
+
 def test_dhash64_magic_dispatch_covers_progressive():
     """dhash64's JPEG branch needs no change for progressive payloads
     — same SOI magic, same decoder entry — and the fingerprint equals
