@@ -3769,3 +3769,94 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_e4"),
         )
     )
+
+
+# ------------------------------------------------- ingestion: HTML
+
+
+@query(
+    "q_extract_html",
+    headline=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 3
+                + CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN doc_id % 7 <> 0
+                      AND length(trim(regexp_replace(
+                              text, '[ \t\n\v\f\r]+', ' ', 'g'), ' '))
+                          >= 25
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN doc_id % 7 <> 0
+                      AND length(trim(regexp_replace(
+                              text, '[ \t\n\v\f\r]+', ' ', 'g'), ' '))
+                          >= 25
+                     THEN length(trim(regexp_replace(
+                              text, '[ \t\n\v\f\r]+', ' ', 'g'), ' '))
+                     ELSE 0 END AS BIGINT) AS main_len
+    FROM documents
+    """,
+    tags=("llmdata", "text", "ingestion"),
+)
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction CENSUS (r14) — the ingestion
+    stage every crawl pipeline runs before anything else in this
+    repo: per document, how many text blocks the page segments into
+    and how many survive the jusText-style boilerplate rules (link
+    density ≤ 0.35, length ≥ 25) — the profiling face that sizes the
+    chrome/content split before committing thresholds.
+
+    Fixture: each ``documents.text`` is planted inside a
+    deterministic page template (nav + ``1 + doc_id % 3`` link-dense
+    promo blocks + a short share stub + footer; every 7th page is
+    BOILERPLATE-ONLY — no article), so the census is SQL-statable:
+    ``n_blocks = 4 + doc_id % 3 + [has article]``, ``n_kept`` = the
+    article iff present and ≥ 25 collapsed chars. The Spark side must
+    reproduce those counts through the REAL stdlib-parser segment +
+    classify pipeline (``operators/html_extract.py``) — script/style
+    subtree drops, entity unescape, link-char attribution — so this
+    is an end-to-end value check, not a replay.
+
+    Scale shape: one map-only Arrow pass; HTML payloads never
+    shuffle, three int64 counters per document come back."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = hx.attach_synth_html(d, "doc_id", "text")
+    return hx.extract_blocks(pages, "doc_id", "html")
+
+
+@query(
+    "q_extract_html_apply",
+    oracle="""
+    WITH collapsed AS (
+        SELECT doc_id,
+               trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g'),
+                    ' ') AS main_text
+        FROM documents
+    )
+    SELECT doc_id, main_text
+    FROM collapsed
+    WHERE doc_id % 7 <> 0 AND length(main_text) >= 25
+    """,
+    tags=("llmdata", "text", "ingestion"),
+)
+def q_extract_html_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction APPLY face (r14): the clean
+    corpus — ``(doc_id, main_text)`` with boilerplate blocks removed
+    and boilerplate-ONLY pages (every 7th fixture page: nav + promos
+    + footer, no article) DROPPED, not emitted as empty strings that
+    would poison downstream length/quality features. The oracle
+    states the planted round trip: escape → parse → unescape →
+    whitespace-collapse returns exactly the collapsed original text
+    for pages that have an article, and no row otherwise — the value
+    check covers every character of every kept document.
+
+    Output feeds the existing corpus surface (``q_text_stats``, the
+    dedup family) unchanged. Scale shape: one map-only Arrow pass,
+    payloads never shuffle."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = hx.attach_synth_html(d, "doc_id", "text")
+    return hx.extract_main_text(pages, "doc_id", "html")

@@ -203,6 +203,16 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #: so the window re-executes the argument cheaply. Round 14: EMPTY at
 #: fold time — all 50 r13 window rows came back hash-green (including
 #: both r13 exclusion-class families, whose rows are now folded above).
+#: Round-14 changes falling under the documented narrow-policy
+#: exclusion class (unit-pinned semantics-preserving changes, covered
+#: by an in-session full 195-query DuckDB contract run with
+#: FAILURES: none, run AFTER the change):
+#: - the JPEG phash family (q_dedup_phash_jpeg/_mixed/_progressive):
+#:   the r13 advisor's ZRL overrun check — a NEW loud refusal on
+#:   corrupt progressive streams only; every valid stream takes the
+#:   identical code path (the added branch is unreachable unless a
+#:   ZRL run crosses the band end, which T.81 forbids), pinned by a
+#:   hand-assembled corrupt-stream test.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset()
 
 #: Names explicitly deferred from the previous round, ordered at the

@@ -614,6 +614,12 @@ def main() -> None:
         # envelope census + resample legs; should track the WAV decode
         # scan like q_dedup_audiohash
         "q_pipeline_audio": plan_probe("q_pipeline_audio"),
+        # r14: HTML main-content extraction — fixture build + stdlib
+        # parse + block classify in one Arrow map pass (the only
+        # exchange is the fixture-attach id repartition); wall should
+        # track the parse scan linearly, like the media decode probes
+        # but with a far smaller per-row Python constant
+        "q_extract_html": plan_probe("q_extract_html"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two

@@ -1,0 +1,164 @@
+"""HTML main-content extraction (operators/html_extract.py): the
+pure-Python segment+classify core against hand-written pages, the
+fixture's planted structure, and the Spark faces (census / apply)
+including the map-only plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_join_scaling_spark.operators import html_extract as hx
+
+LONG = "word " * 20  # 100 collapsed chars: clears the length rule
+
+
+def _blocks(html_text: str):
+    p = hx._BlockParser()
+    p.feed(html_text)
+    p.close()
+    return p.blocks
+
+
+def _kept(html_text: str):
+    kept, _ = hx._classify_blocks(
+        html_text, hx._MIN_BLOCK_CHARS, hx._MAX_LINK_DENSITY
+    )
+    return kept
+
+
+def test_script_style_head_subtrees_invisible():
+    html_text = (
+        "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><script>if (a<b) alert('x');</script>"
+        f"<p>{LONG}</p><noscript>enable js</noscript></body></html>"
+    )
+    assert _kept(html_text) == [LONG.strip()]
+    # and the skipped text contributes no block at all
+    assert len(_blocks(html_text)) == 1
+
+
+def test_entities_unescaped_like_a_browser():
+    html_text = f"<p>fish &amp; chips &lt;tag&gt; {LONG}</p>"
+    [got] = _kept(html_text)
+    assert got.startswith("fish & chips <tag> ")
+
+
+def test_link_density_drops_long_link_heavy_blocks():
+    # long enough to clear the length rule, but links dominate
+    links = " ".join(f'<a href="/{i}">menu entry {i}</a>' for i in range(8))
+    html_text = f"<div>{links}</div><p>{LONG}</p>"
+    assert _kept(html_text) == [LONG.strip()]
+
+
+def test_length_rule_drops_short_link_free_blocks():
+    html_text = f"<div>Share this page</div><p>{LONG}</p>"
+    assert _kept(html_text) == [LONG.strip()]
+
+
+def test_nested_anchors_and_partial_link_blocks():
+    # 50 link chars out of ~125 → density ~0.4 > 0.35 → boilerplate
+    half = (
+        f"<p><a><span>{'x' * 50}</span></a> {'y ' * 37}</p>"
+    )
+    assert _kept(half) == []
+    # 20 link chars out of ~120 → density ~0.17 → content
+    some = f"<p><a>{'x' * 20}</a> {'y ' * 50}</p>"
+    assert len(_kept(some)) == 1
+
+
+def test_unterminated_block_flushes_at_close():
+    assert _kept(f"<p>{LONG}") == [LONG.strip()]
+
+
+def test_malformed_html_never_raises():
+    for doc in (
+        "", "plain text no tags at all " * 5,
+        "<p><div></p></div><a></b><", "<<<>>>", "<p " + "a" * 100,
+        f"</article>{LONG}<p></p>",
+    ):
+        hx._classify_blocks(doc, 25, 0.35)  # must not raise
+
+
+def test_whitespace_collapse_matches_oracle_class():
+    html_text = "<p>a\t\tb\n\nc\x0b d\x0c e\r f" + " g" * 30 + "</p>"
+    [got] = _kept(html_text)
+    assert got.startswith("a b c d e f g g")
+    assert "\t" not in got and "\n" not in got
+
+
+def test_synth_html_planted_structure():
+    for i in (0, 1, 2, 3, 7, 13, 14, 21):
+        page = hx.synth_html(i, "the quick brown fox " * 4)
+        kept, total = hx._classify_blocks(page, 25, 0.35)
+        assert total == 4 + i % 3 + (1 if i % 7 else 0), i
+        if i % 7:
+            assert kept == [("the quick brown fox " * 4).strip()], i
+        else:
+            assert kept == [], i
+
+
+def test_synth_html_escapes_markup_in_text():
+    page = hx.synth_html(1, "a <b> & 'c' " + "pad " * 10)
+    [got] = _kept(page)
+    assert got.startswith("a <b> & 'c' ")
+
+
+def test_spark_census_and_apply_faces(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    pages = hx.attach_synth_html(docs, "doc_id", "text")
+    census = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.main_len)
+        for r in hx.extract_blocks(pages, "doc_id", "html").collect()
+    }
+    assert len(census) == 20
+    for i in range(20):
+        exp_text = (f"document number {i} body text " * 3).strip()
+        has = 1 if i % 7 else 0
+        assert census[i] == (
+            4 + i % 3 + has, has, has * len(exp_text)
+        ), i
+    clean = {
+        r.doc_id: r.main_text
+        for r in hx.extract_main_text(pages, "doc_id", "html").collect()
+    }
+    assert set(clean) == {i for i in range(20) if i % 7}
+    assert clean[1] == ("document number 1 body text " * 3).strip()
+
+
+def test_extraction_plan_is_map_only(spark):
+    """The whole fixture→census pipeline carries exactly ONE exchange
+    — the fixture-attach id repartition (load-bearing, documented) —
+    and none after the parse stage: HTML payloads never shuffle."""
+    docs = spark.createDataFrame(
+        [(i, "t " * 40) for i in range(4)], "doc_id long, text string"
+    )
+    pages = hx.attach_synth_html(docs, "doc_id", "text")
+    plan = (
+        hx.extract_blocks(pages, "doc_id", "html")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_extracted_text_feeds_existing_corpus_surface(spark):
+    """The apply face's output plugs into the text-analysis stack
+    unchanged (the ingestion→analysis composition the stage exists
+    for)."""
+    from flink_join_scaling_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} " * 4) for i in range(6)],
+        "doc_id long, text string",
+    )
+    pages = hx.attach_synth_html(docs, "doc_id", "text")
+    clean = hx.extract_main_text(pages, "doc_id", "html")
+    toks = clean.select(
+        "doc_id", tx.n_tokens_ws(F.col("main_text")).alias("n_tok")
+    ).collect()
+    assert all(r.n_tok == 20 for r in toks)
+    assert len(toks) == 5  # doc 0 is the boilerplate-only page
