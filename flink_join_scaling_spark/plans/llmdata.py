@@ -3860,3 +3860,64 @@ def q_extract_html_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pages = hx.attach_synth_html(d, "doc_id", "text")
     return hx.extract_main_text(pages, "doc_id", "html")
+
+
+@query(
+    "q_extract_warc",
+    oracle="""
+    WITH collapsed AS (
+        SELECT doc_id,
+               trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g'),
+                    ' ') AS main_text
+        FROM documents
+    )
+    SELECT doc_id,
+           'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           main_text
+    FROM collapsed
+    WHERE doc_id % 7 <> 0 AND length(main_text) >= 25
+    """,
+    tags=("llmdata", "text", "ingestion"),
+)
+def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl ingestion (r14): WARC archive → response
+    records → HTTP split → HTML boilerplate removal → clean corpus —
+    the full chain a Common Crawl-class pipeline runs before any
+    operator this repo already had can see text.
+
+    Fixture: every 10 consecutive documents pack into one WARC blob
+    (``sources/warc.py``) holding a warcinfo record and, per doc, a
+    request + a response record wrapping the ``synth_html`` page for
+    ``http://example.com/doc/{doc_id}``. The Spark side must walk the
+    real container layout (strict Content-Length record framing),
+    keep only ``WARC-Type: response`` with HTTP 200 + text/html, drop
+    warcinfo/request records by type, split real HTTP headers, run
+    the real block-level extractor, recover ``doc_id`` from the
+    target URI, and drop boilerplate-only pages — while the oracle
+    states the planted answer (the collapsed original text per
+    non-every-7th doc, plus its URI). Every character of every kept
+    document is value-checked through the whole chain.
+
+    Scale shape: fixture grouping aside (scaffolding — production
+    reads archives via ``binaryFile``), the chain is two Arrow map
+    stages (record explode, extraction) and one JVM regexp id
+    projection; archive bytes and HTML never shuffle."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.sources import warc as wc
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = wc.attach_synth_warc(d, "doc_id", "text", group_size=10)
+    recs = wc.parse_warc_records(blobs, "payload")
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("uri", F.col("body").alias("html"))
+    clean = hx.extract_main_text(pages, "uri", "html")
+    return clean.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "uri",
+        "main_text",
+    )

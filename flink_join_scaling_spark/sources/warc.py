@@ -1,0 +1,278 @@
+"""WARC (ISO 28500) container source — the on-disk format crawl
+corpora actually arrive in (Common Crawl-class archives), one step
+upstream of :mod:`~flink_join_scaling_spark.operators.html_extract`:
+WARC file → response records → HTTP split → raw HTML, completing the
+crawl-ingestion chain (container → record → content → clean text).
+
+Dependency-free record walk over the public WARC/1.x layout: each
+record is a CRLF-terminated header block (``WARC/1.0`` version line +
+``Name: value`` headers, ``Content-Length`` mandatory) followed by
+exactly ``Content-Length`` payload bytes and a blank-line separator;
+``WARC-Type: response`` payloads are HTTP responses (status line +
+headers + CRLF CRLF + body). The parser is STRICT — truncated
+records, missing Content-Length, or a malformed version line raise a
+loud ValueError rather than resynchronizing (a silently skipped
+record is a silently shrunk corpus).
+
+Scale shape: one WARC file per input row (production:
+``spark.read.format("binaryFile")`` over the archive directory, one
+partition per file — the :mod:`sources.media` pattern), exploded to
+records in ONE Arrow ``mapInPandas`` pass; archive bytes never
+shuffle and never visit the driver. gzip member framing (the .warc.gz
+per-record-member convention) is intentionally out of scope here:
+Spark's codec layer handles whole-file gzip, and per-member splitting
+is an input-format concern, not a parser one.
+
+The synthetic fixture (:func:`attach_synth_warc`) packs each
+``group_size`` consecutive documents into one WARC blob — a warcinfo
+record and, per document, a request record (both must be SKIPPED by
+type) plus a response record wrapping the
+:func:`~flink_join_scaling_spark.operators.html_extract.synth_html`
+page for ``http://example.com/doc/{doc_id}`` — so the end-to-end
+extraction (``q_extract_warc``) stays SQL-statable while the Spark
+side must walk the real container, split real HTTP, and classify
+real markup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "parse_warc_bytes",
+    "parse_warc_records",
+    "synth_warc",
+    "attach_synth_warc",
+]
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def _parse_header_block(block: bytes, what: str) -> dict[str, str]:
+    """``Name: value`` lines → dict with case-insensitive (lowered)
+    keys. ASCII per spec; loud on a line without a colon."""
+    headers: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if not line:
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError(f"malformed {what} header line: {line[:60]!r}")
+        headers[name.decode("ascii").strip().lower()] = value.decode(
+            "ascii", errors="replace"
+        ).strip()
+    return headers
+
+
+def parse_warc_bytes(payload: bytes) -> List[dict]:
+    """Walk one WARC file's bytes into a list of record dicts:
+    ``{warc_type, uri, http_status, content_type, body}``. Non-HTTP
+    record payloads (warcinfo, metadata) carry ``http_status=None``
+    and their raw payload text as ``body``; request records are
+    parsed but callers filter them by type. Strict (see module
+    docstring)."""
+    out: List[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos:pos + 5] != b"WARC/":
+            raise ValueError(
+                f"expected WARC version line at offset {pos}, got "
+                f"{payload[pos:pos + 20]!r}"
+            )
+        hdr_end = payload.find(_SEP, pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC record header")
+        version_end = payload.find(_CRLF, pos)
+        headers = _parse_header_block(
+            payload[version_end + 2:hdr_end], "WARC"
+        )
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("truncated WARC record payload")
+        raw = payload[body_start:body_start + clen]
+        wtype = headers.get("warc-type", "")
+        uri = headers.get("warc-target-uri")
+        status: int | None = None
+        ctype: str | None = None
+        body = raw
+        if raw[:5] in (b"HTTP/",) and wtype in ("response", "request"):
+            http_end = raw.find(_SEP)
+            if http_end < 0:
+                raise ValueError("HTTP payload without header terminator")
+            status_line, _, hdr_block = raw[:http_end].partition(_CRLF)
+            parts = status_line.split(b" ", 2)
+            if wtype == "response":
+                if len(parts) < 2:
+                    raise ValueError(
+                        f"malformed HTTP status line: {status_line[:60]!r}"
+                    )
+                status = int(parts[1])
+            http_headers = _parse_header_block(hdr_block, "HTTP")
+            ctype = http_headers.get("content-type")
+            body = raw[http_end + 4:]
+        out.append(
+            {
+                "warc_type": wtype,
+                "uri": uri,
+                "http_status": status,
+                "content_type": ctype,
+                "body": body.decode("utf-8"),
+            }
+        )
+        pos = body_start + clen
+        # records are separated by exactly one blank line (2x CRLF)
+        if payload[pos:pos + 4] == _SEP:
+            pos += 4
+        elif pos != n:
+            raise ValueError(
+                f"missing record separator at offset {pos}: "
+                f"{payload[pos:pos + 8]!r}"
+            )
+    return out
+
+
+def parse_warc_records(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Explode WARC file blobs into records — one Arrow ``mapInPandas``
+    pass, one output row per record: ``(uri, warc_type, http_status,
+    content_type, body)``. Archive bytes never shuffle; downstream
+    stages (HTML extraction, dedup) see only record-sized rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows: List[Tuple] = []
+            for blob in pdf[payload_col]:
+                for r in parse_warc_bytes(bytes(blob)):
+                    rows.append(
+                        (
+                            r["uri"],
+                            r["warc_type"],
+                            r["http_status"],
+                            r["content_type"],
+                            r["body"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "uri", "warc_type", "http_status", "content_type",
+                    "body",
+                ],
+            ).astype({"http_status": "Int64"})
+
+    return df.select(payload_col).mapInPandas(
+        run,
+        "uri string, warc_type string, http_status long, "
+        "content_type string, body string",
+    )
+
+
+# ---------------------------------------------------------------- #
+# synthetic fixture                                                  #
+# ---------------------------------------------------------------- #
+
+def _record(wtype: str, payload: bytes, extra: dict[str, str]) -> bytes:
+    rid = hashlib.md5(
+        f"warc_{wtype}_{extra.get('WARC-Target-URI', '')}".encode()
+    ).hexdigest()
+    headers = {
+        "WARC-Type": wtype,
+        "WARC-Record-ID": f"<urn:uuid:{rid}>",
+        "WARC-Date": "2026-01-01T00:00:00Z",
+        **extra,
+        "Content-Length": str(len(payload)),
+    }
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("ascii") for k, v in headers.items()
+    )
+    return head + _CRLF + payload + _SEP
+
+
+def synth_warc(group: List[Tuple[int, str]]) -> bytes:
+    """One deterministic WARC file for a group of (doc_id, text)
+    documents: a warcinfo record, then per document a request record
+    (skipped by type downstream) and a response record whose HTTP
+    body is the :func:`synth_html` page for
+    ``http://example.com/doc/{doc_id}``."""
+    from flink_join_scaling_spark.operators.html_extract import synth_html
+
+    out = bytearray()
+    out += _record(
+        "warcinfo",
+        b"software: fjss-synth/1.0\r\nformat: WARC File Format 1.0\r\n",
+        {"Content-Type": "application/warc-fields"},
+    )
+    for doc_id, text in group:
+        uri = f"http://example.com/doc/{doc_id}"
+        req = (
+            b"GET /doc/" + str(doc_id).encode() + b" HTTP/1.1\r\n"
+            b"Host: example.com\r\nUser-Agent: fjss-crawler/1.0\r\n\r\n"
+        )
+        out += _record(
+            "request", req,
+            {
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http;msgtype=request",
+            },
+        )
+        html_bytes = synth_html(doc_id, text).encode("utf-8")
+        resp = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(html_bytes)).encode() + b"\r\n"
+            b"\r\n" + html_bytes
+        )
+        out += _record(
+            "response", resp,
+            {
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http;msgtype=response",
+            },
+        )
+    return bytes(out[:-4])  # no separator after the final record
+
+
+def attach_synth_warc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_size: int = 10,
+) -> DataFrame:
+    """(warc_id, payload) blobs packing each ``group_size`` consecutive
+    ids' documents into one WARC file — the archive-directory stand-in
+    (this container ships no .warc files). The grouping shuffle
+    carries (id, ~500 B text) rows and is FIXTURE SCAFFOLDING only:
+    production reads existing archives via ``binaryFile`` with zero
+    shuffles. Documents sort by id within a blob so the fixture bytes
+    are deterministic."""
+    from pyspark.sql import functions as F
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        blob = synth_warc(
+            [(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])]
+        )
+        return pd.DataFrame(
+            {"warc_id": [int(pdf["__warc_id"].iloc[0])], "payload": [blob]}
+        )
+
+    return (
+        df.select(id_col, text_col)
+        .withColumn(
+            "__warc_id", F.floor(F.col(id_col) / group_size).cast("long")
+        )
+        .groupBy("__warc_id")
+        .applyInPandas(build, "warc_id long, payload binary")
+    )

@@ -443,3 +443,34 @@ def stream_decontaminate_semantic(
     if keep_contaminated:
         return tagged
     return tagged.where(~F.col("contaminated")).drop("contaminated")
+
+
+def stream_extract_html(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_block_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> DataFrame:
+    """Continuous HTML main-content extraction: arriving raw pages are
+    segmented + boilerplate-classified where they arrive and emit
+    ``(id, main_text)``; boilerplate-ONLY pages are dropped on the
+    spot — the crawl-ingest shape (WARC stream → clean text stream)
+    that runs BEFORE anything stateful sees the corpus, completing
+    the every-ingest-stage-has-a-streaming-face convention.
+
+    Stateless Arrow ``mapInPandas`` sharing the batch extractor
+    verbatim (``operators.html_extract.extract_main_text`` — one
+    function, two faces, cannot drift): no state store, no shuffle,
+    no watermark, append mode."""
+    from flink_join_scaling_spark.operators.html_extract import (
+        extract_main_text,
+    )
+
+    return extract_main_text(
+        sdf,
+        id_col,
+        html_col,
+        min_block_chars=min_block_chars,
+        max_link_density=max_link_density,
+    )

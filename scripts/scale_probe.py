@@ -620,6 +620,11 @@ def main() -> None:
         # track the parse scan linearly, like the media decode probes
         # but with a far smaller per-row Python constant
         "q_extract_html": plan_probe("q_extract_html"),
+        # r14: the full WARC chain — fixture grouping (scaffolding
+        # shuffle of ~500 B texts) + container walk + HTTP split +
+        # extraction, two Arrow map stages; wall should track the
+        # parse scans linearly like q_extract_html
+        "q_extract_warc": plan_probe("q_extract_warc"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two

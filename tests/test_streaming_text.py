@@ -386,6 +386,37 @@ def test_stream_decontaminate_refuses_oversized_benchmark(
     assert sizes and max(sizes) == 4, sizes
 
 
+def test_stream_extract_html_matches_batch(streaming_spark, tmp_path):
+    """Continuous HTML main-content extraction emits exactly the batch
+    extractor's clean corpus under chunked arrival — the two faces
+    share one function (operators.html_extract.extract_main_text), so
+    this pins that the stateless Arrow stage runs unchanged under
+    readStream (no batch-only construct), including the drop of
+    boilerplate-only pages."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import stream_extract_html
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    pages = hx.attach_synth_html(docs, "doc_id", "text")
+    batch = {
+        r.doc_id: r.main_text
+        for r in hx.extract_main_text(pages, "doc_id", "html").collect()
+    }
+    assert batch and len(batch) < docs.count()  # some pages dropped
+
+    sdf = chunked_parquet_stream(spark, pages, str(tmp_path), n_chunks=4)
+    got = {
+        r.doc_id: r.main_text
+        for r in run_to_memory(
+            stream_extract_html(sdf), output_mode="append"
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_stream_decontaminate_semantic_matches_batch(streaming_spark, tmp_path):
     """The vector twin of stream_decontaminate: converged output is
     bit-identical to batch semantic_contamination on the same data —
