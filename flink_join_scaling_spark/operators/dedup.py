@@ -1375,7 +1375,8 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
-) -> DataFrame:
+    with_bound: bool = False,
+) -> DataFrame | tuple[DataFrame, int | None]:
     """Connected components over a near-duplicate pair list:
     (node, component_id) with component_id = min node id in the
     component. This is the grouping stage every production dedup
@@ -1383,21 +1384,16 @@ def connected_components(
     transitive, so A~B and B~C must collapse into one group {A,B,C}
     before a representative can be chosen.
 
-    ATTRIBUTE CONTRACT (``_fjss_node_bound``): when the driver-side
-    path runs, the returned DataFrame carries a Python attribute
-    holding the symmetrized edge count — a PROVEN upper bound on the
-    number of nodes (every component member touches an edge), which
-    apply tails pass to :func:`anti_exclude` as ``known_rows_bound``
-    to skip its pin-and-count job. It is an ad-hoc attribute, NOT
-    part of the DataFrame: any wrapper (``join``/``select``/
-    ``cache``) returns a new object without it, and callers must
-    either consume it immediately (``getattr(comp,
-    "_fjss_node_bound", None)`` — None falls back to the honest
-    count) or explicitly re-stash it on their derived frame when the
-    bound still holds (every row still a component node — see
-    ``plans/llmdata._semantic_members``). The distributed path leaves
-    it unset: a graph past ``driver_threshold`` edges has no cheap
-    bound worth proving.
+    ``with_bound=True`` returns ``(components, node_bound)`` instead:
+    the symmetrized edge count — a PROVEN upper bound on the number
+    of nodes (every component member touches an edge) — which apply
+    tails pass to :func:`anti_exclude` as ``known_rows_bound`` to
+    skip its pin-and-count job, or ``None`` when no cheap bound is
+    worth stating. The explicit tuple replaces the r12
+    ``_fjss_node_bound`` ad-hoc DataFrame attribute (retired r14 per
+    the r13 verdict: any wrapper returned a new object silently
+    dropping the attribute, so every caller had to re-remember the
+    convention; a returned value cannot be lost).
 
     Distributed min-label propagation with pointer jumping: each round
     a node takes the min over its own label, its neighbours' labels,
@@ -1437,11 +1433,10 @@ def connected_components(
     if n_edges <= driver_threshold:
         comp = _cc_driver(edges)
         # the edge count is a PROVEN node bound (every component member
-        # touches an edge; nodes ≤ symmetrized edges) — stash it so
-        # apply tails can broadcast loser sets derived from this frame
-        # without re-counting (anti_exclude's known_rows_bound)
-        comp._fjss_node_bound = n_edges
-        return comp
+        # touches an edge; nodes ≤ symmetrized edges) — apply tails can
+        # broadcast loser sets derived from this frame without
+        # re-counting (anti_exclude's known_rows_bound)
+        return (comp, n_edges) if with_bound else comp
     # Long iterations pin their per-round state to SCRATCH PARQUET,
     # not localCheckpoint: the cached-block checkpoint degrades on
     # graphs needing many rounds (measured on a fused 740k-edge graph
@@ -1550,8 +1545,8 @@ def connected_components(
         # this repo); a consumer needing executor-loss durability
         # should write the result to a table immediately.
         out = out.localCheckpoint(eager=True)
-        out._fjss_node_bound = n_edges  # same proven bound as above
-        return out
+        # same proven bound as the driver path
+        return (out, n_edges) if with_bound else out
     finally:
         _cleanup()
 
@@ -1738,7 +1733,9 @@ def dedup_apply(
     only on its id."""
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, id_a, id_b)
+    comp, node_bound = connected_components(
+        pairs, id_a, id_b, with_bound=True
+    )
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     members = comp.join(
         docs.select(F.col(id_col).alias("node"), score.alias("__score")), "node"
@@ -1754,8 +1751,7 @@ def dedup_apply(
         .select("node")
     )
     return anti_exclude(
-        docs, losers, docs[id_col], "node",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        docs, losers, docs[id_col], "node", known_rows_bound=node_bound
     )
 
 
@@ -1795,9 +1791,9 @@ def anti_exclude(
     per query at sf0.1, measured on q_pipeline_media):
 
     * ``known_rows_bound`` — the caller has a PROVEN upper bound on
-      the exclusion rows, e.g. ``connected_components`` stashes its
-      symmetrized edge count on the result (``_fjss_node_bound``) and
-      every loser is a node of that pair graph;
+      the exclusion rows, e.g. ``connected_components(...,
+      with_bound=True)`` returns its symmetrized edge count and every
+      loser is a node of that pair graph;
     * a DRIVER-LOCAL exclusion relation (``isLocal()``) is small by
       construction."""
     if (known_rows_bound is not None and known_rows_bound <= max_broadcast_rows) or excl.isLocal():

@@ -1017,14 +1017,14 @@ def q_dedup_winnow_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_WINNOW_K, w=_WINNOW_W,
         min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
     )
-    comp = dd.connected_components(pairs)
+    comp, node_bound = dd.connected_components(pairs, with_bound=True)
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
     return dd.anti_exclude(
         d.select("doc_id", "lang", "source", "n_chars"), losers,
         "doc_id", "doc_id",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        known_rows_bound=node_bound,
     )
 
 
@@ -1515,13 +1515,15 @@ def q_dedup_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = dd.container_majority_pairs(
         fh, "node", "fhash", stride=16, max_hamming=3
     )
-    comp = dd.connected_components(flagged, "doc_a", "doc_b")
+    comp, node_bound = dd.connected_components(
+        flagged, "doc_a", "doc_b", with_bound=True
+    )
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
     return dd.anti_exclude(
         d, losers, "doc_id", "doc_id",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        known_rows_bound=node_bound,
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -1706,13 +1708,15 @@ def q_dedup_phash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     imgs = mm.attach_synth_png(d, "doc_id")
     pairs = dd.phash_dedup_pairs(imgs, "doc_id", "payload", max_hamming=3)
-    comp = dd.connected_components(pairs, "id_a", "id_b")
+    comp, node_bound = dd.connected_components(
+        pairs, "id_a", "id_b", with_bound=True
+    )
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
     return dd.anti_exclude(
         d, losers, "doc_id", "doc_id",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        known_rows_bound=node_bound,
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -1791,7 +1795,9 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.hash64_band_pairs(
         stage.select("doc_id", "phash"), "doc_id", "phash", max_hamming=3
     )
-    comp = dd.connected_components(pairs, "id_a", "id_b")
+    comp, node_bound = dd.connected_components(
+        pairs, "id_a", "id_b", with_bound=True
+    )
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
@@ -1802,7 +1808,7 @@ def q_pipeline_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and broadcasts only while it actually fits.
     kept = dd.anti_exclude(
         stage, losers, "doc_id", "doc_id",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        known_rows_bound=node_bound,
     )
     rfeat = mm.png_features(
         kept.select("doc_id", "res_payload"), "doc_id", "res_payload"
@@ -1843,13 +1849,15 @@ def q_dedup_audiohash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     auds = mm.attach_synth_wav(d, "doc_id")
     pairs = dd.audiohash_dedup_pairs(auds, "doc_id", "payload", max_hamming=3)
-    comp = dd.connected_components(pairs, "id_a", "id_b")
+    comp, node_bound = dd.connected_components(
+        pairs, "id_a", "id_b", with_bound=True
+    )
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
     return dd.anti_exclude(
         d, losers, "doc_id", "doc_id",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        known_rows_bound=node_bound,
     ).select("doc_id", "lang", "source", "n_chars")
 
 
@@ -1885,7 +1893,9 @@ def q_pipeline_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage.select("doc_id", "audiohash"), "doc_id", "audiohash",
         max_hamming=3,
     )
-    comp = dd.connected_components(pairs, "id_a", "id_b")
+    comp, node_bound = dd.connected_components(
+        pairs, "id_a", "id_b", with_bound=True
+    )
     losers = comp.where(F.col("node") != F.col("component_id")).select(
         F.col("node").alias("doc_id")
     )
@@ -1896,7 +1906,7 @@ def q_pipeline_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and broadcasts only while it actually fits.
     kept = dd.anti_exclude(
         stage, losers, "doc_id", "doc_id",
-        known_rows_bound=getattr(comp, "_fjss_node_bound", None),
+        known_rows_bound=node_bound,
     )
     rfeat = mm.wav_features(
         kept.select("doc_id", "res_payload"), "doc_id", "res_payload"
@@ -2958,7 +2968,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the pair set and the member set only; centroid state is
     labels × dim. The quadratic stage is confined inside buckets
     exactly like the LSH band family."""
-    memb = _semantic_members(spark, sf_dir)
+    memb, _ = _semantic_members(spark, sf_dir)
     return memb.groupBy("component_id").agg(
         F.min_by("node", F.struct(F.col("ccos_e6"), F.col("node"))).alias("keep_id"),
         F.count("*").alias("n_members"),
@@ -3011,10 +3021,13 @@ def _semantic_graph(spark: SparkSession, sf_dir: str):
     return e, n, pairs
 
 
-def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared SemDeDup core: (component_id, node, ccos_e6) — duplicate
-    components over within-cluster ≥θ cosine pairs, each member scored
-    by e6-quantized cosine to its e4-quantized cluster centroid.
+def _semantic_members(spark: SparkSession, sf_dir: str):
+    """Shared SemDeDup core: ``((component_id, node, ccos_e6) frame,
+    node_bound)`` — duplicate components over within-cluster ≥θ cosine
+    pairs, each member scored by e6-quantized cosine to its
+    e4-quantized cluster centroid, plus the components' proven node
+    bound (every memb row is a component node, so the bound survives
+    the joins below and the apply tail can skip its count job).
     Consumed by q_dedup_semantic (the component report) and
     q_dedup_semantic_apply (the pruned corpus)."""
     e, n, pairs = _semantic_graph(spark, sf_dir)
@@ -3022,7 +3035,7 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _fold_sum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
 
-    comp = dd.connected_components(pairs)
+    comp, node_bound = dd.connected_components(pairs, with_bound=True)
     # centroid over the FULL cluster population (not just members) —
     # the cluster centroid of the paper, e4-quantized for parity
     ex = e.select("label", F.posexplode("v").alias("pos", "val"))
@@ -3051,12 +3064,7 @@ def _semantic_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("component_id", "node", "ccos_e6")
     )
-    # re-stash the node bound: the joins above return a NEW DataFrame
-    # object, dropping connected_components' ad-hoc attribute (its
-    # documented caveat) — every memb row is a component node, so the
-    # bound still holds and the apply tail can skip its count job
-    memb._fjss_node_bound = getattr(comp, "_fjss_node_bound", None)
-    return memb
+    return memb, node_bound
 
 
 @query(
@@ -3076,7 +3084,7 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention (q_dedup_apply / q_dedup_exact_apply), here on the
     embeddings table. A LEFT ANTI join of the corpus against the
     component-sized loser set; the corpus shuffles once, on its id."""
-    memb = _semantic_members(spark, sf_dir)
+    memb, node_bound = _semantic_members(spark, sf_dir)
     keep = memb.groupBy("component_id").agg(
         F.min_by("node", F.struct(F.col("ccos_e6"), F.col("node"))).alias("keep_id")
     )
@@ -3087,8 +3095,7 @@ def q_dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load_table(spark, sf_dir, "embeddings")
     return dd.anti_exclude(
-        e, losers, "vec_id", "vec_id",
-        known_rows_bound=getattr(memb, "_fjss_node_bound", None),
+        e, losers, "vec_id", "vec_id", known_rows_bound=node_bound
     ).select("vec_id", F.col("label").cast("bigint").alias("label"))
 
 

@@ -213,6 +213,15 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #:   identical code path (the added branch is unreachable unless a
 #:   ZRL run crosses the band end, which T.81 forbids), pinned by a
 #:   hand-assembled corrupt-stream test.
+#: - the connected-components apply tails (q_dedup_*_apply,
+#:   q_dedup_semantic(_apply), q_dedup_components and peers): the r13
+#:   verdict's debt item — the ``_fjss_node_bound`` ad-hoc DataFrame
+#:   attribute retired for an explicit
+#:   ``connected_components(..., with_bound=True) -> (df, bound)``
+#:   return. Pure plumbing of the SAME bound value to the SAME
+#:   ``anti_exclude(known_rows_bound=...)`` consumer — identical rows
+#:   and identical physical join choices; pinned by the new
+#:   with-bound tuple test plus the apply-tail broadcast plan guards.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset()
 
 #: Names explicitly deferred from the previous round, ordered at the

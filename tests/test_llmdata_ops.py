@@ -340,6 +340,28 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_with_bound_tuple(spark):
+    """with_bound=True returns (components, node_bound) explicitly on
+    BOTH size-adaptive paths — the r14 replacement for the retired
+    _fjss_node_bound ad-hoc attribute (a returned value cannot be
+    silently dropped by a wrapper). The bound is the symmetrized
+    distinct edge count, a proven node upper bound."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10)], "id_a long, id_b long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    for thresh in (1_000_000, 0):  # driver union-find / distributed
+        comp, bound = dd.connected_components(
+            pairs, driver_threshold=thresh, with_bound=True
+        )
+        assert bound == 6  # 3 distinct undirected edges, symmetrized
+        assert bound >= comp.count()
+        assert {r.node: r.component_id for r in comp.collect()} == expected
+    # default signature unchanged: a plain DataFrame
+    plain = dd.connected_components(pairs)
+    assert {r.node: r.component_id for r in plain.collect()} == expected
+
+
 def test_dedup_keep_best_picks_highest_quality(spark):
     """Per component: highest score wins; exact ties break to the
     lowest id; n_members counts the whole group."""
