@@ -854,6 +854,17 @@ def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
                                 "progressive AC refinement run past band end"
                             )
                         c[k] = val
+                    elif k > se:
+                        # ZRL: the advance loop exhausted the band
+                        # without landing on its 16th zero-history
+                        # position (a legal ZRL always breaks at
+                        # k <= se) — corrupt, same class as the
+                        # coded-value overrun above and the
+                        # first-pass ZRL check: refuse loudly rather
+                        # than silently dropping the remainder
+                        raise ValueError(
+                            "progressive AC refinement run past band end"
+                        )
                     k += 1
             if eobrun:
                 while k <= se:  # EOB covers this block's remainder too

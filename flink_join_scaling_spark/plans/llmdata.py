@@ -3787,7 +3787,11 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(4 + doc_id % 3
-                + CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 7 <> 0
+                        AND length(trim(regexp_replace(
+                                text, '[ \t\n\v\f\r]+', ' ', 'g'), ' '))
+                            > 0
+                       THEN 1 ELSE 0 END
                 AS BIGINT) AS n_blocks,
            CAST(CASE WHEN doc_id % 7 <> 0
                       AND length(trim(regexp_replace(

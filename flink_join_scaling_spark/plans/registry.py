@@ -204,9 +204,12 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #: fold time — all 50 r13 window rows came back hash-green (including
 #: both r13 exclusion-class families, whose rows are now folded above).
 #: Round-14 changes falling under the documented narrow-policy
-#: exclusion class (unit-pinned semantics-preserving changes, covered
-#: by an in-session full 195-query DuckDB contract run with
-#: FAILURES: none, run AFTER the change):
+#: exclusion class (unit-pinned semantics-preserving changes, each
+#: covered by an in-session full-registry DuckDB contract run with
+#: FAILURES: none executed AFTER that change — the round ran the full
+#: contract repeatedly as the registry grew: 195 queries after the
+#: ZRL fix + q_extract_html, 196 after q_extract_warc, 196 again
+#: after the bound-return retirement and after the r14 review fixes):
 #: - the JPEG phash family (q_dedup_phash_jpeg/_mixed/_progressive):
 #:   the r13 advisor's ZRL overrun check — a NEW loud refusal on
 #:   corrupt progressive streams only; every valid stream takes the

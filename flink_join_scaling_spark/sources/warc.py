@@ -74,8 +74,9 @@ def parse_warc_bytes(payload: bytes) -> List[dict]:
     ``{warc_type, uri, http_status, content_type, body}``. Non-HTTP
     record payloads (warcinfo, metadata) carry ``http_status=None``
     and their raw payload text as ``body``; request records are
-    parsed but callers filter them by type. Strict (see module
-    docstring)."""
+    HTTP-split like responses (headers stripped, ``http_status``
+    stays None — requests have no status line) and callers filter
+    them by type. Strict (see module docstring)."""
     out: List[dict] = []
     pos = 0
     n = len(payload)
@@ -95,6 +96,11 @@ def parse_warc_bytes(payload: bytes) -> List[dict]:
         if "content-length" not in headers:
             raise ValueError("WARC record missing Content-Length")
         clen = int(headers["content-length"])
+        if clen < 0:
+            # a negative length would walk pos BACKWARD into the
+            # record's own bytes and re-parse payload as records —
+            # exactly the silent mis-parse the strict contract forbids
+            raise ValueError(f"negative WARC Content-Length: {clen}")
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise ValueError("truncated WARC record payload")
@@ -104,16 +110,27 @@ def parse_warc_bytes(payload: bytes) -> List[dict]:
         status: int | None = None
         ctype: str | None = None
         body = raw
-        if raw[:5] in (b"HTTP/",) and wtype in ("response", "request"):
+        # HTTP-split both message shapes: responses open with the
+        # protocol token (``HTTP/1.1 200 OK``), requests END their
+        # request line with it (``GET /x HTTP/1.1``) — a request
+        # payload never starts with ``HTTP/``, so each type needs its
+        # own detection
+        first_line = raw.split(_CRLF, 1)[0]
+        is_http = (
+            wtype == "response" and raw[:5] == b"HTTP/"
+        ) or (
+            wtype == "request" and b" HTTP/" in first_line
+        )
+        if is_http:
             http_end = raw.find(_SEP)
             if http_end < 0:
                 raise ValueError("HTTP payload without header terminator")
-            status_line, _, hdr_block = raw[:http_end].partition(_CRLF)
-            parts = status_line.split(b" ", 2)
+            start_line, _, hdr_block = raw[:http_end].partition(_CRLF)
             if wtype == "response":
+                parts = start_line.split(b" ", 2)
                 if len(parts) < 2:
                     raise ValueError(
-                        f"malformed HTTP status line: {status_line[:60]!r}"
+                        f"malformed HTTP status line: {start_line[:60]!r}"
                     )
                 status = int(parts[1])
             http_headers = _parse_header_block(hdr_block, "HTTP")

@@ -449,8 +449,8 @@ def stream_extract_html(
     sdf: DataFrame,
     id_col: str = "doc_id",
     html_col: str = "html",
-    min_block_chars: int = 25,
-    max_link_density: float = 0.35,
+    min_block_chars: int | None = None,
+    max_link_density: float | None = None,
 ) -> DataFrame:
     """Continuous HTML main-content extraction: arriving raw pages are
     segmented + boilerplate-classified where they arrive and emit
@@ -461,16 +461,22 @@ def stream_extract_html(
 
     Stateless Arrow ``mapInPandas`` sharing the batch extractor
     verbatim (``operators.html_extract.extract_main_text`` — one
-    function, two faces, cannot drift): no state store, no shuffle,
-    no watermark, append mode."""
-    from flink_join_scaling_spark.operators.html_extract import (
-        extract_main_text,
-    )
+    function, two faces, cannot drift; None thresholds resolve to the
+    extractor module's OWN defaults at call time, so a threshold tune
+    there moves both faces together): no state store, no shuffle, no
+    watermark, append mode."""
+    from flink_join_scaling_spark.operators import html_extract as hx
 
-    return extract_main_text(
+    return hx.extract_main_text(
         sdf,
         id_col,
         html_col,
-        min_block_chars=min_block_chars,
-        max_link_density=max_link_density,
+        min_block_chars=(
+            hx._MIN_BLOCK_CHARS if min_block_chars is None
+            else min_block_chars
+        ),
+        max_link_density=(
+            hx._MAX_LINK_DENSITY if max_link_density is None
+            else max_link_density
+        ),
     )

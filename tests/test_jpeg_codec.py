@@ -370,6 +370,31 @@ def test_progressive_zrl_past_band_end_refuses():
         jc.jpeg_pixels(bytes(out))
 
 
+def test_progressive_refinement_zrl_past_band_end_refuses():
+    """The refinement-pass sibling of the first-pass ZRL check: a ZRL
+    whose 16 zero-history positions don't fit before the band end is
+    corrupt and must refuse, not silently drop the block remainder.
+    Hand-assembled: DC first at Al=1, AC first pass filling band
+    [1, 5] with five nonzero coefficients (codes 00+1 each), then a
+    refinement scan (Ah=1, Al=0) whose sole symbol is ZRL — zero
+    zero-history positions remain, so the advance loop exhausts the
+    band with r=15 outstanding."""
+    out = bytearray(b"\xff\xd8")
+    out += jc._dqt_seg(0, np.ones((8, 8), dtype=np.int64))
+    out += jc._seg(0xC2, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    out += jc._dht_seg(0, 0, *jc._STD_DC_LUM)
+    out += jc._dht_seg(1, 0, *jc._STD_AC_LUM)
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+    out += bytes([0b00111111])  # DC code 00 + 1-pad
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0x01]))
+    out += bytes([0b00100100, 0b10010011])  # five (0,1)+bit-1 + pad
+    out += jc._seg(0xDA, bytes([1, 1, 0x00, 1, 5, 0x10]))
+    out += bytes([0xFF, 0x00, 0b00100000])  # ZRL + 5 correction bits
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="refinement run past band end"):
+        jc.jpeg_pixels(bytes(out))
+
+
 def test_dhash64_magic_dispatch_covers_progressive():
     """dhash64's JPEG branch needs no change for progressive payloads
     — same SOI magic, same decoder entry — and the fingerprint equals

@@ -21,6 +21,7 @@ def test_synth_warc_round_trip_structure():
     for (doc_id, text), req, resp in zip(DOCS, recs[1::2], recs[2::2]):
         assert req["uri"] == resp["uri"] == f"http://example.com/doc/{doc_id}"
         assert req["http_status"] is None  # requests carry no status
+        assert req["body"] == ""  # HTTP-split: headers stripped, no body
         assert resp["http_status"] == 200
         assert resp["content_type"].startswith("text/html")
         assert text.strip() in resp["body"]  # the planted article
@@ -47,6 +48,13 @@ def test_strict_refusals():
         (b"NOTWARC/1.0\r\n\r\n", "expected WARC version line"),
         (b"WARC/1.0\r\nWARC-Type: response\r\n", "truncated WARC record header"),
         (b"WARC/1.0\r\nWARC-Type: x\r\n\r\n", "missing Content-Length"),
+        # a negative length would walk backward and re-parse payload
+        # bytes as sibling records — must refuse, not mis-parse
+        (
+            b"WARC/1.0\r\nContent-Length: -4\r\n\r\n"
+            b"WARC/1.0\r\nContent-Length: 2\r\n\r\nhi",
+            "negative WARC Content-Length",
+        ),
         (good[:-10], "truncated WARC record payload"),
         # payload shorter than declared -> next walk lands mid-bytes
         (
