@@ -3932,3 +3932,74 @@ def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uri",
         "main_text",
     )
+
+
+@query(
+    "q_url_canonicalize",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               CAST(doc_id // 2 AS VARCHAR) AS k,
+               CAST((doc_id // 2) % 5 AS VARCHAR) AS h,
+               CAST(doc_id AS VARCHAR) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'HTTPS://EXAMPLE' || h || '.COM:443/page/' || k
+                     || '?b=2&a=1&utm_source=feed#sec' || i
+                ELSE 'https://example' || h || '.com/page/' || k
+                     || '?a=1&utm_campaign=c' || i || '&b=2'
+           END AS url,
+           'https://example' || h || '.com/page/' || k || '?a=1&b=2'
+               AS canonical_url
+    FROM g
+    """,
+    tags=("llmdata", "text", "ingestion"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization census (r14) — the crawl-dedup stage
+    between WARC ingestion and content dedup: every (even, odd) doc
+    pair carries two different MESSY spellings of one canonical URL
+    (case-folded scheme/host + explicit :443 + fragment + permuted
+    params + utm tracker on the even side; an injected utm_campaign
+    on the odd side), and the engine must canonicalize both to the
+    IDENTICAL string — case-fold, default-port elision, fragment and
+    tracking-parameter removal, query-parameter sort
+    (``functions/urls.py``, RFC 3986 §6 safe normalizations).
+
+    The oracle CONSTRUCTS the canonical answer from doc_id — it never
+    runs the canonicalizer — so every character of every output URL
+    is an end-to-end value check of the real expression chain, and
+    the equal-canonical pair structure (exact dedup on
+    ``canonical_url`` = the planted (even, odd) pairs) rides on top
+    for free via the existing q_dedup_exact machinery.
+
+    Scale shape: ONE JVM projection over the scan — zero Python,
+    zero exchanges, no UDFs. The array/lambda steps (param filter +
+    sort) are interpreted per element (the round-4 HOF caveat), but
+    over ≤4 query parameters per URL — a per-URL constant, not the
+    per-token blowup that caveat guards against."""
+    from flink_join_scaling_spark.functions.urls import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.floor(F.col("doc_id") / 2).cast("string")
+    h = (F.floor(F.col("doc_id") / 2) % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://EXAMPLE"), h, F.lit(".COM:443/page/"), k,
+            F.lit("?b=2&a=1&utm_source=feed#sec"), i,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://example"), h, F.lit(".com/page/"), k,
+            F.lit("?a=1&utm_campaign=c"), i, F.lit("&b=2"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        messy.alias("url"),
+        canonicalize_url(messy).alias("canonical_url"),
+    )
