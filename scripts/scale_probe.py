@@ -625,6 +625,10 @@ def main() -> None:
         # extraction, two Arrow map stages; wall should track the
         # parse scans linearly like q_extract_html
         "q_extract_warc": plan_probe("q_extract_warc"),
+        # r14: URL canonicalization — one JVM projection, zero
+        # exchanges; wall should track the scan exactly (the
+        # interpreted array/lambda steps are a per-URL constant)
+        "q_url_canonicalize": plan_probe("q_url_canonicalize"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
