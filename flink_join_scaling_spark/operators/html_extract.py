@@ -47,6 +47,8 @@ from pyspark.sql import DataFrame
 __all__ = [
     "extract_blocks",
     "extract_main_text",
+    "extract_links",
+    "resolve_href",
     "attach_synth_html",
     "synth_html",
 ]
@@ -320,4 +322,112 @@ def attach_synth_html(
         df.select(id_col, text_col)
         .repartition(n, id_col)
         .mapInPandas(run, f"{id_col} {id_t}, html string")
+    )
+
+
+# ---------------------------------------------------------------- #
+# link extraction (web-graph construction)                          #
+# ---------------------------------------------------------------- #
+
+#: href schemes that are not web links — never edges of the crawl
+#: graph, skipped at extraction.
+_NON_LINK_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
+
+
+class _LinkParser(HTMLParser):
+    """Collect ``<a href>`` values in document order — ALL anchors,
+    including ones inside boilerplate blocks (link extraction builds
+    the web graph; boilerplate classification is a content concern —
+    nav links are exactly how a crawler discovers pages). Skips
+    fragment-only and non-web (javascript:/mailto:/data:/tel:)
+    hrefs; ``_SKIP_TAGS`` subtrees stay invisible here too (a script
+    string literal is not a link)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._skip = 0
+        self.hrefs: List[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip or tag != "a":
+            return
+        for name, value in attrs:
+            if name == "href" and value:
+                v = value.strip()
+                if v.startswith("#"):
+                    return
+                if any(
+                    v.lower().startswith(s) for s in _NON_LINK_SCHEMES
+                ):
+                    return
+                self.hrefs.append(v)
+                return
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+
+
+def resolve_href(base: str, href: str) -> str:
+    """Resolve ``href`` against ``base`` (an absolute URL) with the
+    RFC 3986 §5 cases a crawl graph needs: absolute hrefs pass
+    through; ``//host/...`` adopts the base scheme; ``/path`` joins
+    the base origin; other relative paths join the base directory.
+    Dot-segment normalization is NOT applied (the documented
+    production swap slot shared with ``functions/urls.py`` — a
+    half-right normalizer is worse than none); query/fragmentless
+    base assumed (crawl frontiers canonicalize first)."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", href):
+        return href
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/]*)", base)
+    if not m:
+        return href  # non-absolute base: nothing to resolve against
+    scheme, origin = m.group(1), m.group(2)
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}:{origin}{href}"
+    # path-relative: join against the base directory
+    path = base[len(scheme) + 1 + len(origin):]
+    directory = path[: path.rfind("/") + 1] or "/"
+    return f"{scheme}:{origin}{directory}{href}"
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str | None = None,
+) -> DataFrame:
+    """Explode each page into its outgoing link edges — ``(id, href)``
+    rows, hrefs resolved against ``base_col`` when given (the page's
+    own URL) — the web-graph construction stage: these edges are what
+    PageRank-style canonical ranking (``q_dedup_canonical_rank``'s
+    algorithm) and frontier scheduling consume at crawl scale.
+
+    One map-only Arrow pass; pages never shuffle, only (id, url)
+    edge rows come back."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    cols = [id_col, html_col] + ([base_col] if base_col else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, hrefs = [], []
+            bases = pdf[base_col] if base_col else [None] * len(pdf)
+            for i, doc, b in zip(pdf[id_col], pdf[html_col], bases):
+                p = _LinkParser()
+                p.feed(doc)
+                p.close()
+                for h in p.hrefs:
+                    ids.append(i)
+                    hrefs.append(resolve_href(b, h) if b else h)
+            yield pd.DataFrame({id_col: ids, "href": hrefs})
+
+    return df.select(*cols).mapInPandas(
+        run, f"{id_col} {id_t}, href string"
     )

@@ -4003,3 +4003,65 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         messy.alias("url"),
         canonicalize_url(messy).alias("canonical_url"),
     )
+
+
+@query(
+    "q_extract_links",
+    oracle="""
+    WITH base AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+    fixed AS (
+        SELECT doc_id, u AS href FROM base,
+            UNNEST(['http://example.com/',
+                    'http://example.com/about',
+                    'http://example.com/contact',
+                    'http://example.com/privacy',
+                    'http://example.com/terms']) AS t(u)
+    ),
+    promos AS (
+        SELECT doc_id,
+               'http://example.com/buy' || CAST(g AS VARCHAR) AS href
+        FROM base, UNNEST(range(0, m + 1)) AS s(g)
+        UNION ALL
+        SELECT doc_id,
+               'http://example.com/deal' || CAST(g AS VARCHAR) AS href
+        FROM base, UNNEST(range(0, m + 1)) AS s(g)
+    )
+    SELECT doc_id, href FROM fixed
+    UNION ALL
+    SELECT doc_id, href FROM promos
+    """,
+    tags=("llmdata", "text", "ingestion"),
+)
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction (r14): every page's outgoing link edges
+    — ``(doc_id, href)`` with root-relative hrefs resolved against
+    the page's own URL — the stage that turns a crawl into the graph
+    PageRank-style canonical ranking (``q_dedup_canonical_rank``) and
+    frontier scheduling consume. Link extraction sees ALL anchors
+    (nav links are how a crawler discovers pages — boilerplate
+    classification is a content concern, not a graph one) but skips
+    fragment-only and javascript:/mailto:/data:/tel: pseudo-links and
+    everything inside script/style subtrees.
+
+    Fixture: the planted page template carries exactly 5 fixed
+    chrome links (nav 3 + footer 2, root-relative) plus 2 per promo
+    block (``1 + doc_id % 3`` promos), every one resolved against
+    ``http://example.com/doc/{doc_id}`` to the site origin. The
+    oracle CONSTRUCTS that edge list from doc_id (UNNEST of the five
+    fixed targets + a range-driven promo expansion) — the Spark side
+    must parse real markup, apply real RFC 3986 §5 resolution, and
+    skip the planted pseudo-link classes.
+
+    Scale shape: one map-only Arrow pass after the fixture attach;
+    pages never shuffle, only (id, url) edge rows come back — at
+    crawl scale the edge set is the web graph itself, emitted
+    pre-partitioned by source page."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+
+    d = load_table(spark, sf_dir, "documents")
+    pages = hx.attach_synth_html(d, "doc_id", "text").withColumn(
+        "page_url",
+        F.concat(F.lit("http://example.com/doc/"),
+                 F.col("doc_id").cast("string")),
+    )
+    return hx.extract_links(pages, "doc_id", "html", base_col="page_url")

@@ -209,7 +209,8 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #: FAILURES: none executed AFTER that change — the round ran the full
 #: contract repeatedly as the registry grew: 195 queries after the
 #: ZRL fix + q_extract_html, 196 after q_extract_warc, 196 again
-#: after the bound-return retirement and after the r14 review fixes):
+#: after the bound-return retirement and after the r14 review fixes,
+#: 197 after q_url_canonicalize, 198 after q_extract_links):
 #: - the JPEG phash family (q_dedup_phash_jpeg/_mixed/_progressive):
 #:   the r13 advisor's ZRL overrun check — a NEW loud refusal on
 #:   corrupt progressive streams only; every valid stream takes the

@@ -480,3 +480,47 @@ def stream_extract_html(
             else max_link_density
         ),
     )
+
+
+def stream_ingest_warc(
+    sdf: DataFrame,
+    payload_col: str = "payload",
+    min_block_chars: int | None = None,
+    max_link_density: float | None = None,
+) -> DataFrame:
+    """Continuous end-to-end crawl ingestion: arriving WARC archive
+    blobs (e.g. a ``readStream`` over a landing directory of .warc
+    files via binaryFile) explode to records, keep HTTP-200 text/html
+    responses, and emit ``(uri, main_text)`` with boilerplate removed
+    — the full `q_extract_warc` chain as one continuous pipeline, so
+    a crawler can feed the corpus while every downstream streaming
+    face (dedup, quality, decontamination) consumes clean text.
+
+    Stateless composition of the batch stages verbatim
+    (``sources.warc.parse_warc_records`` →
+    ``operators.html_extract.extract_main_text`` — shared functions,
+    faces cannot drift): two Arrow map stages, no state store, no
+    shuffle, no watermark, append mode; archive bytes never leave the
+    executor that read them."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.sources.warc import parse_warc_records
+
+    recs = parse_warc_records(sdf, payload_col)
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("uri", F.col("body").alias("html"))
+    return hx.extract_main_text(
+        pages,
+        "uri",
+        "html",
+        min_block_chars=(
+            hx._MIN_BLOCK_CHARS if min_block_chars is None
+            else min_block_chars
+        ),
+        max_link_density=(
+            hx._MAX_LINK_DENSITY if max_link_density is None
+            else max_link_density
+        ),
+    )

@@ -162,3 +162,79 @@ def test_extracted_text_feeds_existing_corpus_surface(spark):
     ).collect()
     assert all(r.n_tok == 20 for r in toks)
     assert len(toks) == 5  # doc 0 is the boilerplate-only page
+
+
+# ------------------------------------------------- link extraction
+
+
+def test_link_parser_skips_pseudo_links_and_script_subtrees():
+    p = hx._LinkParser()
+    p.feed(
+        '<a href="#top">t</a><a href="mailto:x@y">m</a>'
+        '<a href="JAVASCRIPT:void(0)">j</a><a name="anchor">no href</a>'
+        '<a href="/ok">k</a><script>var s = \'<a href="/no">\';</script>'
+        '<a href="//cdn.example.com/lib">proto-rel</a>'
+        '<a href="tel:+123">t</a><a href="">empty</a>'
+    )
+    p.close()
+    assert p.hrefs == ["/ok", "//cdn.example.com/lib"]
+
+
+def test_resolve_href_rfc3986_cases():
+    cases = [
+        ("http://a.com/doc/5", "/x", "http://a.com/x"),
+        ("http://a.com/doc/5", "y", "http://a.com/doc/y"),
+        ("http://a.com/doc/5", "//b.com/z", "http://b.com/z"),
+        ("http://a.com/doc/5", "https://c.com/w", "https://c.com/w"),
+        ("http://a.com", "y", "http://a.com/y"),  # origin-only base
+        ("notabase", "/x", "/x"),  # non-absolute base: pass through
+    ]
+    for base, href, exp in cases:
+        assert hx.resolve_href(base, href) == exp, (base, href)
+
+
+def test_spark_link_extraction_face(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body text for page {i} " * 4) for i in range(9)],
+        "doc_id long, text string",
+    )
+    pages = hx.attach_synth_html(docs, "doc_id", "text").withColumn(
+        "page_url",
+        F.concat(F.lit("http://example.com/doc/"),
+                 F.col("doc_id").cast("string")),
+    )
+    edges = hx.extract_links(pages, "doc_id", "html", base_col="page_url")
+    per_doc = {
+        r.doc_id: r.n
+        for r in edges.groupBy("doc_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # 5 fixed chrome links + 2 per promo block (1 + doc_id % 3 promos)
+    assert per_doc == {i: 7 + 2 * (i % 3) for i in range(9)}
+    doc0 = {r.href for r in edges.where("doc_id = 0").collect()}
+    assert doc0 == {
+        "http://example.com/", "http://example.com/about",
+        "http://example.com/contact", "http://example.com/privacy",
+        "http://example.com/terms", "http://example.com/buy0",
+        "http://example.com/deal0",
+    }
+
+
+def test_links_compose_with_url_canonicalizer(spark):
+    """The crawl loop: extracted edges feed canonicalize_url
+    unchanged — already-canonical spellings are fixed points."""
+    from flink_join_scaling_spark.functions.urls import canonicalize_url
+
+    docs = spark.createDataFrame(
+        [(1, "page body words " * 5)], "doc_id long, text string"
+    )
+    pages = hx.attach_synth_html(docs, "doc_id", "text").withColumn(
+        "page_url",
+        F.concat(F.lit("http://example.com/doc/"),
+                 F.col("doc_id").cast("string")),
+    )
+    edges = hx.extract_links(pages, "doc_id", "html", base_col="page_url")
+    out = edges.select(
+        "href", canonicalize_url(F.col("href")).alias("c")
+    ).collect()
+    assert out and all(r.href == r.c for r in out)

@@ -417,6 +417,40 @@ def test_stream_extract_html_matches_batch(streaming_spark, tmp_path):
     assert got == batch
 
 
+def test_stream_ingest_warc_matches_batch(streaming_spark, tmp_path):
+    """The full continuous ingestion chain (WARC blobs → records →
+    HTTP-200 text/html filter → boilerplate removal) emits exactly
+    the batch chain's clean corpus under chunked archive arrival —
+    the composition shares the batch stage functions verbatim, and
+    this pins that the two-Arrow-stage pipeline runs unchanged under
+    readStream, including the by-type record skips and the
+    boilerplate-only page drop."""
+    from flink_join_scaling_spark.sources import warc as wc
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import stream_ingest_warc
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    blobs = wc.attach_synth_warc(docs, "doc_id", "text", group_size=10)
+    # batch reference: the same stateless composition over the batch
+    # frame (mapInPandas runs identically in both execution modes)
+    batch = {
+        (r.uri, r.main_text)
+        for r in stream_ingest_warc(blobs).collect()
+    }
+    assert batch and len(batch) < docs.count()
+
+    sdf = chunked_parquet_stream(spark, blobs, str(tmp_path), n_chunks=3)
+    got = {
+        (r.uri, r.main_text)
+        for r in run_to_memory(
+            stream_ingest_warc(sdf), output_mode="append"
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_stream_decontaminate_semantic_matches_batch(streaming_spark, tmp_path):
     """The vector twin of stream_decontaminate: converged output is
     bit-identical to batch semantic_contamination on the same data —
