@@ -629,6 +629,10 @@ def main() -> None:
         # exchanges; wall should track the scan exactly (the
         # interpreted array/lambda steps are a per-URL constant)
         "q_url_canonicalize": plan_probe("q_url_canonicalize"),
+        # r14: link extraction — one Arrow parse pass emitting ~9 edge
+        # rows per page; wall should track the parse scan like
+        # q_extract_html (same parser family, second walk)
+        "q_extract_links": plan_probe("q_extract_links"),
         # r8 trained/sketch additions: NB's model is one vocab-keyed
         # agg (identical copies keep the vocab FIXED while counts grow
         # 10x) and scoring is the token-keyed model join; DSIR's two
