@@ -219,7 +219,14 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
 #: covered by an in-session full-registry DuckDB contract run with
 #: FAILURES: none executed AFTER that change) are listed here as the
 #: round progresses:
-#: - (none yet)
+#: - q_extract_warc (+ the stream_ingest_warc face): parse_warc_bytes
+#:   gained .warc.gz member framing (a NEW branch taken only on gzip
+#:   magic — the fixture is uncompressed) and the tolerant body
+#:   decode (declared charset → errors="replace", else strict UTF-8
+#:   with latin-1 fallback). The fixture declares charset=utf-8 and
+#:   is valid UTF-8 throughout, so the decode is byte-identical;
+#:   pinned by tests/test_warc.py's charset/binary-tolerance and
+#:   gz round-trip tests.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset()
 
 #: Names explicitly deferred from the previous round, ordered at the

@@ -18,10 +18,23 @@ Scale shape: one WARC file per input row (production:
 ``spark.read.format("binaryFile")`` over the archive directory, one
 partition per file — the :mod:`sources.media` pattern), exploded to
 records in ONE Arrow ``mapInPandas`` pass; archive bytes never
-shuffle and never visit the driver. gzip member framing (the .warc.gz
-per-record-member convention) is intentionally out of scope here:
-Spark's codec layer handles whole-file gzip, and per-member splitting
-is an input-format concern, not a parser one.
+shuffle and never visit the driver. ``.warc.gz`` member framing IS in
+scope (r14 verdict What's-missing #1): Common Crawl ships one gzip
+member per record, ``binaryFile`` does NOT transparently gunzip, so
+:func:`parse_warc_bytes` detects the gzip magic and walks the
+concatenated members with stdlib zlib (``wbits=47``), applying the
+same strict record framing to each decompressed member — a record may
+not span members, and trailing garbage after a member is loud.
+
+Body decode policy (records carry a ``body`` STRING column): framing
+stays strict, decode is tolerant — real archives mix charsets and
+binary payloads, and one bad body must not kill the whole archive's
+task. A ``charset=`` parameter on the HTTP ``Content-Type`` wins
+(``errors="replace"``; unknown codec names fall through); otherwise
+strict UTF-8 is tried and non-UTF-8 bytes fall back to latin-1, which
+maps every byte and never raises (and is lossless to re-encode, so
+binary payloads such as images survive the string column byte-exact
+until the content-type filter drops them downstream).
 
 The synthetic fixture (:func:`attach_synth_warc`) packs each
 ``group_size`` consecutive documents into one WARC blob — a warcinfo
@@ -37,6 +50,8 @@ real markup.
 from __future__ import annotations
 
 import hashlib
+import re
+import zlib
 from typing import Iterator, List, Tuple
 
 import pandas as pd
@@ -46,11 +61,55 @@ __all__ = [
     "parse_warc_bytes",
     "parse_warc_records",
     "synth_warc",
+    "synth_warc_record_blobs",
     "attach_synth_warc",
 ]
 
 _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+_CHARSET_RE = re.compile(r"charset=\"?([A-Za-z0-9_.:\-]+)\"?", re.I)
+
+
+def _gzip_members(payload: bytes) -> Iterator[bytes]:
+    """Walk concatenated gzip members (the ``.warc.gz``
+    record-per-member convention) with stdlib zlib. ``wbits=47``
+    accepts the gzip wrapper; each ``decompressobj`` stops at its
+    member's end with the remaining archive in ``unused_data``.
+    Strict like the record walk: a truncated member or non-gzip bytes
+    between members raise rather than resynchronize."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos:pos + 2] != _GZIP_MAGIC:
+            raise ValueError(
+                f"expected gzip member at offset {pos}, got "
+                f"{payload[pos:pos + 8]!r}"
+            )
+        d = zlib.decompressobj(47)
+        chunk = d.decompress(payload[pos:])
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        yield chunk + d.flush()
+        pos = n - len(d.unused_data)
+
+
+def _decode_body(body: bytes, content_type: str | None) -> str:
+    """Tolerant body decode (module docstring): declared charset →
+    ``errors="replace"``; else strict UTF-8 with a latin-1 fallback
+    that maps every byte — never raises, so one binary or mislabeled
+    payload cannot kill the archive's task."""
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            try:
+                return body.decode(m.group(1), errors="replace")
+            except LookupError:
+                pass  # unknown codec name → the undeclared path
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("latin-1")
 
 
 def _parse_header_block(block: bytes, what: str) -> dict[str, str]:
@@ -76,7 +135,21 @@ def parse_warc_bytes(payload: bytes) -> List[dict]:
     and their raw payload text as ``body``; request records are
     HTTP-split like responses (headers stripped, ``http_status``
     stays None — requests have no status line) and callers filter
-    them by type. Strict (see module docstring)."""
+    them by type. Framing is strict (see module docstring); body
+    decode is tolerant (:func:`_decode_body`). ``.warc.gz`` bytes
+    (gzip magic) are walked member-by-member, each member parsed
+    under the same strict framing — a record spanning two members is
+    a truncation error, exactly as the per-record-member convention
+    implies."""
+    if payload[:2] == _GZIP_MAGIC:
+        out: List[dict] = []
+        for member in _gzip_members(payload):
+            out.extend(_parse_warc_stream(member))
+        return out
+    return _parse_warc_stream(payload)
+
+
+def _parse_warc_stream(payload: bytes) -> List[dict]:
     out: List[dict] = []
     pos = 0
     n = len(payload)
@@ -142,7 +215,7 @@ def parse_warc_bytes(payload: bytes) -> List[dict]:
                 "uri": uri,
                 "http_status": status,
                 "content_type": ctype,
-                "body": body.decode("utf-8"),
+                "body": _decode_body(body, ctype),
             }
         )
         pos = body_start + clen
@@ -217,32 +290,35 @@ def _record(wtype: str, payload: bytes, extra: dict[str, str]) -> bytes:
     return head + _CRLF + payload + _SEP
 
 
-def synth_warc(group: List[Tuple[int, str]]) -> bytes:
-    """One deterministic WARC file for a group of (doc_id, text)
-    documents: a warcinfo record, then per document a request record
-    (skipped by type downstream) and a response record whose HTTP
-    body is the :func:`synth_html` page for
-    ``http://example.com/doc/{doc_id}``."""
+def synth_warc_record_blobs(group: List[Tuple[int, str]]) -> List[bytes]:
+    """The individual record blobs (each WITH its trailing blank-line
+    separator) behind :func:`synth_warc` — a warcinfo record, then per
+    (doc_id, text) document a request and a response record. Exposed
+    so tests can gzip each blob into its own member, reproducing the
+    Common Crawl ``.warc.gz`` record-per-member layout exactly."""
     from flink_join_scaling_spark.operators.html_extract import synth_html
 
-    out = bytearray()
-    out += _record(
-        "warcinfo",
-        b"software: fjss-synth/1.0\r\nformat: WARC File Format 1.0\r\n",
-        {"Content-Type": "application/warc-fields"},
-    )
+    blobs: List[bytes] = [
+        _record(
+            "warcinfo",
+            b"software: fjss-synth/1.0\r\nformat: WARC File Format 1.0\r\n",
+            {"Content-Type": "application/warc-fields"},
+        )
+    ]
     for doc_id, text in group:
         uri = f"http://example.com/doc/{doc_id}"
         req = (
             b"GET /doc/" + str(doc_id).encode() + b" HTTP/1.1\r\n"
             b"Host: example.com\r\nUser-Agent: fjss-crawler/1.0\r\n\r\n"
         )
-        out += _record(
-            "request", req,
-            {
-                "WARC-Target-URI": uri,
-                "Content-Type": "application/http;msgtype=request",
-            },
+        blobs.append(
+            _record(
+                "request", req,
+                {
+                    "WARC-Target-URI": uri,
+                    "Content-Type": "application/http;msgtype=request",
+                },
+            )
         )
         html_bytes = synth_html(doc_id, text).encode("utf-8")
         resp = (
@@ -251,14 +327,26 @@ def synth_warc(group: List[Tuple[int, str]]) -> bytes:
             b"Content-Length: " + str(len(html_bytes)).encode() + b"\r\n"
             b"\r\n" + html_bytes
         )
-        out += _record(
-            "response", resp,
-            {
-                "WARC-Target-URI": uri,
-                "Content-Type": "application/http;msgtype=response",
-            },
+        blobs.append(
+            _record(
+                "response", resp,
+                {
+                    "WARC-Target-URI": uri,
+                    "Content-Type": "application/http;msgtype=response",
+                },
+            )
         )
-    return bytes(out[:-4])  # no separator after the final record
+    return blobs
+
+
+def synth_warc(group: List[Tuple[int, str]]) -> bytes:
+    """One deterministic WARC file for a group of (doc_id, text)
+    documents: a warcinfo record, then per document a request record
+    (skipped by type downstream) and a response record whose HTTP
+    body is the :func:`synth_html` page for
+    ``http://example.com/doc/{doc_id}``."""
+    # no separator after the final record
+    return b"".join(synth_warc_record_blobs(group))[:-4]
 
 
 def attach_synth_warc(

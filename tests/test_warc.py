@@ -4,6 +4,8 @@ malformed archives, and the Spark explode face."""
 
 from __future__ import annotations
 
+import gzip
+
 import pytest
 
 from flink_join_scaling_spark.sources import warc as wc
@@ -74,6 +76,130 @@ def test_strict_refusals():
     for raw, msg in cases:
         with pytest.raises(ValueError, match=msg):
             wc.parse_warc_bytes(raw)
+
+
+def test_warc_gz_member_per_record_round_trip():
+    # the Common Crawl layout: every record its own gzip member,
+    # members concatenated — parse must see the same records as the
+    # uncompressed archive
+    blobs = wc.synth_warc_record_blobs(DOCS)
+    gz = b"".join(gzip.compress(b, mtime=0) for b in blobs)
+    assert gz[:2] == b"\x1f\x8b"
+    recs = wc.parse_warc_bytes(gz)
+    plain = wc.parse_warc_bytes(wc.synth_warc(DOCS))
+    assert recs == plain
+    assert len(recs) == 5
+
+
+def test_warc_gz_multi_record_member_and_single_member():
+    # the member convention is per-record but NOT mandated by the spec:
+    # a member holding several whole records must parse too, as must a
+    # whole-file single member
+    blobs = wc.synth_warc_record_blobs(DOCS)
+    multi = gzip.compress(b"".join(blobs[:3]), mtime=0) + gzip.compress(
+        b"".join(blobs[3:]), mtime=0
+    )
+    whole = gzip.compress(b"".join(blobs), mtime=0)
+    plain = wc.parse_warc_bytes(wc.synth_warc(DOCS))
+    assert wc.parse_warc_bytes(multi) == plain
+    assert wc.parse_warc_bytes(whole) == plain
+
+
+def test_warc_gz_strict_refusals():
+    blobs = wc.synth_warc_record_blobs(DOCS)
+    gz = b"".join(gzip.compress(b, mtime=0) for b in blobs)
+    # truncated final member
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        wc.parse_warc_bytes(gz[:-6])
+    # non-gzip bytes between members: loud, no resync
+    with pytest.raises(ValueError, match="expected gzip member"):
+        wc.parse_warc_bytes(gz + b"JUNK")
+    # a record split MID-BYTES across two members is a per-member
+    # truncation, exactly what the strict contract demands
+    rec = blobs[0]
+    split = gzip.compress(rec[:40], mtime=0) + gzip.compress(
+        rec[40:], mtime=0
+    )
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        wc.parse_warc_bytes(split)
+
+
+def test_body_decode_charset_and_binary_tolerance():
+    # declared charset wins
+    latin = "café résumé".encode("latin-1")
+    resp = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=latin-1\r\n\r\n" + latin
+    )
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/l\r\n"
+        b"Content-Length: " + str(len(resp)).encode() + b"\r\n\r\n" + resp
+    )
+    [r] = wc.parse_warc_bytes(raw)
+    assert r["body"] == "café résumé"
+
+    # undeclared non-UTF-8 text falls back to latin-1, never raises
+    resp2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        + "naïve".encode("latin-1")
+    )
+    raw2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: " + str(len(resp2)).encode() + b"\r\n\r\n" + resp2
+    )
+    [r2] = wc.parse_warc_bytes(raw2)
+    assert r2["body"] == "naïve"
+
+    # a binary payload (invalid UTF-8 everywhere) must not kill the
+    # archive; latin-1 keeps it byte-exact for re-encoding
+    png = bytes(range(256)) * 4
+    resp3 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n" + png
+    )
+    raw3 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: " + str(len(resp3)).encode() + b"\r\n\r\n" + resp3
+    )
+    [r3] = wc.parse_warc_bytes(raw3)
+    assert r3["content_type"] == "image/png"
+    assert r3["body"].encode("latin-1") == png
+
+    # unknown declared codec falls through to the undeclared path
+    resp4 = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain; charset=x-bogus-9\r\n\r\nplain"
+    )
+    raw4 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: " + str(len(resp4)).encode() + b"\r\n\r\n" + resp4
+    )
+    [r4] = wc.parse_warc_bytes(raw4)
+    assert r4["body"] == "plain"
+
+
+def test_warc_gz_spark_explode_face(spark):
+    # the production .warc.gz shape end-to-end through mapInPandas
+    import pandas as pd
+
+    groups = [DOCS, [(7, "eta theta iota " * 5)]]
+    rows = [
+        (i, b"".join(
+            gzip.compress(b, mtime=0)
+            for b in wc.synth_warc_record_blobs(g)
+        ))
+        for i, g in enumerate(groups)
+    ]
+    blobs = spark.createDataFrame(rows, "warc_id long, payload binary")
+    recs = wc.parse_warc_records(blobs, "payload")
+    by_type = {
+        r["warc_type"]: r["n"]
+        for r in recs.groupBy("warc_type").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_type == {"warcinfo": 2, "request": 3, "response": 3}
+    uris = {r.uri for r in recs.where("warc_type = 'response'").collect()}
+    assert uris == {f"http://example.com/doc/{i}" for i in (1, 2, 7)}
 
 
 def test_records_separated_by_blank_line():
