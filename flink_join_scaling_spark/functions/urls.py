@@ -15,16 +15,31 @@ removal) real crawl dedup uses:
 - default-port elision (http:80 / https:443, §6.2.3);
 - empty path → "/" (§6.2.3);
 - fragment removal (never sent to the server);
+- percent-encoding normalization (§6.2.2.2) on path and query:
+  ``%xx`` hex digits uppercased, and triplets encoding UNRESERVED
+  characters (ALPHA / DIGIT / ``-._~``) decoded — ``%7e`` → ``~``,
+  ``%2f`` → ``%2F`` (reserved ``/`` stays encoded; decoding it would
+  change which slash is a segment boundary);
 - tracking-parameter removal (utm_*, fbclid, gclid, msclkid) and
   empty-segment cleanup;
 - remaining query parameters sorted (order is server-insignificant
   for the overwhelming majority of endpoints; crawl canonicalizers
   from Nutch/Heritrix onward apply it).
 
-Percent-encoding and dot-segment normalization are intentionally NOT
-implemented: test URLs don't exercise them, and a half-right decoder
-is worse than none — the slot is documented here for the production
-swap, like the media codecs' libjpeg slot.
+Dot-segment normalization (§6.2.2.3) is intentionally NOT
+implemented: ``remove_dot_segments`` is an unbounded stack walk with
+no bounded pure-expression form, and a half-right decoder is worse
+than none — the slot is documented here for the production swap,
+like the media codecs' libjpeg slot. (Relative-reference resolution,
+which DOES apply the dot-segment walk, lives in the Arrow pass of
+``operators/html_extract.py`` where imperative code is honest.)
+
+Pass-through rule (totality): a string with no ``scheme://`` is not
+an absolute URL, and an authority carrying userinfo (``@``) or an
+IPv6 literal (``[``) is beyond the anchored host grammar below —
+both pass through UNCHANGED rather than risk a misparse that merges
+distinct sites (``http://alice@a.com`` and ``http://alice@b.com``
+must never collide on host ``alice``).
 """
 
 from __future__ import annotations
@@ -32,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["url_parts", "canonicalize_url", "TRACKING_PARAM_PATTERN"]
+__all__ = [
+    "url_parts",
+    "canonicalize_url",
+    "pct_normalize",
+    "TRACKING_PARAM_PATTERN",
+]
 
 #: query parameters dropped wholesale: cross-site click/campaign
 #: trackers, never content-significant. Anchored full-key match.
@@ -57,14 +77,50 @@ def url_parts(url: Column) -> dict[str, Column]:
     }
 
 
+def pct_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2.2 percent-encoding normalization as one pure
+    JVM expression: split on ``%``, and for every fragment that opens
+    with two hex digits either DECODE the octet (when it encodes an
+    unreserved character — ALPHA / DIGIT / ``-._~``) or re-emit the
+    triplet with UPPERCASE hex; fragments that don't open with a hex
+    pair (a literal stray ``%``) are re-emitted verbatim, so the
+    function is total over dirty input. The array lambda is
+    interpreted per ``%`` (the round-4 HOF caveat) — a per-URL
+    constant for real URLs, not a per-token blowup."""
+    parts = F.split(s, "%", -1)
+
+    def fix(x: Column, i: Column) -> Column:
+        pair = F.upper(F.substring(x, 1, 2))
+        rest = F.substring(x, 3, 2147483647)
+        code = F.conv(pair, 16, 10).cast("int")
+        unreserved = (
+            ((code >= 0x41) & (code <= 0x5A))
+            | ((code >= 0x61) & (code <= 0x7A))
+            | ((code >= 0x30) & (code <= 0x39))
+            | code.isin(0x2D, 0x2E, 0x5F, 0x7E)
+        )
+        fixed = F.when(
+            x.rlike("^[0-9A-Fa-f]{2}"),
+            F.when(unreserved, F.concat(F.char(code), rest)).otherwise(
+                F.concat(F.lit("%"), pair, rest)
+            ),
+        ).otherwise(F.concat(F.lit("%"), x))
+        return F.when(i == F.lit(0), x).otherwise(fixed)
+
+    return F.array_join(F.transform(parts, fix), "")
+
+
 def canonicalize_url(url: Column) -> Column:
-    """One codegen expression: the canonical spelling of ``url`` per
+    """One pure-JVM expression: the canonical spelling of ``url`` per
     the module-docstring rules. Deterministic, engine-independent
     (character-class regexes valid in both Java regex and RE2), and
-    total — a string with no ``scheme://`` passes through UNCHANGED
-    (it is not an absolute URL; inventing a spelling for it would be
-    a misparse), so a dirty crawl column never kills the batch."""
+    total — a string with no ``scheme://``, or an authority carrying
+    userinfo/an IPv6 literal (beyond the anchored host grammar),
+    passes through UNCHANGED rather than risk a misparse, so a dirty
+    crawl column never kills the batch and never merges distinct
+    sites."""
     p = url_parts(url)
+    authority = F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1)
     default_port = (
         (p["scheme"] == F.lit("http")) & (p["port"] == F.lit("80"))
     ) | ((p["scheme"] == F.lit("https")) & (p["port"] == F.lit("443")))
@@ -72,10 +128,12 @@ def canonicalize_url(url: Column) -> Column:
         (p["port"] != F.lit("")) & ~default_port,
         F.concat(F.lit(":"), p["port"]),
     ).otherwise(F.lit(""))
-    path = F.when(p["path"] == F.lit(""), F.lit("/")).otherwise(p["path"])
+    path = pct_normalize(
+        F.when(p["path"] == F.lit(""), F.lit("/")).otherwise(p["path"])
+    )
     params = F.array_sort(
         F.filter(
-            F.split(p["query"], "&"),
+            F.split(pct_normalize(p["query"]), "&"),
             lambda kv: (kv != F.lit(""))
             & ~kv.rlike(TRACKING_PARAM_PATTERN),
         )
@@ -84,6 +142,7 @@ def canonicalize_url(url: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    return F.when(p["scheme"] == F.lit(""), url).otherwise(
+    passthrough = (p["scheme"] == F.lit("")) | authority.rlike(r"[@\[]")
+    return F.when(passthrough, url).otherwise(
         F.concat(p["scheme"], F.lit("://"), p["host"], port, path, query)
     )

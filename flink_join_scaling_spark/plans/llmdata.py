@@ -3947,12 +3947,12 @@ def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0
                 THEN 'HTTPS://EXAMPLE' || h || '.COM:443/page/' || k
-                     || '?b=2&a=1&utm_source=feed#sec' || i
+                     || '/%7eu%2fws?b=2&a=1&utm_source=feed#sec' || i
                 ELSE 'https://example' || h || '.com/page/' || k
-                     || '?a=1&utm_campaign=c' || i || '&b=2'
+                     || '/~u%2Fws?a=1&utm_campaign=c' || i || '&b=2'
            END AS url,
-           'https://example' || h || '.com/page/' || k || '?a=1&b=2'
-               AS canonical_url
+           'https://example' || h || '.com/page/' || k
+               || '/~u%2Fws?a=1&b=2' AS canonical_url
     FROM g
     """,
     tags=("llmdata", "text", "ingestion"),
@@ -3962,11 +3962,15 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     between WARC ingestion and content dedup: every (even, odd) doc
     pair carries two different MESSY spellings of one canonical URL
     (case-folded scheme/host + explicit :443 + fragment + permuted
-    params + utm tracker on the even side; an injected utm_campaign
-    on the odd side), and the engine must canonicalize both to the
-    IDENTICAL string — case-fold, default-port elision, fragment and
-    tracking-parameter removal, query-parameter sort
-    (``functions/urls.py``, RFC 3986 §6 safe normalizations).
+    params + utm tracker + lowercase-hex ``%7eu%2fws`` path tail on
+    the even side; an injected utm_campaign and the pre-decoded
+    ``~u%2Fws`` spelling on the odd side), and the engine must
+    canonicalize both to the IDENTICAL string — case-fold,
+    default-port elision, fragment and tracking-parameter removal,
+    percent-encoding normalization (§6.2.2.2: ``%7e`` decodes to the
+    unreserved ``~``, the reserved ``%2f`` keeps its triplet with
+    uppercased hex), query-parameter sort (``functions/urls.py``,
+    RFC 3986 §6 safe normalizations).
 
     The oracle CONSTRUCTS the canonical answer from doc_id — it never
     runs the canonicalizer — so every character of every output URL
@@ -3990,12 +3994,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 0,
         F.concat(
             F.lit("HTTPS://EXAMPLE"), h, F.lit(".COM:443/page/"), k,
-            F.lit("?b=2&a=1&utm_source=feed#sec"), i,
+            F.lit("/%7eu%2fws?b=2&a=1&utm_source=feed#sec"), i,
         ),
     ).otherwise(
         F.concat(
             F.lit("https://example"), h, F.lit(".com/page/"), k,
-            F.lit("?a=1&utm_campaign=c"), i, F.lit("&b=2"),
+            F.lit("/~u%2Fws?a=1&utm_campaign=c"), i, F.lit("&b=2"),
         )
     )
     return d.select(

@@ -34,9 +34,31 @@ CASES = [
     ("https://a.com/p?utm_source&q=1", "https://a.com/p?q=1"),
     # path case is significant and preserved
     ("https://a.com/CaseSensitive", "https://a.com/CaseSensitive"),
+    # percent-encoding normalization (§6.2.2.2): unreserved octets
+    # decode, reserved octets keep their triplet with UPPERCASE hex
+    (
+        "https://a.com/%7euser%2fws?x=%7e1",
+        "https://a.com/~user%2Fws?x=~1",
+    ),
+    (
+        "http://a.com/%41%5a%61%7a%30%39%2d%2e%5f%7e",
+        "http://a.com/AZaz09-._~",
+    ),
+    # reserved / non-unreserved stay encoded (space, slash), hex upper
+    ("http://a.com/a%20b?x=%2f", "http://a.com/a%20b?x=%2F"),
+    # a stray '%' not opening a hex pair passes through verbatim
+    ("http://a.com/%zz%", "http://a.com/%zz%"),
+    ("http://a.com/100%?q=1", "http://a.com/100%?q=1"),
     # not an absolute URL: pass through unchanged, never invent parts
     ("notaurl", "notaurl"),
     ("/relative/path?a=1", "/relative/path?a=1"),
+    # authorities beyond the anchored host grammar (userinfo, IPv6
+    # literal) pass through unchanged — never merge distinct sites on
+    # a truncated host, never corrupt the bracket form
+    ("http://alice@a.com/x?b=2&a=1", "http://alice@a.com/x?b=2&a=1"),
+    ("http://alice@b.com/x", "http://alice@b.com/x"),
+    ("http://[2001:db8::1]/x#f", "http://[2001:db8::1]/x#f"),
+    ("HTTP://[2001:db8::1]:80/", "HTTP://[2001:db8::1]:80/"),
 ]
 
 
