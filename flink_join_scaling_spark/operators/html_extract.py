@@ -110,7 +110,13 @@ class _BlockParser(HTMLParser):
         self._link_chars = 0
         text = _WS_RUN.sub(" ", raw).strip(" ")
         if text:
-            self.blocks.append((text, len(text), min(link_chars, len(raw))))
+            # density units must match: the tally is per-segment
+            # collapsed (handle_data) and the cap keeps edge-strip /
+            # cross-segment runs from pushing link/n past 1.0 — both
+            # sides of the jusText rule measure COLLAPSED characters
+            self.blocks.append(
+                (text, len(text), min(link_chars, len(text)))
+            )
 
     # -- parser callbacks ------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
@@ -140,7 +146,7 @@ class _BlockParser(HTMLParser):
             return
         self._buf.append(data)
         if self._link:
-            self._link_chars += len(data)
+            self._link_chars += len(_WS_RUN.sub(" ", data))
 
     def close(self) -> None:  # final unterminated block
         super().close()
@@ -261,7 +267,17 @@ def synth_html(doc_id: int, text: str) -> str:
     subtrees that must vanish entirely. The article text is
     entity-escaped going in and unescaped by the parser, so the
     extracted main text equals the whitespace-collapsed original —
-    the property that makes the oracle statable in SQL."""
+    the property that makes the oracle statable in SQL.
+
+    The footer additionally plants the link-extraction edge cases
+    (r14 verdict What's-wrong #1) so the ``q_extract_links`` driver
+    hash exercises them END-TO-END, not just in unit tests: a
+    ``mailto:`` pseudo-link and a fragment-only ``#top`` href (both
+    must be SKIPPED — no edge), and a path-relative ``legal/cookies``
+    href (must RESOLVE against the page URL's directory per RFC 3986
+    §5). The extra anchor text pushes the footer past the length
+    threshold, so its boilerplate verdict now rests on the link-
+    density rule alone — extraction outputs are unchanged."""
     i = int(doc_id)
     promos = "".join(
         f'<div class="promo"><a href="/buy{k}">Buy now — limited '
@@ -283,7 +299,10 @@ def synth_html(doc_id: int, text: str) -> str:
         "<div>Share this page</div>"
         f"{article}"
         '<footer><a href="/privacy">Privacy</a> '
-        '<a href="/terms">Terms</a> &copy; 2026</footer>'
+        '<a href="/terms">Terms</a> '
+        '<a href="mailto:web@example.com">Email</a> '
+        '<a href="#top">Top</a> '
+        '<a href="legal/cookies">Cookies</a> &copy; 2026</footer>'
         "</body></html>"
     )
 

@@ -4019,7 +4019,8 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     'http://example.com/about',
                     'http://example.com/contact',
                     'http://example.com/privacy',
-                    'http://example.com/terms']) AS t(u)
+                    'http://example.com/terms',
+                    'http://example.com/doc/legal/cookies']) AS t(u)
     ),
     promos AS (
         SELECT doc_id,
@@ -4047,14 +4048,18 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragment-only and javascript:/mailto:/data:/tel: pseudo-links and
     everything inside script/style subtrees.
 
-    Fixture: the planted page template carries exactly 5 fixed
-    chrome links (nav 3 + footer 2, root-relative) plus 2 per promo
-    block (``1 + doc_id % 3`` promos), every one resolved against
-    ``http://example.com/doc/{doc_id}`` to the site origin. The
-    oracle CONSTRUCTS that edge list from doc_id (UNNEST of the five
-    fixed targets + a range-driven promo expansion) — the Spark side
-    must parse real markup, apply real RFC 3986 §5 resolution, and
-    skip the planted pseudo-link classes.
+    Fixture: the planted page template carries 5 root-relative
+    chrome links (nav 3 + footer 2) plus one PATH-relative footer
+    link (``legal/cookies`` — resolves against the page URL's
+    ``/doc/`` directory, pinning §5 directory-join end-to-end), plus
+    2 per promo block (``1 + doc_id % 3`` promos), and two planted
+    NON-edges the parser must skip (a ``mailto:`` pseudo-link and a
+    fragment-only ``#top`` href — present in the markup, absent from
+    the oracle's edge list, so emitting either breaks the driver
+    hash). The oracle CONSTRUCTS the edge list from doc_id (UNNEST
+    of the six fixed targets + a range-driven promo expansion) — the
+    Spark side must parse real markup, apply real RFC 3986 §5
+    resolution, and skip the pseudo-link classes.
 
     Scale shape: one map-only Arrow pass after the fixture attach;
     pages never shuffle, only (id, url) edge rows come back — at

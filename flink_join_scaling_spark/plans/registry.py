@@ -227,6 +227,15 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset(
 #:   is valid UTF-8 throughout, so the decode is byte-identical;
 #:   pinned by tests/test_warc.py's charset/binary-tolerance and
 #:   gz round-trip tests.
+#: - q_extract_html/_apply, q_extract_warc (+ the stream_extract_html
+#:   face): the advisor's link-density unit fix (link chars now
+#:   tallied per-segment COLLAPSED and capped at the collapsed block
+#:   length, so density can no longer exceed 1.0) plus the footer's
+#:   planted link-extraction edge cases. Every fixture block's
+#:   classification is unchanged (fixture anchors carry no whitespace
+#:   runs; the footer stays boilerplate via the density rule), and
+#:   all three queries re-hashed green at sf0.01 immediately after
+#:   the change alongside the two _CHANGED_THIS_ROUND names.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset()
 
 #: Names explicitly deferred from the previous round, ordered at the

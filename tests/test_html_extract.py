@@ -209,15 +209,20 @@ def test_spark_link_extraction_face(spark):
         for r in edges.groupBy("doc_id").count()
         .withColumnRenamed("count", "n").collect()
     }
-    # 5 fixed chrome links + 2 per promo block (1 + doc_id % 3 promos)
-    assert per_doc == {i: 7 + 2 * (i % 3) for i in range(9)}
+    # 5 root-relative chrome links + the path-relative footer link
+    # + 2 per promo block (1 + doc_id % 3 promos); the planted
+    # mailto:/#top footer anchors must contribute NO edge
+    assert per_doc == {i: 8 + 2 * (i % 3) for i in range(9)}
     doc0 = {r.href for r in edges.where("doc_id = 0").collect()}
     assert doc0 == {
         "http://example.com/", "http://example.com/about",
         "http://example.com/contact", "http://example.com/privacy",
         "http://example.com/terms", "http://example.com/buy0",
         "http://example.com/deal0",
+        # legal/cookies joined against the base's /doc/ directory
+        "http://example.com/doc/legal/cookies",
     }
+    assert not any("mailto" in h or "#" in h for h in doc0)
 
 
 def test_links_compose_with_url_canonicalizer(spark):
