@@ -1376,7 +1376,7 @@ def connected_components(
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
     with_bound: bool = False,
-) -> DataFrame | tuple[DataFrame, int | None]:
+) -> DataFrame | tuple[DataFrame, int]:
     """Connected components over a near-duplicate pair list:
     (node, component_id) with component_id = min node id in the
     component. This is the grouping stage every production dedup
@@ -1388,8 +1388,10 @@ def connected_components(
     the symmetrized edge count — a PROVEN upper bound on the number
     of nodes (every component member touches an edge) — which apply
     tails pass to :func:`anti_exclude` as ``known_rows_bound`` to
-    skip its pin-and-count job, or ``None`` when no cheap bound is
-    worth stating. The explicit tuple replaces the r12
+    skip its pin-and-count job. Both the driver and distributed
+    paths always produce the bound (the count is free in both: the
+    driver path has the pairs in hand, the distributed path needs
+    the symmetrized frame anyway). The explicit tuple replaces the r12
     ``_fjss_node_bound`` ad-hoc DataFrame attribute (retired r14 per
     the r13 verdict: any wrapper returned a new object silently
     dropping the attribute, so every caller had to re-remember the
