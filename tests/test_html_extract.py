@@ -243,3 +243,49 @@ def test_links_compose_with_url_canonicalizer(spark):
         "href", canonicalize_url(F.col("href")).alias("c")
     ).collect()
     assert out and all(r.href == r.c for r in out)
+
+
+def test_crawl_graph_feeds_pagerank(spark):
+    """The full crawl-pipeline composition (r14 verdict task 6): the
+    r14 ingestion surface (extract_links → canonicalize_url edge
+    normalization) feeds the r10 graph surface (the PageRank core
+    behind q_dedup_canonical_rank) directly — site chrome targets
+    (/, /about, …), linked from EVERY page, must out-rank the leaf
+    /doc/{i} pages, exactly how a crawl pipeline picks canonical
+    pages from the web graph both stages exist to build."""
+    from flink_join_scaling_spark.functions.urls import canonicalize_url
+    from flink_join_scaling_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"site page body text {i} " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    pages = hx.attach_synth_html(docs, "doc_id", "text").withColumn(
+        "page_url",
+        F.concat(F.lit("http://example.com/doc/"),
+                 F.col("doc_id").cast("string")),
+    )
+    edges = (
+        hx.extract_links(pages, "doc_id", "html", base_col="page_url")
+        .withColumn(
+            "src",
+            canonicalize_url(
+                F.concat(F.lit("http://example.com/doc/"),
+                         F.col("doc_id").cast("string"))
+            ),
+        )
+        .withColumn("dst", canonicalize_url(F.col("href")))
+        .select("src", "dst")
+    )
+    ranks = {
+        r.node: r.r
+        for r in dd.pagerank(edges, "src", "dst", iters=3).collect()
+    }
+    chrome = [
+        "http://example.com/", "http://example.com/about",
+        "http://example.com/contact", "http://example.com/privacy",
+        "http://example.com/terms",
+    ]
+    leaves = [f"http://example.com/doc/{i}" for i in range(20)]
+    assert all(u in ranks for u in chrome + leaves)
+    assert min(ranks[u] for u in chrome) > max(ranks[u] for u in leaves)
