@@ -77,12 +77,31 @@ def main() -> None:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # harness hygiene (r15): release blocks pinned by the query that
+    # just ran. localCheckpoint-pinned stages (q_pipeline_media & co)
+    # otherwise accumulate in the block manager for the whole bench —
+    # ContextCleaner only reclaims them after a driver GC, which a
+    # 128 GiB heap rarely runs — and later queries pay growing memory
+    # pressure for blocks THEY never pinned. Measured on r15's
+    # unchanged q_pipeline_media at sf0.1: clean-session median-of-7
+    # 2.63 s, but 4.64 s in a 30-query-aged session with samples
+    # CLIMBING 3.3→6.1 s; with this release between passes the aged
+    # median returns to 2.78 s and the climb inverts (details in
+    # scripts/plan_audit.py). Runs OUTSIDE the timed region; each
+    # query's own pins live for exactly its own pass.
+    def release_pinned() -> None:
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist(False)
+
     errors: dict[str, str] = {}
     for name in names:
         try:
             force(plans.QUERIES[name].fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — record and keep going
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        release_pinned()
 
     # 3 measured passes per query, then SUB-SECOND queries get 4 more
     # (median-of-7): near the noise floor a single slow pass can read
@@ -101,8 +120,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             passes.pop(name, None)
+            release_pinned()
             return
         passes[name].append(time.perf_counter() - t0)
+        release_pinned()
 
     for _ in range(3):
         for name in names:
