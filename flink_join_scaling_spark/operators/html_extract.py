@@ -49,6 +49,7 @@ __all__ = [
     "extract_main_text",
     "extract_links",
     "resolve_href",
+    "remove_dot_segments",
     "attach_synth_html",
     "synth_html",
 ]
@@ -390,15 +391,68 @@ class _LinkParser(HTMLParser):
             self._skip = max(0, self._skip - 1)
 
 
+_SEGMENT_RE = re.compile(r"^/?[^/]*")
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 ``remove_dot_segments``, verbatim buffer
+    algorithm: ``/a/b/../c`` → ``/a/c``, ``/a/./b`` → ``/a/b``, and
+    ``..`` never climbs above the root. Imperative Python is honest
+    here (the walk is an unbounded stack with no pure-expression
+    form — the reason ``functions/urls.py`` documents §6.2.2.3 as
+    its remaining swap slot); it runs inside the link-extraction
+    Arrow pass, never per-row from the driver."""
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            seg = _SEGMENT_RE.match(inp).group(0)
+            out.append(seg)
+            inp = inp[len(seg):]
+    return "".join(out)
+
+
+def _normalize_resolved_path(target: str) -> str:
+    """Apply the §5.2.4 walk to the PATH of a just-merged reference,
+    leaving any query/fragment suffix untouched (``?x=/../y`` is
+    opaque data, not a path)."""
+    cut = len(target)
+    for ch in "?#":
+        pos = target.find(ch)
+        if pos >= 0:
+            cut = min(cut, pos)
+    return remove_dot_segments(target[:cut]) + target[cut:]
+
+
 def resolve_href(base: str, href: str) -> str:
     """Resolve ``href`` against ``base`` (an absolute URL) with the
     RFC 3986 §5 cases a crawl graph needs: absolute hrefs pass
     through; ``//host/...`` adopts the base scheme; ``/path`` joins
-    the base origin; other relative paths join the base directory.
-    Dot-segment normalization is NOT applied (the documented
-    production swap slot shared with ``functions/urls.py`` — a
-    half-right normalizer is worse than none); query/fragmentless
-    base assumed (crawl frontiers canonicalize first)."""
+    the base origin; other relative paths join the base directory —
+    the two merge cases then run the §5.2.4 dot-segment walk
+    (:func:`remove_dot_segments`), so ``a/../b`` and ``/x/./y``
+    resolve to the spellings a server actually sees. Absolute and
+    protocol-relative hrefs keep their spelling verbatim (their §6
+    normalization is the canonicalize_url stage's job — one owner
+    per normalization). Query/fragmentless base assumed (crawl
+    frontiers canonicalize first)."""
     if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", href):
         return href
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/]*)", base)
@@ -408,11 +462,11 @@ def resolve_href(base: str, href: str) -> str:
     if href.startswith("//"):
         return f"{scheme}:{href}"
     if href.startswith("/"):
-        return f"{scheme}:{origin}{href}"
-    # path-relative: join against the base directory
+        return f"{scheme}:{origin}{_normalize_resolved_path(href)}"
+    # path-relative: join against the base directory (§5.2.3 merge)
     path = base[len(scheme) + 1 + len(origin):]
     directory = path[: path.rfind("/") + 1] or "/"
-    return f"{scheme}:{origin}{directory}{href}"
+    return f"{scheme}:{origin}{_normalize_resolved_path(directory + href)}"
 
 
 def extract_links(

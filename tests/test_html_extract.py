@@ -188,9 +188,37 @@ def test_resolve_href_rfc3986_cases():
         ("http://a.com/doc/5", "https://c.com/w", "https://c.com/w"),
         ("http://a.com", "y", "http://a.com/y"),  # origin-only base
         ("notabase", "/x", "/x"),  # non-absolute base: pass through
+        # §5.2.4 dot-segment walk on the merged path
+        ("http://a.com/doc/5", "../img/p.png", "http://a.com/img/p.png"),
+        ("http://a.com/doc/5", "./y", "http://a.com/doc/y"),
+        ("http://a.com/a/b/c", "../../z", "http://a.com/z"),
+        ("http://a.com/doc/5", "/x/../y/./z", "http://a.com/y/z"),
+        # .. never climbs above the root
+        ("http://a.com/doc/5", "/../../x", "http://a.com/x"),
+        ("http://a.com/", "../..", "http://a.com/"),
+        # trailing dot segments keep the directory form
+        ("http://a.com/a/b/c", "..", "http://a.com/a/"),
+        ("http://a.com/a/b/c", ".", "http://a.com/a/b/"),
+        # query strings are opaque — no walk inside them
+        ("http://a.com/doc/5", "../y?u=/a/../b", "http://a.com/y?u=/a/../b"),
+        ("http://a.com/doc/5", "/p/../q#s/../t", "http://a.com/q#s/../t"),
     ]
     for base, href, exp in cases:
         assert hx.resolve_href(base, href) == exp, (base, href)
+
+
+def test_remove_dot_segments_rfc_examples():
+    # the two worked examples from RFC 3986 §5.2.4 plus edge forms
+    assert hx.remove_dot_segments("/a/b/c/./../../g") == "/a/g"
+    assert hx.remove_dot_segments("mid/content=5/../6") == "mid/6"
+    assert hx.remove_dot_segments("/a/b/..") == "/a/"
+    assert hx.remove_dot_segments("/a/b/.") == "/a/b/"
+    assert hx.remove_dot_segments("/./") == "/"
+    assert hx.remove_dot_segments("/../") == "/"
+    assert hx.remove_dot_segments("..") == ""
+    assert hx.remove_dot_segments(".") == ""
+    assert hx.remove_dot_segments("/a//b/../c") == "/a//c"
+    assert hx.remove_dot_segments("") == ""
 
 
 def test_spark_link_extraction_face(spark):
