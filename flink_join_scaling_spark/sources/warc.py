@@ -49,6 +49,7 @@ real markup.
 
 from __future__ import annotations
 
+import gzip
 import hashlib
 import re
 import zlib
@@ -354,6 +355,7 @@ def attach_synth_warc(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_size: int = 10,
+    gzip_members: bool = False,
 ) -> DataFrame:
     """(warc_id, payload) blobs packing each ``group_size`` consecutive
     ids' documents into one WARC file — the archive-directory stand-in
@@ -361,14 +363,21 @@ def attach_synth_warc(
     carries (id, ~500 B text) rows and is FIXTURE SCAFFOLDING only:
     production reads existing archives via ``binaryFile`` with zero
     shuffles. Documents sort by id within a blob so the fixture bytes
-    are deterministic."""
+    are deterministic. ``gzip_members=True`` emits the Common Crawl
+    ``.warc.gz`` layout instead — every record its own gzip member
+    (``mtime=0`` so the bytes stay deterministic)."""
     from pyspark.sql import functions as F
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
-        blob = synth_warc(
-            [(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])]
-        )
+        group = [(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])]
+        if gzip_members:
+            blob = b"".join(
+                gzip.compress(b, mtime=0)
+                for b in synth_warc_record_blobs(group)
+            )
+        else:
+            blob = synth_warc(group)
         return pd.DataFrame(
             {"warc_id": [int(pdf["__warc_id"].iloc[0])], "payload": [blob]}
         )

@@ -262,6 +262,35 @@ def incremental_ensemble3_chunked(spark, sf_dir: str) -> None:
         flagged.count()
 
 
+def warc_gz_chain(spark, sf_dir: str) -> None:
+    """The q_extract_warc chain over gzip-member-framed archives (the
+    Common Crawl ``.warc.gz`` layout, r15): every record its own gzip
+    member, adding the per-member stdlib-zlib walk to the record
+    explode stage — measures what the decompression constant costs on
+    top of the plain-container chain probed as q_extract_warc."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.sources import warc as wc
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = wc.attach_synth_warc(
+        d, "doc_id", "text", group_size=10, gzip_members=True
+    )
+    recs = wc.parse_warc_records(blobs, "payload")
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("uri", F.col("body").alias("html"))
+    clean = hx.extract_main_text(pages, "uri", "html")
+    clean.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "uri",
+        "main_text",
+    ).write.format("noop").mode("overwrite").save()
+
+
 def streaming_state_probe(spark) -> None:
     """Growth law of the keyed versioned join's per-arrival state cost
     (streaming/joins.py module note): FLAT in versions retained —
@@ -625,6 +654,10 @@ def main() -> None:
         # extraction, two Arrow map stages; wall should track the
         # parse scans linearly like q_extract_html
         "q_extract_warc": plan_probe("q_extract_warc"),
+        # r15: the same chain over the Common Crawl .warc.gz layout
+        # (record-per-member gzip) — isolates the per-member zlib
+        # walk's cost on top of the plain-container chain above
+        "extract_warc (gz members)": lambda sf: warc_gz_chain(spark, sf),
         # r14: URL canonicalization — one JVM projection, zero
         # exchanges; wall should track the scan exactly (the
         # interpreted array/lambda steps are a per-URL constant)

@@ -202,6 +202,32 @@ def test_warc_gz_spark_explode_face(spark):
     assert uris == {f"http://example.com/doc/{i}" for i in (1, 2, 7)}
 
 
+def test_attach_synth_warc_gz_members_equivalent(spark):
+    # the gzip_members fixture face yields the SAME records as the
+    # plain face — only the container framing differs
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * 5) for i in range(12)],
+        "doc_id long, text string",
+    )
+    plain = wc.parse_warc_records(
+        wc.attach_synth_warc(docs, "doc_id", "text", group_size=5)
+    )
+    gz = wc.parse_warc_records(
+        wc.attach_synth_warc(
+            docs, "doc_id", "text", group_size=5, gzip_members=True
+        )
+    )
+    key = ["uri", "warc_type", "http_status", "content_type", "body"]
+
+    def rows(df):  # None-safe sort key (warcinfo rows carry nulls)
+        return sorted(
+            (tuple(r) for r in df.select(key).collect()),
+            key=lambda t: tuple(str(x) for x in t),
+        )
+
+    assert rows(plain) == rows(gz)
+
+
 def test_records_separated_by_blank_line():
     two = wc.synth_warc([DOCS[0]]) + b"\r\n\r\n" + wc.synth_warc([DOCS[1]])
     recs = wc.parse_warc_bytes(two)
