@@ -377,7 +377,9 @@ class _LinkParser(HTMLParser):
         for name, value in attrs:
             if name == "href" and value:
                 v = value.strip()
-                if v.startswith("#"):
+                if not v or v.startswith("#"):
+                    # whitespace-only and fragment-only hrefs are
+                    # same-document references, not crawl edges
                     return
                 if any(
                     v.lower().startswith(s) for s in _NON_LINK_SCHEMES
@@ -441,26 +443,45 @@ def _normalize_resolved_path(target: str) -> str:
     return remove_dot_segments(target[:cut]) + target[cut:]
 
 
+_ABS_HEAD_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$")
+
+
+def _normalize_absolute(url: str) -> str:
+    """§5.2.2 dot-segment walk on an already-absolute target's path
+    (``T.path = remove_dot_segments(R.path)`` applies even when the
+    reference carries its own scheme/authority)."""
+    m = _ABS_HEAD_RE.match(url)
+    if not m or not m.group(2):
+        return url
+    return m.group(1) + _normalize_resolved_path(m.group(2))
+
+
 def resolve_href(base: str, href: str) -> str:
     """Resolve ``href`` against ``base`` (an absolute URL) with the
-    RFC 3986 §5 cases a crawl graph needs: absolute hrefs pass
-    through; ``//host/...`` adopts the base scheme; ``/path`` joins
-    the base origin; other relative paths join the base directory —
-    the two merge cases then run the §5.2.4 dot-segment walk
-    (:func:`remove_dot_segments`), so ``a/../b`` and ``/x/./y``
-    resolve to the spellings a server actually sees. Absolute and
-    protocol-relative hrefs keep their spelling verbatim (their §6
-    normalization is the canonicalize_url stage's job — one owner
-    per normalization). Query/fragmentless base assumed (crawl
-    frontiers canonicalize first)."""
+    RFC 3986 §5 cases a crawl graph needs: absolute hrefs keep their
+    authority; ``//host/...`` adopts the base scheme; ``?query``
+    keeps the base path (§5.3's empty-path row — pagination links);
+    ``/path`` joins the base origin; other relative paths join the
+    base directory (§5.2.3 merge). EVERY resolved target then runs
+    the §5.2.4 dot-segment walk on its path — including
+    carried-scheme references, which §5.2.2 normalizes too; leaving
+    them verbatim would split ``http://h/a/../b`` and the relative
+    ``/a/../b`` into two distinct graph nodes for one page. The §6
+    spelling normalizations (case, ports, percent-encoding) remain
+    the canonicalize_url stage's job. Query/fragmentless base
+    assumed (crawl frontiers canonicalize first)."""
     if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", href):
-        return href
+        return _normalize_absolute(href)
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/]*)", base)
     if not m:
         return href  # non-absolute base: nothing to resolve against
     scheme, origin = m.group(1), m.group(2)
     if href.startswith("//"):
-        return f"{scheme}:{href}"
+        return _normalize_absolute(f"{scheme}:{href}")
+    if not href:
+        return base  # same-document reference (§5.3, empty R)
+    if href.startswith("?"):
+        return base + href  # §5.3 empty path: base path survives
     if href.startswith("/"):
         return f"{scheme}:{origin}{_normalize_resolved_path(href)}"
     # path-relative: join against the base directory (§5.2.3 merge)

@@ -202,9 +202,29 @@ def test_resolve_href_rfc3986_cases():
         # query strings are opaque — no walk inside them
         ("http://a.com/doc/5", "../y?u=/a/../b", "http://a.com/y?u=/a/../b"),
         ("http://a.com/doc/5", "/p/../q#s/../t", "http://a.com/q#s/../t"),
+        # §5.2.2: carried-scheme and protocol-relative references get
+        # the dot walk too — one graph node per target page
+        (
+            "http://a.com/doc/5",
+            "http://example.com/doc/../about",
+            "http://example.com/about",
+        ),
+        ("http://a.com/doc/5", "//b.com/x/./y?q=1", "http://b.com/x/y?q=1"),
+        ("http://a.com/doc/5", "https://c.com", "https://c.com"),
+        # §5.3 empty-path rows: query-only keeps the base PATH
+        # (pagination links), empty href is the base itself
+        ("http://a.com/doc/5", "?page=2", "http://a.com/doc/5?page=2"),
+        ("http://a.com/doc/5", "", "http://a.com/doc/5"),
     ]
     for base, href, exp in cases:
         assert hx.resolve_href(base, href) == exp, (base, href)
+
+
+def test_link_parser_skips_whitespace_only_href():
+    p = hx._LinkParser()
+    p.feed('<a href="   ">blank</a><a href=" /ok ">k</a>')
+    p.close()
+    assert p.hrefs == ["/ok"]
 
 
 def test_remove_dot_segments_rfc_examples():
