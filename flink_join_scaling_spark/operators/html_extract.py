@@ -359,18 +359,29 @@ class _LinkParser(HTMLParser):
     including ones inside boilerplate blocks (link extraction builds
     the web graph; boilerplate classification is a content concern —
     nav links are exactly how a crawler discovers pages). Skips
-    fragment-only and non-web (javascript:/mailto:/data:/tel:)
-    hrefs; ``_SKIP_TAGS`` subtrees stay invisible here too (a script
-    string literal is not a link)."""
+    fragment-only, whitespace-only, and non-web
+    (javascript:/mailto:/data:/tel:) hrefs; ``_SKIP_TAGS`` subtrees
+    stay invisible here too (a script string literal is not a link).
+    The FIRST ``<base href>`` is captured as ``self.base`` (the HTML
+    spec's first-wins rule) — checked ahead of the skip guard because
+    ``<base>`` legally lives inside ``<head>``, which is a skip
+    subtree for text purposes."""
 
     def __init__(self) -> None:
         super().__init__()
         self._skip = 0
+        self.base: str | None = None
         self.hrefs: List[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
+            return
+        if tag == "base" and self.base is None:
+            for name, value in attrs:
+                if name == "href" and value and value.strip():
+                    self.base = value.strip()
+                    break
             return
         if self._skip or tag != "a":
             return
@@ -500,7 +511,10 @@ def extract_links(
     rows, hrefs resolved against ``base_col`` when given (the page's
     own URL) — the web-graph construction stage: these edges are what
     PageRank-style canonical ranking (``q_dedup_canonical_rank``'s
-    algorithm) and frontier scheduling consume at crawl scale.
+    algorithm) and frontier scheduling consume at crawl scale. A
+    page's ``<base href>`` overrides its URL as the resolution base
+    (itself resolved against the page URL first when relative, per
+    the HTML spec).
 
     One map-only Arrow pass; pages never shuffle, only (id, url)
     edge rows come back."""
@@ -517,9 +531,10 @@ def extract_links(
                 p = _LinkParser()
                 p.feed(doc)
                 p.close()
+                eff = resolve_href(b, p.base) if (b and p.base) else b
                 for h in p.hrefs:
                     ids.append(i)
-                    hrefs.append(resolve_href(b, h) if b else h)
+                    hrefs.append(resolve_href(eff, h) if eff else h)
             yield pd.DataFrame({id_col: ids, "href": hrefs})
 
     return df.select(*cols).mapInPandas(

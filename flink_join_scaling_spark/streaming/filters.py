@@ -482,6 +482,31 @@ def stream_extract_html(
     )
 
 
+def stream_extract_links(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str | None = None,
+) -> DataFrame:
+    """Continuous web-graph construction: arriving raw pages explode
+    into their outgoing ``(id, href)`` link edges where they arrive,
+    hrefs resolved against ``base_col`` (and any ``<base href>``) —
+    the frontier-feeding face of the crawl loop: a crawler consumes
+    this stream to schedule fetches while the same pages' text flows
+    through :func:`stream_extract_html`, completing the
+    every-ingest-stage-has-a-streaming-face convention for the r14
+    ingestion family.
+
+    Stateless Arrow ``mapInPandas`` sharing the batch extractor
+    verbatim (``operators.html_extract.extract_links`` — one
+    function, two faces, cannot drift): no state store, no shuffle,
+    no watermark, append mode; edges emit pre-partitioned by the
+    arriving page's partition."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+
+    return hx.extract_links(sdf, id_col, html_col, base_col=base_col)
+
+
 def stream_ingest_warc(
     sdf: DataFrame,
     payload_col: str = "payload",

@@ -227,6 +227,43 @@ def test_link_parser_skips_whitespace_only_href():
     assert p.hrefs == ["/ok"]
 
 
+def test_base_href_overrides_resolution_base(spark):
+    # the HTML spec: <base href> (first wins, legally inside <head>)
+    # replaces the page URL as the resolution base; a relative base
+    # first resolves against the page URL itself
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><head><base href="https://cdn.org/root/">'
+                '<base href="https://second.org/ignored/"></head>'
+                '<body><a href="x">r</a><a href="/y">a</a></body></html>',
+                "http://a.com/doc/1",
+            ),
+            (
+                2,
+                '<html><head><base href="/b/"></head>'
+                '<body><a href="z">r</a></body></html>',
+                "http://a.com/doc/2",
+            ),
+            (
+                3,
+                "<html><body><a href=\"plain\">n</a></body></html>",
+                "http://a.com/doc/3",
+            ),
+        ],
+        "doc_id long, html string, page_url string",
+    )
+    edges = hx.extract_links(pages, "doc_id", "html", base_col="page_url")
+    got = {(r.doc_id, r.href) for r in edges.collect()}
+    assert got == {
+        (1, "https://cdn.org/root/x"),   # path-relative vs <base>
+        (1, "https://cdn.org/y"),        # root-relative vs <base> origin
+        (2, "http://a.com/b/z"),         # relative <base> vs page URL
+        (3, "http://a.com/doc/plain"),   # no <base>: page URL
+    }
+
+
 def test_remove_dot_segments_rfc_examples():
     # the two worked examples from RFC 3986 §5.2.4 plus edge forms
     assert hx.remove_dot_segments("/a/b/c/./../../g") == "/a/g"

@@ -417,6 +417,47 @@ def test_stream_extract_html_matches_batch(streaming_spark, tmp_path):
     assert got == batch
 
 
+def test_stream_extract_links_matches_batch(streaming_spark, tmp_path):
+    """Continuous link extraction emits exactly the batch edge set
+    under chunked page arrival — the faces share one function
+    (operators.html_extract.extract_links), so this pins that the
+    stateless Arrow stage (parse + RFC 3986 §5 resolution, including
+    the planted pseudo-link skips and the path-relative footer href)
+    runs unchanged under readStream."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import (
+        stream_extract_links,
+    )
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    pages = hx.attach_synth_html(docs, "doc_id", "text").withColumn(
+        "page_url",
+        F.concat(
+            F.lit("http://example.com/doc/"), F.col("doc_id").cast("string")
+        ),
+    )
+    batch = sorted(
+        (r.doc_id, r.href)
+        for r in hx.extract_links(
+            pages, "doc_id", "html", base_col="page_url"
+        ).collect()
+    )
+    assert batch and len(batch) > docs.count()  # several edges per page
+
+    sdf = chunked_parquet_stream(spark, pages, str(tmp_path), n_chunks=4)
+    got = sorted(
+        (r.doc_id, r.href)
+        for r in run_to_memory(
+            stream_extract_links(sdf, base_col="page_url"),
+            output_mode="append",
+        ).collect()
+    )
+    assert got == batch
+
+
 def test_stream_ingest_warc_matches_batch(streaming_spark, tmp_path):
     """The full continuous ingestion chain (WARC blobs → records →
     HTTP-200 text/html filter → boilerplate removal) emits exactly
