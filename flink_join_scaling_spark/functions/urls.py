@@ -35,11 +35,15 @@ which DOES apply the dot-segment walk, lives in the Arrow pass of
 ``operators/html_extract.py`` where imperative code is honest.)
 
 Pass-through rule (totality): a string with no ``scheme://`` is not
-an absolute URL, and an authority carrying userinfo (``@``) or an
-IPv6 literal (``[``) is beyond the anchored host grammar below —
-both pass through UNCHANGED rather than risk a misparse that merges
-distinct sites (``http://alice@a.com`` and ``http://alice@b.com``
-must never collide on host ``alice``).
+an absolute URL, and an authority carrying userinfo (``@``), an
+IPv6 literal (``[``), or a malformed port (a ``:`` whose suffix is
+not a pure digit run — ``:80x``) is beyond the anchored host
+grammar below — all pass through UNCHANGED rather than risk a
+misparse that merges distinct sites (``http://alice@a.com`` and
+``http://alice@b.com`` must never collide on host ``alice``) or
+silently truncates bytes (``:80x`` is not port 80). The
+grammatical empty port (``http://h:/``) still normalizes — §6.2.3
+elides it.
 """
 
 from __future__ import annotations
@@ -142,7 +146,17 @@ def canonicalize_url(url: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    passthrough = (p["scheme"] == F.lit("")) | authority.rlike(r"[@\[]")
+    # beyond-grammar authorities pass through unchanged: userinfo
+    # (@), IPv6 literals ([), and a ':' whose suffix is not a pure
+    # digit run to the authority's end — a malformed port like
+    # ':80x' would otherwise be silently truncated or dropped in
+    # reassembly (':' empty-port IS grammatical and elides per
+    # §6.2.3, so the lookahead allows zero digits)
+    passthrough = (
+        (p["scheme"] == F.lit(""))
+        | authority.rlike(r"[@\[]")
+        | authority.rlike(r":(?!\d*$)")
+    )
     return F.when(passthrough, url).otherwise(
         F.concat(p["scheme"], F.lit("://"), p["host"], port, path, query)
     )

@@ -59,6 +59,13 @@ CASES = [
     ("http://alice@b.com/x", "http://alice@b.com/x"),
     ("http://[2001:db8::1]/x#f", "http://[2001:db8::1]/x#f"),
     ("HTTP://[2001:db8::1]:80/", "HTTP://[2001:db8::1]:80/"),
+    # malformed port: not a digit run to the authority's end — pass
+    # through rather than silently truncate ':80x' / ':8080abc'
+    ("http://h.com:80x/p", "http://h.com:80x/p"),
+    ("http://h.com:8080abc/p?b=1", "http://h.com:8080abc/p?b=1"),
+    # the GRAMMATICAL empty port still normalizes away (§6.2.3)
+    ("http://h.com:/p", "http://h.com/p"),
+    ("HTTPS://H.com:443/p", "https://h.com/p"),
 ]
 
 
