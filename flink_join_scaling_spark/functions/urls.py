@@ -88,9 +88,18 @@ def pct_normalize(s: Column) -> Column:
     unreserved character — ALPHA / DIGIT / ``-._~``) or re-emit the
     triplet with UPPERCASE hex; fragments that don't open with a hex
     pair (a literal stray ``%``) are re-emitted verbatim, so the
-    function is total over dirty input. The array lambda is
-    interpreted per ``%`` (the round-4 HOF caveat) — a per-URL
-    constant for real URLs, not a per-token blowup."""
+    function is total over dirty input. Apply ONCE: on well-formed
+    input (every ``%`` opens a triplet) the result is a fixed point
+    (decoded unreserved characters never include ``%``, and ``%25``
+    is reserved so it stays encoded), but a stray ``%`` followed by a
+    decode can assemble an artifact triplet — ``%4%41`` → ``%4A``,
+    which a SECOND application would decode to ``J``. That is
+    inherent to the §6.2.2.2 rule on malformed input (an independent
+    ``re.sub`` reference engine does the same — see the differential
+    test), not an implementation quirk; canonicalize_url applies it
+    exactly once. The array lambda is interpreted per ``%`` (the
+    round-4 HOF caveat) — a per-URL constant for real URLs, not a
+    per-token blowup."""
     parts = F.split(s, "%", -1)
 
     def fix(x: Column, i: Column) -> Column:

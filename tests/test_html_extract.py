@@ -264,6 +264,41 @@ def test_base_href_overrides_resolution_base(spark):
     }
 
 
+def test_resolve_href_matches_stdlib_urljoin():
+    """Cross-check against the stdlib's independent RFC 3986 §5
+    implementation over a combinatorial corpus. The ONLY allowed
+    divergence class: references that carry their own scheme or
+    authority, where urllib skips the §5.2.2 dot-segment walk
+    (a known stdlib lenience — T.path = remove_dot_segments(R.path)
+    applies to every resolution target) and resolve_href applies it;
+    for those, resolve_href must equal urljoin POST-normalized."""
+    from urllib.parse import urljoin
+
+    bases = [
+        "http://a.com/doc/5", "http://a.com/a/b/c",
+        "http://a.com/", "http://a.com",
+    ]
+    hrefs = [
+        "/x", "y", "./y", "../y", "../../z", "../../../w",
+        "//b.com/z", "https://c.com/w", "?page=2", "",
+        "/x/../y/./z", "a/../b", "..", ".", "../y?u=/a/../b",
+        "/p/../q#s", "x/y/../z", "./", "../", "x/",
+        "http://e.com/doc/../about", "//b.com/x/./y?q=1",
+        "https://c.com",
+    ]
+    for b in bases:
+        for h in hrefs:
+            mine, ref = hx.resolve_href(b, h), urljoin(b, h)
+            if mine == ref:
+                continue
+            # divergence must be exactly the carried-scheme/authority
+            # dot-walk class: normalizing urljoin's output closes it
+            assert h.startswith(("http", "//")), (b, h, mine, ref)
+            assert mine == hx._normalize_absolute(
+                ref if h.startswith("//") else h
+            ), (b, h, mine, ref)
+
+
 def test_remove_dot_segments_rfc_examples():
     # the two worked examples from RFC 3986 §5.2.4 plus edge forms
     assert hx.remove_dot_segments("/a/b/c/./../../g") == "/a/g"

@@ -69,6 +69,55 @@ CASES = [
 ]
 
 
+def test_pct_normalize_differential_all_octets(spark):
+    """Differential check of the pct_normalize JVM expression against
+    an independent pure-Python engine (re.sub over the same RFC
+    §6.2.2.2 rule) across ALL 256 octets in upper/lower hex plus
+    malformed-% contexts — one Spark pass. Idempotence is asserted
+    for WELL-FORMED inputs only: on a stray ``%`` a decode can
+    assemble an artifact triplet (``%4%41`` → ``%4A`` → ``J``), an
+    inherent property of the rule that the reference engine shares —
+    the docstring pins the apply-once contract."""
+    import re as _re
+
+    from flink_join_scaling_spark.functions.urls import pct_normalize
+
+    def ref(s: str) -> str:
+        def fix(m):
+            pair = m.group(1).upper()
+            code = int(pair, 16)
+            if (
+                0x41 <= code <= 0x5A
+                or 0x61 <= code <= 0x7A
+                or 0x30 <= code <= 0x39
+                or code in (0x2D, 0x2E, 0x5F, 0x7E)
+            ):
+                return chr(code)
+            return "%" + pair
+        return _re.sub(r"%([0-9A-Fa-f]{2})", fix, s)
+
+    cases = [f"/a%{b:02x}b" for b in range(256)]
+    cases += [f"/a%{b:02X}b" for b in range(0, 256, 7)]
+    cases += [
+        "", "%", "%%", "%4", "%4%41", "%%41", "%zz", "100%",
+        "%252F", "a%20b%2fc%7E", "%2F%2f%2D%2e", "trailing%",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select(
+        "s",
+        pct_normalize(F.col("s")).alias("once"),
+        pct_normalize(pct_normalize(F.col("s"))).alias("twice"),
+    ).collect()
+    well_formed = _re.compile(r"^(?:[^%]|%[0-9A-Fa-f]{2})*$")
+    for r in out:
+        assert r.once == ref(r.s), (r.s, r.once, ref(r.s))
+        if well_formed.match(r.s):
+            assert r.twice == r.once, (r.s, r.once, r.twice)
+        else:
+            # both engines share the artifact-triplet property
+            assert ref(r.once) == r.twice, (r.s, r.once, r.twice)
+
+
 def test_canonicalize_url_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
     got = [
