@@ -156,15 +156,17 @@ def canonicalize_url(url: Column) -> Column:
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
     # beyond-grammar authorities pass through unchanged: userinfo
-    # (@), IPv6 literals ([), and a ':' whose suffix is not a pure
-    # digit run to the authority's end — a malformed port like
-    # ':80x' would otherwise be silently truncated or dropped in
-    # reassembly (':' empty-port IS grammatical and elides per
-    # §6.2.3, so the lookahead allows zero digits)
+    # (@), IPv6 literals ([), and a ':' with any non-digit after it
+    # — i.e. a port suffix that is not a pure digit run — since a
+    # malformed port like ':80x' would otherwise be silently
+    # truncated or dropped in reassembly. (':' empty-port IS
+    # grammatical and elides per §6.2.3 — no non-digit follows it.)
+    # Lookahead-free on purpose: the module contract promises
+    # RE2-compatible character-class regexes.
     passthrough = (
         (p["scheme"] == F.lit(""))
         | authority.rlike(r"[@\[]")
-        | authority.rlike(r":(?!\d*$)")
+        | authority.rlike(r":.*[^0-9]")
     )
     return F.when(passthrough, url).otherwise(
         F.concat(p["scheme"], F.lit("://"), p["host"], port, path, query)

@@ -363,21 +363,28 @@ class _LinkParser(HTMLParser):
     (javascript:/mailto:/data:/tel:) hrefs; ``_SKIP_TAGS`` subtrees
     stay invisible here too (a script string literal is not a link).
     The FIRST ``<base href>`` is captured as ``self.base`` (the HTML
-    spec's first-wins rule) — checked ahead of the skip guard because
-    ``<base>`` legally lives inside ``<head>``, which is a skip
-    subtree for text purposes."""
+    spec's first-wins rule) — ``<base>`` legally lives inside
+    ``<head>``, which is a skip subtree for text purposes, so the
+    capture tolerates head-depth skips specifically; a ``<base>``
+    inside any OTHER skip subtree (template/svg/noscript — inert or
+    foreign content a browser would never honor) is ignored, else an
+    author-controlled template could rebase every link on the
+    page."""
 
     def __init__(self) -> None:
         super().__init__()
         self._skip = 0
+        self._head = 0
         self.base: str | None = None
         self.hrefs: List[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip += 1
+            if tag == "head":
+                self._head += 1
             return
-        if tag == "base" and self.base is None:
+        if tag == "base" and self.base is None and self._skip == self._head:
             for name, value in attrs:
                 if name == "href" and value and value.strip():
                     self.base = value.strip()
@@ -402,6 +409,8 @@ class _LinkParser(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
+            if tag == "head":
+                self._head = max(0, self._head - 1)
 
 
 _SEGMENT_RE = re.compile(r"^/?[^/]*")
@@ -471,34 +480,69 @@ def resolve_href(base: str, href: str) -> str:
     """Resolve ``href`` against ``base`` (an absolute URL) with the
     RFC 3986 §5 cases a crawl graph needs: absolute hrefs keep their
     authority; ``//host/...`` adopts the base scheme; ``?query``
-    keeps the base path (§5.3's empty-path row — pagination links);
-    ``/path`` joins the base origin; other relative paths join the
-    base directory (§5.2.3 merge). EVERY resolved target then runs
-    the §5.2.4 dot-segment walk on its path — including
-    carried-scheme references, which §5.2.2 normalizes too; leaving
-    them verbatim would split ``http://h/a/../b`` and the relative
-    ``/a/../b`` into two distinct graph nodes for one page. The §6
-    spelling normalizations (case, ports, percent-encoding) remain
-    the canonicalize_url stage's job. Query/fragmentless base
-    assumed (crawl frontiers canonicalize first)."""
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", href):
-        return _normalize_absolute(href)
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/]*)", base)
+    REPLACES the base query while keeping the base path (§5.3's
+    empty-path row — pagination links); ``/path`` joins the base
+    origin; other relative paths join the base directory (§5.2.3
+    merge). The base's own query and fragment never leak into a
+    joined path — the crawl pipeline's canonicalize_url PRESERVES
+    queries, so frontier bases routinely carry them — and an empty
+    reference returns the base minus its fragment (§5.3, empty R).
+    EVERY resolved target then runs the §5.2.4 dot-segment walk on
+    its path — including carried-scheme references, which §5.2.2
+    normalizes too; leaving them verbatim would split
+    ``http://h/a/../b`` and the relative ``/a/../b`` into two
+    distinct graph nodes for one page. The §6 spelling
+    normalizations (case, ports, percent-encoding) remain the
+    canonicalize_url stage's job."""
+    m_abs = _ABS_HEAD_RE.match(href)
+    if m_abs:  # carries its own scheme://authority
+        rest = m_abs.group(2)
+        if not rest:
+            return href
+        return m_abs.group(1) + _normalize_resolved_path(rest)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/?#]*)", base)
     if not m:
         return href  # non-absolute base: nothing to resolve against
     scheme, origin = m.group(1), m.group(2)
     if href.startswith("//"):
         return _normalize_absolute(f"{scheme}:{href}")
+    # base PATH only — its query/fragment never joins (§5.3)
+    tail = base[len(scheme) + 1 + len(origin):]
+    cut = len(tail)
+    for ch in "?#":
+        q = tail.find(ch)
+        if q >= 0:
+            cut = min(cut, q)
+    path = tail[:cut]
     if not href:
-        return base  # same-document reference (§5.3, empty R)
+        # same-document reference: base minus fragment (§5.3 empty R
+        # keeps the base query, drops the base fragment)
+        return base.split("#", 1)[0]
     if href.startswith("?"):
-        return base + href  # §5.3 empty path: base path survives
+        return f"{scheme}:{origin}{path}{href}"
     if href.startswith("/"):
         return f"{scheme}:{origin}{_normalize_resolved_path(href)}"
     # path-relative: join against the base directory (§5.2.3 merge)
-    path = base[len(scheme) + 1 + len(origin):]
     directory = path[: path.rfind("/") + 1] or "/"
     return f"{scheme}:{origin}{_normalize_resolved_path(directory + href)}"
+
+
+def _effective_base(page_url: str | None, base_val: str | None) -> str | None:
+    """The resolution base for one page: its ``<base href>`` (minus
+    any fragment — §5.1 ignores the base's fragment, and the common
+    ``<base href="#">`` hack must mean "the page itself") resolved
+    against the page URL when relative, or used directly when
+    absolute even if the page URL is missing — a page that declares
+    an absolute base is resolvable without one."""
+    if base_val:
+        base_val = base_val.split("#", 1)[0]
+    if not base_val:
+        return page_url
+    if page_url:
+        return resolve_href(page_url, base_val)
+    if _ABS_HEAD_RE.match(base_val):
+        return _normalize_absolute(base_val)
+    return page_url  # relative <base> with no page URL: unusable
 
 
 def extract_links(
@@ -531,7 +575,9 @@ def extract_links(
                 p = _LinkParser()
                 p.feed(doc)
                 p.close()
-                eff = resolve_href(b, p.base) if (b and p.base) else b
+                # nulls arrive as None/NaN in the Arrow batch
+                b = b if isinstance(b, str) and b else None
+                eff = _effective_base(b, p.base) if base_col else None
                 for h in p.hrefs:
                     ids.append(i)
                     hrefs.append(resolve_href(eff, h) if eff else h)

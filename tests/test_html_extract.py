@@ -215,9 +215,29 @@ def test_resolve_href_rfc3986_cases():
         # (pagination links), empty href is the base itself
         ("http://a.com/doc/5", "?page=2", "http://a.com/doc/5?page=2"),
         ("http://a.com/doc/5", "", "http://a.com/doc/5"),
+        # bases CARRY queries in this pipeline (canonicalize_url
+        # preserves them): ?href REPLACES the base query, a joined
+        # path never absorbs base query/fragment text, and an empty
+        # reference drops only the base fragment
+        ("http://a.com/page?a=1", "?page=2", "http://a.com/page?page=2"),
+        ("http://a.com/page?u=/a/", "x", "http://a.com/x"),
+        ("http://a.com/d/p?q=1", "y", "http://a.com/d/y"),
+        ("http://a.com/d/p?q=1#f", "", "http://a.com/d/p?q=1"),
+        ("http://a.com/d/p#f", "/z", "http://a.com/z"),
+        # origin-only base with a query: the path is still "/"
+        ("http://a.com?x=1", "/y", "http://a.com/y"),
+        ("http://a.com?x=1", "y", "http://a.com/y"),
     ]
     for base, href, exp in cases:
         assert hx.resolve_href(base, href) == exp, (base, href)
+        # the stdlib agrees on every query/fragment-bearing-base case
+        # except the empty reference, where urllib keeps the base
+        # FRAGMENT (a urljoin special case) and RFC 3986 §5.3 drops
+        # it (an empty reference carries no fragment)
+        from urllib.parse import urljoin
+
+        if ("?" in base or "#" in base) and href != "":
+            assert hx.resolve_href(base, href) == urljoin(base, href)
 
 
 def test_link_parser_skips_whitespace_only_href():
@@ -264,6 +284,55 @@ def test_base_href_overrides_resolution_base(spark):
     }
 
 
+def test_base_href_edge_cases(spark):
+    pages = spark.createDataFrame(
+        [
+            # the <base href="#"> hack means "the page itself" — the
+            # base's fragment is ignored (§5.1), never baked into edges
+            (
+                1,
+                '<html><head><base href="#"></head>'
+                '<body><a href="?p=2">next</a></body></html>',
+                "http://a.com/doc/1",
+            ),
+            # <base> inside a template is inert content — a browser
+            # never honors it, so neither does the graph
+            (
+                2,
+                '<html><body><template>'
+                '<base href="https://evil.example/"></template>'
+                '<a href="x">l</a></body></html>',
+                "http://a.com/doc/2",
+            ),
+            # an ABSOLUTE <base> makes the page resolvable even when
+            # the page URL column is null
+            (
+                3,
+                '<html><head><base href="https://cdn.org/r/#frag">'
+                "</head><body><a href=\"x\">l</a></body></html>",
+                None,
+            ),
+            # relative <base> with no page URL: unusable, hrefs pass
+            # through raw rather than being invented
+            (
+                4,
+                '<html><head><base href="/b/"></head>'
+                "<body><a href=\"x\">l</a></body></html>",
+                None,
+            ),
+        ],
+        "doc_id long, html string, page_url string",
+    )
+    edges = hx.extract_links(pages, "doc_id", "html", base_col="page_url")
+    got = {(r.doc_id, r.href) for r in edges.collect()}
+    assert got == {
+        (1, "http://a.com/doc/1?p=2"),
+        (2, "http://a.com/doc/x"),
+        (3, "https://cdn.org/r/x"),
+        (4, "x"),
+    }
+
+
 def test_resolve_href_matches_stdlib_urljoin():
     """Cross-check against the stdlib's independent RFC 3986 §5
     implementation over a combinatorial corpus. The ONLY allowed
@@ -277,6 +346,7 @@ def test_resolve_href_matches_stdlib_urljoin():
     bases = [
         "http://a.com/doc/5", "http://a.com/a/b/c",
         "http://a.com/", "http://a.com",
+        "http://a.com/page?a=1", "http://a.com/s/t?u=/a/../v#frag",
     ]
     hrefs = [
         "/x", "y", "./y", "../y", "../../z", "../../../w",
@@ -286,17 +356,31 @@ def test_resolve_href_matches_stdlib_urljoin():
         "http://e.com/doc/../about", "//b.com/x/./y?q=1",
         "https://c.com",
     ]
+    import re as _re
+
+    def walked(url: str) -> str:
+        # INDEPENDENT expectation for the divergence class: split the
+        # scheme://authority head off urljoin's output and let
+        # urljoin itself run the dot walk by re-resolving the tail as
+        # a root-relative reference — no engine code involved
+        m = _re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$", url)
+        head, tail = m.group(1), m.group(2)
+        return urljoin(head + "/x", tail) if tail else url
+
     for b in bases:
         for h in hrefs:
             mine, ref = hx.resolve_href(b, h), urljoin(b, h)
             if mine == ref:
                 continue
+            if h == "":
+                # urljoin keeps the base FRAGMENT on an empty
+                # reference; §5.3 drops it (empty R has no fragment)
+                assert mine == ref.split("#", 1)[0], (b, mine, ref)
+                continue
             # divergence must be exactly the carried-scheme/authority
-            # dot-walk class: normalizing urljoin's output closes it
+            # dot-walk class, and the walked urljoin output closes it
             assert h.startswith(("http", "//")), (b, h, mine, ref)
-            assert mine == hx._normalize_absolute(
-                ref if h.startswith("//") else h
-            ), (b, h, mine, ref)
+            assert mine == walked(ref), (b, h, mine, ref, walked(ref))
 
 
 def test_remove_dot_segments_rfc_examples():
