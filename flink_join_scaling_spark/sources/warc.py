@@ -69,6 +69,9 @@ __all__ = [
 _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
 _GZIP_MAGIC = b"\x1f\x8b"
+#: feed size for the gz member walk — module-level so tests can
+#: shrink it to force member headers/trailers across chunk seams
+_GZ_CHUNK = 1 << 18
 _CHARSET_RE = re.compile(r"charset=\"?([A-Za-z0-9_.:\-]+)\"?", re.I)
 
 
@@ -87,7 +90,7 @@ def _gzip_members(payload: bytes) -> Iterator[bytes]:
     (~100k members in a real 1 GB archive). With bounded chunks every
     archive byte is fed exactly once and ``unused_data`` is at most
     one chunk."""
-    chunk_size = 1 << 18
+    chunk_size = _GZ_CHUNK
     mv = memoryview(payload)
     pos = 0
     n = len(payload)

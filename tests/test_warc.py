@@ -105,6 +105,23 @@ def test_warc_gz_multi_record_member_and_single_member():
     assert wc.parse_warc_bytes(whole) == plain
 
 
+def test_warc_gz_chunk_seams(monkeypatch):
+    """The bounded-chunk walk at pathological feed sizes: every chunk
+    size from 1 byte up forces gzip member headers, deflate data, and
+    8-byte trailers to straddle chunk seams — the paths the 256 KiB
+    production chunk never exercises on small fixtures. Parse must be
+    byte-identical at every size, and truncation must stay loud."""
+    blobs = wc.synth_warc_record_blobs(DOCS)
+    gz = b"".join(gzip.compress(b, mtime=0) for b in blobs)
+    expected = wc.parse_warc_bytes(gz)
+    for size in (1, 2, 3, 5, 7, 8, 9, 16, 31, 64, 1009):
+        monkeypatch.setattr(wc, "_GZ_CHUNK", size)
+        assert wc.parse_warc_bytes(gz) == expected, size
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            wc.parse_warc_bytes(gz[:-3])
+    monkeypatch.setattr(wc, "_GZ_CHUNK", 1 << 18)
+
+
 def test_warc_gz_strict_refusals():
     blobs = wc.synth_warc_record_blobs(DOCS)
     gz = b"".join(gzip.compress(b, mtime=0) for b in blobs)
