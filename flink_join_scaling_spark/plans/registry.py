@@ -107,62 +107,68 @@ def query(
 _LAST_GREEN: dict[str, int] = {
     "q_agg_cube": 14, "q_agg_distinct": 14, "q_agg_group": 14,
     "q_agg_grouping_sets": 13, "q_agg_rollup": 14, "q_agg_skew_salted": 13,
-    "q_approx_distinct": 14, "q_approx_quantiles": 13, "q_array_explode": 14,
-    "q_array_funcs": 14, "q_audio_resample": 11, "q_bm25": 14,
-    "q_bpe_encode": 11, "q_bpe_train": 11, "q_cms_freq": 11,
+    "q_approx_distinct": 14, "q_approx_quantiles": 13,
+    "q_array_explode": 14, "q_array_funcs": 14, "q_audio_resample": 15,
+    "q_bm25": 14, "q_bpe_encode": 15, "q_bpe_train": 15, "q_cms_freq": 15,
     "q_cohort_retention": 13, "q_collocations": 14, "q_date_funcs": 14,
-    "q_decontaminate": 11, "q_decontaminate_apply": 12,
-    "q_decontaminate_fuzzy": 11, "q_decontaminate_semantic": 13,
-    "q_dedup_apply": 12, "q_dedup_audiohash": 11,
-    "q_dedup_audiohash_apply": 11, "q_dedup_canonical_rank": 14,
-    "q_dedup_components": 11, "q_dedup_containment": 13,
+    "q_decontaminate": 15, "q_decontaminate_apply": 12,
+    "q_decontaminate_fuzzy": 15, "q_decontaminate_semantic": 13,
+    "q_dedup_apply": 12, "q_dedup_audiohash": 15,
+    "q_dedup_audiohash_apply": 15, "q_dedup_canonical_rank": 14,
+    "q_dedup_components": 15, "q_dedup_containment": 13,
     "q_dedup_embedding": 14, "q_dedup_embedding_ivf": 14,
-    "q_dedup_ensemble": 11, "q_dedup_ensemble_apply": 12, "q_dedup_exact": 13,
-    "q_dedup_exact_apply": 11, "q_dedup_frames": 11, "q_dedup_keep_best": 12,
-    "q_dedup_latest": 11, "q_dedup_latest_by_key": 12, "q_dedup_lines": 13,
-    "q_dedup_minhash": 13, "q_dedup_minhash_ml": 13, "q_dedup_ngram": 11,
-    "q_dedup_phash": 11, "q_dedup_phash_apply": 11, "q_dedup_phash_jpeg": 12,
-    "q_dedup_phash_mixed": 12, "q_dedup_phash_progressive": 13,
-    "q_dedup_semantic": 11, "q_dedup_semantic_apply": 11,
-    "q_dedup_simhash": 11, "q_dedup_spans": 11, "q_dedup_spans_apply": 11,
-    "q_dedup_videos": 12, "q_dedup_weights": 11, "q_dedup_winnow": 13,
+    "q_dedup_ensemble": 15, "q_dedup_ensemble_apply": 12,
+    "q_dedup_exact": 13, "q_dedup_exact_apply": 15, "q_dedup_frames": 15,
+    "q_dedup_keep_best": 12, "q_dedup_latest": 15,
+    "q_dedup_latest_by_key": 12, "q_dedup_lines": 13,
+    "q_dedup_minhash": 13, "q_dedup_minhash_ml": 13, "q_dedup_ngram": 15,
+    "q_dedup_phash": 15, "q_dedup_phash_apply": 15,
+    "q_dedup_phash_jpeg": 12, "q_dedup_phash_mixed": 12,
+    "q_dedup_phash_progressive": 13, "q_dedup_semantic": 15,
+    "q_dedup_semantic_apply": 15, "q_dedup_simhash": 15,
+    "q_dedup_spans": 15, "q_dedup_spans_apply": 15, "q_dedup_videos": 12,
+    "q_dedup_weights": 15, "q_dedup_winnow": 13,
     "q_dedup_winnow_apply": 13, "q_dq_profile": 13, "q_dq_rules": 13,
     "q_dsir_select": 12, "q_dsir_weights": 12, "q_ema": 13,
-    "q_embed_centroids": 11, "q_embed_outliers": 14, "q_entity_resolution": 13,
-    "q_extract_html": 14, "q_extract_html_apply": 14, "q_extract_links": 14,
+    "q_embed_centroids": 15, "q_embed_outliers": 14,
+    "q_entity_resolution": 13, "q_extract_html": 14,
+    "q_extract_html_apply": 14, "q_extract_links": 15,
     "q_extract_warc": 14, "q_fingerprint": 13, "q_funnel": 12,
     "q_fuzzy_match": 13, "q_gapfill": 13, "q_gopher_rules": 13,
     "q_graph_triangles": 14, "q_hard_negatives": 12,
     "q_hard_negatives_ann": 13, "q_heavy_hitters": 14,
     "q_higher_order_funcs": 13, "q_histogram": 13, "q_hll_rollup": 14,
-    "q_inverted_index": 11, "q_join_anti": 12, "q_join_asof": 12,
+    "q_inverted_index": 15, "q_join_anti": 12, "q_join_asof": 12,
     "q_join_bloom_reduced": 14, "q_join_full_outer": 13,
-    "q_join_full_outer_seq": 14, "q_join_inner": 14, "q_join_left_outer": 14,
-    "q_join_left_outer_seq": 14, "q_join_range": 12, "q_join_semi": 12,
-    "q_join_skew_salted": 13, "q_json_funcs": 13, "q_knn_labels": 12,
-    "q_lang_id": 13, "q_length_buckets": 11, "q_lm_bigram": 12,
-    "q_lm_bigram_hashed": 13, "q_lm_score": 14, "q_math_funcs": 14,
-    "q_mixture_budget": 12, "q_mixture_temperature": 12,
-    "q_mixture_weights": 14, "q_mmr_select": 13, "q_multimodal_features": 11,
-    "q_multimodal_frames": 11, "q_multimodal_frames_real": 11,
-    "q_multimodal_meta": 11, "q_multimodal_resize": 11, "q_nb_confusion": 12,
-    "q_nb_lang_apply": 12, "q_nb_lang_train": 12, "q_novelty": 12,
-    "q_pack_sequences": 11, "q_percentiles": 12, "q_pii_redact": 11,
-    "q_pipeline_audio": 12, "q_pipeline_e2e": 14, "q_pipeline_media": 11,
-    "q_pipeline_trained": 12, "q_pivot": 12, "q_ppl_buckets": 14,
-    "q_quality_classifier": 12, "q_quality_classifier_apply": 12,
-    "q_quality_filter": 12, "q_quality_score": 12, "q_quantize_embeddings": 13,
-    "q_repetition": 11, "q_retrieval_rrf": 14, "q_rollup_multires": 13,
-    "q_sample_hash": 11, "q_sample_stratified": 11, "q_scalar_subquery": 13,
-    "q_scan_filter_project": 14, "q_scd2_intervals": 13, "q_sessionize": 12,
-    "q_set_except": 14, "q_set_intersect": 14, "q_set_union": 14,
-    "q_shard_assignment": 14, "q_sim_ann_ivf": 11, "q_sim_ann_ivf_trained": 13,
-    "q_sim_ann_lsh": 14, "q_sim_ann_persisted": 13, "q_sim_ann_pq": 11,
-    "q_sim_topk": 12, "q_sim_topk_pandas": 11, "q_snapshot_diff": 14,
-    "q_source_cap": 11, "q_source_drift": 14, "q_source_overlap": 14,
-    "q_source_stats": 12, "q_split_leakage_safe": 14, "q_stream_dedup": 11,
-    "q_stream_join": 13, "q_stream_session": 11, "q_stream_sliding": 11,
-    "q_stream_tumbling": 11, "q_string_funcs": 14, "q_text_chunks": 13,
+    "q_join_full_outer_seq": 14, "q_join_inner": 14,
+    "q_join_left_outer": 14, "q_join_left_outer_seq": 14,
+    "q_join_range": 12, "q_join_semi": 12, "q_join_skew_salted": 13,
+    "q_json_funcs": 13, "q_knn_labels": 12, "q_lang_id": 13,
+    "q_length_buckets": 15, "q_lm_bigram": 12, "q_lm_bigram_hashed": 13,
+    "q_lm_score": 14, "q_math_funcs": 14, "q_mixture_budget": 12,
+    "q_mixture_temperature": 12, "q_mixture_weights": 14,
+    "q_mmr_select": 13, "q_multimodal_features": 15,
+    "q_multimodal_frames": 15, "q_multimodal_frames_real": 15,
+    "q_multimodal_meta": 15, "q_multimodal_resize": 15,
+    "q_nb_confusion": 12, "q_nb_lang_apply": 12, "q_nb_lang_train": 12,
+    "q_novelty": 12, "q_pack_sequences": 15, "q_percentiles": 12,
+    "q_pii_redact": 15, "q_pipeline_audio": 12, "q_pipeline_e2e": 14,
+    "q_pipeline_media": 15, "q_pipeline_trained": 12, "q_pivot": 12,
+    "q_ppl_buckets": 14, "q_quality_classifier": 12,
+    "q_quality_classifier_apply": 12, "q_quality_filter": 12,
+    "q_quality_score": 12, "q_quantize_embeddings": 13, "q_repetition": 15,
+    "q_retrieval_rrf": 14, "q_rollup_multires": 13, "q_sample_hash": 15,
+    "q_sample_stratified": 15, "q_scalar_subquery": 13,
+    "q_scan_filter_project": 14, "q_scd2_intervals": 13,
+    "q_sessionize": 12, "q_set_except": 14, "q_set_intersect": 14,
+    "q_set_union": 14, "q_shard_assignment": 14, "q_sim_ann_ivf": 15,
+    "q_sim_ann_ivf_trained": 13, "q_sim_ann_lsh": 14,
+    "q_sim_ann_persisted": 13, "q_sim_ann_pq": 15, "q_sim_topk": 12,
+    "q_sim_topk_pandas": 15, "q_snapshot_diff": 14, "q_source_cap": 15,
+    "q_source_drift": 14, "q_source_overlap": 14, "q_source_stats": 12,
+    "q_split_leakage_safe": 14, "q_stream_dedup": 15, "q_stream_join": 13,
+    "q_stream_session": 15, "q_stream_sliding": 15,
+    "q_stream_tumbling": 15, "q_string_funcs": 14, "q_text_chunks": 13,
     "q_text_stats": 13, "q_tfidf": 14, "q_token_count": 13,
     "q_tokenizer_fertility": 13, "q_topk": 14, "q_tpch_q10_returns": 12,
     "q_tpch_q11_important_stock": 12, "q_tpch_q12_priority_class": 12,
@@ -172,12 +178,12 @@ _LAST_GREEN: dict[str, int] = {
     "q_tpch_q19_disjunctive_rev": 12, "q_tpch_q1_pricing": 14,
     "q_tpch_q20_excess_suppliers": 12, "q_tpch_q21_waiting_suppliers": 13,
     "q_tpch_q22_dormant_customers": 13, "q_tpch_q2_min_cost_supplier": 12,
-    "q_tpch_q3_shipping": 11, "q_tpch_q4_late_orders": 12,
-    "q_tpch_q5_local_supplier": 11, "q_tpch_q6_forecast": 11,
+    "q_tpch_q3_shipping": 15, "q_tpch_q4_late_orders": 12,
+    "q_tpch_q5_local_supplier": 15, "q_tpch_q6_forecast": 15,
     "q_tpch_q7_nation_volume": 13, "q_tpch_q8_market_share": 12,
     "q_tpch_q9_product_profit": 12, "q_transition_matrix": 13,
-    "q_triplet_mining": 13, "q_unpivot": 12, "q_url_canonicalize": 14,
-    "q_value_outliers": 12, "q_vocab_df": 11, "q_window_analytic": 14,
+    "q_triplet_mining": 13, "q_unpivot": 12, "q_url_canonicalize": 15,
+    "q_value_outliers": 12, "q_vocab_df": 15, "q_window_analytic": 14,
     "q_window_distribution": 13, "q_window_range_frame": 13,
     "q_window_rank": 14, "q_zorder_layout": 14,
 }
@@ -192,59 +198,53 @@ _DRIVER_GREEN: frozenset[str] = frozenset(_LAST_GREEN)
 #: round's last commit, so it can only be folded next round); two
 #: newer rounds mean the rotation went stale — the starvation bug this
 #: machinery exists to prevent — and the test fails loudly.
-ROTATION_FOLDED_THROUGH = 14
+ROTATION_FOLDED_THROUGH = 15
 
 # Queries whose output CHANGED this round, invalidating their prior
-# green rows outright (not merely aging them). Round 15: the two
-# verdict-ordered fixture hardenings change these queries' driver
-# hashes, so their r14 rows are invalid, not merely aged:
-# - q_url_canonicalize: the messy-URL fixture gains percent-encoding
-#   spelling variants (%7e→~ unreserved decode, %2F hex-case) now that
-#   canonicalize_url implements RFC 3986 §6.2.2.2.
-# - q_extract_links: synth_html plants a pseudo-link (mailto:) and a
-#   path-relative href so the driver hash exercises the skip classes
-#   and §5 relative resolution end-to-end (r14 verdict What's-wrong #1).
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_url_canonicalize", "q_extract_links"}
-)
+# green rows outright (not merely aging them). Round 16: one
+# verdict-ordered fixture hardening changes its driver hash:
+# - q_url_canonicalize: the messy-URL fixture gains planted
+#   dot-segment spellings (`/../k/` on the even side, `/./` on the
+#   odd side) now that canonicalize_url applies the RFC 3986 §6.2.2.3
+#   remove_dot_segments walk (the r15 verdict's task 4 — the
+#   documented remaining swap slot, now spent).
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({"q_url_canonicalize"})
 
 #: Names whose operator code changed after their latest green row was
 #: recorded, with an argument — not a driver-attested proof — that
 #: outputs are unchanged. Promoted ahead of their same-staleness peers
-#: so the window re-executes the argument cheaply. Round 15: EMPTY at
-#: fold time — all 50 r14 window rows came back hash-green (including
-#: both r14 exclusion-class families, whose rows are now folded above).
-#: Round-15 changes falling under the documented narrow-policy
-#: exclusion class (unit-pinned semantics-preserving changes, each
-#: covered by an in-session full-registry DuckDB contract run with
-#: FAILURES: none executed AFTER that change) are listed here as the
-#: round progresses:
-#: - q_extract_warc (+ the stream_ingest_warc face): parse_warc_bytes
-#:   gained .warc.gz member framing (a NEW branch taken only on gzip
-#:   magic — the fixture is uncompressed) and the tolerant body
-#:   decode (declared charset → errors="replace", else strict UTF-8
-#:   with latin-1 fallback). The fixture declares charset=utf-8 and
-#:   is valid UTF-8 throughout, so the decode is byte-identical;
-#:   pinned by tests/test_warc.py's charset/binary-tolerance and
-#:   gz round-trip tests.
-#: - q_extract_html/_apply, q_extract_warc (+ the stream_extract_html
-#:   face): the advisor's link-density unit fix (link chars now
-#:   tallied per-segment COLLAPSED and capped at the collapsed block
-#:   length, so density can no longer exceed 1.0) plus the footer's
-#:   planted link-extraction edge cases. Every fixture block's
-#:   classification is unchanged (fixture anchors carry no whitespace
-#:   runs; the footer stays boilerplate via the density rule), and
-#:   all three queries re-hashed green at sf0.01 immediately after
-#:   the change alongside the two _CHANGED_THIS_ROUND names.
-_TOUCHED_SINCE_GREEN: frozenset[str] = frozenset()
+#: so the window re-executes the argument cheaply. Round 16 EXTENDS
+#: the rule per the r15 verdict's What's-wrong finding: implementation
+#: changes are treated like fixture changes — the narrow
+#: "exclusion class" of r14/r15 (semantics-preserving code changes
+#: documented in comments but left OUT of the window) is retired.
+#: - q_extract_warc: sources/warc.py was substantially rewritten in
+#:   r15 (gz member framing dispatch, tolerant charset-aware body
+#:   decode) AFTER its r14 attestation; the r15 verdict orders it
+#:   into the r16 window.
+_TOUCHED_SINCE_GREEN: frozenset[str] = frozenset({"q_extract_warc"})
 
 #: Names explicitly deferred from the previous round, ordered at the
 #: very front of their staleness cohort so a driver time-budget cutoff
-#: starves the freshest names, never these. Round 15: EMPTY — the r14
-#: window ran 50/50 green with no cutoff; the r15 window is the 48
-#: r11-stale names + the two _CHANGED_THIS_ROUND fixture hardenings
-#: (budget: ≤2 touched/new), all of which rank ahead mechanically.
+#: starves the freshest names, never these. Round 16: EMPTY — the r15
+#: window ran 50/50 green with no cutoff.
 _PRIORITY_FIRST: frozenset[str] = frozenset()
+
+#: Stale names mechanically displaced OUT of this round's 50-slot
+#: window because changed/touched/new registrations preempt them (the
+#: r15 verdict's task 2: the window is permanently full from r16 on —
+#: cohorts are 50 names — so preemption is ordered, not optional:
+#: "task 1's new registration plus q_extract_warc must preempt").
+#: Discipline: (a) the set is exactly the LOWEST-ranked stale names —
+#: the rank function decides who spills, never hand-picking; (b) its
+#: size never exceeds the number of preempting (changed ∪ touched ∪
+#: never-green) names inside the window; (c) at the NEXT round's fold
+#: every name here moves into ``_PRIORITY_FIRST`` so it leads the
+#: next window and can never spill twice in a row. All three clauses
+#: are enforced by tests/test_registry_rotation.py.
+_DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
+    {"q_nb_confusion", "q_pipeline_trained"}
+)
 
 #: Computed stale set (kept for the hygiene tests): every query whose
 #: latest green row is ≥3 rounds older than the folded-through round —
