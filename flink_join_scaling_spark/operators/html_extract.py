@@ -420,10 +420,11 @@ def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 ``remove_dot_segments``, verbatim buffer
     algorithm: ``/a/b/../c`` → ``/a/c``, ``/a/./b`` → ``/a/b``, and
     ``..`` never climbs above the root. Imperative Python is honest
-    here (the walk is an unbounded stack with no pure-expression
-    form — the reason ``functions/urls.py`` documents §6.2.2.3 as
-    its remaining swap slot); it runs inside the link-extraction
-    Arrow pass, never per-row from the driver."""
+    here (resolution already runs inside the link-extraction Arrow
+    pass); the COLUMN form of the same walk lives in
+    ``functions/urls.py::remove_dot_segments_col`` (an ``aggregate``
+    fold — r16 spent the documented §6.2.2.3 slot), and the two are
+    differential-tested against each other."""
     inp, out = path, []
     while inp:
         if inp.startswith("../"):

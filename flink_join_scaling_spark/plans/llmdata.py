@@ -3946,9 +3946,10 @@ def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0
-                THEN 'HTTPS://EXAMPLE' || h || '.COM:443/page/' || k
+                THEN 'HTTPS://EXAMPLE' || h || '.COM:443/page/zz' || i
+                     || '/../' || k
                      || '/%7eu%2fws?b=2&a=1&utm_source=feed#sec' || i
-                ELSE 'https://example' || h || '.com/page/' || k
+                ELSE 'https://example' || h || '.com/page/./' || k
                      || '/~u%2Fws?a=1&utm_campaign=c' || i || '&b=2'
            END AS url,
            'https://example' || h || '.com/page/' || k
@@ -3962,15 +3963,18 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     between WARC ingestion and content dedup: every (even, odd) doc
     pair carries two different MESSY spellings of one canonical URL
     (case-folded scheme/host + explicit :443 + fragment + permuted
-    params + utm tracker + lowercase-hex ``%7eu%2fws`` path tail on
-    the even side; an injected utm_campaign and the pre-decoded
-    ``~u%2Fws`` spelling on the odd side), and the engine must
+    params + utm tracker + lowercase-hex ``%7eu%2fws`` path tail +
+    a doc-varied junk segment popped by ``/../`` on the even side;
+    an injected utm_campaign, the pre-decoded ``~u%2Fws`` spelling,
+    and a ``/./`` no-op segment on the odd side), and the engine must
     canonicalize both to the IDENTICAL string — case-fold,
     default-port elision, fragment and tracking-parameter removal,
     percent-encoding normalization (§6.2.2.2: ``%7e`` decodes to the
     unreserved ``~``, the reserved ``%2f`` keeps its triplet with
-    uppercased hex), query-parameter sort (``functions/urls.py``,
-    RFC 3986 §6 safe normalizations).
+    uppercased hex), dot-segment removal (§6.2.2.3: the r16
+    ``aggregate``-fold walk — ``/zz{i}/../`` pops, ``/./`` drops),
+    query-parameter sort (``functions/urls.py``, RFC 3986 §6 safe
+    normalizations).
 
     The oracle CONSTRUCTS the canonical answer from doc_id — it never
     runs the canonicalizer — so every character of every output URL
@@ -3993,12 +3997,13 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     messy = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(
-            F.lit("HTTPS://EXAMPLE"), h, F.lit(".COM:443/page/"), k,
+            F.lit("HTTPS://EXAMPLE"), h, F.lit(".COM:443/page/zz"), i,
+            F.lit("/../"), k,
             F.lit("/%7eu%2fws?b=2&a=1&utm_source=feed#sec"), i,
         ),
     ).otherwise(
         F.concat(
-            F.lit("https://example"), h, F.lit(".com/page/"), k,
+            F.lit("https://example"), h, F.lit(".com/page/./"), k,
             F.lit("/~u%2Fws?a=1&utm_campaign=c"), i, F.lit("&b=2"),
         )
     )

@@ -66,6 +66,27 @@ CASES = [
     # the GRAMMATICAL empty port still normalizes away (§6.2.3)
     ("http://h.com:/p", "http://h.com/p"),
     ("HTTPS://H.com:443/p", "https://h.com/p"),
+    # a '?' first appearing INSIDE the fragment is fragment data, not
+    # a query (the r15 advisor case): must not collide with a
+    # genuinely-queried spelling after fragment removal
+    ("http://h.com/p#f?a=1", "http://h.com/p"),
+    ("http://h.com/p?a=1#f?b=2", "http://h.com/p?a=1"),
+    # dot-segment removal (§6.2.2.3, r16): '..' pops, '.' drops,
+    # never above root; trailing dot segment restores the slash
+    ("http://h.com/a/../b", "http://h.com/b"),
+    ("http://h.com/a/./b/../c", "http://h.com/a/c"),
+    ("http://h.com/a/b/c/../../../d", "http://h.com/d"),
+    ("http://h.com/../../x", "http://h.com/x"),
+    ("http://h.com/..", "http://h.com/"),
+    ("http://h.com/a/b/..", "http://h.com/a/"),
+    ("http://h.com/a/.", "http://h.com/a/"),
+    ("http://h.com/a//../b", "http://h.com/a/b"),
+    # encoded dots decode first (§6.2.2.2 before §6.2.2.3)
+    ("http://h.com/%2e%2e/a", "http://h.com/a"),
+    ("http://h.com/b/%2E/c", "http://h.com/b/c"),
+    # dots that are NOT whole segments are data, not dot segments
+    ("http://h.com/.hidden/a.b", "http://h.com/.hidden/a.b"),
+    ("http://h.com/a/..b/c?x=/../y", "http://h.com/a/..b/c?x=/../y"),
 ]
 
 
@@ -116,6 +137,41 @@ def test_pct_normalize_differential_all_octets(spark):
         else:
             # both engines share the artifact-triplet property
             assert ref(r.once) == r.twice, (r.s, r.once, r.twice)
+
+
+def test_dot_segment_differential_vs_buffer_walk(spark):
+    """Differential check of the remove_dot_segments_col aggregate
+    fold (functions/urls.py, the r16 §6.2.2.3 column form) against
+    the independent imperative §5.2.4 buffer walk
+    (operators/html_extract.py) over seeded random ROOTED paths —
+    two implementations written against the RFC text, not each
+    other, must agree on every spelling."""
+    import random
+
+    from flink_join_scaling_spark.functions.urls import (
+        remove_dot_segments_col,
+    )
+    from flink_join_scaling_spark.operators.html_extract import (
+        remove_dot_segments,
+    )
+
+    rng = random.Random(20260816)
+    toks = ["a", "bb", ".", "..", "", "~x", "c.d", "a.", "..c"]
+    paths = [
+        "/" + "/".join(
+            rng.choice(toks) for _ in range(rng.randint(0, 8))
+        )
+        for _ in range(500)
+    ]
+    paths += ["/", "/..", "/.", "/../", "/./", "/a/b/../../../../c"]
+    df = spark.createDataFrame([(p,) for p in set(paths)], "p string")
+    out = df.select(
+        "p", remove_dot_segments_col(F.col("p")).alias("o")
+    ).collect()
+    for r in out:
+        assert r.o == remove_dot_segments(r.p), (
+            r.p, r.o, remove_dot_segments(r.p)
+        )
 
 
 def test_canonicalize_url_cases(spark):
