@@ -59,6 +59,18 @@ _SKIP_TAGS = frozenset(
     {"script", "style", "noscript", "template", "svg", "head", "title"}
 )
 
+#: Tags that may appear inside ``<head>`` without implicitly closing
+#: it (the HTML5 head content model, plus ``head`` itself). HTML5
+#: makes ``</head>`` optional: any OTHER start tag seen while an open
+#: head tops the skip stack closes the head first. Without the
+#: implicit close, a legally ``</head>``-less page keeps the skip
+#: active for the whole document and extracts zero text and zero
+#: links (the r15 ADVICE finding, fixed r16 in BOTH parsers).
+_HEAD_CONTENT_TAGS = frozenset(
+    {"head", "meta", "title", "link", "base", "style", "script",
+     "noscript", "template"}
+)
+
 #: Tags that open/close a text BLOCK (jusText's segmentation idea:
 #: paragraphs are the classification unit, and block-level markup is
 #: the paragraph boundary signal).
@@ -88,7 +100,46 @@ _MAX_LINK_DENSITY = 0.35
 _MIN_BLOCK_CHARS = 25
 
 
-class _BlockParser(HTMLParser):
+class _SkipStackMixin:
+    """Shared ``_SKIP_TAGS`` subtree tracking as an explicit tag
+    STACK (r16, was a bare counter): a start tag pushes, its end tag
+    pops back through any implied-open children, a stray end tag
+    with no matching open is ignored (a counter would have
+    un-skipped the wrong subtree — ``</style>`` inside an open head
+    must not reveal head content), and — the HTML5 rule the r15
+    advisor flagged — a start tag outside the head content model
+    implicitly closes an open ``<head>`` that tops the stack, so
+    pages that legally omit ``</head>`` parse identically to ones
+    that don't."""
+
+    _stack: List[str]
+
+    def _skip_init(self) -> None:
+        self._stack = []
+
+    @property
+    def _skip(self) -> int:
+        return len(self._stack)
+
+    def _implicit_head_close(self, tag: str) -> None:
+        if (
+            self._stack
+            and self._stack[-1] == "head"
+            and tag not in _HEAD_CONTENT_TAGS
+        ):
+            self._stack.pop()
+
+    def _skip_push(self, tag: str) -> None:
+        self._stack.append(tag)
+
+    def _skip_pop(self, tag: str) -> None:
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                del self._stack[i:]
+                return
+
+
+class _BlockParser(_SkipStackMixin, HTMLParser):
     """Segment an HTML document into (text, n_chars, link_chars)
     blocks. Character references are converted by the parser
     (``convert_charrefs=True`` default); text inside ``_SKIP_TAGS``
@@ -97,7 +148,7 @@ class _BlockParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__()
-        self._skip = 0
+        self._skip_init()
         self._link = 0
         self._buf: List[str] = []
         self._link_chars = 0
@@ -121,8 +172,9 @@ class _BlockParser(HTMLParser):
 
     # -- parser callbacks ------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        self._implicit_head_close(tag)
         if tag in _SKIP_TAGS:
-            self._skip += 1
+            self._skip_push(tag)
             return
         if self._skip:
             return
@@ -133,7 +185,7 @@ class _BlockParser(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
-            self._skip = max(0, self._skip - 1)
+            self._skip_pop(tag)
             return
         if self._skip:
             return
@@ -278,8 +330,18 @@ def synth_html(doc_id: int, text: str) -> str:
     href (must RESOLVE against the page URL's directory per RFC 3986
     §5). The extra anchor text pushes the footer past the length
     threshold, so its boilerplate verdict now rests on the link-
-    density rule alone — extraction outputs are unchanged."""
+    density rule alone — extraction outputs are unchanged.
+
+    Every 5th page (``doc_id % 5 == 0``) legally OMITS ``</head>``
+    (r16, the r15 advisor finding): under the parsers' HTML5
+    implicit-close rule the ``<body>`` start tag ends the head, so
+    census, main text, and link outputs are IDENTICAL to the
+    explicit-``</head>`` pages and every oracle is unchanged — but a
+    parser that regresses to counting ``</head>`` would skip those
+    whole documents and break the driver hash of every ingestion
+    query at once."""
     i = int(doc_id)
+    head_close = "" if i % 5 == 0 else "</head>"
     promos = "".join(
         f'<div class="promo"><a href="/buy{k}">Buy now — limited '
         f'offer {i}-{k}</a> only today <a href="/deal{k}">claim the '
@@ -293,7 +355,8 @@ def synth_html(doc_id: int, text: str) -> str:
     )
     return (
         f"<html><head><title>Document {i}</title>"
-        "<style>body{margin:0}</style><script>trk();</script></head>"
+        "<style>body{margin:0}</style><script>trk();</script>"
+        f"{head_close}"
         '<body><nav><a href="/">Home</a> <a href="/about">About</a> '
         '<a href="/contact">Contact</a></nav>'
         f"{promos}"
@@ -354,7 +417,7 @@ def attach_synth_html(
 _NON_LINK_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
 
 
-class _LinkParser(HTMLParser):
+class _LinkParser(_SkipStackMixin, HTMLParser):
     """Collect ``<a href>`` values in document order — ALL anchors,
     including ones inside boilerplate blocks (link extraction builds
     the web graph; boilerplate classification is a content concern —
@@ -373,18 +436,19 @@ class _LinkParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__()
-        self._skip = 0
-        self._head = 0
+        self._skip_init()
         self.base: str | None = None
         self.hrefs: List[str] = []
 
+    def _head_depth_only(self) -> bool:
+        return all(t == "head" for t in self._stack)
+
     def handle_starttag(self, tag: str, attrs) -> None:
+        self._implicit_head_close(tag)
         if tag in _SKIP_TAGS:
-            self._skip += 1
-            if tag == "head":
-                self._head += 1
+            self._skip_push(tag)
             return
-        if tag == "base" and self.base is None and self._skip == self._head:
+        if tag == "base" and self.base is None and self._head_depth_only():
             for name, value in attrs:
                 if name == "href" and value and value.strip():
                     self.base = value.strip()
@@ -408,9 +472,7 @@ class _LinkParser(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
-            self._skip = max(0, self._skip - 1)
-            if tag == "head":
-                self._head = max(0, self._head - 1)
+            self._skip_pop(tag)
 
 
 _SEGMENT_RE = re.compile(r"^/?[^/]*")

@@ -222,7 +222,21 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({"q_url_canonicalize"})
 #:   r15 (gz member framing dispatch, tolerant charset-aware body
 #:   decode) AFTER its r14 attestation; the r15 verdict orders it
 #:   into the r16 window.
-_TOUCHED_SINCE_GREEN: frozenset[str] = frozenset({"q_extract_warc"})
+#: - q_extract_html / q_extract_html_apply / q_extract_links: the r16
+#:   HTML5 ``<head>`` implicit-close fix (both parsers moved to a
+#:   skip STACK) plus the synth_html hardening that omits ``</head>``
+#:   on every 5th fixture page. Outputs are argued unchanged (the
+#:   implicit close restores identical segmentation; filtered DuckDB
+#:   re-verification hash-green at sf0.01 after the change) — the
+#:   window re-executes the argument.
+_TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
+    {
+        "q_extract_warc",
+        "q_extract_html",
+        "q_extract_html_apply",
+        "q_extract_links",
+    }
+)
 
 #: Names explicitly deferred from the previous round, ordered at the
 #: very front of their staleness cohort so a driver time-budget cutoff
@@ -243,7 +257,13 @@ _PRIORITY_FIRST: frozenset[str] = frozenset()
 #: next window and can never spill twice in a row. All three clauses
 #: are enforced by tests/test_registry_rotation.py.
 _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_nb_confusion", "q_pipeline_trained"}
+    {
+        "q_dsir_select",
+        "q_dsir_weights",
+        "q_nb_confusion",
+        "q_nb_lang_apply",
+        "q_pipeline_trained",
+    }
 )
 
 #: Computed stale set (kept for the hygiene tests): every query whose

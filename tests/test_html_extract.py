@@ -37,6 +37,55 @@ def test_script_style_head_subtrees_invisible():
     assert len(_blocks(html_text)) == 1
 
 
+def test_head_implicit_close_when_end_tag_omitted():
+    """HTML5 makes </head> optional: <body> (or any non-head-content
+    start tag) implicitly closes an open head — a page omitting
+    </head> must extract the SAME blocks and links as one that
+    doesn't (the r15 ADVICE finding: the old counter kept skipping
+    for the whole document)."""
+    with_close = (
+        "<html><head><title>T</title><style>x{}</style></head>"
+        f"<body><p>{LONG}</p><a href='/x'>x</a></body></html>"
+    )
+    without_close = with_close.replace("</head>", "")
+    assert _kept(without_close) == _kept(with_close) == [LONG.strip()]
+    # no <body> either: a bare block tag also closes the head
+    divs_only = (
+        f"<html><head><title>T</title><div><p>{LONG}</p></div></html>"
+    )
+    assert _kept(divs_only) == [LONG.strip()]
+    # link parser: same rule, and <base> still captures at head depth
+    page = (
+        '<html><head><base href="https://b.org/dir/">'
+        '<meta charset="utf-8">'
+        f'<body><a href="x">l</a><p>{LONG}</p></body></html>'
+    )
+    p = hx._LinkParser()
+    p.feed(page)
+    p.close()
+    assert p.base == "https://b.org/dir/"
+    assert p.hrefs == ["x"]
+
+
+def test_stray_skip_end_tag_does_not_unskip_head():
+    """A stray </style> (no open style) inside an open head must NOT
+    reveal head content — the old decrement-any-skip-endtag counter
+    did exactly that; the r16 stack ignores unmatched end tags."""
+    html_text = (
+        f"<html><head></style><title>{LONG}</title></head>"
+        f"<body><p>{LONG}</p></body></html>"
+    )
+    assert _kept(html_text) == [LONG.strip()]
+    # and a template nested in head keeps the head open across its
+    # flow-content children (template content is inert)
+    nested = (
+        "<html><head><template><div>x</div></template>"
+        f"<title>skip me {LONG}</title></head>"
+        f"<body><p>{LONG}</p></body></html>"
+    )
+    assert _kept(nested) == [LONG.strip()]
+
+
 def test_entities_unescaped_like_a_browser():
     html_text = f"<p>fish &amp; chips &lt;tag&gt; {LONG}</p>"
     [got] = _kept(html_text)
