@@ -3935,6 +3935,78 @@ def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_extract_warc_gz",
+    oracle="""
+    WITH collapsed AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   text || CASE WHEN doc_id % 10 = 3
+                                THEN ' price: €99' ELSE '' END,
+                   '[ \t\n\v\f\r]+', ' ', 'g'), ' ') AS main_text
+        FROM documents
+    )
+    SELECT doc_id,
+           'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           main_text
+    FROM collapsed
+    WHERE doc_id % 7 <> 0 AND length(main_text) >= 25
+    """,
+    tags=("llmdata", "text", "ingestion"),
+)
+def q_extract_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl ingestion over the ``.warc.gz``
+    record-per-member layout Common Crawl actually ships (r16, r15
+    verdict task 1: the r15 gz framing was pytest- and probe-attested
+    only — this registration runs it through the driver's DuckDB
+    hash). Same chain as ``q_extract_warc`` — container walk → HTTP
+    split → boilerplate removal → clean corpus — but every record
+    arrives as its own gzip member (``sources/warc.py:_gzip_members``,
+    the bounded zero-copy stdlib-zlib walk), so the member framing,
+    the strict no-record-spans-members rule, and the per-member
+    decompression are all on the hashed path.
+
+    Two planted hardenings ride on the same hash (verdict task 3):
+    every ``doc_id % 10 == 3`` page is served as **windows-1252**
+    with NO charset on the HTTP Content-Type — only an injected
+    ``<meta charset="windows-1252">`` declares it — and its article
+    gains ``' price: €99'`` (0x80: invalid standalone UTF-8, a C1
+    control under latin-1), so the HTML5 meta-prescan decode is
+    value-checked character-for-character; and every ``doc_id % 4 ==
+    1`` document adds a 301 redirect record (the
+    ``extract_redirects`` fixture) that the status-200 filter must
+    DROP — present in the container, absent from the oracle.
+
+    Scale shape: identical to ``q_extract_warc`` (fixture grouping
+    aside): two Arrow map stages and one JVM regexp projection;
+    archive bytes never shuffle. The r15 100× probe put the gz member
+    walk at ~2% over the plain container (SCALING.md) —
+    decompression is C-speed; the wall stays the HTML-parse
+    constant."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.sources import warc as wc
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = wc.attach_synth_warc(
+        d, "doc_id", "text", group_size=10, gzip_members=True,
+        plant_meta_charset=True, plant_redirects=True,
+    )
+    recs = wc.parse_warc_records(blobs, "payload")
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("uri", F.col("body").alias("html"))
+    clean = hx.extract_main_text(pages, "uri", "html")
+    return clean.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "uri",
+        "main_text",
+    )
+
+
+@query(
     "q_url_canonicalize",
     oracle="""
     WITH g AS (

@@ -262,6 +262,7 @@ _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
         "q_dsir_weights",
         "q_nb_confusion",
         "q_nb_lang_apply",
+        "q_nb_lang_train",
         "q_pipeline_trained",
     }
 )

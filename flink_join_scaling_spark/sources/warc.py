@@ -30,11 +30,17 @@ Body decode policy (records carry a ``body`` STRING column): framing
 stays strict, decode is tolerant — real archives mix charsets and
 binary payloads, and one bad body must not kill the whole archive's
 task. A ``charset=`` parameter on the HTTP ``Content-Type`` wins
-(``errors="replace"``; unknown codec names fall through); otherwise
-strict UTF-8 is tried and non-UTF-8 bytes fall back to latin-1, which
-maps every byte and never raises (and is lossless to re-encode, so
-binary payloads such as images survive the string column byte-exact
-until the content-type filter drops them downstream).
+(``errors="replace"``; unknown codec names fall through); when the
+header declares none and the payload is HTML, the HTML5 prescan rule
+applies — the first 1024 bytes are sniffed for ``<meta charset=…>``
+/ ``http-equiv`` (r16, the r15 verdict's task 3: real servers
+routinely omit the header charset and declare it in markup; without
+the sniff a Shift-JIS or windows-1252 page took the latin-1 fallback
+and mojibake'd); otherwise strict UTF-8 is tried and non-UTF-8 bytes
+fall back to latin-1, which maps every byte and never raises (and is
+lossless to re-encode, so binary payloads such as images survive the
+string column byte-exact until the content-type filter drops them
+downstream).
 
 The synthetic fixture (:func:`attach_synth_warc`) packs each
 ``group_size`` consecutive documents into one WARC blob — a warcinfo
@@ -61,6 +67,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "parse_warc_bytes",
     "parse_warc_records",
+    "extract_redirects",
     "synth_warc",
     "synth_warc_record_blobs",
     "attach_synth_warc",
@@ -72,7 +79,23 @@ _GZIP_MAGIC = b"\x1f\x8b"
 #: feed size for the gz member walk — module-level so tests can
 #: shrink it to force member headers/trailers across chunk seams
 _GZ_CHUNK = 1 << 18
-_CHARSET_RE = re.compile(r"charset=\"?([A-Za-z0-9_.:\-]+)\"?", re.I)
+#: charset parameter on a Content-Type value — tolerates bare,
+#: double-quoted AND single-quoted spellings (charset='shift_jis'
+#: appears in real archives; the r15 advisor flagged that a
+#: double-quote-only pattern silently fell through to the
+#: UTF-8/latin-1 path and mojibake'd non-latin payloads)
+_CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:\-]+)[\"']?", re.I)
+
+#: HTML5 prescan: a ``<meta charset=…>`` or ``<meta http-equiv=
+#: "Content-Type" content="…; charset=…">`` declaration within the
+#: first 1024 payload BYTES (the spec's prescan window — both forms
+#: put ``charset=`` inside the tag, so one byte-regex covers both).
+#: ASCII-compatible by construction: every encoding this sniff is
+#: for (the IANA labels servers actually emit) is an ASCII superset
+#: in the prescan window.
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", re.I
+)
 
 
 def _gzip_members(payload: bytes) -> Iterator[bytes]:
@@ -116,9 +139,11 @@ def _gzip_members(payload: bytes) -> Iterator[bytes]:
 
 
 def _decode_body(body: bytes, content_type: str | None) -> str:
-    """Tolerant body decode (module docstring): declared charset →
-    ``errors="replace"``; else strict UTF-8 with a latin-1 fallback
-    that maps every byte — never raises, so one binary or mislabeled
+    """Tolerant body decode (module docstring): HTTP-declared charset
+    → HTML5 meta prescan over the first 1024 bytes (HTML payloads
+    only) → strict UTF-8 → latin-1, each fallible step falling
+    through (``errors="replace"`` on declared codecs, LookupError on
+    unknown codec names) — never raises, so one binary or mislabeled
     payload cannot kill the archive's task."""
     if content_type:
         m = _CHARSET_RE.search(content_type)
@@ -127,6 +152,15 @@ def _decode_body(body: bytes, content_type: str | None) -> str:
                 return body.decode(m.group(1), errors="replace")
             except LookupError:
                 pass  # unknown codec name → the undeclared path
+        if "html" in content_type.lower():
+            m = _META_CHARSET_RE.search(body[:1024])
+            if m:
+                try:
+                    return body.decode(
+                        m.group(1).decode("ascii"), errors="replace"
+                    )
+                except LookupError:
+                    pass
     try:
         return body.decode("utf-8")
     except UnicodeDecodeError:
@@ -203,6 +237,7 @@ def _parse_warc_stream(payload: bytes) -> List[dict]:
         uri = headers.get("warc-target-uri")
         status: int | None = None
         ctype: str | None = None
+        location: str | None = None
         body = raw
         # HTTP-split both message shapes: responses open with the
         # protocol token (``HTTP/1.1 200 OK``), requests END their
@@ -229,6 +264,10 @@ def _parse_warc_stream(payload: bytes) -> List[dict]:
                 status = int(parts[1])
             http_headers = _parse_header_block(hdr_block, "HTTP")
             ctype = http_headers.get("content-type")
+            # the redirect-aliasing input (RFC 9110 §10.2.2): kept
+            # raw here — it may be relative; resolution against the
+            # record URI is extract_redirects' job
+            location = http_headers.get("location")
             body = raw[http_end + 4:]
         out.append(
             {
@@ -236,6 +275,7 @@ def _parse_warc_stream(payload: bytes) -> List[dict]:
                 "uri": uri,
                 "http_status": status,
                 "content_type": ctype,
+                "http_location": location,
                 "body": _decode_body(body, ctype),
             }
         )
@@ -272,6 +312,7 @@ def parse_warc_records(
                             r["warc_type"],
                             r["http_status"],
                             r["content_type"],
+                            r["http_location"],
                             r["body"],
                         )
                     )
@@ -279,14 +320,61 @@ def parse_warc_records(
                 rows,
                 columns=[
                     "uri", "warc_type", "http_status", "content_type",
-                    "body",
+                    "http_location", "body",
                 ],
             ).astype({"http_status": "Int64"})
 
     return df.select(payload_col).mapInPandas(
         run,
         "uri string, warc_type string, http_status long, "
-        "content_type string, body string",
+        "content_type string, http_location string, body string",
+    )
+
+
+def extract_redirects(records: DataFrame) -> DataFrame:
+    """Redirect-edge extraction (r16, r15 verdict task 5): the
+    ``(uri → location)`` aliasing pairs every crawl graph consumes —
+    3xx ``Location`` headers are the canonical-URL aliasing input
+    upstream of ``q_dedup_canonical_rank`` and the canonicalizer
+    (two spellings a server itself declares equivalent). Input is
+    :func:`parse_warc_records` output (or its streaming face); rows
+    are HTTP-3xx response records carrying a ``Location``; output is
+    ``(uri, http_status, location, target)`` where ``location`` is
+    the raw header value and ``target`` resolves it against the
+    record URI per RFC 3986 §5 (RFC 9110 §10.2.2 allows relative
+    Location values; an unresolvable pair keeps ``target`` = raw).
+
+    Scale shape: a JVM filter prunes to the 3xx slice BEFORE the
+    Arrow resolution pass, so only redirect-sized rows — never
+    bodies, never archives — cross into Python; stateless and
+    append-safe, so the same function is the streaming face's
+    engine."""
+    from pyspark.sql import functions as F
+
+    from flink_join_scaling_spark.operators.html_extract import (
+        resolve_href,
+    )
+
+    slim = records.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+    ).select("uri", "http_status", F.col("http_location").alias("location"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["target"] = [
+                resolve_href(u, loc) if isinstance(u, str) and u else loc
+                for u, loc in zip(pdf["uri"], pdf["location"])
+            ]
+            yield pdf
+
+    return slim.mapInPandas(
+        run,
+        "uri string, http_status long, location string, target string",
     )
 
 
@@ -311,12 +399,39 @@ def _record(wtype: str, payload: bytes, extra: dict[str, str]) -> bytes:
     return head + _CRLF + payload + _SEP
 
 
-def synth_warc_record_blobs(group: List[Tuple[int, str]]) -> List[bytes]:
+#: Article-text suffix of the planted meta-charset pages — contains
+#: ``€`` (cp1252 0x80), a byte that is INVALID standalone UTF-8 and
+#: decodes to the C1 control U+0080 under the latin-1 fallback, so
+#: only the HTML5 meta prescan recovers the true character: any
+#: regression in the sniff flips the driver hash of
+#: ``q_extract_warc_gz``.
+META_CHARSET_MARKER = " price: €99"
+
+
+def synth_warc_record_blobs(
+    group: List[Tuple[int, str]],
+    plant_meta_charset: bool = False,
+    plant_redirects: bool = False,
+) -> List[bytes]:
     """The individual record blobs (each WITH its trailing blank-line
     separator) behind :func:`synth_warc` — a warcinfo record, then per
     (doc_id, text) document a request and a response record. Exposed
     so tests can gzip each blob into its own member, reproducing the
-    Common Crawl ``.warc.gz`` record-per-member layout exactly."""
+    Common Crawl ``.warc.gz`` record-per-member layout exactly.
+
+    ``plant_meta_charset`` (r16): every ``doc_id % 10 == 3`` document
+    is served as a **windows-1252** page whose HTTP ``Content-Type``
+    declares NO charset — the encoding is declared only by an
+    injected ``<meta charset="windows-1252">`` tag, and the article
+    text gains :data:`META_CHARSET_MARKER` (``€`` = 0x80, invalid
+    standalone UTF-8, a C1 control under latin-1), so the HTML5
+    prescan path in :func:`_decode_body` is what the driver hash
+    value-checks. ``plant_redirects`` (r16): every ``doc_id % 4 ==
+    1`` document additionally gets a 301 response record at
+    ``…/old/{doc_id}`` whose RELATIVE ``Location: /doc/{doc_id}``
+    must resolve against the record URI — the
+    :func:`extract_redirects` fixture. Both default OFF so existing
+    fixtures stay byte-identical."""
     from flink_join_scaling_spark.operators.html_extract import synth_html
 
     blobs: List[bytes] = [
@@ -341,11 +456,36 @@ def synth_warc_record_blobs(group: List[Tuple[int, str]]) -> List[bytes]:
                 },
             )
         )
-        html_bytes = synth_html(doc_id, text).encode("utf-8")
+        if plant_redirects and doc_id % 4 == 1:
+            redirect = (
+                b"HTTP/1.1 301 Moved Permanently\r\n"
+                b"Location: /doc/" + str(doc_id).encode() + b"\r\n"
+                b"Content-Length: 0\r\n\r\n"
+            )
+            blobs.append(
+                _record(
+                    "response", redirect,
+                    {
+                        "WARC-Target-URI":
+                            f"http://example.com/old/{doc_id}",
+                        "Content-Type":
+                            "application/http;msgtype=response",
+                    },
+                )
+            )
+        if plant_meta_charset and doc_id % 10 == 3:
+            page = synth_html(doc_id, text + META_CHARSET_MARKER)
+            page = page.replace(
+                "<head>", '<head><meta charset="windows-1252">', 1
+            )
+            html_bytes = page.encode("cp1252")
+            ctype = b"Content-Type: text/html\r\n"
+        else:
+            html_bytes = synth_html(doc_id, text).encode("utf-8")
+            ctype = b"Content-Type: text/html; charset=utf-8\r\n"
         resp = (
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
-            b"Content-Length: " + str(len(html_bytes)).encode() + b"\r\n"
+            b"HTTP/1.1 200 OK\r\n" + ctype
+            + b"Content-Length: " + str(len(html_bytes)).encode() + b"\r\n"
             b"\r\n" + html_bytes
         )
         blobs.append(
@@ -376,6 +516,8 @@ def attach_synth_warc(
     text_col: str = "text",
     group_size: int = 10,
     gzip_members: bool = False,
+    plant_meta_charset: bool = False,
+    plant_redirects: bool = False,
 ) -> DataFrame:
     """(warc_id, payload) blobs packing each ``group_size`` consecutive
     ids' documents into one WARC file — the archive-directory stand-in
@@ -391,13 +533,16 @@ def attach_synth_warc(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         group = [(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])]
+        blobs = synth_warc_record_blobs(
+            group,
+            plant_meta_charset=plant_meta_charset,
+            plant_redirects=plant_redirects,
+        )
         if gzip_members:
-            blob = b"".join(
-                gzip.compress(b, mtime=0)
-                for b in synth_warc_record_blobs(group)
-            )
+            blob = b"".join(gzip.compress(b, mtime=0) for b in blobs)
         else:
-            blob = synth_warc(group)
+            # no separator after the final record (synth_warc layout)
+            blob = b"".join(blobs)[:-4]
         return pd.DataFrame(
             {"warc_id": [int(pdf["__warc_id"].iloc[0])], "payload": [blob]}
         )

@@ -549,3 +549,27 @@ def stream_ingest_warc(
             else max_link_density
         ),
     )
+
+
+def stream_extract_redirects(
+    sdf: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Continuous redirect-edge extraction: arriving WARC archive
+    blobs explode to records and emit the ``(uri, http_status,
+    location, target)`` aliasing pairs their 3xx responses declare —
+    the canonical-URL aliasing input a crawl graph consumes alongside
+    :func:`stream_ingest_warc`'s clean text (r16, the
+    every-ingest-stage-has-a-streaming-face convention).
+
+    Stateless composition of the batch stages verbatim
+    (``sources.warc.parse_warc_records`` →
+    ``sources.warc.extract_redirects`` — shared functions, faces
+    cannot drift): a JVM filter prunes to the 3xx slice before the
+    Arrow resolution pass, no state store, no shuffle, no watermark,
+    append mode."""
+    from flink_join_scaling_spark.sources.warc import (
+        extract_redirects,
+        parse_warc_records,
+    )
+
+    return extract_redirects(parse_warc_records(sdf, payload_col))

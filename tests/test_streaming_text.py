@@ -492,6 +492,46 @@ def test_stream_ingest_warc_matches_batch(streaming_spark, tmp_path):
     assert got == batch
 
 
+def test_stream_extract_redirects_matches_batch(streaming_spark, tmp_path):
+    """Continuous redirect-edge extraction (r16): the planted 301
+    records come back as (uri, status, location, target) rows with
+    RFC 3986 §5 resolution of the relative Location, identical to
+    the batch face under chunked archive arrival — and the gz
+    member-per-record container walks identically in both modes."""
+    from flink_join_scaling_spark.sources import warc as wc
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.filters import (
+        stream_extract_redirects,
+    )
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    blobs = wc.attach_synth_warc(
+        docs, "doc_id", "text", group_size=10,
+        gzip_members=True, plant_redirects=True,
+    )
+    batch = {
+        (r.uri, r.http_status, r.location, r.target)
+        for r in stream_extract_redirects(blobs).collect()
+    }
+    n_expected = docs.where("doc_id % 4 = 1").count()
+    assert len(batch) == n_expected and n_expected > 0
+    assert all(
+        s == 301 and t == u.replace("/old/", "/doc/") and loc.startswith("/")
+        for u, s, loc, t in batch
+    )
+
+    sdf = chunked_parquet_stream(spark, blobs, str(tmp_path), n_chunks=3)
+    got = {
+        (r.uri, r.http_status, r.location, r.target)
+        for r in run_to_memory(
+            stream_extract_redirects(sdf), output_mode="append"
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_stream_decontaminate_semantic_matches_batch(streaming_spark, tmp_path):
     """The vector twin of stream_decontaminate: converged output is
     bit-identical to batch semantic_contamination on the same data —

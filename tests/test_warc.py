@@ -195,6 +195,154 @@ def test_body_decode_charset_and_binary_tolerance():
     assert r4["body"] == "plain"
 
 
+def _response_record(resp: bytes, uri: bytes = b"http://x/r") -> bytes:
+    # trailing blank-line separator included, like synth blobs; a
+    # caller joining several records strips the final one with [:-4]
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"Content-Length: " + str(len(resp)).encode() + b"\r\n\r\n"
+        + resp + b"\r\n\r\n"
+    )
+
+
+def test_single_quoted_charset_parameter():
+    # charset='shift_jis' (single quotes) appears in real archives —
+    # the r15 advisor case: a double-quote-only pattern mojibake'd it
+    body = "日本語".encode("shift_jis")
+    resp = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset='shift_jis'\r\n\r\n" + body
+    )
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert r["body"] == "日本語"
+
+
+def test_meta_charset_prescan():
+    # HTTP header declares no charset; HTML5 prescan finds the meta
+    # tag within the first 1024 bytes (all three spellings)
+    for meta in (
+        b'<meta charset="shift_jis">',
+        b"<meta charset='shift_jis'>",
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=shift_jis">',
+    ):
+        body = (
+            b"<html><head>" + meta + b"</head><body>"
+            + "日本語のページ".encode("shift_jis") + b"</body></html>"
+        )
+        resp = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        [r] = wc.parse_warc_bytes(_response_record(resp))
+        assert "日本語のページ" in r["body"], meta
+
+    # an HTTP-declared charset WINS over a conflicting meta tag
+    body = (
+        b'<html><head><meta charset="shift_jis"></head><body>'
+        + "café".encode("latin-1") + b"</body></html>"
+    )
+    resp = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=latin-1\r\n\r\n" + body
+    )
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "café" in r["body"]
+
+    # prescan window: a meta tag past the first 1024 bytes is NOT
+    # honored (the HTML5 rule) — the body takes the latin-1 fallback
+    body = (
+        b"<html><head>" + b"<!--" + b"x" * 1100 + b"-->"
+        + b'<meta charset="shift_jis"></head><body>'
+        + "日本".encode("shift_jis") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "日本" not in r["body"]
+
+    # non-HTML payloads are never sniffed: the same bytes under
+    # text/plain take the strict-UTF-8 → latin-1 path
+    body = b'<meta charset="shift_jis">' + "日本".encode("shift_jis")
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "日本" not in r["body"]
+    assert r["body"].startswith('<meta charset="shift_jis">')
+
+
+def test_extract_redirects_resolution(spark):
+    # hand-built archive: relative Location (must resolve against the
+    # record URI), absolute Location (kept), a 200 with Location
+    # (ignored — not a redirect), and a 3xx WITHOUT Location (no row)
+    recs_bytes = b"".join([
+        _response_record(
+            b"HTTP/1.1 301 Moved Permanently\r\n"
+            b"Location: /new/a\r\nContent-Length: 0\r\n\r\n",
+            uri=b"http://site.org/old/a",
+        ),
+        _response_record(
+            b"HTTP/1.1 302 Found\r\n"
+            b"Location: https://other.org/b?x=1\r\n"
+            b"Content-Length: 0\r\n\r\n",
+            uri=b"http://site.org/old/b",
+        ),
+        _response_record(
+            b"HTTP/1.1 200 OK\r\nLocation: /ignored\r\n"
+            b"Content-Type: text/html\r\n\r\nok",
+            uri=b"http://site.org/ok",
+        ),
+        _response_record(
+            b"HTTP/1.1 304 Not Modified\r\nContent-Length: 0\r\n\r\n",
+            uri=b"http://site.org/cached",
+        ),
+    ])[:-4]
+    df = spark.createDataFrame(
+        [(0, bytearray(recs_bytes))], "warc_id long, payload binary"
+    )
+    out = {
+        r.uri: (r.http_status, r.location, r.target)
+        for r in wc.extract_redirects(
+            wc.parse_warc_records(df)
+        ).collect()
+    }
+    assert out == {
+        "http://site.org/old/a": (301, "/new/a", "http://site.org/new/a"),
+        "http://site.org/old/b": (
+            302, "https://other.org/b?x=1", "https://other.org/b?x=1"
+        ),
+    }
+
+
+def test_planted_fixture_faces():
+    # plants OFF → byte-identical to the r15 fixture layout
+    group = [(3, "short"), (5, "x " * 30), (13, "y " * 30)]
+    assert wc.synth_warc_record_blobs(group) == wc.synth_warc_record_blobs(
+        group, plant_meta_charset=False, plant_redirects=False
+    )
+
+    # meta-charset plant: doc_id % 10 == 3 pages serve windows-1252
+    # with NO header charset and the € marker intact after decode
+    blobs = wc.synth_warc_record_blobs(group, plant_meta_charset=True)
+    recs = wc.parse_warc_bytes(b"".join(blobs)[:-4])
+    resp = {r["uri"]: r for r in recs if r["warc_type"] == "response"}
+    for doc_id in (3, 13):
+        r = resp[f"http://example.com/doc/{doc_id}"]
+        assert r["content_type"] == "text/html"  # no charset param
+        assert wc.META_CHARSET_MARKER in r["body"]
+        assert "€99" in r["body"]
+    assert "charset=utf-8" in resp["http://example.com/doc/5"][
+        "content_type"
+    ]
+
+    # redirect plant: doc_id % 4 == 1 docs gain a 301 at /old/…
+    blobs = wc.synth_warc_record_blobs(group, plant_redirects=True)
+    recs = wc.parse_warc_bytes(b"".join(blobs)[:-4])
+    reds = [r for r in recs if r["http_status"] == 301]
+    assert [r["uri"] for r in reds] == [
+        "http://example.com/old/5", "http://example.com/old/13"
+    ]
+    assert [r["http_location"] for r in reds] == ["/doc/5", "/doc/13"]
+
+
 def test_warc_gz_spark_explode_face(spark):
     # the production .warc.gz shape end-to-end through mapInPandas
     import pandas as pd
@@ -263,7 +411,8 @@ def test_spark_explode_face(spark):
     recs = wc.parse_warc_records(blobs, "payload")
     assert dict(recs.dtypes) == {
         "uri": "string", "warc_type": "string", "http_status": "bigint",
-        "content_type": "string", "body": "string",
+        "content_type": "string", "http_location": "string",
+        "body": "string",
     }
     by_type = {
         r["warc_type"]: r["n"]
