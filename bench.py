@@ -89,10 +89,20 @@ def main() -> None:
     # median returns to 2.78 s and the climb inverts (details in
     # scripts/plan_audit.py). Runs OUTSIDE the timed region; each
     # query's own pins live for exactly its own pass.
+    #
+    # Spark-version coupling (r15 advisor note): `_jsc` is py4j
+    # PRIVATE API — there is no public PySpark enumeration of
+    # persistent RDDs (SPARK-16693 never landed a Python face), so
+    # the call is hasattr-guarded to degrade to a no-op rather than
+    # crash the bench if an upgrade hides it. Safety invariant: this
+    # runs strictly AFTER the pass's action completes and every pass
+    # rebuilds its plan from scratch, so no still-referenced
+    # localCheckpointed RDD can be unpersisted mid-use.
     def release_pinned() -> None:
-        for rdd in list(
-            spark.sparkContext._jsc.getPersistentRDDs().values()
-        ):
+        jsc = getattr(spark.sparkContext, "_jsc", None)
+        if jsc is None or not hasattr(jsc, "getPersistentRDDs"):
+            return
+        for rdd in list(jsc.getPersistentRDDs().values()):
             rdd.unpersist(False)
 
     errors: dict[str, str] = {}

@@ -262,32 +262,21 @@ def incremental_ensemble3_chunked(spark, sf_dir: str) -> None:
         flagged.count()
 
 
-def warc_gz_chain(spark, sf_dir: str) -> None:
-    """The q_extract_warc chain over gzip-member-framed archives (the
-    Common Crawl ``.warc.gz`` layout, r15): every record its own gzip
-    member, adding the per-member stdlib-zlib walk to the record
-    explode stage — measures what the decompression constant costs on
-    top of the plain-container chain probed as q_extract_warc."""
-    from flink_join_scaling_spark.operators import html_extract as hx
+def warc_redirects_chain(spark, sf_dir: str) -> None:
+    """The r16 redirect-edge face over the gz-member container: walk
+    the archives, JVM-filter to the planted 3xx slice, resolve the
+    relative Location values in one Arrow pass. The wall should be
+    the container walk (shared with the extraction chain); the
+    resolution pass sees only redirect-sized rows."""
     from flink_join_scaling_spark.sources import warc as wc
 
     d = load_table(spark, sf_dir, "documents")
     blobs = wc.attach_synth_warc(
-        d, "doc_id", "text", group_size=10, gzip_members=True
+        d, "doc_id", "text", group_size=10,
+        gzip_members=True, plant_redirects=True,
     )
-    recs = wc.parse_warc_records(blobs, "payload")
-    pages = recs.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    ).select("uri", F.col("body").alias("html"))
-    clean = hx.extract_main_text(pages, "uri", "html")
-    clean.select(
-        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        "uri",
-        "main_text",
+    wc.extract_redirects(
+        wc.parse_warc_records(blobs, "payload")
     ).write.format("noop").mode("overwrite").save()
 
 
@@ -654,10 +643,19 @@ def main() -> None:
         # extraction, two Arrow map stages; wall should track the
         # parse scans linearly like q_extract_html
         "q_extract_warc": plan_probe("q_extract_warc"),
-        # r15: the same chain over the Common Crawl .warc.gz layout
-        # (record-per-member gzip) — isolates the per-member zlib
-        # walk's cost on top of the plain-container chain above
-        "extract_warc (gz members)": lambda sf: warc_gz_chain(spark, sf),
+        # r15/r16: the same chain over the Common Crawl .warc.gz
+        # layout (record-per-member gzip) — isolates the per-member
+        # zlib walk's cost on top of the plain-container chain above.
+        # Since r16 this is the REGISTERED query, so the probe also
+        # carries the planted meta-charset (cp1252 prescan decode)
+        # and 301-record plants
+        "q_extract_warc_gz": plan_probe("q_extract_warc_gz"),
+        # r16: the redirect-edge face — container walk + JVM 3xx
+        # filter + one Arrow pass over redirect-sized rows only;
+        # wall should track the shared container walk
+        "extract_redirects (gz)": lambda sf: warc_redirects_chain(
+            spark, sf
+        ),
         # r14: URL canonicalization — one JVM projection, zero
         # exchanges; wall should track the scan exactly (the
         # interpreted array/lambda steps are a per-URL constant)
