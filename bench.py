@@ -92,17 +92,24 @@ def main() -> None:
     #
     # Spark-version coupling (r15 advisor note): `_jsc` is py4j
     # PRIVATE API — there is no public PySpark enumeration of
-    # persistent RDDs (SPARK-16693 never landed a Python face), so
-    # the call is hasattr-guarded to degrade to a no-op rather than
-    # crash the bench if an upgrade hides it. Safety invariant: this
-    # runs strictly AFTER the pass's action completes and every pass
-    # rebuilds its plan from scratch, so no still-referenced
-    # localCheckpointed RDD can be unpersisted mid-use.
+    # persistent RDDs (SPARK-16693 never landed a Python face).
+    # try/except, not hasattr: py4j's JavaObject.__getattr__ returns
+    # a JavaMember for ANY name without consulting the JVM, so
+    # hasattr is always True and only the call itself can reveal a
+    # hidden/renamed method — degrade to a no-op instead of crashing
+    # the bench on an upgrade. Safety invariant: this runs strictly
+    # AFTER the pass's action completes and every pass rebuilds its
+    # plan from scratch, so no still-referenced localCheckpointed RDD
+    # can be unpersisted mid-use.
     def release_pinned() -> None:
         jsc = getattr(spark.sparkContext, "_jsc", None)
-        if jsc is None or not hasattr(jsc, "getPersistentRDDs"):
+        if jsc is None:
             return
-        for rdd in list(jsc.getPersistentRDDs().values()):
+        try:
+            rdds = list(jsc.getPersistentRDDs().values())
+        except Exception:
+            return
+        for rdd in rdds:
             rdd.unpersist(False)
 
     errors: dict[str, str] = {}

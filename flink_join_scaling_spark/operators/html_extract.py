@@ -129,6 +129,22 @@ class _SkipStackMixin:
         ):
             self._stack.pop()
 
+    def _implicit_head_close_on_data(self, data: str) -> None:
+        # HTML5 also closes an open head on a non-whitespace
+        # CHARACTER token (r16 review finding: a </head>-less page
+        # whose body opens with bare text — no wrapping start tag —
+        # must not lose that prefix). Whitespace-only data is legal
+        # inside head and keeps it open; the class matches the
+        # repo-wide ``_WS_RUN`` ASCII set. Data inside a rawtext
+        # child (title/style/script) never reaches here with head on
+        # top — the child tops the stack.
+        if (
+            self._stack
+            and self._stack[-1] == "head"
+            and data.strip(" \t\n\v\f\r")
+        ):
+            self._stack.pop()
+
     def _skip_push(self, tag: str) -> None:
         self._stack.append(tag)
 
@@ -195,6 +211,7 @@ class _BlockParser(_SkipStackMixin, HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
+        self._implicit_head_close_on_data(data)
         if self._skip:
             return
         self._buf.append(data)
@@ -469,6 +486,12 @@ class _LinkParser(_SkipStackMixin, HTMLParser):
                     return
                 self.hrefs.append(v)
                 return
+
+    def handle_data(self, data: str) -> None:
+        # keep the two parsers' head state in lockstep: bare text
+        # after the head content also ends a ``</head>``-less head
+        # here, so anchors following it are seen
+        self._implicit_head_close_on_data(data)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:

@@ -3873,6 +3873,36 @@ def q_extract_html_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hx.extract_main_text(pages, "doc_id", "html")
 
 
+def _warc_clean_corpus(
+    spark: SparkSession, sf_dir: str, **fixture_kwargs
+) -> DataFrame:
+    """The shared WARC→clean-corpus chain behind ``q_extract_warc``
+    and ``q_extract_warc_gz`` (one chain, two fixture framings —
+    review r16: the filter+extract+id-projection tail must not exist
+    as divergence-prone copies): fixture blobs → record explode →
+    :func:`~flink_join_scaling_spark.sources.warc.html_responses`
+    keep-filter (also the streaming face's filter) → boilerplate
+    removal → ``(doc_id, uri, main_text)``."""
+    from flink_join_scaling_spark.operators import html_extract as hx
+    from flink_join_scaling_spark.sources import warc as wc
+
+    d = load_table(spark, sf_dir, "documents")
+    blobs = wc.attach_synth_warc(
+        d, "doc_id", "text", group_size=10, **fixture_kwargs
+    )
+    recs = wc.parse_warc_records(blobs, "payload")
+    clean = hx.extract_main_text(
+        wc.html_responses(recs), "uri", "html"
+    )
+    return clean.select(
+        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "uri",
+        "main_text",
+    )
+
+
 @query(
     "q_extract_warc",
     oracle="""
@@ -3913,25 +3943,7 @@ def q_extract_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads archives via ``binaryFile``), the chain is two Arrow map
     stages (record explode, extraction) and one JVM regexp id
     projection; archive bytes and HTML never shuffle."""
-    from flink_join_scaling_spark.operators import html_extract as hx
-    from flink_join_scaling_spark.sources import warc as wc
-
-    d = load_table(spark, sf_dir, "documents")
-    blobs = wc.attach_synth_warc(d, "doc_id", "text", group_size=10)
-    recs = wc.parse_warc_records(blobs, "payload")
-    pages = recs.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    ).select("uri", F.col("body").alias("html"))
-    clean = hx.extract_main_text(pages, "uri", "html")
-    return clean.select(
-        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        "uri",
-        "main_text",
-    )
+    return _warc_clean_corpus(spark, sf_dir)
 
 
 @query(
@@ -3982,27 +3994,11 @@ def q_extract_warc_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk at ~2% over the plain container (SCALING.md) —
     decompression is C-speed; the wall stays the HTML-parse
     constant."""
-    from flink_join_scaling_spark.operators import html_extract as hx
-    from flink_join_scaling_spark.sources import warc as wc
-
-    d = load_table(spark, sf_dir, "documents")
-    blobs = wc.attach_synth_warc(
-        d, "doc_id", "text", group_size=10, gzip_members=True,
-        plant_meta_charset=True, plant_redirects=True,
-    )
-    recs = wc.parse_warc_records(blobs, "payload")
-    pages = recs.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    ).select("uri", F.col("body").alias("html"))
-    clean = hx.extract_main_text(pages, "uri", "html")
-    return clean.select(
-        F.regexp_extract("uri", r"/doc/(\d+)$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        "uri",
-        "main_text",
+    return _warc_clean_corpus(
+        spark, sf_dir,
+        gzip_members=True,
+        plant_meta_charset=True,
+        plant_redirects=True,
     )
 
 

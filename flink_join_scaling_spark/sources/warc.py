@@ -67,6 +67,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "parse_warc_bytes",
     "parse_warc_records",
+    "html_responses",
     "extract_redirects",
     "synth_warc",
     "synth_warc_record_blobs",
@@ -86,16 +87,56 @@ _GZ_CHUNK = 1 << 18
 #: UTF-8/latin-1 path and mojibake'd non-latin payloads)
 _CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:\-]+)[\"']?", re.I)
 
-#: HTML5 prescan: a ``<meta charset=…>`` or ``<meta http-equiv=
-#: "Content-Type" content="…; charset=…">`` declaration within the
-#: first 1024 payload BYTES (the spec's prescan window — both forms
-#: put ``charset=`` inside the tag, so one byte-regex covers both).
-#: ASCII-compatible by construction: every encoding this sniff is
-#: for (the IANA labels servers actually emit) is an ASCII superset
-#: in the prescan window.
-_META_CHARSET_RE = re.compile(
-    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", re.I
-)
+#: HTML5 prescan pieces (``_sniff_meta_charset``): ``<meta`` tags and
+#: their attributes are tokenized within the 1024-byte window so only
+#: a real ``charset`` ATTRIBUTE — or the ``charset=`` parameter of a
+#: ``content`` attribute on an ``http-equiv="Content-Type"`` meta —
+#: is honored (r16 review finding: a bare ``charset=`` byte-regex
+#: also matched prose inside a description meta's content value and
+#: inside comments, mis-decoding whole pages).
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*", re.I)
+_ATTR_RE = re.compile(rb"([a-zA-Z-]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)")
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+
+
+def _sniff_meta_charset(window: bytes) -> str | None:
+    """The HTML5 §13.2.3.2 prescan, approximated faithfully over the
+    first 1024 payload bytes: strip comments (an unterminated comment
+    hides everything after its opener — the spec skips to a ``-->``
+    that would lie beyond the window), then for each ``<meta`` tag
+    read its attributes and take the first encoding from a
+    ``charset`` attribute or an ``http-equiv="Content-Type"``'s
+    ``content`` parameter. The spec's label remaps apply: a sniffed
+    utf-16 label means the markup was ASCII-compatible after all →
+    decode as utf-8; ``x-user-defined`` → windows-1252."""
+    window = _COMMENT_RE.sub(b"", window)
+    cut = window.find(b"<!--")
+    if cut >= 0:
+        window = window[:cut]
+    for m in _META_TAG_RE.finditer(window):
+        attrs: dict[str, bytes] = {}
+        for a in _ATTR_RE.finditer(m.group(0)):
+            name = a.group(1).decode("ascii").lower()
+            if name not in attrs:
+                attrs[name] = a.group(2).strip(b"\"'")
+        label: str | None = None
+        if "charset" in attrs:
+            label = attrs["charset"].decode("ascii", "replace")
+        elif (
+            attrs.get("http-equiv", b"").lower() == b"content-type"
+            and "content" in attrs
+        ):
+            cm = _CHARSET_RE.search(attrs["content"].decode("latin-1"))
+            if cm:
+                label = cm.group(1)
+        if label:
+            label = label.strip().lower()
+            if label in ("utf-16", "utf-16le", "utf-16be"):
+                return "utf-8"
+            if label == "x-user-defined":
+                return "windows-1252"
+            return label
+    return None
 
 
 def _gzip_members(payload: bytes) -> Iterator[bytes]:
@@ -153,12 +194,10 @@ def _decode_body(body: bytes, content_type: str | None) -> str:
             except LookupError:
                 pass  # unknown codec name → the undeclared path
         if "html" in content_type.lower():
-            m = _META_CHARSET_RE.search(body[:1024])
-            if m:
+            label = _sniff_meta_charset(body[:1024])
+            if label:
                 try:
-                    return body.decode(
-                        m.group(1).decode("ascii"), errors="replace"
-                    )
+                    return body.decode(label, errors="replace")
                 except LookupError:
                     pass
     try:
@@ -331,6 +370,25 @@ def parse_warc_records(
     )
 
 
+def html_responses(records: DataFrame) -> DataFrame:
+    """THE keep-filter of the crawl-ingestion chain: HTTP-200
+    ``text/html`` response records of a :func:`parse_warc_records`
+    frame as ``(uri, html)`` pages — warcinfo/request/redirect
+    records drop by type/status here. One function, every face
+    (``q_extract_warc``, ``q_extract_warc_gz``,
+    ``streaming.filters.stream_ingest_warc``), so the acceptance
+    rule cannot drift between them (r16 review: the filter existed
+    as three inline copies). Pure JVM predicate — runs before any
+    Arrow stage downstream."""
+    from pyspark.sql import functions as F
+
+    return records.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("uri", F.col("body").alias("html"))
+
+
 def extract_redirects(records: DataFrame) -> DataFrame:
     """Redirect-edge extraction (r16, r15 verdict task 5): the
     ``(uri → location)`` aliasing pairs every crawl graph consumes —
@@ -500,14 +558,25 @@ def synth_warc_record_blobs(
     return blobs
 
 
-def synth_warc(group: List[Tuple[int, str]]) -> bytes:
+def synth_warc(
+    group: List[Tuple[int, str]],
+    plant_meta_charset: bool = False,
+    plant_redirects: bool = False,
+) -> bytes:
     """One deterministic WARC file for a group of (doc_id, text)
     documents: a warcinfo record, then per document a request record
     (skipped by type downstream) and a response record whose HTTP
     body is the :func:`synth_html` page for
-    ``http://example.com/doc/{doc_id}``."""
-    # no separator after the final record
-    return b"".join(synth_warc_record_blobs(group))[:-4]
+    ``http://example.com/doc/{doc_id}``; plant flags per
+    :func:`synth_warc_record_blobs`. The final-record layout rule —
+    no separator after the last record — lives HERE only."""
+    return b"".join(
+        synth_warc_record_blobs(
+            group,
+            plant_meta_charset=plant_meta_charset,
+            plant_redirects=plant_redirects,
+        )
+    )[:-4]
 
 
 def attach_synth_warc(
@@ -533,16 +602,21 @@ def attach_synth_warc(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         group = [(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])]
-        blobs = synth_warc_record_blobs(
-            group,
-            plant_meta_charset=plant_meta_charset,
-            plant_redirects=plant_redirects,
-        )
         if gzip_members:
-            blob = b"".join(gzip.compress(b, mtime=0) for b in blobs)
+            blob = b"".join(
+                gzip.compress(b, mtime=0)
+                for b in synth_warc_record_blobs(
+                    group,
+                    plant_meta_charset=plant_meta_charset,
+                    plant_redirects=plant_redirects,
+                )
+            )
         else:
-            # no separator after the final record (synth_warc layout)
-            blob = b"".join(blobs)[:-4]
+            blob = synth_warc(
+                group,
+                plant_meta_charset=plant_meta_charset,
+                plant_redirects=plant_redirects,
+            )
         return pd.DataFrame(
             {"warc_id": [int(pdf["__warc_id"].iloc[0])], "payload": [blob]}
         )

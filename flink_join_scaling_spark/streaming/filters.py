@@ -528,14 +528,12 @@ def stream_ingest_warc(
     shuffle, no watermark, append mode; archive bytes never leave the
     executor that read them."""
     from flink_join_scaling_spark.operators import html_extract as hx
-    from flink_join_scaling_spark.sources.warc import parse_warc_records
+    from flink_join_scaling_spark.sources.warc import (
+        html_responses,
+        parse_warc_records,
+    )
 
-    recs = parse_warc_records(sdf, payload_col)
-    pages = recs.where(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").startswith("text/html")
-    ).select("uri", F.col("body").alias("html"))
+    pages = html_responses(parse_warc_records(sdf, payload_col))
     return hx.extract_main_text(
         pages,
         "uri",

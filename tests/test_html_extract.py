@@ -54,6 +54,25 @@ def test_head_implicit_close_when_end_tag_omitted():
         f"<html><head><title>T</title><div><p>{LONG}</p></div></html>"
     )
     assert _kept(divs_only) == [LONG.strip()]
+    # a non-whitespace CHARACTER token also closes the head (r16
+    # review repro: bare text with no wrapping start tag)
+    bare_text = (
+        f"<html><head><title>T</title>{LONG}<p>{LONG}</p></html>"
+    )
+    assert _kept(bare_text) == [LONG.strip(), LONG.strip()]
+    # ...but whitespace-only data keeps the head open
+    ws_only = (
+        f"<html><head><title>T</title>\n  <body><p>{LONG}</p></html>"
+    )
+    assert _kept(ws_only) == [LONG.strip()]
+    # and the link parser applies the same character-token rule
+    p2 = hx._LinkParser()
+    p2.feed(
+        '<html><head><title>T</title>text<a href="y">l</a></html>'
+    )
+    p2.close()
+    assert p2.hrefs == ["y"]
+
     # link parser: same rule, and <base> still captures at head depth
     page = (
         '<html><head><base href="https://b.org/dir/">'

@@ -269,6 +269,69 @@ def test_meta_charset_prescan():
     assert r["body"].startswith('<meta charset="shift_jis">')
 
 
+def test_meta_charset_prescan_is_attribute_aware():
+    """The r16 review repros: 'charset=' in PROSE (a description
+    meta's content value) or inside a comment must not win, and the
+    HTML5 label remaps apply (a sniffed utf-16 label means the
+    markup was ASCII-compatible → decode utf-8; x-user-defined →
+    windows-1252)."""
+    # prose false positive: the page is plain UTF-8 and must stay so
+    body = (
+        b'<html><head><meta name="description" '
+        b'content="how charset=utf-16 works"></head><body>'
+        + "héllo wörld".encode("utf-8") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "héllo wörld" in r["body"]
+
+    # commented-out meta is invisible to the prescan
+    body = (
+        b'<html><head><!-- <meta charset="shift_jis"> --></head>'
+        b"<body>" + "日本".encode("shift_jis") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "日本" not in r["body"]
+
+    # an UNTERMINATED comment hides everything after its opener
+    body = (
+        b'<html><head><!-- <meta charset="shift_jis">'
+        b"<body>" + "日本".encode("shift_jis")
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "日本" not in r["body"]
+
+    # spec remap: a sniffed utf-16 label decodes as utf-8
+    body = (
+        b'<html><head><meta charset="utf-16"></head><body>'
+        + "héllo".encode("utf-8") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "héllo" in r["body"]
+
+    # spec remap: x-user-defined → windows-1252
+    body = (
+        b'<html><head><meta charset="x-user-defined"></head><body>'
+        + "€".encode("cp1252") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "€" in r["body"]
+
+    # http-equiv form still honored with attributes in either order
+    body = (
+        b'<html><head><meta content="text/html; charset=shift_jis" '
+        b'http-equiv="Content-Type"></head><body>'
+        + "日本".encode("shift_jis") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "日本" in r["body"]
+
+
 def test_extract_redirects_resolution(spark):
     # hand-built archive: relative Location (must resolve against the
     # record URI), absolute Location (kept), a 200 with Location
