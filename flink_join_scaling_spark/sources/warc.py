@@ -69,6 +69,7 @@ __all__ = [
     "parse_warc_records",
     "html_responses",
     "extract_redirects",
+    "resolve_redirect_chains",
     "synth_warc",
     "synth_warc_record_blobs",
     "attach_synth_warc",
@@ -433,6 +434,78 @@ def extract_redirects(records: DataFrame) -> DataFrame:
     return slim.mapInPandas(
         run,
         "uri string, http_status long, location string, target string",
+    )
+
+
+def resolve_redirect_chains(
+    edges: DataFrame,
+    max_hops: int = 8,
+    uri_col: str = "uri",
+    target_col: str = "target",
+) -> DataFrame:
+    """Collapse multi-hop redirect chains to their final targets —
+    the step after :func:`extract_redirects` every crawl graph runs:
+    ``a→b``, ``b→c`` must alias BOTH a and b to c, or downstream
+    canonical-URL dedup merges only half the chain. Output:
+    ``(uri, final_target, hops, resolved)`` per distinct source URI;
+    ``resolved=false`` marks chains longer than ``max_hops`` and
+    CYCLES (``x→y→x`` — real crawls contain them; browsers give up
+    exactly the same way, typically after ~20 hops, fetch specs say
+    20, curl defaults to 50 — callers pick the budget).
+
+    Algorithm: POINTER JUMPING over the functional graph (one
+    outgoing edge per source — duplicate observations of a URI keep
+    the lexicographically-least target for determinism):
+    ``⌈log2(max_hops)⌉`` rounds of self-join double the hop span
+    each round, so an 8-hop budget costs 3 edge-sized shuffles —
+    never a per-hop loop, never a driver walk. The same
+    doubling-contraction idea as ``operators.dedup``'s distributed
+    ``connected_components`` lane, specialized to out-degree-1
+    graphs where it needs no convergence check. A URI whose final
+    pointer still lands on another SOURCE after the rounds has an
+    unexhausted chain (too long, or cyclic) and is flagged rather
+    than half-resolved. Batch-only, like ``connected_components``
+    (iterative self-joins have no incremental streaming form);
+    at crawl scale every frame here is redirect-sized, orders of
+    magnitude below the page corpus."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    m = (
+        edges.select(
+            F.col(uri_col).alias("_src"), F.col(target_col).alias("_t")
+        )
+        .where(F.col("_src").isNotNull() & F.col("_t").isNotNull())
+        .groupBy("_src")
+        .agg(F.min("_t").alias("_t"))
+    )
+    cur = m.select(
+        "_src",
+        F.col("_t").alias("_dst"),
+        F.lit(1).cast("long").alias("_hops"),
+    )
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        hop = cur.select(
+            F.col("_src").alias("_dst"),
+            F.col("_dst").alias("_dst2"),
+            F.col("_hops").alias("_h2"),
+        )
+        cur = cur.join(hop, "_dst", "left").select(
+            "_src",
+            F.coalesce("_dst2", F.col("_dst")).alias("_dst"),
+            (F.col("_hops") + F.coalesce("_h2", F.lit(0))).alias("_hops"),
+        )
+    # a final pointer that is still some chain's SOURCE means the
+    # budget did not exhaust the chain (length > max_hops, or cycle)
+    keys = m.select(F.col("_src").alias("_dst"), F.lit(True).alias("_k"))
+    return cur.join(keys, "_dst", "left").select(
+        F.col("_src").alias(uri_col),
+        F.col("_dst").alias("final_target"),
+        F.col("_hops").alias("hops"),
+        (F.col("_k").isNull() & (F.col("_hops") <= max_hops)).alias(
+            "resolved"
+        ),
     )
 
 

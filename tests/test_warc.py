@@ -375,6 +375,71 @@ def test_extract_redirects_resolution(spark):
     }
 
 
+def test_resolve_redirect_chains(spark):
+    """Pointer-jumping chain collapse: multi-hop chains resolve to
+    the final target with exact hop counts, cycles and over-budget
+    chains are FLAGGED (never half-resolved), and log2 rounds — not
+    per-hop loops — cover the budget."""
+    E = [
+        # 3-hop chain: a → b → c → d
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        # single hop
+        ("solo", "end"),
+        # 2-cycle and self-loop
+        ("x", "y"), ("y", "x"), ("self", "self"),
+        # duplicate observation of one source: deterministic min wins
+        ("dup", "t2"), ("dup", "t1"),
+    ]
+    edges = spark.createDataFrame(E, "uri string, target string")
+    out = {
+        r.uri: (r.final_target, r.hops, r.resolved)
+        for r in wc.resolve_redirect_chains(edges, max_hops=8).collect()
+    }
+    assert out["a"] == ("d", 3, True)
+    assert out["b"] == ("d", 2, True)
+    assert out["c"] == ("d", 1, True)
+    assert out["solo"] == ("end", 1, True)
+    assert out["dup"] == ("t1", 1, True)
+    assert out["x"][2] is False and out["y"][2] is False
+    assert out["self"][2] is False
+    assert len(out) == 8  # one row per distinct source
+
+    # budget semantics: a 7-hop chain resolves under max_hops=8 but
+    # is flagged under max_hops=5 even though the jump rounds cover it
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(7)]
+    cdf = spark.createDataFrame(chain, "uri string, target string")
+    ok = {
+        r.uri: (r.final_target, r.hops, r.resolved)
+        for r in wc.resolve_redirect_chains(cdf, max_hops=8).collect()
+    }
+    assert ok["n0"] == ("n7", 7, True)
+    tight = {
+        r.uri: r.resolved
+        for r in wc.resolve_redirect_chains(cdf, max_hops=5).collect()
+    }
+    assert tight["n0"] is False and tight["n3"] is True
+
+    # composition with the fixture face: planted single-hop redirects
+    # come back fully resolved with hops=1
+    docs = spark.createDataFrame(
+        [(i, f"body text {i} " * 5) for i in range(8)],
+        "doc_id long, text string",
+    )
+    red = wc.extract_redirects(
+        wc.parse_warc_records(
+            wc.attach_synth_warc(
+                docs, "doc_id", "text", group_size=4,
+                plant_redirects=True,
+            )
+        )
+    )
+    res = wc.resolve_redirect_chains(red).collect()
+    assert {r.uri for r in res} == {
+        "http://example.com/old/1", "http://example.com/old/5"
+    }
+    assert all(r.resolved and r.hops == 1 for r in res)
+
+
 def test_planted_fixture_faces():
     # plants OFF → byte-identical to the r15 fixture layout
     group = [(3, "short"), (5, "x " * 30), (13, "y " * 30)]
