@@ -561,3 +561,78 @@ def test_crawl_graph_feeds_pagerank(spark):
     leaves = [f"http://example.com/doc/{i}" for i in range(20)]
     assert all(u in ranks for u in chrome + leaves)
     assert min(ranks[u] for u in chrome) > max(ranks[u] for u in leaves)
+
+
+def test_redirect_aliasing_consolidates_pagerank(spark):
+    """The r16 aliasing loop end to end: planted 301 chains walk the
+    REAL container path (parse_warc_records → extract_redirects →
+    resolve_redirect_chains), the resulting alias map rewrites link-
+    edge targets, and PageRank mass that previously SPLIT across a
+    redirect alias and its canonical target consolidates onto the
+    final target — the exact consumption path the redirect family
+    exists for (upstream of q_dedup_canonical_rank)."""
+    from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.sources import warc as wc
+
+    def rec(status: int, uri: str, loc: str) -> bytes:
+        resp = (
+            f"HTTP/1.1 {status} Moved\r\nLocation: {loc}\r\n"
+            "Content-Length: 0\r\n\r\n"
+        ).encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"Content-Length: " + str(len(resp)).encode() + b"\r\n\r\n"
+            + resp + b"\r\n\r\n"
+        )
+
+    # a 2-hop chain: /old/a -> /mid/a -> /new/a
+    blob = (
+        rec(301, "http://site.org/old/a", "/mid/a")
+        + rec(302, "http://site.org/mid/a", "/new/a")
+    )[:-4]
+    archives = spark.createDataFrame(
+        [(0, bytearray(blob))], "warc_id long, payload binary"
+    )
+    alias = wc.resolve_redirect_chains(
+        wc.extract_redirects(wc.parse_warc_records(archives))
+    ).where("resolved")
+    got = {r.uri: (r.final_target, r.hops) for r in alias.collect()}
+    assert got == {
+        "http://site.org/old/a": ("http://site.org/new/a", 2),
+        "http://site.org/mid/a": ("http://site.org/new/a", 1),
+    }
+
+    # 8 pages link the canonical target's ALIAS or the target itself;
+    # 8 pages link an unaliased control page
+    E = (
+        [(f"http://p{i}.org/", "http://site.org/old/a") for i in range(4)]
+        + [(f"http://p{i}.org/", "http://site.org/new/a")
+           for i in range(4, 8)]
+        + [(f"http://p{i}.org/", "http://site.org/other")
+           for i in range(8)]
+    )
+    edges = spark.createDataFrame(E, "src string, dst string")
+
+    def rank_of(e, node):
+        ranks = {r.node: r.r for r in dd.pagerank(e, "src", "dst",
+                                                  iters=3).collect()}
+        return ranks.get(node, 0.0)
+
+    # without aliasing, the canonical target sees only half its mass
+    split = rank_of(edges, "http://site.org/new/a")
+    control = rank_of(edges, "http://site.org/other")
+    assert split < control
+
+    amap = alias.select(
+        F.col("uri").alias("dst"), F.col("final_target").alias("_ft")
+    )
+    remapped = edges.join(amap, "dst", "left").select(
+        "src", F.coalesce("_ft", F.col("dst")).alias("dst")
+    )
+    merged = rank_of(remapped, "http://site.org/new/a")
+    control2 = rank_of(remapped, "http://site.org/other")
+    assert abs(merged - control2) < 1e-9  # full consolidation
+    assert merged > split
+    # the alias node no longer exists as a link target
+    assert rank_of(remapped, "http://site.org/old/a") == 0.0
