@@ -128,3 +128,67 @@ def test_warc_truncation_always_refuses(cut, ids):
     # parse succeeded: legal only if the cut landed exactly on a
     # record boundary (+ separator), yielding a strict prefix
     assert len(recs) < n_full
+
+
+#: labels the prescan must recognize, with the HTML5 remaps applied
+_LABELS = [
+    ("utf-8", "utf-8"),
+    ("Shift_JIS", "shift_jis"),
+    ("windows-1252", "windows-1252"),
+    ("ISO-8859-1", "iso-8859-1"),
+    ("UTF-16", "utf-8"),          # spec remap: markup was ASCII
+    ("utf-16le", "utf-8"),
+    ("x-user-defined", "windows-1252"),
+]
+
+
+@given(
+    pair=st.sampled_from(_LABELS),
+    quote=st.sampled_from(['"', "'", ""]),
+    order=st.booleans(),
+    pad=st.sampled_from(["", " ", "  ", "\t"]),
+    extra=st.sampled_from(
+        ["", '<meta name="viewport" content="width=1">',
+         '<meta name="d" content="charset=koi8-r prose">',
+         "<!-- <meta charset=koi8-r> -->"]
+    ),
+    http_equiv=st.booleans(),
+)
+@SET
+def test_meta_prescan_finds_label_whatever_the_spelling(
+    pair, quote, order, pad, extra, http_equiv
+):
+    """Quoting style, attribute order, surrounding whitespace,
+    decoy metas ('charset=' in description prose) and comments must
+    not move the sniff: the FIRST real declaration wins, with the
+    HTML5 utf-16/x-user-defined remaps applied. The decoys
+    deliberately name a DIFFERENT codec (koi8-r) so any false
+    positive changes the answer."""
+    label, want = pair
+    q = quote
+    if http_equiv:
+        # the content parameter needs its quotes when it has a ';'
+        q = q or '"'
+        meta = (
+            f"<meta{pad} http-equiv={q}Content-Type{q} "
+            f"content={q}text/html; charset={label}{q}>"
+        )
+        if order:
+            meta = (
+                f"<meta{pad} content={q}text/html; charset={label}{q} "
+                f"http-equiv={q}Content-Type{q}>"
+            )
+    else:
+        meta = f"<meta{pad} charset{pad}={pad}{q}{label}{q}{pad}>"
+    window = f"<html><head>{extra}{meta}</head>".encode("ascii")
+    assert wc._sniff_meta_charset(window) == want
+
+
+@given(data=st.binary(min_size=0, max_size=1024))
+@SET
+def test_meta_prescan_total_over_random_bytes(data):
+    """The prescan never raises on arbitrary bytes (binary payloads
+    mislabeled text/html are routine in real archives) and only ever
+    returns a string label."""
+    out = wc._sniff_meta_charset(data)
+    assert out is None or isinstance(out, str)

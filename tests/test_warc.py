@@ -552,3 +552,55 @@ def test_spark_explode_face(spark):
         r.uri for r in recs.where("warc_type = 'response'").collect()
     }
     assert uris == {f"http://example.com/doc/{i}" for i in range(25)}
+
+
+def _reference_chain_walk(mapping, src, max_hops):
+    """Independent per-source reference for resolve_redirect_chains:
+    follow the functional graph step by step. Resolved iff the chain
+    reaches a non-source node within max_hops steps; cycles and
+    longer chains are flagged, matching the operator's contract."""
+    cur, hops = src, 0
+    while cur in mapping and hops <= max_hops + 1:
+        cur = mapping[cur]
+        hops += 1
+    if cur in mapping:
+        return (None, None, False)
+    return (cur, hops, hops <= max_hops)
+
+
+def test_resolve_redirect_chains_differential_random_graph(spark):
+    """Seeded random functional graph (chains, merging trees, cycles,
+    self-loops) — the pointer-jumping resolver must agree with an
+    independent step-by-step walk on EVERY source: same resolved
+    flag always, same (final_target, hops) whenever resolved."""
+    import random
+
+    rng = random.Random(20260816)
+    nodes = [f"u{i}" for i in range(300)]
+    mapping = {}
+    for i, n in enumerate(nodes):
+        if rng.random() < 0.7:
+            # bias targets forward so long chains and terminals form;
+            # ~10% of edges point backward to create cycles
+            j = rng.randrange(i + 1, min(i + 12, len(nodes) + 40))
+            tgt = nodes[j] if j < len(nodes) else f"terminal{j}"
+            if rng.random() < 0.1:
+                tgt = nodes[rng.randrange(0, i + 1)]
+            mapping[n] = tgt
+    for mh in (3, 8):
+        edges = spark.createDataFrame(
+            list(mapping.items()), "uri string, target string"
+        )
+        got = {
+            r.uri: (r.final_target, r.hops, r.resolved)
+            for r in wc.resolve_redirect_chains(
+                edges, max_hops=mh
+            ).collect()
+        }
+        assert set(got) == set(mapping)
+        for src in mapping:
+            ft, hops, res = _reference_chain_walk(mapping, src, mh)
+            g = got[src]
+            assert g[2] == res, (mh, src, g, (ft, hops, res))
+            if res:
+                assert (g[0], g[1]) == (ft, hops), (mh, src, g)
