@@ -183,8 +183,13 @@ def robots_filter(
     ``_MAX_TOTAL_RULES`` is refused loudly. URLs whose host serves
     no robots.txt are allowed (the protocol's default). The host and
     path are taken from the URL itself (RFC 3986 grammar, the
-    ``url_parts`` regexes' Python twins), with the match evaluated
-    on path+query per §2.2.2."""
+    ``url_parts`` regexes' Python twins; userinfo/port stripped and
+    the IPv6 bracket form kept whole for the policy lookup), with
+    the match evaluated on path+query per §2.2.2. Every input column
+    passes through unchanged (a FILTER face must not force a
+    join-back on a possibly non-unique URL column), with ``allowed``
+    and ``crawl_delay`` appended; stateless, so the same pass runs
+    under ``readStream``."""
     policies: dict[str, RobotsPolicy] = {}
     total = 0
     for row in robots.select(host_col, body_col).collect():
@@ -203,9 +208,17 @@ def robots_filter(
     host_re = re.compile(r"^[^:/?#]+://([^/?#]*)")
     path_re = re.compile(r"^[^:/?#]+://[^/?#]*([^#]*)")
 
-    out_schema = (
-        f"{url_col} string, allowed boolean, crawl_delay double"
+    passthrough = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in urls.schema.fields
     )
+    out_schema = f"{passthrough}, allowed boolean, crawl_delay double"
+
+    def lookup_host(authority: str) -> str:
+        authority = authority.rsplit("@", 1)[-1]
+        if authority.startswith("["):  # IPv6 literal: keep brackets
+            end = authority.find("]")
+            return authority[: end + 1] if end >= 0 else authority
+        return authority.split(":", 1)[0]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,10 +230,7 @@ def robots_filter(
                 if isinstance(u, str):
                     hm = host_re.match(u)
                     if hm:
-                        host = hm.group(1).lower()
-                        # strip userinfo/port for the policy lookup
-                        host = host.rsplit("@", 1)[-1].split(":", 1)[0]
-                        pol = policies.get(host)
+                        pol = policies.get(lookup_host(hm.group(1).lower()))
                 if pol is None:
                     allowed.append(True)
                     delay.append(None)
@@ -229,12 +239,11 @@ def robots_filter(
                 path = pm.group(1) if pm else "/"
                 allowed.append(pol.allowed(path or "/"))
                 delay.append(pol.crawl_delay)
-            yield pd.DataFrame(
-                {
-                    url_col: pdf[url_col].to_numpy(),
-                    "allowed": pd.Series(allowed, dtype="bool"),
-                    "crawl_delay": pd.Series(delay, dtype="float64"),
-                }
-            )
+            pdf = pdf.copy()
+            pdf["allowed"] = pd.Series(allowed, dtype="bool").to_numpy()
+            pdf["crawl_delay"] = pd.Series(
+                delay, dtype="float64"
+            ).to_numpy()
+            yield pdf
 
-    return urls.select(url_col).mapInPandas(run, out_schema)
+    return urls.mapInPandas(run, out_schema)

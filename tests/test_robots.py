@@ -101,25 +101,29 @@ def test_spark_filter_face(spark):
         [
             ("site.org", BODY),
             ("other.net", "User-agent: *\nDisallow: /\n"),
+            ("[2001:db8::1]", "User-agent: *\nDisallow: /v6\n"),
         ],
         "host string, body string",
     )
     urls = spark.createDataFrame(
         [
-            ("https://site.org/private/x",),
-            ("https://SITE.org/private/public-note.html",),
-            ("https://site.org:8443/ok",),
-            ("https://alice@site.org/private/x",),
-            ("https://other.net/anything",),
-            ("https://norobots.example/x",),
-            (None,),
+            ("https://site.org/private/x", 1),
+            ("https://SITE.org/private/public-note.html", 2),
+            ("https://site.org:8443/ok", 3),
+            ("https://alice@site.org/private/x", 4),
+            ("https://other.net/anything", 5),
+            ("https://norobots.example/x", 6),
+            ("http://[2001:db8::1]:8080/v6/page", 7),
+            (None, 8),
         ],
-        "url string",
+        "url string, tag long",
     )
-    out = {
-        r.url: (r.allowed, r.crawl_delay)
-        for r in rb.robots_filter(urls, robots, agent="somebot").collect()
-    }
+    rows = rb.robots_filter(urls, robots, agent="somebot").collect()
+    out = {r.url: (r.allowed, r.crawl_delay) for r in rows}
+    # passthrough: the caller's columns survive, no join-back needed
+    assert {r.tag for r in rows} == set(range(1, 9))
+    # IPv6 bracket form keeps its brackets through the lookup
+    assert out["http://[2001:db8::1]:8080/v6/page"][0] is False
     assert out["https://site.org/private/x"] == (False, 2.0)
     # host case-fold, port and userinfo stripped for the lookup
     assert out["https://SITE.org/private/public-note.html"][0] is True
