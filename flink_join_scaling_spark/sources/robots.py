@@ -56,18 +56,44 @@ _MAX_TOTAL_RULES = 1_000_000
 class Rule:
     allow: bool
     pattern: str  # raw robots pattern (for reporting)
-    regex: re.Pattern  # compiled anchored matcher
+    parts: tuple  # literal segments split on '*'
+    anchored: bool  # trailing '$' end anchor
     octets: int  # specificity = len(pattern) per §2.2.2
 
+    def matches(self, path: str) -> bool:
+        """Non-backtracking wildcard walk — NOT a regex, because
+        robots.txt bodies are REMOTE-HOST-CONTROLLED input and a
+        naive ``*``→``.*`` translation is catastrophically
+        backtrackable (``*a*a*a…$`` hangs the matcher — the r16
+        review's ReDoS repro). Greedy left-to-right: the first
+        literal must be a path prefix, middle literals are found in
+        order, and the last literal is a suffix (``$``) or merely
+        present (prefix-match semantics otherwise). Linear-ish
+        (O(parts × path)), worst case quadratic, never
+        exponential."""
+        first = self.parts[0]
+        if not path.startswith(first):
+            return False
+        pos = len(first)
+        if len(self.parts) == 1:
+            return len(path) == pos if self.anchored else True
+        for seg in self.parts[1:-1]:
+            i = path.find(seg, pos)
+            if i < 0:
+                return False
+            pos = i + len(seg)
+        last = self.parts[-1]
+        if self.anchored:
+            return path.endswith(last) and len(path) - len(last) >= pos
+        return path.find(last, pos) >= 0
 
-def _compile_pattern(pattern: str) -> re.Pattern:
-    """Robots path pattern → anchored regex: every char literal
-    except ``*`` (any run) and a TRAILING ``$`` (end anchor); the
-    match is a prefix match otherwise."""
+
+def _compile_pattern(pattern: str) -> tuple[tuple, bool]:
+    """Robots path pattern → (literal segments split on ``*``,
+    end-anchored?) for :meth:`Rule.matches`."""
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
-    rx = "".join(".*" if c == "*" else re.escape(c) for c in body)
-    return re.compile("^" + rx + ("$" if anchored else ""))
+    return tuple(body.split("*")), anchored
 
 
 class RobotsPolicy:
@@ -80,15 +106,20 @@ class RobotsPolicy:
         rules: List[Rule],
         crawl_delay: float | None,
         sitemaps: List[str],
+        total_compiled: int = 0,
     ) -> None:
         self.rules = rules
         self.crawl_delay = crawl_delay
         self.sitemaps = sitemaps
+        #: rules compiled across ALL groups of the file — the
+        #: resource-cap accounting unit (the selected group may be
+        #: tiny while the file is enormous)
+        self.total_compiled = total_compiled
 
     def allowed(self, path: str) -> bool:
         best: Rule | None = None
         for r in self.rules:
-            if r.regex.match(path):
+            if r.matches(path):
                 if (
                     best is None
                     or r.octets > best.octets
@@ -98,19 +129,49 @@ class RobotsPolicy:
         return True if best is None else best.allow
 
 
+#: bodies are truncated here before parsing — the RFC only obliges
+#: parsers to process 500 KiB, and an unbounded remote body must not
+#: buy unbounded driver-side compile work
+_MAX_BODY_BYTES = 512 * 1024
+
+
+def _product_tokens(agent: str) -> List[str]:
+    """The agent string's product tokens: the leading
+    ``[a-zA-Z_-]+`` run of each whitespace-separated word, lowered —
+    the unit RFC 9309 §2.2.1 matches group tokens against."""
+    out = []
+    for word in agent.lower().split():
+        m = re.match(r"[a-z_\-]+", word)
+        if m:
+            out.append(m.group(0))
+    return out
+
+
 def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
-    """Parse one robots.txt body for ``agent`` (product token,
-    case-insensitive). Group selection per §2.2.1: the group whose
-    user-agent token is the LONGEST substring match of ``agent``
-    wins; ``*`` is the fallback; groups sharing a token merge.
-    Unknown lines and comments (``#`` to end of line) are ignored —
-    the RFC demands tolerant parsing; only the selected group's
-    Crawl-delay applies, while Sitemap lines are file-global."""
-    agent_l = agent.lower()
+    """Parse one robots.txt body for ``agent``. Group selection per
+    §2.2.1: a group token matches when it is a non-empty
+    case-insensitive PREFIX of one of the agent's product tokens
+    (the google/robotstxt discipline — NOT arbitrary substring
+    containment, which would let a one-letter token aimed at another
+    crawler steal selection from ``*``; the r16 review repro); the
+    longest matching token wins and ``*`` is the fallback; groups
+    sharing a token merge; an EMPTY ``User-agent:`` value names no
+    crawler and is dropped (it must not become a match-everything
+    token). Unknown lines and comments (``#`` to end of line) are
+    ignored — the RFC demands tolerant parsing; only the selected
+    group's Crawl-delay applies, while Sitemap lines are
+    file-global. Bodies beyond 512 KiB are truncated first (the
+    RFC's processing floor — remote input must not buy unbounded
+    compile work)."""
+    if len(text) > _MAX_BODY_BYTES:
+        text = text[:_MAX_BODY_BYTES]
+        text = text.rsplit("\n", 1)[0]  # drop the cut line
+    tokens = _product_tokens(agent)
     groups: dict[str, dict] = {}
     sitemaps: List[str] = []
     current: List[str] = []
     last_was_ua = False
+    n_compiled = 0
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -123,25 +184,28 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
                 sitemaps.append(value)
             continue
         if field == "user-agent":
-            token = value.lower()
             if not last_was_ua:
                 current = []
-            current.append(token)
-            groups.setdefault(
-                token, {"rules": [], "delay": None}
-            )
+            token = value.lower()
+            if token:  # an empty UA value names no crawler
+                current.append(token)
+                groups.setdefault(token, {"rules": [], "delay": None})
             last_was_ua = True
             continue
         last_was_ua = False
         if field in ("allow", "disallow"):
             if field == "disallow" and value == "":
                 continue  # empty Disallow matches nothing
+            parts, anchored = _compile_pattern(value)
             rule = Rule(
                 allow=(field == "allow"),
                 pattern=value,
-                regex=_compile_pattern(value),
+                parts=parts,
+                anchored=anchored,
                 octets=len(value),
             )
+            if current:
+                n_compiled += 1
             for token in current:
                 groups[token]["rules"].append(rule)
         elif field == "crawl-delay":
@@ -151,16 +215,17 @@ def parse_robots(text: str, agent: str = "*") -> RobotsPolicy:
                 continue
             for token in current:
                 groups[token]["delay"] = d
-    # §2.2.1 group selection: longest token that substring-matches
+    # §2.2.1 group selection: longest token that prefix-matches a
+    # product token of the agent; '*' is the fallback
     chosen = None
     for token in groups:
-        if token != "*" and token in agent_l:
+        if token != "*" and any(pt.startswith(token) for pt in tokens):
             if chosen is None or len(token) > len(chosen):
                 chosen = token
     if chosen is None and "*" in groups:
         chosen = "*"
     g = groups.get(chosen, {"rules": [], "delay": None})
-    return RobotsPolicy(g["rules"], g["delay"], sitemaps)
+    return RobotsPolicy(g["rules"], g["delay"], sitemaps, n_compiled)
 
 
 def robots_filter(
@@ -190,13 +255,24 @@ def robots_filter(
     join-back on a possibly non-unique URL column), with ``allowed``
     and ``crawl_delay`` appended; stateless, so the same pass runs
     under ``readStream``."""
+    for reserved in ("allowed", "crawl_delay"):
+        if reserved in urls.columns:
+            raise ValueError(
+                f"urls frame already carries a {reserved!r} column — "
+                "robots_filter appends it; rename or drop the "
+                "existing one first"
+            )
     policies: dict[str, RobotsPolicy] = {}
     total = 0
     for row in robots.select(host_col, body_col).collect():
         if row[host_col] is None or row[body_col] is None:
             continue
         pol = parse_robots(row[body_col], agent)
-        total += len(pol.rules)
+        # account every rule the file made us COMPILE, not just the
+        # selected group's share — the cap bounds driver work and
+        # closure size, and a hostile file can stack its rules in
+        # groups the agent never selects
+        total += pol.total_compiled
         if total > _MAX_TOTAL_RULES:
             raise ValueError(
                 f"robots corpus exceeds {_MAX_TOTAL_RULES} compiled "
@@ -206,7 +282,11 @@ def robots_filter(
         policies[row[host_col].lower()] = pol
 
     host_re = re.compile(r"^[^:/?#]+://([^/?#]*)")
-    path_re = re.compile(r"^[^:/?#]+://[^/?#]*([^#]*)")
+    # path and query captured separately: an empty path with a query
+    # ('https://h?q=1') must match rules as '/?q=1', not '?q=1' —
+    # RFC 9309 treats the empty path as '/' (r16 review repro: every
+    # '/'-prefixed rule was bypassed)
+    path_re = re.compile(r"^[^:/?#]+://[^/?#]*([^?#]*)(\?[^#]*)?")
 
     passthrough = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in urls.schema.fields
@@ -236,8 +316,9 @@ def robots_filter(
                     delay.append(None)
                     continue
                 pm = path_re.match(u)
-                path = pm.group(1) if pm else "/"
-                allowed.append(pol.allowed(path or "/"))
+                path = (pm.group(1) or "/") if pm else "/"
+                query = (pm.group(2) or "") if pm else ""
+                allowed.append(pol.allowed(path + query))
                 delay.append(pol.crawl_delay)
             pdf = pdf.copy()
             pdf["allowed"] = pd.Series(allowed, dtype="bool").to_numpy()

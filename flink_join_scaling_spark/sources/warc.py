@@ -95,7 +95,14 @@ _CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:\-]+)[\"']?", re.I)
 #: is honored (r16 review finding: a bare ``charset=`` byte-regex
 #: also matched prose inside a description meta's content value and
 #: inside comments, mis-decoding whole pages).
-_META_TAG_RE = re.compile(rb"<meta\b[^>]*", re.I)
+#: quote-aware tag capture: a '>' INSIDE a quoted attribute value
+#: must not truncate the tag (r16 review repro: <meta data-x="a>b"
+#: charset="shift_jis"> lost its declaration). The alternation's
+#: branches start on disjoint characters, so the scan is linear —
+#: no catastrophic backtracking on hostile windows.
+_META_TAG_RE = re.compile(
+    rb"<meta\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*", re.I
+)
 _ATTR_RE = re.compile(rb"([a-zA-Z-]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)")
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 
@@ -451,7 +458,9 @@ def resolve_redirect_chains(
     ``resolved=false`` marks chains longer than ``max_hops`` and
     CYCLES (``x→y→x`` — real crawls contain them; browsers give up
     exactly the same way, typically after ~20 hops, fetch specs say
-    20, curl defaults to 50 — callers pick the budget).
+    20, curl defaults to 50 — callers pick the budget), and on such
+    rows ``hops`` is NULL — the jumping rounds leave only an
+    artifact count there, never a chain length.
 
     Algorithm: POINTER JUMPING over the functional graph (one
     outgoing edge per source — duplicate observations of a URI keep
@@ -499,13 +508,16 @@ def resolve_redirect_chains(
     # a final pointer that is still some chain's SOURCE means the
     # budget did not exhaust the chain (length > max_hops, or cycle)
     keys = m.select(F.col("_src").alias("_dst"), F.lit(True).alias("_k"))
+    resolved = F.col("_k").isNull() & (F.col("_hops") <= max_hops)
     return cur.join(keys, "_dst", "left").select(
         F.col("_src").alias(uri_col),
         F.col("_dst").alias("final_target"),
-        F.col("_hops").alias("hops"),
-        (F.col("_k").isNull() & (F.col("_hops") <= max_hops)).alias(
-            "resolved"
-        ),
+        # hops is a true chain length ONLY when resolved — on a
+        # flagged row the doubling rounds leave an artifact count
+        # (a self-loop would read 2^rounds), so emit NULL instead
+        # of a meaningless number
+        F.when(resolved, F.col("_hops")).alias("hops"),
+        resolved.alias("resolved"),
     )
 
 

@@ -168,3 +168,95 @@ def test_query_included_in_match():
     pol = rb.parse_robots(body, "x")
     assert not pol.allowed("/search?q=test")
     assert pol.allowed("/search")
+
+
+def test_hostile_wildcard_pattern_is_not_redos():
+    """robots.txt is remote-host-controlled input: the r16 review's
+    ReDoS repro ('*a'*14 + '$' against a long run of 'a') must match
+    in linear-ish time — the wildcard walk is not a backtracking
+    regex."""
+    import time
+
+    body = "User-agent: *\nDisallow: " + "*a" * 14 + "$\n"
+    pol = rb.parse_robots(body, "x")
+    t0 = time.monotonic()
+    assert pol.allowed("/" + "a" * 60 + "b")  # no match → allowed
+    assert not pol.allowed("/" + "a" * 60)  # matches → disallowed
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_empty_user_agent_line_is_not_a_wildcard():
+    """An empty 'User-agent:' value names no crawler — it must not
+    become a matches-everything token that steals selection from the
+    '*' group (r16 review repro: it disabled a disallow-all
+    policy)."""
+    body = "User-agent:\nDisallow: /tmp\n\nUser-agent: *\nDisallow: /\n"
+    pol = rb.parse_robots(body, "anybot")
+    assert not pol.allowed("/secret")
+
+
+def test_group_tokens_prefix_match_product_tokens():
+    """§2.2.1 discipline: a group token matches by case-insensitive
+    PREFIX of a product token, not arbitrary substring — a one-letter
+    token aimed at another crawler must not steal selection (r16
+    review repro)."""
+    body = (
+        "User-agent: e\nDisallow: /tmp\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    pol = rb.parse_robots(body, "somebot")
+    assert not pol.allowed("/secret")  # '*' group applies
+    # but a genuine prefix of the product token does match
+    pre = rb.parse_robots(
+        "User-agent: some\nDisallow: /only\n\nUser-agent: *\nDisallow: /\n",
+        "somebot/1.0",
+    )
+    assert pre.allowed("/secret") and not pre.allowed("/only/x")
+
+
+def test_empty_path_with_query_matches_as_root(spark):
+    """'https://h?q=1' has the empty path: RFC 9309 matches it as
+    '/?q=1', so a 'Disallow: /' host blocks it (r16 review repro:
+    the raw '?q=1' bypassed every '/'-prefixed rule)."""
+    robots = spark.createDataFrame(
+        [("blocked.net", "User-agent: *\nDisallow: /\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [("https://blocked.net?q=1",), ("https://blocked.net",)],
+        "url string",
+    )
+    out = {r.url: r.allowed for r in rb.robots_filter(urls, robots).collect()}
+    assert out == {
+        "https://blocked.net?q=1": False,
+        "https://blocked.net": False,
+    }
+
+
+def test_reserved_column_collision_refused(spark):
+    robots = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /\n")], "host string, body string"
+    )
+    urls = spark.createDataFrame(
+        [("http://h/x", True)], "url string, allowed boolean"
+    )
+    with pytest.raises(ValueError, match="already carries"):
+        rb.robots_filter(urls, robots)
+
+
+def test_cap_counts_unselected_groups_and_body_truncates():
+    """The compile cap must count rules in groups the agent never
+    selects (a hostile file stacks rules elsewhere), and bodies
+    truncate at the RFC's 512 KiB processing floor."""
+    body = "User-agent: othercrawler\n" + "Disallow: /a\n" * 7
+    pol = rb.parse_robots(body, "mybot")
+    assert pol.rules == [] and pol.total_compiled == 7
+    # truncation: a disallow-all line past the floor never applies
+    huge = (
+        "User-agent: *\nDisallow: /tmp\n"
+        + "# pad\n" * 90_000
+        + "Disallow: /\n"
+    )
+    assert len(huge) > rb._MAX_BODY_BYTES
+    pol2 = rb.parse_robots(huge, "x")
+    assert pol2.allowed("/kept") and not pol2.allowed("/tmp/x")

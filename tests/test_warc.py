@@ -331,6 +331,16 @@ def test_meta_charset_prescan_is_attribute_aware():
     [r] = wc.parse_warc_bytes(_response_record(resp))
     assert "日本" in r["body"]
 
+    # a '>' INSIDE a quoted attribute value must not truncate the
+    # tag and lose a following charset attribute (r16 review repro)
+    body = (
+        b'<html><head><meta data-x="a>b" charset="shift_jis"></head>'
+        b"<body>" + "日本".encode("shift_jis") + b"</body></html>"
+    )
+    resp = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    [r] = wc.parse_warc_bytes(_response_record(resp))
+    assert "日本" in r["body"]
+
 
 def test_extract_redirects_resolution(spark):
     # hand-built archive: relative Location (must resolve against the
@@ -402,6 +412,9 @@ def test_resolve_redirect_chains(spark):
     assert out["dup"] == ("t1", 1, True)
     assert out["x"][2] is False and out["y"][2] is False
     assert out["self"][2] is False
+    # flagged rows carry NO hop count (the jumping artifact would
+    # read 2^rounds for a self-loop — review finding)
+    assert out["x"][1] is None and out["self"][1] is None
     assert len(out) == 8  # one row per distinct source
 
     # budget semantics: a 7-hop chain resolves under max_hops=8 but
