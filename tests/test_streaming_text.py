@@ -532,6 +532,43 @@ def test_stream_extract_redirects_matches_batch(streaming_spark, tmp_path):
     assert got == batch
 
 
+def test_stream_robots_filter_matches_batch(streaming_spark, tmp_path):
+    """The crawl-policy filter is stateless (per-host policies ride
+    the task closure), so the SAME pass runs under readStream: a
+    chunked URL stream annotates identically to the batch face —
+    the frontier-policing shape (sitemap/extract_links feed →
+    canonicalize → THIS → fetch queue)."""
+    from flink_join_scaling_spark.sources import robots as rb
+    from flink_join_scaling_spark.streaming import chunked_parquet_stream
+    from flink_join_scaling_spark.streaming.harness import run_to_memory
+
+    spark = streaming_spark
+    robots = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /private/\n"
+          "Crawl-delay: 1\n")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://example.com/{'private/' if i % 3 == 0 else ''}p{i}",)
+         for i in range(30)],
+        "url string",
+    )
+    batch = {
+        (r.url, r.allowed, r.crawl_delay)
+        for r in rb.robots_filter(urls, robots).collect()
+    }
+    assert sum(1 for _, a, _ in batch if not a) == 10
+
+    sdf = chunked_parquet_stream(spark, urls, str(tmp_path), n_chunks=3)
+    got = {
+        (r.url, r.allowed, r.crawl_delay)
+        for r in run_to_memory(
+            rb.robots_filter(sdf, robots), output_mode="append"
+        ).collect()
+    }
+    assert got == batch
+
+
 def test_stream_decontaminate_semantic_matches_batch(streaming_spark, tmp_path):
     """The vector twin of stream_decontaminate: converged output is
     bit-identical to batch semantic_contamination on the same data —
