@@ -280,6 +280,74 @@ def warc_redirects_chain(spark, sf_dir: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
+def robots_filter_probe(spark, sf_dir: str) -> None:
+    """The r16 crawl-policy filter: 5 hosts × 60 compiled rules ride
+    the task closure over a documents-derived URL column — the wall
+    should track the URL scan linearly (per-URL work = host lookup +
+    a few dozen linear wildcard walks)."""
+    from flink_join_scaling_spark.sources import robots as rb
+
+    body = "User-agent: *\n" + "".join(
+        f"Disallow: /private{k}/*\nAllow: /private{k}/ok$\n"
+        for k in range(30)
+    )
+    robots = spark.createDataFrame(
+        [(f"host{h}.org", body) for h in range(5)],
+        "host string, body string",
+    )
+    urls = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".org/"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("private"),
+                            (F.col("doc_id") % 30).cast("string"),
+                            F.lit("/"))).otherwise(F.lit("")),
+            F.lit("p"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    rb.robots_filter(urls, robots).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def sitemap_probe(spark, sf_dir: str) -> None:
+    """The r16 frontier-seeding face: documents pack into 50-URL
+    gzipped sitemap blobs (fixture scaffolding, like the WARC
+    grouping), exploded back to frontier rows in one Arrow pass —
+    linear in URL volume."""
+    import gzip as _gzip
+
+    import pandas as _pd
+
+    from flink_join_scaling_spark.sources import sitemap as sm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        ids = sorted(int(i) for i in pdf["doc_id"])
+        body = "<urlset>" + "".join(
+            f"<url><loc>https://site.org/doc/{i}?x=1&amp;y=2</loc>"
+            f"<lastmod>2026-01-0{1 + i % 9}</lastmod></url>"
+            for i in ids
+        ) + "</urlset>"
+        return _pd.DataFrame(
+            {
+                "sitemap_url": [f"https://site.org/sm/{ids[0] // 50}"],
+                "payload": [_gzip.compress(body.encode(), mtime=0)],
+            }
+        )
+
+    blobs = (
+        d.withColumn("_g", F.floor(F.col("doc_id") / 50).cast("long"))
+        .groupBy("_g")
+        .applyInPandas(build, "sitemap_url string, payload binary")
+    )
+    sm.sitemap_entries(blobs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def streaming_state_probe(spark) -> None:
     """Growth law of the keyed versioned join's per-arrival state cost
     (streaming/joins.py module note): FLAT in versions retained —
@@ -656,6 +724,12 @@ def main() -> None:
         "extract_redirects (gz)": lambda sf: warc_redirects_chain(
             spark, sf
         ),
+        # r16: crawl-policy filter — 5 hosts x 60 compiled rules in
+        # the task closure; wall tracks the URL scan linearly
+        "robots_filter": lambda sf: robots_filter_probe(spark, sf),
+        # r16: frontier seeding — 50-URL gzipped sitemap blobs
+        # exploded in one Arrow pass; linear in URL volume
+        "sitemap_entries": lambda sf: sitemap_probe(spark, sf),
         # r14: URL canonicalization — one JVM projection, zero
         # exchanges; wall should track the scan exactly (the
         # interpreted array/lambda steps are a per-URL constant)
