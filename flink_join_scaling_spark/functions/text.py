@@ -50,7 +50,16 @@ def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
 
     JVM-side higher-order functions (transform over sequence, 0-based
     lambda indexing); empty array (no rows) when < n tokens.
+
+    The input is widened first (r17): tokenize+shingle+explode is a
+    compute-heavy map stage, and a small parquet file scans as one
+    split — widen_if_narrow spreads it across cores at bench/test
+    scale and is a no-op on a real multi-split scan (or when the
+    caller already widened, or on a streaming frame).
     """
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    df = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
     with_toks = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__shingle_toks"))
     return with_toks.select(
         F.col(id_col), F.explode(shingles_from_tokens("__shingle_toks", n)).alias("shingle")

@@ -53,6 +53,11 @@ def char_state(col: Column) -> Column:
 def word_table(df: DataFrame, text_col: str) -> DataFrame:
     """(word, wc, state): distinct lowercased letter-run pre-tokens
     with corpus frequency — the ONLY corpus-sized pass in training."""
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    # the regexp pre-tokenize + explode is the pass's map cost; widen a
+    # single-split scan so it parallelizes (no-op at real scale)
+    df = widen_if_narrow(df.select(F.col(text_col)))
     w = (
         df.select(F.explode(tx.tokens_bpe_ish(F.col(text_col))).alias("w"))
         .where(F.col("w").rlike(LETTER_RUN))
@@ -93,6 +98,122 @@ def merge_expr(state_col: Column, a: str, b: str) -> Column:
 #: instead of growing linearly with the merge count
 _RECHECKPOINT_EVERY = 32
 
+#: vocabulary-size ceiling for the FUSED single-task trainer: below
+#: this, all merge rounds run inside one Arrow task over the gathered
+#: word table (one Spark job) instead of one aggregation job per
+#: round. The same runtime size-based call as connected_components'
+#: driver union-find — the word table is vocabulary-bounded (~1e6
+#: distinct letter-run words for real corpora), so this is the common
+#: case; a truly huge vocabulary falls back to the distributed loop.
+_FUSED_VOCAB_MAX = 2_000_000
+
+
+def _train_merges_py(
+    vocab: list[tuple[int, list[str]]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """The merge loop on a gathered (wc, symbols) word table — EXACTLY
+    the distributed rounds' semantics, in one process:
+
+    - pair counts: every adjacent symbol position counts (overlapping
+      occurrences included), weighted by wc — the same enumeration as
+      ``adjacent_pairs``; exact ints, so accumulation order is moot;
+    - argmax: (count DESC, a ASC, b ASC); symbols are lowercase-ASCII
+      (``LETTER_RUN`` + lower), where Python/Java/UTF-8 string orders
+      coincide;
+    - merge: left-to-right non-overlapping — the module-docstring
+      argument for why the ``' a  b ' → ' ab '`` string replace has
+      these semantics applies verbatim to this token-list scan.
+
+    Counts are maintained incrementally (classic BPE trainer): one full
+    pass builds the pair table, each merge re-counts only the words
+    that contain the merged pair (tracked in an occurrence index).
+    """
+    from collections import defaultdict
+
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    occ: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (wc, syms) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += wc
+            occ[p].add(idx)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best_key = None
+        best_pair = None
+        for p, c in counts.items():
+            if c <= 0:
+                continue
+            key = (-c, p[0], p[1])
+            if best_key is None or key < best_key:
+                best_key, best_pair = key, p
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merges.append((a, b, counts[best_pair]))
+        ab = a + b
+        # occ entries can be stale (a word may have lost the pair in an
+        # earlier merge); the no-change scan below just skips those
+        for idx in sorted(occ.get(best_pair, ())):
+            wc, syms = vocab[idx]
+            m = len(syms)
+            out: list[str] = []
+            j = 0
+            changed = False
+            while j < m:
+                if j < m - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                    changed = True
+                else:
+                    out.append(syms[j])
+                    j += 1
+            if not changed:
+                continue
+            for i in range(m - 1):
+                counts[(syms[i], syms[i + 1])] -= wc
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] += wc
+                occ[p].add(idx)
+            vocab[idx] = (wc, out)
+    return merges
+
+
+def _train_fused(words: DataFrame, num_merges: int) -> list[tuple[str, str, int]]:
+    """All merge rounds in ONE Spark job: gather the (vocab-bounded)
+    word table onto a single task, run :func:`_train_merges_py`, emit
+    the ≤ ``num_merges``-row merge table. Only the merge list reaches
+    the driver — the same bounded artifact the per-round loop collects
+    one row at a time."""
+    import pandas as pd
+
+    def run(batches):
+        vocab: list[tuple[int, list[str]]] = []
+        for pdf in batches:
+            for wc, state in zip(pdf["wc"], pdf["state"]):
+                vocab.append((int(wc), state.split()))
+        merges = _train_merges_py(vocab, num_merges)
+        yield pd.DataFrame(
+            {
+                "merge_rank": pd.Series(
+                    range(1, len(merges) + 1), dtype="int64"
+                ),
+                "a": pd.Series([m[0] for m in merges], dtype="object"),
+                "b": pd.Series([m[1] for m in merges], dtype="object"),
+                "cnt": pd.Series([m[2] for m in merges], dtype="int64"),
+            }
+        )
+
+    rows = (
+        words.select("wc", "state")
+        .coalesce(1)
+        .mapInPandas(run, "merge_rank bigint, a string, b string, cnt bigint")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["merge_rank"])
+    return [(r["a"], r["b"], int(r["cnt"])) for r in rows]
+
 
 def train(words: DataFrame, num_merges: int) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from a (word, wc, state) table.
@@ -112,6 +233,13 @@ def train(words: DataFrame, num_merges: int) -> list[tuple[str, str, int]]:
     materialization per window.
     """
     cur = words.localCheckpoint(eager=True)  # vocab-sized; pins lineage
+    # size-adaptive (r17): a vocabulary that fits one task trains FUSED
+    # — every round inside one Arrow job — instead of one aggregation
+    # job (plus plan build) per round; identical trajectory by the
+    # _train_merges_py equivalence argument, differentially tested in
+    # tests/test_bpe.py
+    if cur.count() <= _FUSED_VOCAB_MAX:
+        return _train_fused(cur, num_merges)
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         if merges and len(merges) % _RECHECKPOINT_EVERY == 0:

@@ -64,6 +64,11 @@ def gopher_rules_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
     # projection here re-derived norm+split per rule and the bigram
     # array three times — measured 12.6 s vs ~1 s for the staged form
     # on the same sf0.1 scan.
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    # the rule battery is a heavy map-only pass; widen a single-split
+    # scan so it parallelizes (no-op at real scale / for streaming)
+    df = widen_if_narrow(df)
     t = tx.norm_text(F.col(text_col))
     staged = df.withColumn("__t", t).withColumn("__ws", F.split(F.col("__t"), " "))
     ws = F.col("__ws")
@@ -163,6 +168,81 @@ def fast_sigmoid(z: Column) -> Column:
     return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
 
 
+#: row ceiling for the FUSED single-task GD trainer: below this, all
+#: iterations run inside one Arrow task over the gathered feature
+#: frame (one Spark job) instead of one exact-integer all-reduce job
+#: per round — the connected_components size-adaptive pattern. At
+#: 100 TB the labeled frame is corpus-sized and the distributed
+#: per-round loop below takes over.
+_FUSED_ROWS_MAX = 2_000_000
+
+
+def _round_half_up(d):
+    """Vectorized twin of Spark's ``round(double, 0)``: BigDecimal
+    HALF_UP on the shortest-decimal value — which, for non-tie inputs,
+    equals mathematical nearest-int of the binary value (the shortest
+    repr cannot cross the representable .5 boundary), and for ties
+    (the double IS exactly k.5) rounds AWAY from zero. ``|d|-floor(|d|)``
+    is exact for doubles (both are multiples of ulp(d), difference
+    < 1 fits the mantissa), so the comparison is exact."""
+    import numpy as np
+
+    ad = np.abs(d)
+    g = np.floor(ad)
+    return np.sign(d) * (g + (ad - g >= 0.5))
+
+
+def _train_lr_fused(
+    labeled: DataFrame, n: int, iterations: int, lr: float
+) -> list[float]:
+    """All GD rounds in ONE Spark job: gather the feature frame onto a
+    single task, run the iterations vectorized (numpy float64 — the
+    identical IEEE ops in the identical order as the SQL/codegen twin;
+    gradient quantization via :func:`_round_half_up`; integer sums are
+    order-immune), emit the final weight row. Differentially tested
+    against the distributed loop in tests/test_classifier.py."""
+    import pandas as pd
+
+    names = list(FEATURES)
+
+    def run(batches):
+        import numpy as np
+
+        cols: dict[str, list] = {c: [] for c in ["y", *names]}
+        for pdf in batches:
+            for c in cols:
+                cols[c].append(pdf[c].to_numpy(dtype="float64"))
+        y = np.concatenate(cols["y"]) if cols["y"] else np.array([], dtype="float64")
+        xs = [
+            np.concatenate(cols[c]) if cols[c] else np.array([], dtype="float64")
+            for c in names
+        ]
+        w = [0.0] * (len(names) + 1)
+        for _ in range(iterations):
+            z = np.full_like(y, w[0])
+            for wj, xj in zip(w[1:], xs):
+                z = z + wj * xj
+            p = 0.5 + 0.5 * (z / (1.0 + np.abs(z)))
+            resid = p - y
+            gs = [int(_round_half_up(resid * 1000000.0).sum())]
+            for xj in xs:
+                gs.append(int(_round_half_up((resid * xj) * 1000000.0).sum()))
+            w = [
+                wj - lr * (gs[j] / 1000000.0) / float(n)
+                for j, wj in enumerate(w)
+            ]
+        yield pd.DataFrame({f"w{j}": [w[j]] for j in range(len(w))})
+
+    schema = ", ".join(f"w{j} double" for j in range(len(names) + 1))
+    row = (
+        labeled.select("y", *names)
+        .coalesce(1)
+        .mapInPandas(run, schema)
+        .collect()[0]
+    )
+    return [float(row[f"w{j}"]) for j in range(len(names) + 1)]
+
+
 def train_lr(
     labeled: DataFrame, iterations: int = 8, lr: float = 2.0
 ) -> list[float]:
@@ -171,11 +251,16 @@ def train_lr(
     ``labeled`` must carry ``y`` as DOUBLE 0.0/1.0. Each round is one
     exact-integer aggregation (e6-quantized per-row gradients); the
     driver holds only the d+1 gradient sums and the weight vector.
+    Size-adaptive (r17): a frame that fits one task trains FUSED —
+    every round inside one Arrow job — with bit-identical arithmetic
+    (see :func:`_train_lr_fused`).
     """
     labeled = labeled.localCheckpoint(eager=True)  # features only, no text
     n = labeled.count()
     if n == 0:
         raise ValueError("train_lr: empty training frame")
+    if n <= _FUSED_ROWS_MAX:
+        return _train_lr_fused(labeled, n, iterations, lr)
     w = [0.0] * (len(FEATURES) + 1)
     for _ in range(iterations):
         p = fast_sigmoid(logit(w))

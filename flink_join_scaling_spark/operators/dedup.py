@@ -31,23 +31,9 @@ from pyspark.sql import functions as F
 from flink_join_scaling_spark.functions.text import exploded_shingles, norm_text, tokens_ws
 
 
-def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ``df`` up to the session's default parallelism ONLY
-    when its current partitioning is narrower — a no-op at real scale.
-
-    Compute-heavy row-local stages (per-doc shingle sorts, signature
-    hashing) inherit the SCAN's partitioning, and a small parquet file
-    is one split regardless of ``maxPartitionBytes`` — so at bench/test
-    scale the whole map stage runs on one core of 32. At 100 TB the
-    scan yields thousands of splits and this returns ``df`` unchanged
-    (the guard is what makes it safe to leave in the production path:
-    an unconditional repartition would be a full-corpus shuffle).
-    """
-    if min_partitions is None:
-        min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= min_partitions:
-        return df
-    return df.repartition(min_partitions)
+# canonical definition moved to flink_join_scaling_spark.partitioning
+# (r17): re-exported here for the operator modules that grew up with it
+from flink_join_scaling_spark.partitioning import widen_if_narrow  # noqa: F401,E402
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -216,6 +202,10 @@ def shingle_jaccard_pairs(
             "max_df needs corpus-wide document frequencies; the candidate "
             "path explodes candidate docs only"
         )
+    # parallelize the shingle explode + digest map stage when the input
+    # is a single small scan split (no-op at real scale or when the
+    # caller — minhash_dedup_pairs — already widened the frame)
+    df = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
     if candidates is not None:
         # explode ONLY documents that appear in a candidate pair — the
         # verify stage's shingle volume is candidate-sized, not
@@ -295,7 +285,13 @@ def minhash_dedup_pairs(
     shingles)."""
     if num_hashes > 8:
         raise ValueError("hash family provides 8 members (two md5 × four slices)")
-    sh = _md5_pair_projected(exploded_shingles(df, id_col, text_col, shingle_n))
+    # widen the projected corpus ONCE: the signature pass (per-shingle
+    # md5s, the dominant map cost) and the verify re-scan both derive
+    # from this frame, so at bench/test scale neither serializes onto
+    # the single split a small parquet file scans as (no-op at real
+    # scale — see widen_if_narrow)
+    base = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
+    sh = _md5_pair_projected(exploded_shingles(base, id_col, text_col, shingle_n))
     sig_aggs = [F.min(_sig_slice(k)).alias(f"h{k}") for k in range(num_hashes)]
     sigs = sh.groupBy(id_col).agg(*sig_aggs, F.count("*").alias("n_sh"))
     sizes = sigs.select(id_col, "n_sh")
@@ -313,7 +309,7 @@ def minhash_dedup_pairs(
         .distinct()
     )
     pairs = shingle_jaccard_pairs(
-        df, id_col, text_col, shingle_n, candidates=cand, sizes=sizes
+        base, id_col, text_col, shingle_n, candidates=cand, sizes=sizes
     )
     return pairs.where(F.col("jaccard") >= threshold)
 
@@ -683,6 +679,10 @@ def _duplicated_cover(
     collision odds across 10^6 grams ~1e-7, and both engines hash the
     same way so a collision cannot flip oracle parity), so the
     cross-doc frequency agg and the join-back never ship gram text."""
+    # the positional-gram explode runs one md5 per token position — the
+    # heaviest map stage of the family; widen a single-split scan so it
+    # uses every core (no-op at real scale)
+    df = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
     toks = df.select(
         F.col(id_col), tokens_ws(F.col(text_col)).alias("__t")
     ).withColumn("n_tokens", F.size("__t").cast("bigint"))
@@ -865,6 +865,9 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     and every expression is integer arithmetic inside whole-stage
     codegen.
     """
+    # per-token md5 is the map cost; widen a single-split scan so the
+    # explode+hash stage parallelizes (no-op at real scale)
+    df = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
     toks = df.select(
         F.col(id_col), F.explode(tokens_ws(F.col(text_col))).alias("tok")
     )
@@ -931,6 +934,9 @@ def winnow_fingerprints(
     """
     sep = "\x1f"
     wd = Window.partitionBy(id_col).orderBy("__pos")
+    # widen a single-split scan so the tokenize+explode stage (and the
+    # doc-keyed exchange write it feeds) parallelizes (no-op at scale)
+    df = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
     tok = df.select(
         F.col(id_col),
         F.posexplode(tokens_ws(F.col(text_col))).alias("__pos", "__w"),

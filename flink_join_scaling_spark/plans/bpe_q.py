@@ -142,7 +142,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = bpe.train(bpe.word_table(d, "text"), _BPE_K)
     n_pre, n_bpe = bpe.token_count(F.col("text"), merges)
-    return d.select(
+    # the encode pass (chained replaces over every document) is the
+    # query's heaviest map stage; widen a single-split scan so it uses
+    # every core (no-op at real scale)
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    return widen_if_narrow(d.select("doc_id", "text")).select(
         "doc_id",
         n_pre.alias("n_pretokens"),
         n_bpe.alias("n_bpe_tokens"),
@@ -205,7 +210,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = bpe.train(bpe.word_table(d, "text"), _BPE_K)
     n_pre, n_bpe = bpe.token_count(F.col("text"), merges)
-    per = d.select("source", n_pre.alias("tp"), n_bpe.alias("tb"))
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    per = widen_if_narrow(d.select("source", "text")).select(
+        "source", n_pre.alias("tp"), n_bpe.alias("tb")
+    )
     agg = per.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("tb").cast("bigint").alias("tok_bpe"),

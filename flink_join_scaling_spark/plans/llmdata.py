@@ -2399,8 +2399,11 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes.
     """
     d = load_table(spark, sf_dir, "documents")
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     segs = (
-        d.select("doc_id", tx.tokens_ws(F.col("text")).alias("toks"))
+        widen_if_narrow(d.select("doc_id", "text"))
+        .select("doc_id", tx.tokens_ws(F.col("text")).alias("toks"))
         .select(
             "doc_id",
             F.explode(

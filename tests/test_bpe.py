@@ -84,6 +84,29 @@ def test_token_count_matches_materialized_tokens(spark):
         assert r.n_bpe == r.n_mat, r
 
 
+def test_fused_trainer_matches_distributed(spark):
+    # the r17 size-adaptive fused trainer (all rounds in one Arrow
+    # task) must reproduce the distributed per-round loop's exact
+    # trajectory — merges, tie-breaks, and selection-time counts —
+    # including overlap-heavy and tie-heavy corpora
+    corpora = [
+        ["low low low", "lower lower"],
+        ["aaa aaaa aa a", "banana bandana"],
+        ["the cat the hat", "xyzzy xyzzy plugh", "ababab ba ab"],
+    ]
+    for rows in corpora:
+        wt = _words(spark, [(t,) for t in rows]).localCheckpoint(eager=True)
+        fused = bpe._train_fused(wt, 6)
+        # force the distributed loop by making the fused gate fail
+        orig = bpe._FUSED_VOCAB_MAX
+        bpe._FUSED_VOCAB_MAX = -1
+        try:
+            dist = bpe.train(wt, 6)
+        finally:
+            bpe._FUSED_VOCAB_MAX = orig
+        assert fused == dist, (rows, fused, dist)
+
+
 def test_merged_tokens_reconstruct_words(spark):
     # applying merges never loses characters: joining a word's final
     # symbols reproduces the word

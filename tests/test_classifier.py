@@ -33,6 +33,56 @@ def test_train_deterministic_across_partitionings(spark, toy_labeled):
     assert w1 == w8  # exact-integer gradient sums → bit-identical
 
 
+def test_fused_trainer_matches_distributed(spark):
+    """The r17 fused single-task GD trainer must reproduce the
+    distributed per-round loop's exact weight trajectory — including
+    on REAL feature distributions (the sf0.001 labeled frame), where
+    quantization ties and sign mixes actually occur."""
+    from flink_join_scaling_spark.plans.classifier_q import _labeled_frame
+
+    frames = [
+        spark.createDataFrame(
+            [(1.0, 0.9, 0.5, 0.5, 0.1, 0.1) for _ in range(20)]
+            + [(0.0, 0.1, 0.5, 0.5, 0.9, 0.9) for _ in range(20)],
+            ["y", *clf.FEATURES],
+        ),
+        _labeled_frame(spark, "/root/testdata/sf0.001").select(
+            "y", *clf.FEATURES
+        ),
+    ]
+    for frame in frames:
+        fused = clf.train_lr(frame, iterations=8, lr=2.0)
+        orig = clf._FUSED_ROWS_MAX
+        clf._FUSED_ROWS_MAX = -1  # force the distributed loop
+        try:
+            dist = clf.train_lr(frame, iterations=8, lr=2.0)
+        finally:
+            clf._FUSED_ROWS_MAX = orig
+        assert fused == dist, (fused, dist)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up (the fused trainer's quantizer) twins Spark's
+    round(double, 0) bit-for-bit, ties and negatives included."""
+    import numpy as np
+
+    vals = [
+        0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 2.4999999999999996,
+        -2.4999999999999996, 2.5000000000000004, 0.49999999999999994,
+        -0.49999999999999994, 123456.5, -123456.5, 7.499999999999999,
+        1e15 + 0.5, -(1e15 + 0.5), 0.1 * 3 * 5,  # 1.5000000000000002
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got_spark = [
+        r.r
+        for r in df.select(
+            F.round(F.col("v")).cast("bigint").alias("r")
+        ).collect()
+    ]
+    got_np = [int(x) for x in clf._round_half_up(np.array(vals))]
+    assert got_np == got_spark, list(zip(vals, got_np, got_spark))
+
+
 def test_fast_sigmoid_bounds(spark):
     df = spark.createDataFrame([(-1e9,), (-1.0,), (0.0,), (1.0,), (1e9,)], ["z"])
     vals = [
