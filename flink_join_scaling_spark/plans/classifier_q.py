@@ -225,9 +225,13 @@ def _labeled_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     The slim feature frame (7 numerics + id, text dropped) is pinned
     with localCheckpoint so the histogram/cut jobs and the training
     loop never recompute the regex-heavy text features."""
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     d = load_table(spark, sf_dir, "documents")
     feats = clf.feature_columns(F.col("text"))
-    base = d.select(
+    # widen: the regex-heavy feature pass otherwise runs on the scan's
+    # single bench-scale split (no-op at real scale)
+    base = widen_if_narrow(d.select("doc_id", "text")).select(
         "doc_id",
         F.round(tx.quality_score_raw(F.col("text")) * 1_000_000.0)
         .cast("bigint")
@@ -299,11 +303,17 @@ def q_quality_classifier_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: training runs on the bounded labeled slice; scoring is ONE
     map-only corpus scan with the six weights inlined as literals into
     a codegen projection — no join, no shuffle."""
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     lab = _labeled_frame(spark, sf_dir)
     w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
     d = load_table(spark, sf_dir, "documents")
     feats = clf.feature_columns(F.col("text"))
-    scored = d.select(
+    # widen the scoring scan: regex-heavy features on a single bench-
+    # scale split (no-op at real scale)
+    scored = widen_if_narrow(
+        d.select("doc_id", "source", "n_chars", "text")
+    ).select(
         "doc_id", "source", "n_chars",
         *[c.alias(n) for n, c in feats.items()],
     ).withColumn("__z", clf.logit(w))

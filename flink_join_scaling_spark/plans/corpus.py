@@ -936,8 +936,34 @@ def q_lm_bigram_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial counts into ≤16k cells). The exact-count q_lm_bigram
     stays registered as the oracle-documented reference path.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tx.tokens_ws(F.col("text")).alias("ws"))
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    d = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    # per-token unigram bucket computed ONCE as an array (ub), then
+    # sliced for the prev/cur legs — one md5 per token instead of one
+    # per bigram endpoint (2 per position); identical arithmetic.
+    # The frame is pinned (lazy localCheckpoint): THREE subtrees read
+    # it (bigram-count build, unigram-count build, the scoring pass) —
+    # unpinned, each re-runs tokenize + per-token md5 from the scan,
+    # and at bench scale each re-pays the widening shuffle's serial
+    # map side. Same shared-subtree materialization call as
+    # containment_dedup_pairs.
+    toks = (
+        d.select(
+            "doc_id",
+            tx.tokens_ws(F.col("text")).alias("ws"),
+        )
+        .select(
+            "doc_id",
+            "ws",
+            F.transform(
+                F.col("ws"), lambda w: _lm2h_bucket_spark(w, _LM2H_U)
+            ).alias("ub"),
+        )
+        .localCheckpoint(eager=False)
+    )
     pairs = toks.select(
         "doc_id",
         F.explode(
@@ -948,6 +974,12 @@ def q_lm_bigram_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice(
                     F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))
                 ).alias("cur"),
+                F.slice(
+                    F.col("ub"), 1, F.greatest(F.size("ub") - 1, F.lit(0))
+                ).alias("up"),
+                F.slice(
+                    F.col("ub"), 2, F.greatest(F.size("ub") - 1, F.lit(0))
+                ).alias("uc"),
             )
         ).alias("p"),
     ).select(
@@ -956,12 +988,14 @@ def q_lm_bigram_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("p.prev"), F.lit("\x1f"), F.col("p.cur")),
             _LM2H_B2,
         ).alias("b2"),
-        _lm2h_bucket_spark(F.col("p.prev"), _LM2H_U).alias("up"),
-        _lm2h_bucket_spark(F.col("p.cur"), _LM2H_U).alias("uc"),
-    )
-    words = d.select(
-        "doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
-    ).select(_lm2h_bucket_spark(F.col("w"), _LM2H_U).alias("u"))
+        F.col("p.up").alias("up"),
+        F.col("p.uc").alias("uc"),
+    ).localCheckpoint(eager=False)
+    # pairs pinned too: the bigram-bucket md5 feeds BOTH the bigram
+    # model count and the scoring join — one evaluation, int-only rows.
+    # The unigram stream re-slices toks' precomputed bucket array:
+    # zero additional md5 work.
+    words = toks.select(F.explode("ub").alias("u"))
     ucnt = words.groupBy("u").agg(F.count("*").cast("bigint").alias("cu"))
     tot = ucnt.agg(F.sum("cu").cast("bigint").alias("t"))
     bcnt = pairs.groupBy("b2").agg(F.count("*").cast("bigint").alias("cb"))

@@ -194,8 +194,12 @@ def q_join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage the k positions as named columns so each md5 is computed
     # once per row (an inline reuse would re-evaluate the hash per
-    # reference under interpreted fallback)
-    staged = li.select(
+    # reference under interpreted fallback); widen first — the probe
+    # pass is md5-bound compute inheriting the scan's few splits at
+    # bench scale (no-op at real scale)
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    staged = widen_if_narrow(li.select("l_quantity", "l_orderkey")).select(
         "l_quantity",
         F.col("l_orderkey").alias("fk"),
         *[

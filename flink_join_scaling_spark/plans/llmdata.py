@@ -2988,8 +2988,17 @@ def _semantic_graph(spark: SparkSession, sf_dir: str):
         cosine_e6_pandas,
         with_l2_norm,
     )
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    # widen: the embeddings table scans as one split at bench scale, so
+    # without this the ENTIRE within-cluster pairwise-cosine stage (the
+    # query's dominant compute) lands on one core of 32 — the broadcast
+    # join inherits the probe side's scan partitioning (no-op at scale)
+    e = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        )
+    ).select(
         "vec_id",
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),

@@ -183,13 +183,34 @@ def q_nb_lang_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_pred_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nb_pred_frame(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lang, pred_lang, score_e6) under the corpus-trained NB
     model — the Spark twin of the oracle's ``nbpred`` CTE, shared by
-    the standalone apply and the trained-pipeline compose."""
+    the standalone apply and the trained-pipeline compose. ``docs``
+    lets the compose pass ONE widened+pinned (doc_id, lang, text)
+    frame shared across its stages instead of re-widening per stage."""
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
+    # widen the tokenize/explode pass: single-split scan at bench scale
+    # serializes the model build AND the per-doc fold onto one core
+    # (no-op at real scale). Pinned: THREE subtrees consume the token
+    # stream (model counts, totals, the per-doc fold's probe side) —
+    # unpinned, each re-tokenizes from the scan and re-pays the
+    # widening shuffle's serial map side.
+    wd = (
+        docs.select("doc_id", "lang", "text")
+        if docs is not None
+        else widen_if_narrow(d.select("doc_id", "lang", "text"))
+    )
+    words = (
+        wd.select(
+            "doc_id", "lang",
+            F.explode(tx.tokens_ws(F.col("text"))).alias("w"),
+        )
+        .localCheckpoint(eager=False)
     )
     model = nb.nb_model(words, _NB_LANGS)
     tot = nb.nb_totals(words, _NB_LANGS)
@@ -293,11 +314,31 @@ _DSIR_CTES = f"""
     {_DSIR_BODY}"""
 
 
-def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_weights(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     d = load_table(spark, sf_dir, "documents")
-    wb = d.select(
-        "doc_id", "lang", F.explode(tx.tokens_ws(F.col("text"))).alias("w")
-    ).select("doc_id", "lang", _bucket_spark("w").alias("b"))
+    # widen the tokenize/md5-bucket pass (single-split scan at bench
+    # scale; no-op at real scale). Pinned: FOUR subtrees consume the
+    # bucket stream (ntot, tcnt, rcnt, the per-doc fold's probe side)
+    # — unpinned, each re-tokenizes + re-hashes from the scan; the
+    # pinned rows are (id, lang, int) — narrow.
+    wd = (
+        docs.select("doc_id", "lang", "text")
+        if docs is not None
+        else widen_if_narrow(d.select("doc_id", "lang", "text"))
+    )
+    wb = (
+        wd
+        .select(
+            "doc_id", "lang",
+            F.explode(tx.tokens_ws(F.col("text"))).alias("w"),
+        )
+        .select("doc_id", "lang", _bucket_spark("w").alias("b"))
+        .localCheckpoint(eager=False)
+    )
     # the bucket models themselves (tcnt/rcnt) are fitted inside
     # _dsir_per_doc — only the scalar token totals are built here
     ntot = wb.agg(
@@ -532,24 +573,36 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LR_RATE,
     )
 
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     lab = _labeled_frame(spark, sf_dir)
     w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
     d = load_table(spark, sf_dir, "documents")
+    # ONE widened + pinned corpus projection shared by all four
+    # text-reading stages (gate features, NB token stream, keeper
+    # norm, DSIR buckets): each stage otherwise re-pays the widening
+    # shuffle's serial map side at bench scale, and the pin means the
+    # parquet text is decoded once for the whole compose.
+    dw = widen_if_narrow(
+        d.select("doc_id", "lang", "text")
+    ).localCheckpoint(eager=False)
     feats = clf.feature_columns(F.col("text"))
     gate = (
-        d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        dw.select("doc_id", *[c.alias(n) for n, c in feats.items()])
         .withColumn("__z", clf.logit(w))
         .where(F.col("__z") >= 0)
         .select("doc_id")
     )
     route = gate.join(
-        _nb_pred_frame(spark, sf_dir).where(F.col("pred_lang") == "en"),
+        _nb_pred_frame(spark, sf_dir, docs=dw).where(
+            F.col("pred_lang") == "en"
+        ),
         "doc_id",
     ).select("doc_id")
     wdup = Window.partitionBy("t").orderBy("doc_id")
     keeper = (
         route.join(
-            d.select("doc_id", tx.norm_text(F.col("text")).alias("t")),
+            dw.select("doc_id", tx.norm_text(F.col("text")).alias("t")),
             "doc_id",
         )
         .withColumn("rn", F.row_number().over(wdup))
@@ -557,7 +610,7 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     sel = (
-        keeper.join(_dsir_weights(spark, sf_dir), "doc_id")
+        keeper.join(_dsir_weights(spark, sf_dir, docs=dw), "doc_id")
         .orderBy(F.desc("weight_e6"), F.asc("doc_id"))
         .limit(_PIPE_TOP)
     )
