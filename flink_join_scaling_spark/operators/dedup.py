@@ -1817,12 +1817,56 @@ def anti_exclude(
     return docs.join(excl, doc_key == excl[excl_key], "left_anti")
 
 
+def _pagerank_driver(
+    pairs: DataFrame, id_a: str, id_b: str, iters: int, damping: float
+) -> DataFrame:
+    """Driver-side replay of :func:`pagerank`'s exact recurrence for
+    pair graphs under the size gate. Symmetrizes WITHOUT dedup (the
+    distributed path keeps duplicate edges too), folds each node's
+    contributions sorted by src with a left fold from 0.0, and applies
+    the same ``(1-d) + d*acc`` arithmetic — IEEE-double-identical to
+    the join+agg rounds, hence hash-identical downstream."""
+    from pyspark.sql import types as T
+
+    rows = pairs.collect()
+    edges: list[tuple] = []
+    for r in rows:
+        a, b = r[0], r[1]
+        edges.append((a, b))
+        edges.append((b, a))
+    deg: dict = {}
+    inn: dict = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        inn.setdefault(d, []).append(s)
+    ranks = {n: 1.0 for n in deg}
+    one_minus_d = 1.0 - damping
+    for _ in range(iters):
+        nxt = {}
+        for dst, srcs in inn.items():
+            acc = 0.0
+            for s in sorted(srcs):
+                acc += ranks[s] / deg[s]
+            nxt[dst] = one_minus_d + damping * acc
+        ranks = nxt
+    schema = T.StructType(
+        [
+            T.StructField("node", pairs.schema[0].dataType),
+            T.StructField("r", T.DoubleType()),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(
+        list(ranks.items()), schema
+    )
+
+
 def pagerank(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     iters: int = 3,
     damping: float = 0.85,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected near-dup pair
     graph: (node, rank). Ranks start at 1.0 and follow
@@ -1845,10 +1889,28 @@ def pagerank(
     flip a round-6 hash. The fold is the q_ema/q_lm_score discipline:
     bit-identical by construction wherever the oracle folds the same
     sorted chain. Per-node state is its in-neighbor list (degree-
-    bounded, pair-set total) — same exchange volume as the sum."""
+    bounded, pair-set total) — same exchange volume as the sum.
+
+    Size-adaptive like :func:`connected_components`: when the
+    symmetrized edge count is at most ``driver_threshold`` the ranks
+    come from a driver-side replay of the IDENTICAL recurrence — one
+    collect instead of ``iters`` join+agg rounds (r17: the distributed
+    loop's ~15 tiny jobs plus their planning gaps cost ~1 s at bench
+    scale on pair graphs of a few thousand edges). Bit-identical by
+    construction: both paths fold each node's contributions in
+    sorted-by-src order with an IEEE-double left fold seeded at 0.0
+    (Python ``sorted`` on str matches Spark's UTF8 binary sort because
+    UTF-8 byte order preserves code-point order; on ints trivially),
+    both compute ``r/d`` as a double division, and both apply
+    ``(1-d) + d*acc`` with the same literals — so round-6 consumers
+    (q_dedup_canonical_rank's argmax) see the same values either way.
+    The distributed propagation remains for real-scale graphs (force
+    it with ``driver_threshold=0``)."""
     from pyspark.sql import functions as F
 
     pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    if 2 * pairs.count() <= driver_threshold:
+        return _pagerank_driver(pairs, id_a, id_b, iters, damping)
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(

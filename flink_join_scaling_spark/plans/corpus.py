@@ -1172,10 +1172,17 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from flink_join_scaling_spark.operators import dedup as dd
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
 
     d = load_table(spark, sf_dir, "documents")
+    # widen the corpus projection ONCE before the regex-heavy quality
+    # score and norm_text maps: they run BEFORE the first shuffle, so
+    # at bench scale they inherit the scan's single split (no-op at
+    # real scale). Both the gate branch and the bench (held-out) branch
+    # derive from the same widened frame — one reused exchange.
+    dw = widen_if_narrow(d.select("doc_id", "source", "text"))
     corpq = (
-        d.where(F.col("doc_id") % 50 != 0)
+        dw.where(F.col("doc_id") % 50 != 0)
         .withColumn("quality", tx.quality_score(F.col("text")))
         .where(F.col("quality") >= 0.55)
     )
@@ -1186,7 +1193,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "text")
     )
-    bench = d.where(F.col("doc_id") % 50 == 0)
+    bench = dw.where(F.col("doc_id") % 50 == 0)
     hits = dd.ngram_contamination(keeper, bench, "doc_id", "text", shingle_n=3)
     clean = dd.anti_exclude(keeper, hits.select("doc_id"), "doc_id", "doc_id")
     wpack = (

@@ -184,6 +184,31 @@ def test_stream_heavy_hitters_converged_equals_batch_adversarial_order(
 # ------------------------------------------------ pagerank centrality
 
 
+def test_pagerank_driver_path_bit_identical_to_distributed(spark):
+    """The r17 size-gated driver replay must return BIT-identical
+    doubles to the distributed join+agg rounds (same sorted-by-src
+    left fold, same literals) — q_dedup_canonical_rank's round-6
+    argmax depends on it. Graph mixes a clique, a chain, a star and
+    duplicate edges so fold order and degree weighting are exercised."""
+    from flink_join_scaling_spark.operators.dedup import pagerank
+
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]  # clique
+        + [(10 + i, 11 + i) for i in range(6)]                  # chain
+        + [(100, leaf) for leaf in (101, 102, 103, 104, 105)]   # star
+        + [(1, 10), (4, 100), (1, 10)]                          # bridge + dup
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = {r.node: r.r for r in pagerank(pairs).collect()}
+    dist = {
+        r.node: r.r
+        for r in pagerank(pairs, driver_threshold=0).collect()
+    }
+    assert set(drv) == set(dist)
+    diff = {n: (drv[n], dist[n]) for n in drv if drv[n] != dist[n]}
+    assert not diff, diff  # exact ==, not approx
+
+
 def test_pagerank_matches_hand_replay_and_prefers_hub(spark):
     """On a 4-node star the operator's ranks equal a pure-Python replay
     of the same fixed-iteration recurrence, and the hub outranks every
