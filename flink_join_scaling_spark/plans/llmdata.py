@@ -2979,11 +2979,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_graph(spark: SparkSession, sf_dir: str):
+def _semantic_graph(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+):
     """(e, n, pairs): doubled vectors, their norms, and the
     within-cluster ≥θ cosine pair set (checkpointed). The pair set is
     the SemDeDup duplicate graph — consumed by _semantic_members and,
-    fused with the lexical MinHash pairs, by q_dedup_ensemble."""
+    fused with the lexical MinHash pairs, by q_dedup_ensemble.
+
+    ``materialize=False`` returns the UN-pinned pair plan so a caller
+    with a second independent pair generator (the ensemble fuse) can
+    run both eager checkpoints concurrently — the caller owns the
+    pin."""
     from flink_join_scaling_spark.functions.vectors import (
         cosine_e6_pandas,
         with_l2_norm,
@@ -3026,10 +3033,11 @@ def _semantic_graph(spark: SparkSession, sf_dir: str):
         .withColumn("cos_e6", cosine_e6_pandas("va", "vb", "na", "nb"))
         .where(F.col("cos_e6") >= F.lit(_SEM_THRESHOLD_E6))
         .select("id_a", "id_b")
+    )
+    if materialize:
         # one materialization feeds the iterative CC consumer — without
         # the pin every CC round would re-run the pairwise join
-        .localCheckpoint(eager=True)
-    )
+        pairs = pairs.localCheckpoint(eager=True)
     return e, n, pairs
 
 
@@ -3166,11 +3174,25 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-set-sized, and components shuffle the fused pair set only —
     fusing signals costs one union, never a new corpus pass."""
     d = load_table(spark, sf_dir, "documents")
-    lex = dd.minhash_dedup_pairs(
+    # the two pair generators are INDEPENDENT subtrees (text vs
+    # embeddings); materialize their checkpoints from two submission
+    # threads so the lexical and semantic stages overlap instead of
+    # serializing — same pipeline parallelism AQE applies to
+    # independent stages inside one plan, here across the two plans
+    # (thread-safe: Spark job submission is designed for concurrent
+    # driver threads; at real scale the cluster interleaves both
+    # stages' tasks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    lex_raw = dd.minhash_dedup_pairs(
         d, "doc_id", "text",
         num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-    _e, _n, sem = _semantic_graph(spark, sf_dir)
+    ).select("id_a", "id_b")
+    _e, _n, sem_raw = _semantic_graph(spark, sf_dir, materialize=False)
+    with ThreadPoolExecutor(2) as pool:
+        lex_f = pool.submit(lambda: lex_raw.localCheckpoint(eager=True))
+        sem_f = pool.submit(lambda: sem_raw.localCheckpoint(eager=True))
+        lex, sem = lex_f.result(), sem_f.result()
     # raw union: connected_components symmetrizes + distincts its input
     # anyway, so a pre-distinct would only add a redundant shuffle
     fused = lex.unionByName(sem)
@@ -3318,11 +3340,19 @@ def q_dedup_ensemble_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     election orders by the raw quality double (q_dedup_apply's
     discipline)."""
     d = load_table(spark, sf_dir, "documents")
-    lex = dd.minhash_dedup_pairs(
+    # concurrent materialization of the independent lexical/semantic
+    # pair subtrees — see q_dedup_ensemble
+    from concurrent.futures import ThreadPoolExecutor
+
+    lex_raw = dd.minhash_dedup_pairs(
         d, "doc_id", "text",
         num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
-    _e, _n, sem = _semantic_graph(spark, sf_dir)
+    ).select("id_a", "id_b")
+    _e, _n, sem_raw = _semantic_graph(spark, sf_dir, materialize=False)
+    with ThreadPoolExecutor(2) as pool:
+        lex_f = pool.submit(lambda: lex_raw.localCheckpoint(eager=True))
+        sem_f = pool.submit(lambda: sem_raw.localCheckpoint(eager=True))
+        lex, sem = lex_f.result(), sem_f.result()
     fused = lex.unionByName(sem)
     docs = d.select(
         "doc_id", "lang", "source", "n_chars",
