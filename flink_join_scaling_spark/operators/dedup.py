@@ -471,6 +471,14 @@ def containment_dedup_pairs(
             F.greatest("__pid", "__fid").alias("id_b"),
         )
         .distinct()
+        # The verify joins stream over THIS frame, and its per-pair
+        # array_intersect is CPU-dense far beyond its byte size — AQE's
+        # byte-based coalescing shrinks the distinct's output to a
+        # couple of tasks (measured: 2 tasks × ~1 s serial at sf0.1)
+        # and serializes the verify. A REPARTITION_BY_NUM exchange is
+        # exempt from AQE coalescing, so the verify keeps the session's
+        # parallelism; the exchange itself moves only the id-pair set.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     # Verify on the SETS already in hand: join the candidate pairs back
     # to the per-doc sorted hash arrays and score with a row-local
