@@ -3062,11 +3062,26 @@ def _semantic_members(spark: SparkSession, sf_dir: str):
     cm = ex.groupBy("label", "pos").agg(
         F.round(F.avg("val") * 10000).cast("bigint").alias("c_e4")
     )
-    cl = cm.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c_e4"))),
-            lambda s: s["c_e4"].cast("double"),
-        ).alias("c")
+    cl = (
+        cm.groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_e4"))),
+                lambda s: s["c_e4"].cast("double"),
+            ).alias("c")
+        )
+        # centroid norm hoisted out of the per-member projection: the
+        # sqrt(Σc²) fold is dim-wide interpreted work that was being
+        # re-evaluated for EVERY member row (r17 profile: the memb
+        # stage's dominant CPU); computed here it runs once per label.
+        # Same expression on the same array — identical doubles.
+        .select(
+            "c_label",
+            "c",
+            F.sqrt(_fold_sum(F.transform("c", lambda x: x * x))).alias(
+                "c_nrm"
+            ),
+        )
     )
     memb = (
         comp.join(n, comp["node"] == n["vec_id"])
@@ -3075,10 +3090,7 @@ def _semantic_members(spark: SparkSession, sf_dir: str):
             "ccos_e6",
             F.round(
                 _fold_sum(F.zip_with("v", "c", lambda x, y: x * y))
-                / (
-                    F.col("nrm")
-                    * F.sqrt(_fold_sum(F.transform("c", lambda x: x * x)))
-                )
+                / (F.col("nrm") * F.col("c_nrm"))
                 * F.lit(1_000_000.0)
             ).cast("bigint"),
         )
