@@ -671,8 +671,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(tx.tokens_ws(F.col("text"))).alias("w"))
     tf = words.groupBy("w").agg(F.count("*").alias("tf"))
     tot = tf.agg(F.sum("tf").alias("t"))
+    # pinned per-doc exchange: the downstream ln-fold over the sorted
+    # tf arrays is CPU-dense beyond its bytes and AQE coalesced it to
+    # one task (r17 sweep); collect_list dominates the shuffle either
+    # way, so the pinned exchange is byte-neutral
+    from flink_join_scaling_spark.partitioning import pin_partitioning
+
     per = (
-        words.join(tf, "w")
+        pin_partitioning(words.join(tf, "w"), "doc_id")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -1186,9 +1192,16 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("quality", tx.quality_score(F.col("text")))
         .where(F.col("quality") >= 0.55)
     )
+    from flink_join_scaling_spark.partitioning import pin_partitioning
+
     wdup = Window.partitionBy("t").orderBy("doc_id")
+    # pinned window exchange: the dedup window's sort+rank carries the
+    # full text through a shuffle AQE coalesced to one task (r17
+    # sweep); windows have no partial phase, so the pin is free
     keeper = (
-        corpq.withColumn("t", tx.norm_text(F.col("text")))
+        pin_partitioning(
+            corpq.withColumn("t", tx.norm_text(F.col("text"))), "t"
+        )
         .withColumn("rn", F.row_number().over(wdup))
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "text")

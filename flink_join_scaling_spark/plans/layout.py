@@ -182,8 +182,14 @@ def q_join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Filter build: one job over the filtered dim; result bounded by m
     # positions (≤ 131072 ints = _BLOOM_M; the filter itself is 16 KiB
-    # as bytes) — the runtime-filter build stage.
-    dpos = dimk.select(
+    # as bytes) — the runtime-filter build stage. The k-way md5 Horner
+    # runs in the map above the position-distinct, which inherits the
+    # key-distinct's AQE-coalesced output (r17 sweep: 3 tasks, 0.8 s of
+    # CPU) — pin the key exchange so the hash map keeps the session's
+    # parallelism (post-distinct rows: no partial-agg loss).
+    from flink_join_scaling_spark.partitioning import pin_partitioning
+
+    dpos = pin_partitioning(dimk, "k").select(
         F.explode(F.array(*_bloom_positions_spark(F.col("k")))).alias("pos")
     ).distinct()
     set_bits = {r.pos for r in dpos.collect()}

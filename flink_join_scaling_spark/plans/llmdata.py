@@ -2110,8 +2110,13 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (patterns restricted to the Java-regex ∩ RE2 subset so
     the DuckDB oracle applies the identical rules). Narrow map-only
     plan — regexp runs inside whole-stage codegen, no shuffle."""
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # widen: the regex count+redact maps otherwise run on the scan's
+    # single bench-scale split (r17 sweep: the whole query was one
+    # 0.5 s task; no-op at real scale)
+    return widen_if_narrow(d.select("doc_id", "text")).select(
         "doc_id",
         tx.pii_count(F.col("text")).alias("n_pii"),
         tx.redact_pii(F.col("text")).alias("text_redacted"),

@@ -220,8 +220,15 @@ def _nb_pred_frame(
     # training corpus itself every token is in-vocab, so this equals
     # the inner form — but the streaming sibling scores NEW text with
     # the same algebra)
+    # pin the per-doc exchange: the fold stage downstream (5 ln-folds
+    # per row over collect_list arrays) is CPU-dense far beyond its
+    # byte size and AQE coalesced it to 4 tasks (r17 sweep: 1.25 s of
+    # CPU serialized); collect_list partials don't reduce the shuffle,
+    # so the pinned exchange moves the same bytes
+    from flink_join_scaling_spark.partitioning import pin_partitioning
+
     per = (
-        words.join(model, "w", "left")
+        pin_partitioning(words.join(model, "w", "left"), "doc_id", "lang")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("bigint").alias("n_toks"),
