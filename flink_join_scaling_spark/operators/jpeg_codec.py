@@ -216,7 +216,11 @@ class _BitReader:
         d = self.data
         n = len(d)
         pos = self.pos
-        acc = self.acc
+        # drop consumed garbage above nbits ONCE per refill — the
+        # per-symbol consumers no longer mask acc after each take
+        # (they mask at extraction), which saves one big-int op per
+        # symbol in the entropy hot loops
+        acc = self.acc & ((1 << self.nbits) - 1)
         nbits = self.nbits
         while nbits <= 40:
             if pos >= n:
@@ -253,7 +257,6 @@ class _BitReader:
 
     def skip(self, n: int) -> None:
         self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
 
     def read(self, n: int) -> int:
         # the entropy hot path: one attribute round-trip, no self.skip
@@ -266,7 +269,6 @@ class _BitReader:
         nb = self.nbits - n
         v = (self.acc >> nb) & ((1 << n) - 1)
         self.nbits = nb
-        self.acc &= (1 << nb) - 1
         return v
 
     def align_to_marker(self) -> int:
@@ -329,7 +331,6 @@ def _huff_decode(br: _BitReader, table: array.array) -> int:
         raise ValueError("invalid Huffman code in JPEG scan")
     nb -= packed & 31
     br.nbits = nb
-    br.acc &= (1 << nb) - 1
     return packed >> 5
 
 
@@ -496,9 +497,9 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     # per-component block planes (padded to MCU grid)
-    planes = []
     scan_by_cid = {cs: (td, ta) for cs, td, ta in scan}
     comp_info = []
+    zz_rows: list[list] = []  # per component: zigzag block lists by row
     for cid, h, v, tq in comps:
         if tq not in qt:
             raise ValueError(f"missing quantization table {tq}")
@@ -506,29 +507,73 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
         if td not in huff_dc or ta not in huff_ac:
             raise ValueError("missing Huffman table for scan component")
         bw, bh = mcux * h, mcuy * v
-        planes.append(np.zeros((bh * bw, 8, 8), dtype=np.int64))
+        zz_rows.append([None] * (bh * bw))
         comp_info.append((h, v, qt[tq], huff_dc[td], huff_ac[ta], bw))
     br = _BitReader(payload, data_pos)
     pred = [0] * len(comps)
     mcu_index = 0
+    # Bit-reader state lives in locals through the entropy loop (see
+    # _prog_ac_scan); blocks accumulate as plain-int lists and the
+    # zigzag/dequantize runs ONCE vectorized after the scan — the
+    # per-block np.zeros + fancy-index assignment used to dominate.
+    fill = br._fill
+    acc = br.acc
+    nbits = br.nbits
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 m = br.align_to_marker()
                 if not (0xD0 <= m <= 0xD7):
                     raise ValueError(f"expected RSTn, got 0x{m:02X}")
+                acc = 0
+                nbits = 0
                 pred = [0] * len(comps)
             for ci, (h, v, q, hdc, hac, bw) in enumerate(comp_info):
                 for by in range(v):
                     for bx in range(h):
-                        blk = np.zeros(64, dtype=np.int64)
-                        t = _huff_decode(br, hdc)
-                        diff = _extend(br.read(t), t)
-                        pred[ci] += diff
+                        blk = [0] * 64
+                        if nbits < 16:
+                            br.acc = acc
+                            br.nbits = nbits
+                            fill()
+                            acc = br.acc
+                            nbits = br.nbits
+                        packed = hdc[(acc >> (nbits - 16)) & 0xFFFF]
+                        if packed < 0:
+                            raise ValueError(
+                                "invalid Huffman code in JPEG scan"
+                            )
+                        nbits -= packed & 31
+                        t = packed >> 5
+                        if t:
+                            if nbits < t:
+                                br.acc = acc
+                                br.nbits = nbits
+                                fill()
+                                acc = br.acc
+                                nbits = br.nbits
+                            nbits -= t
+                            v0 = (acc >> nbits) & ((1 << t) - 1)
+                            pred[ci] += (
+                                v0 if v0 >= (1 << (t - 1))
+                                else v0 - (1 << t) + 1
+                            )
                         blk[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, hac)
+                            if nbits < 16:
+                                br.acc = acc
+                                br.nbits = nbits
+                                fill()
+                                acc = br.acc
+                                nbits = br.nbits
+                            packed = hac[(acc >> (nbits - 16)) & 0xFFFF]
+                            if packed < 0:
+                                raise ValueError(
+                                    "invalid Huffman code in JPEG scan"
+                                )
+                            nbits -= packed & 31
+                            rs = packed >> 5
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:
@@ -538,13 +583,30 @@ def _decode_scan(payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
                             k += r
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            blk[k] = _extend(br.read(s), s)
+                            if nbits < s:
+                                br.acc = acc
+                                br.nbits = nbits
+                                fill()
+                                acc = br.acc
+                                nbits = br.nbits
+                            nbits -= s
+                            v0 = (acc >> nbits) & ((1 << s) - 1)
+                            blk[k] = (
+                                v0 if v0 >= (1 << (s - 1))
+                                else v0 - (1 << s) + 1
+                            )
                             k += 1
                         row = (my * v + by) * bw + (mx * h + bx)
-                        coef = np.zeros((8, 8), dtype=np.int64)
-                        coef[_ZZ_ROWS, _ZZ_COLS] = blk
-                        planes[ci][row] = coef * q
+                        zz_rows[ci][row] = blk
             mcu_index += 1
+    br.acc = acc
+    br.nbits = nbits
+    planes = []
+    for (h, v, q, hdc, hac, bw), rows in zip(comp_info, zz_rows):
+        zz = np.array(rows, dtype=np.int64)  # (nblocks, 64) zigzag
+        nat = np.zeros((zz.shape[0], 8, 8), dtype=np.int64)
+        nat[:, _ZZ_ROWS, _ZZ_COLS] = zz
+        planes.append(nat * q.reshape(1, 8, 8))
     return _reconstruct(
         [(h, v, bw) for h, v, q, hdc, hac, bw in comp_info],
         planes, width, height, hmax, vmax,
@@ -733,6 +795,8 @@ def _prog_dc_scan(br, prog, sel, ah, al, huff_dc, restart_interval):
     bit = 1 << al
 
     def block(si: int, ci: int, row: int) -> None:
+        # (kept as the original 3-call form: DC scans touch one
+        # coefficient per block, so this is not a hot path)
         c = coef[ci][row]
         if ah == 0:
             t = _huff_decode(br, tabs[si])
@@ -783,11 +847,21 @@ def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
     p1 = 1 << al
     m1 = -p1
     mcu_index = 0
+    # The entropy loop keeps the bit-reader state (acc, nbits) in
+    # LOCALS and inlines _huff_decode/read — one Huffman symbol was
+    # previously 2-3 method calls of attribute round-trips, which
+    # dominated the decode profile. State is synced to ``br`` only
+    # around _fill()/RST boundaries (same values, just rehomed).
+    fill = br._fill
+    acc = br.acc
+    nbits = br.nbits
     for y in range(nbh):
         for x in range(nbw):
             if (restart_interval and mcu_index
                     and mcu_index % restart_interval == 0):
-                _expect_rst(br)
+                _expect_rst(br)  # discards bits; pos already synced
+                acc = 0
+                nbits = 0
                 eobrun = 0
             mcu_index += 1
             c = coef[y * bw + x]
@@ -797,13 +871,30 @@ def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
                     continue
                 k = ss
                 while k <= se:
-                    rs = _huff_decode(br, ac)
+                    if nbits < 16:
+                        br.acc = acc
+                        br.nbits = nbits
+                        fill()
+                        acc = br.acc
+                        nbits = br.nbits
+                    packed = ac[(acc >> (nbits - 16)) & 0xFFFF]
+                    if packed < 0:
+                        raise ValueError("invalid Huffman code in JPEG scan")
+                    nbits -= packed & 31
+                    rs = packed >> 5
                     r, s = rs >> 4, rs & 0x0F
                     if s == 0:
                         if r < 15:
                             eobrun = (1 << r) - 1
                             if r:
-                                eobrun += br.read(r)
+                                if nbits < r:
+                                    br.acc = acc
+                                    br.nbits = nbits
+                                    fill()
+                                    acc = br.acc
+                                    nbits = br.nbits
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
                             break
                         k += 16  # ZRL
                         if k > se + 1:
@@ -814,34 +905,74 @@ def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
                     k += r
                     if k > se:
                         raise ValueError("progressive AC run past band end")
-                    c[k] = _extend(br.read(s), s) << al
+                    if nbits < s:
+                        br.acc = acc
+                        br.nbits = nbits
+                        fill()
+                        acc = br.acc
+                        nbits = br.nbits
+                    nbits -= s
+                    v = (acc >> nbits) & ((1 << s) - 1)
+                    c[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
                     k += 1
                 continue
             # refinement pass
             k = ss
             if eobrun == 0:
                 while k <= se:
-                    rs = _huff_decode(br, ac)
+                    if nbits < 16:
+                        br.acc = acc
+                        br.nbits = nbits
+                        fill()
+                        acc = br.acc
+                        nbits = br.nbits
+                    packed = ac[(acc >> (nbits - 16)) & 0xFFFF]
+                    if packed < 0:
+                        raise ValueError("invalid Huffman code in JPEG scan")
+                    nbits -= packed & 31
+                    rs = packed >> 5
                     r, s = rs >> 4, rs & 0x0F
                     val = 0
                     if s == 0:
                         if r < 15:
                             eobrun = 1 << r
                             if r:
-                                eobrun += br.read(r)
+                                if nbits < r:
+                                    br.acc = acc
+                                    br.nbits = nbits
+                                    fill()
+                                    acc = br.acc
+                                    nbits = br.nbits
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
                             break  # rest of block via the EOB sweep
                     else:
                         if s != 1:
                             raise ValueError(
                                 "invalid magnitude in AC refinement scan"
                             )
-                        val = p1 if br.read(1) else m1
+                        if nbits < 1:
+                            br.acc = acc
+                            br.nbits = nbits
+                            fill()
+                            acc = br.acc
+                            nbits = br.nbits
+                        nbits -= 1
+                        val = p1 if (acc >> nbits) & 1 else m1
                     # advance over r zero-history positions, applying
                     # correction bits at already-nonzero ones
                     while k <= se:
                         cv = c[k]
                         if cv != 0:
-                            if br.read(1) and (cv & p1) == 0:
+                            if nbits < 1:
+                                br.acc = acc
+                                br.nbits = nbits
+                                fill()
+                                acc = br.acc
+                                nbits = br.nbits
+                            nbits -= 1
+                            b = (acc >> nbits) & 1
+                            if b and (cv & p1) == 0:
                                 c[k] = cv + (p1 if cv >= 0 else m1)
                         else:
                             if r == 0:
@@ -870,10 +1001,20 @@ def _prog_ac_scan(br, prog, ci, ac, ss, se, ah, al, restart_interval):
                 while k <= se:  # EOB covers this block's remainder too
                     cv = c[k]
                     if cv != 0:
-                        if br.read(1) and (cv & p1) == 0:
+                        if nbits < 1:
+                            br.acc = acc
+                            br.nbits = nbits
+                            fill()
+                            acc = br.acc
+                            nbits = br.nbits
+                        nbits -= 1
+                        b = (acc >> nbits) & 1
+                        if b and (cv & p1) == 0:
                             c[k] = cv + (p1 if cv >= 0 else m1)
                     k += 1
                 eobrun -= 1
+    br.acc = acc
+    br.nbits = nbits
 
 
 def _reconstruct_progressive(prog, qt):
@@ -909,37 +1050,69 @@ def _reconstruct_progressive(prog, qt):
 
 
 class _BitWriter:
-    __slots__ = ("chunks", "acc", "nbits")
+    """Huffman bit sink. ``write`` only buffers (code, length) pairs;
+    the actual bit packing (MSB-first concatenation, byte stuffing of
+    0xFF per T.81 §B.1.1.5) happens vectorized in one NumPy pass per
+    byte-aligned segment — the per-symbol big-int shifting of the
+    previous implementation dominated encoder profiles (~12k ``write``
+    calls per 72-block image)."""
+
+    __slots__ = ("chunks", "codes", "lens")
 
     def __init__(self):
-        self.chunks = bytearray()
-        self.acc = 0
-        self.nbits = 0
+        self.chunks = bytearray()  # completed (stuffed) bytes
+        # Hot encode loops append to these two lists DIRECTLY (bound
+        # .append), bypassing the write() call overhead; the invariant
+        # is simply len(codes) == len(lens) with every length >= 1.
+        self.codes: list[int] = []
+        self.lens: list[int] = []
 
     def write(self, code: int, length: int) -> None:
         if length == 0:
             return
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            b = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.chunks.append(b)
-            if b == 0xFF:
-                self.chunks.append(0x00)  # byte stuffing
-            self.nbits -= 8
-            self.acc &= (1 << self.nbits) - 1
+        self.codes.append(code)
+        self.lens.append(length)
+
+    def _pack(self) -> None:
+        """Pack the buffered symbols (total length a multiple of 8)
+        into ``chunks``, applying byte stuffing. Bit-exact with the
+        old per-symbol loop: symbol i's bits occupy stream positions
+        [Σlens[:i], Σlens[:i+1]) MSB-first, masked to its length."""
+        if not self.lens:
+            return
+        lens = np.asarray(self.lens, dtype=np.int64)
+        codes = np.asarray(self.codes, dtype=np.int64)
+        ends = np.cumsum(lens)
+        total = int(ends[-1])
+        # per-bit shift: for symbol i, bits come out code >> (len-1) .. code >> 0
+        shifts = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
+        bits = ((np.repeat(codes, lens) >> shifts) & 1).astype(np.uint8)
+        by = np.packbits(bits)
+        ff = np.flatnonzero(by == 0xFF)
+        if len(ff):
+            by = np.insert(by, ff + 1, 0)  # byte stuffing
+        self.chunks += by.tobytes()
+        self.codes.clear()
+        self.lens.clear()
+
+    def _align(self) -> None:
+        """1-pad to a byte boundary (T.81 padding rule). The bit count
+        is computed lazily here — only pack boundaries need it."""
+        nb = sum(self.lens) & 7
+        if nb:
+            pad = 8 - nb
+            self.codes.append((1 << pad) - 1)
+            self.lens.append(pad)
 
     def restart(self, n: int) -> None:
         """Byte-align with 1-padding and emit RSTn (T.81 §F.1.2.3)."""
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)
+        self._align()
+        self._pack()
         self.chunks += bytes([0xFF, 0xD0 + (n % 8)])
 
     def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        self._align()
+        self._pack()
         return bytes(self.chunks)
 
 
@@ -988,35 +1161,51 @@ def _encode_component_blocks(img: np.ndarray) -> np.ndarray:
     )
 
 
-def _write_block(writer, blk_q: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
-    """Encode one quantized block (natural order); returns new DC pred."""
-    dc = int(blk_q[0, 0])
+def _write_block(writer, zz: list, pred: int, dc_codes, ac_codes) -> int:
+    """Encode one quantized block given as a ZIGZAG-order Python list
+    of 64 ints (callers bulk-zigzag + ``.tolist()`` all blocks at once
+    — plain-int indexing is several times faster than per-element
+    NumPy scalar access in this hot loop); returns new DC pred."""
+    ca = writer.codes.append
+    la = writer.lens.append
+    dc = zz[0]
     t, code = _magnitude(dc - pred)
     c, ln = dc_codes[t]
-    writer.write(c, ln)
-    writer.write(code, t)
-    zz = blk_q[_ZZ_ROWS, _ZZ_COLS]
+    ca(c)
+    la(ln)
+    if t:
+        ca(code)
+        la(t)
+    last_nz = 63
+    while last_nz > 0 and zz[last_nz] == 0:
+        last_nz -= 1
     run = 0
-    last_nz = 0
-    nz = np.nonzero(zz[1:])[0]
-    last_nz = (nz[-1] + 1) if len(nz) else 0
+    zrl = ac_codes[0xF0]
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            c, ln = ac_codes[0xF0]  # ZRL
-            writer.write(c, ln)
+            ca(zrl[0])  # ZRL
+            la(zrl[1])
             run -= 16
-        t, code = _magnitude(v)
+        if v > 0:
+            t = v.bit_length()
+            code = v
+        else:
+            t = (-v).bit_length()
+            code = v + (1 << t) - 1
         c, ln = ac_codes[(run << 4) | t]
-        writer.write(c, ln)
-        writer.write(code, t)
+        ca(c)
+        la(ln)
+        ca(code)
+        la(t)
         run = 0
     if last_nz < 63:
         c, ln = ac_codes[0x00]  # EOB
-        writer.write(c, ln)
+        ca(c)
+        la(ln)
     return dc
 
 
@@ -1076,15 +1265,16 @@ def jpeg_encode_gray(
     quant = _quantize(coefs, q.reshape(1, 8, 8))
     dc_codes = _encode_codes(*_STD_DC_LUM)
     ac_codes = _encode_codes(*_STD_AC_LUM)
+    zz_rows = quant[:, _ZZ_ROWS, _ZZ_COLS].tolist()  # bulk zigzag once
     writer = _BitWriter()
     pred = 0
     rst = 0
-    for b in range(quant.shape[0]):
+    for b in range(len(zz_rows)):
         if restart_interval and b and b % restart_interval == 0:
             writer.restart(rst)
             rst += 1
             pred = 0
-        pred = _write_block(writer, quant[b], pred, dc_codes, ac_codes)
+        pred = _write_block(writer, zz_rows[b], pred, dc_codes, ac_codes)
     out = bytearray(b"\xff\xd8")
     out += _dqt_seg(0, q)
     out += _seg(
@@ -1142,9 +1332,9 @@ def jpeg_encode_ycbcr(
         blocks = _encode_component_blocks(img) - 128
         return _quantize(_fdct_blocks(blocks), q.reshape(1, 8, 8))
 
-    yq = comp_blocks(y, hy, vy)
-    cbq = comp_blocks(cb, 1, 1)
-    crq = comp_blocks(cr, 1, 1)
+    yq = comp_blocks(y, hy, vy)[:, _ZZ_ROWS, _ZZ_COLS].tolist()
+    cbq = comp_blocks(cb, 1, 1)[:, _ZZ_ROWS, _ZZ_COLS].tolist()
+    crq = comp_blocks(cr, 1, 1)[:, _ZZ_ROWS, _ZZ_COLS].tolist()
     dc_l = _encode_codes(*_STD_DC_LUM)
     ac_l = _encode_codes(*_STD_AC_LUM)
     dc_c = _encode_codes(*_STD_DC_CHR)
@@ -1211,12 +1401,15 @@ def _emit_eobrun(writer, ac_codes, eobrun: int, pending: list[int]) -> int:
     if eobrun:
         nbits = eobrun.bit_length() - 1
         c, ln = ac_codes[nbits << 4]
-        writer.write(c, ln)
+        writer.codes.append(c)
+        writer.lens.append(ln)
         if nbits:
-            writer.write(eobrun & ((1 << nbits) - 1), nbits)
-        for b in pending:
-            writer.write(b, 1)
-        pending.clear()
+            writer.codes.append(eobrun & ((1 << nbits) - 1))
+            writer.lens.append(nbits)
+        if pending:
+            writer.codes.extend(pending)
+            writer.lens.extend([1] * len(pending))
+            pending.clear()
     return 0
 
 
@@ -1226,44 +1419,60 @@ def _prog_encode_dc_scan(writer, seq, dc_codes_by_slot, ah, al) -> None:
     (arithmetic >> Al, T.81 G.1.2.1); refinement: one raw bit Al per
     block — the decoder ORs it in, exact for negatives in
     twos-complement."""
+    ca = writer.codes.append
+    la = writer.lens.append
     if ah == 0:
         preds: dict[int, int] = {}
         for si, zz in seq:
-            v = int(zz[0]) >> al
+            v = zz[0] >> al
             t, code = _magnitude(v - preds.get(si, 0))
             c, ln = dc_codes_by_slot[si][t]
-            writer.write(c, ln)
-            writer.write(code, t)
+            ca(c)
+            la(ln)
+            if t:
+                ca(code)
+                la(t)
             preds[si] = v
     else:
         for _si, zz in seq:
-            writer.write((int(zz[0]) >> al) & 1, 1)
+            ca((zz[0] >> al) & 1)
+            la(1)
 
 
 def _prog_encode_ac_first(writer, blocks, ac_codes, ss, se, al) -> None:
     """AC first pass (T.81 G.1.2.2): run/size coding of the point-
     transformed band (sign·(|v| >> Al)), all-zero bands folded into
     cross-block EOB runs."""
+    ca = writer.codes.append
+    la = writer.lens.append
+    zrl = ac_codes[0xF0]
     eobrun = 0
     for zz in blocks:
         r = 0
-        for k in range(ss, se + 1):
-            v = int(zz[k])
+        for v in zz[ss : se + 1]:
             t = abs(v) >> al
             if t == 0:
                 r += 1
                 continue
             if v < 0:
                 t = -t
-            eobrun = _emit_eobrun(writer, ac_codes, eobrun, [])
+            if eobrun:
+                eobrun = _emit_eobrun(writer, ac_codes, eobrun, [])
             while r > 15:
-                c, ln = ac_codes[0xF0]
-                writer.write(c, ln)
+                ca(zrl[0])
+                la(zrl[1])
                 r -= 16
-            nb, code = _magnitude(t)
+            if t > 0:
+                nb = t.bit_length()
+                code = t
+            else:
+                nb = (-t).bit_length()
+                code = t + (1 << nb) - 1
             c, ln = ac_codes[(r << 4) | nb]
-            writer.write(c, ln)
-            writer.write(code, nb)
+            ca(c)
+            la(ln)
+            ca(code)
+            la(nb)
             r = 0
         if r:
             eobrun += 1
@@ -1279,41 +1488,53 @@ def _prog_encode_ac_refine(writer, blocks, ac_codes, ss, se, al) -> None:
     ZRLs only when a newly-nonzero coefficient still follows in the
     block (otherwise the tail folds into the EOB run, whose buffered
     correction bits ride behind the EOBn symbol)."""
+    ca = writer.codes.append
+    la = writer.lens.append
+    codes_extend = writer.codes.extend
+    lens_extend = writer.lens.extend
+    zrl = ac_codes[0xF0]
+    run1 = [ac_codes[(r << 4) | 1] for r in range(16)]
     eobrun = 0
     pending: list[int] = []  # correction bits covered by pending EOB run
     for zz in blocks:
-        absv = [0] * (se + 1)
+        band = zz[ss : se + 1]
+        absv = [abs(v) >> al for v in band]
         eob = ss - 1  # index of last newly-nonzero coefficient
-        for k in range(ss, se + 1):
-            t = abs(int(zz[k])) >> al
-            absv[k] = t
-            if t == 1:
-                eob = k
+        for j in range(len(absv) - 1, -1, -1):
+            if absv[j] == 1:
+                eob = ss + j
+                break
         r = 0
         br_bits: list[int] = []
-        for k in range(ss, se + 1):
-            t = absv[k]
+        for j, t in enumerate(absv):
             if t == 0:
                 r += 1
                 continue
+            k = ss + j
             while r > 15 and k <= eob:
-                eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
-                c, ln = ac_codes[0xF0]
-                writer.write(c, ln)
+                if eobrun:
+                    eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+                ca(zrl[0])
+                la(zrl[1])
                 r -= 16
-                for b in br_bits:
-                    writer.write(b, 1)
-                br_bits = []
+                if br_bits:
+                    codes_extend(br_bits)
+                    lens_extend([1] * len(br_bits))
+                    br_bits = []
             if t > 1:
                 br_bits.append(t & 1)
                 continue
-            eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
-            c, ln = ac_codes[(r << 4) | 1]
-            writer.write(c, ln)
-            writer.write(1 if int(zz[k]) >= 0 else 0, 1)
-            for b in br_bits:
-                writer.write(b, 1)
-            br_bits = []
+            if eobrun:
+                eobrun = _emit_eobrun(writer, ac_codes, eobrun, pending)
+            c, ln = run1[r]
+            ca(c)
+            la(ln)
+            ca(1 if band[j] >= 0 else 0)
+            la(1)
+            if br_bits:
+                codes_extend(br_bits)
+                lens_extend([1] * len(br_bits))
+                br_bits = []
             r = 0
         if r > 0 or br_bits:
             eobrun += 1
@@ -1340,6 +1561,17 @@ def _prog_scan_segments(scans, zz_planes, layouts, dc_codes, ac_codes,
     predictors/EOB state and separated by byte-aligned RSTn markers
     (T.81 §G.1.2 restart semantics fall out of per-chunk
     re-encoding)."""
+    # Bulk-convert each component plane to nested Python lists once:
+    # the per-coefficient scan loops below are several times faster on
+    # plain ints than on NumPy scalar accesses (same values exactly).
+    zz_planes = [
+        p.tolist() if hasattr(p, "tolist") else p for p in zz_planes
+    ]
+    if mcu_order is not None:
+        mcu_order = [
+            (si, r.tolist() if hasattr(r, "tolist") else r)
+            for si, r in mcu_order
+        ]
     out = bytearray()
     for slots, ss, se, ah, al in scans:
         body = bytearray([len(slots)])
