@@ -45,7 +45,8 @@ def tokens_bpe_ish(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
 
 
-def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
+def exploded_shingles(df, id_col: str, text_col: str, n: int = 3,
+                      widen: bool = True):
     """(id, shingle) rows — distinct word n-grams per document.
 
     JVM-side higher-order functions (transform over sequence, 0-based
@@ -55,11 +56,18 @@ def exploded_shingles(df, id_col: str, text_col: str, n: int = 3):
     compute-heavy map stage, and a small parquet file scans as one
     split — widen_if_narrow spreads it across cores at bench/test
     scale and is a no-op on a real multi-split scan (or when the
-    caller already widened, or on a streaming frame).
+    caller already widened, or on a streaming frame). Callers whose
+    frame is BENCHMARK-sized and destined for a broadcast/collect
+    pass ``widen=False``: repartitioning an eval-suite-sized side
+    only delays the broadcast build behind an extra shuffle
+    (measured r17: q_decontaminate 0.78 → 1.13 s from widening the
+    2%-slice bench side; the corpus side's widening is the win).
     """
-    from flink_join_scaling_spark.partitioning import widen_if_narrow
+    df = df.select(F.col(id_col), F.col(text_col))
+    if widen:
+        from flink_join_scaling_spark.partitioning import widen_if_narrow
 
-    df = widen_if_narrow(df.select(F.col(id_col), F.col(text_col)))
+        df = widen_if_narrow(df)
     with_toks = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__shingle_toks"))
     return with_toks.select(
         F.col(id_col), F.explode(shingles_from_tokens("__shingle_toks", n)).alias("shingle")

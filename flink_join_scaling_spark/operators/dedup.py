@@ -573,8 +573,14 @@ def ngram_contamination(
     Set ``broadcast_benchmark=False`` for an oversized benchmark to
     fall back to a shuffle equi-join on the shingle.
     """
+    # benchmark side: eval-suite-sized and headed for a broadcast —
+    # widening it would stall the broadcast build behind a shuffle
+    # of a tiny frame (r17 measurement in exploded_shingles)
     bsh = (
-        exploded_shingles(benchmark, id_col, text_col, shingle_n)
+        exploded_shingles(
+            benchmark, id_col, text_col, shingle_n,
+            widen=not broadcast_benchmark,
+        )
         .select("shingle")
         .distinct()
     )
@@ -623,7 +629,11 @@ def fuzzy_contamination(
         raise ValueError("hash family provides 8 members (two md5 × four slices)")
     sig_aggs = [F.min(_sig_slice(k)).alias(f"h{k}") for k in range(num_hashes)]
     sh_a = exploded_shingles(corpus, id_col, text_col, shingle_n)
-    sh_b = exploded_shingles(benchmark, id_col, text_col, shingle_n).select(
+    # benchmark side: its band table broadcasts below, so skip the
+    # widening shuffle (eval-suite-sized; see exploded_shingles)
+    sh_b = exploded_shingles(
+        benchmark, id_col, text_col, shingle_n, widen=False
+    ).select(
         F.col(id_col).alias("bench_id"), "shingle"
     )
     sigc = _md5_pair_projected(sh_a).groupBy(id_col).agg(

@@ -80,7 +80,9 @@ def stream_decontaminate(
     # the driver (the similarity.py:256 / io.py pattern — collect at
     # most one row past the cap, then refuse).
     bench_rows = (
-        exploded_shingles(benchmark, id_col, text_col, shingle_n)
+        exploded_shingles(
+            benchmark, id_col, text_col, shingle_n, widen=False
+        )
         .select("shingle")
         .distinct()
         .limit(_MAX_BENCHMARK_SHINGLES + 1)
