@@ -995,7 +995,14 @@ def winnow_dedup_pairs(
     stop-shingle cap, bounding the worst join bucket at max_df²) and
     pairs sharing fewer than ``min_shared`` fingerprints discarded.
     Returns (id_a, id_b, n_shared), id_a < id_b."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    # pin the fingerprint set: the hot-fp cap, the anti-join, and BOTH
+    # sides of the pair equi-join consume it — unpinned, Catalyst
+    # re-derives the whole tokenize/window/md5 subtree per consumer
+    # (the r17 plan showed FOUR copies of the fingerprint pipeline;
+    # the pinned frame is (id, fp) rows, pair-census-sized)
+    fp = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
+        eager=False
+    )
     hot = (
         fp.groupBy("fp")
         .agg(F.countDistinct(id_col).alias("__df"))
