@@ -1198,6 +1198,13 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned window exchange: the dedup window's sort+rank carries the
     # full text through a shuffle AQE coalesced to one task (r17
     # sweep); windows have no partial phase, so the pin is free
+    # pinned (lazy): the keeper survivors feed BOTH the contamination
+    # census (shingle explode) and the anti-join/packing tail, and the
+    # subtrees are asymmetric enough that runtime exchange reuse does
+    # not collapse them — the r17 stage profile showed the whole
+    # quality-regex + norm + dedup-window pipeline computed twice
+    # (plus a third widen exchange for the bench branch). One
+    # materialization of the survivor frame removes the duplicate.
     keeper = (
         pin_partitioning(
             corpq.withColumn("t", tx.norm_text(F.col("text"))), "t"
@@ -1205,6 +1212,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wdup))
         .where(F.col("rn") == 1)
         .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
     )
     bench = dw.where(F.col("doc_id") % 50 == 0)
     hits = dd.ngram_contamination(keeper, bench, "doc_id", "text", shingle_n=3)
