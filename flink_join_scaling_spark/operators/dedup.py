@@ -1851,6 +1851,7 @@ def _pagerank_driver(
     contributions sorted by src with a left fold from 0.0, and applies
     the same ``(1-d) + d*acc`` arithmetic — IEEE-double-identical to
     the join+agg rounds, hence hash-identical downstream."""
+    import numpy as np
     from pyspark.sql import types as T
 
     rows = pairs.collect()
@@ -1864,16 +1865,54 @@ def _pagerank_driver(
     for s, d in edges:
         deg[s] = deg.get(s, 0) + 1
         inn.setdefault(d, []).append(s)
-    ranks = {n: 1.0 for n in deg}
+    # The graph is STATIC across iterations, so all ordering work —
+    # the per-destination sorted-by-src fold order and the node
+    # indexing — happens ONCE here instead of once per iteration (the
+    # r17 form re-ran sorted() on every in-neighbor list every
+    # iteration: O(iters · E log deg) of pure-Python sort). On the
+    # symmetrized graph inn's key set equals deg's (every edge appears
+    # in both directions), so indexing over deg covers every node.
+    nodes = list(deg)
+    idx = {n: i for i, n in enumerate(nodes)}
+    dst_idx = np.fromiter(
+        (idx[d] for d in inn), dtype=np.int64, count=len(inn)
+    )
+    src_flat = np.fromiter(
+        (idx[s] for srcs in inn.values() for s in sorted(srcs)),
+        dtype=np.int64,
+        count=len(edges),
+    )
+    seg_len = np.fromiter(
+        (len(srcs) for srcs in inn.values()), dtype=np.int64, count=len(inn)
+    )
+    seg_end = np.cumsum(seg_len).tolist()
+    deg_arr = np.fromiter(
+        (deg[n] for n in nodes), dtype=np.float64, count=len(nodes)
+    )
+    deg_src = deg_arr[src_flat]
+    ranks_arr = np.ones(len(nodes), dtype=np.float64)
     one_minus_d = 1.0 - damping
+    # Exactness: the fold below MUST stay a strict left fold from 0.0
+    # in sorted-by-src order — that is the distributed path's pinned
+    # accumulation order. NumPy's own segment reductions
+    # (add.reduceat / sum) use pairwise/unrolled accumulation for
+    # segments of ≥8 elements, which is NOT bit-identical, so only the
+    # elementwise division is vectorized (a vectorized double divide
+    # is IEEE-identical to the scalar divide) and the fold itself runs
+    # over a plain-float list. Enforced by the exact-equality
+    # differential test (test_sketches.py::
+    # test_pagerank_driver_path_bit_identical_to_distributed).
     for _ in range(iters):
-        nxt = {}
-        for dst, srcs in inn.items():
+        contrib = (ranks_arr[src_flat] / deg_src).tolist()
+        nxt = np.empty(len(nodes), dtype=np.float64)
+        pos = 0
+        for i, end in enumerate(seg_end):
             acc = 0.0
-            for s in sorted(srcs):
-                acc += ranks[s] / deg[s]
-            nxt[dst] = one_minus_d + damping * acc
-        ranks = nxt
+            while pos < end:
+                acc += contrib[pos]
+                pos += 1
+            nxt[dst_idx[i]] = one_minus_d + damping * acc
+        ranks_arr = nxt
     schema = T.StructType(
         [
             T.StructField("node", pairs.schema[0].dataType),
@@ -1881,7 +1920,7 @@ def _pagerank_driver(
         ]
     )
     return pairs.sparkSession.createDataFrame(
-        list(ranks.items()), schema
+        [(n, float(ranks_arr[idx[n]])) for n in nodes], schema
     )
 
 

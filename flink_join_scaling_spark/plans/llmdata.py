@@ -3055,12 +3055,13 @@ def _semantic_members(spark: SparkSession, sf_dir: str):
     the joins below and the apply tail can skip its count job).
     Consumed by q_dedup_semantic (the component report) and
     q_dedup_semantic_apply (the pruned corpus)."""
-    e, n, pairs = _semantic_graph(spark, sf_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    e, n, pairs = _semantic_graph(spark, sf_dir, materialize=False)
 
     def _fold_sum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
 
-    comp, node_bound = dd.connected_components(pairs, with_bound=True)
     # centroid over the FULL cluster population (not just members) —
     # the cluster centroid of the paper, e4-quantized for parity
     ex = e.select("label", F.posexplode("v").alias("pos", "val"))
@@ -3087,7 +3088,22 @@ def _semantic_members(spark: SparkSession, sf_dir: str):
                 "c_nrm"
             ),
         )
+        # pinned so the thread below can materialize it; labels-sized
+        # (one row per cluster) at any scale
+        .localCheckpoint(eager=False)
     )
+    # Overlap the centroid build with the pair-set materialization
+    # (guide §2.6, the ensemble trick): the within-cluster pairwise
+    # cosine pass (the query's dominant compute) and the centroid
+    # aggregation are INDEPENDENT subtrees over the embeddings scan;
+    # serial eager pins would run them back to back. The CC rounds
+    # that follow consume only the pinned pair set.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_pairs = pool.submit(lambda: pairs.localCheckpoint(eager=True))
+        fut_cl = pool.submit(cl.count)
+        pairs = fut_pairs.result()
+        fut_cl.result()
+    comp, node_bound = dd.connected_components(pairs, with_bound=True)
     memb = (
         comp.join(n, comp["node"] == n["vec_id"])
         .join(cl, F.col("label") == F.col("c_label"))

@@ -183,35 +183,44 @@ def q_nb_lang_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_words(wd: DataFrame) -> DataFrame:
+    """The pinned (doc_id, lang, token) stream under the NB model —
+    THREE subtrees consume it (model counts, totals, the per-doc
+    fold's probe side); unpinned, each re-tokenizes from the scan and
+    re-pays the widening shuffle's serial map side. Named so the
+    trained-pipeline compose can pre-materialize it from a thread
+    pool while the LR trainer's driver-bound jobs run."""
+    return wd.select(
+        "doc_id", "lang",
+        F.explode(tx.tokens_ws(F.col("text"))).alias("w"),
+    ).localCheckpoint(eager=False)
+
+
 def _nb_pred_frame(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, lang, pred_lang, score_e6) under the corpus-trained NB
     model — the Spark twin of the oracle's ``nbpred`` CTE, shared by
     the standalone apply and the trained-pipeline compose. ``docs``
     lets the compose pass ONE widened+pinned (doc_id, lang, text)
-    frame shared across its stages instead of re-widening per stage."""
+    frame shared across its stages instead of re-widening per stage;
+    ``words`` lets it pass the already-pinned token stream."""
     from flink_join_scaling_spark.partitioning import widen_if_narrow
 
     d = load_table(spark, sf_dir, "documents")
     # widen the tokenize/explode pass: single-split scan at bench scale
     # serializes the model build AND the per-doc fold onto one core
-    # (no-op at real scale). Pinned: THREE subtrees consume the token
-    # stream (model counts, totals, the per-doc fold's probe side) —
-    # unpinned, each re-tokenizes from the scan and re-pays the
-    # widening shuffle's serial map side.
+    # (no-op at real scale).
     wd = (
         docs.select("doc_id", "lang", "text")
         if docs is not None
         else widen_if_narrow(d.select("doc_id", "lang", "text"))
     )
-    words = (
-        wd.select(
-            "doc_id", "lang",
-            F.explode(tx.tokens_ws(F.col("text"))).alias("w"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    if words is None:
+        words = _nb_words(wd)
     model = nb.nb_model(words, _NB_LANGS)
     tot = nb.nb_totals(words, _NB_LANGS)
     prior = nb.nb_priors(d, _NB_LANGS)
@@ -321,31 +330,40 @@ _DSIR_CTES = f"""
     {_DSIR_BODY}"""
 
 
-def _dsir_weights(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
-) -> DataFrame:
-    from flink_join_scaling_spark.partitioning import widen_if_narrow
-
-    d = load_table(spark, sf_dir, "documents")
-    # widen the tokenize/md5-bucket pass (single-split scan at bench
-    # scale; no-op at real scale). Pinned: FOUR subtrees consume the
-    # bucket stream (ntot, tcnt, rcnt, the per-doc fold's probe side)
-    # — unpinned, each re-tokenizes + re-hashes from the scan; the
-    # pinned rows are (id, lang, int) — narrow.
-    wd = (
-        docs.select("doc_id", "lang", "text")
-        if docs is not None
-        else widen_if_narrow(d.select("doc_id", "lang", "text"))
-    )
-    wb = (
-        wd
-        .select(
+def _dsir_bucket_stream(wd: DataFrame) -> DataFrame:
+    """The pinned (doc_id, lang, bucket) stream — FOUR subtrees consume
+    it (ntot, tcnt, rcnt, the per-doc fold's probe side); unpinned,
+    each re-tokenizes + re-hashes from the scan. The pinned rows are
+    (id, lang, int) — narrow. Named so the trained-pipeline compose
+    can pre-materialize it concurrently with the LR trainer."""
+    return (
+        wd.select(
             "doc_id", "lang",
             F.explode(tx.tokens_ws(F.col("text"))).alias("w"),
         )
         .select("doc_id", "lang", _bucket_spark("w").alias("b"))
         .localCheckpoint(eager=False)
     )
+
+
+def _dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    wb: DataFrame | None = None,
+) -> DataFrame:
+    from flink_join_scaling_spark.partitioning import widen_if_narrow
+
+    d = load_table(spark, sf_dir, "documents")
+    # widen the tokenize/md5-bucket pass (single-split scan at bench
+    # scale; no-op at real scale).
+    wd = (
+        docs.select("doc_id", "lang", "text")
+        if docs is not None
+        else widen_if_narrow(d.select("doc_id", "lang", "text"))
+    )
+    if wb is None:
+        wb = _dsir_bucket_stream(wd)
     # the bucket models themselves (tcnt/rcnt) are fitted inside
     # _dsir_per_doc — only the scalar token totals are built here
     ntot = wb.agg(
@@ -571,6 +589,8 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictions are per-doc — a production plan pushes the gate below
     the score join) → keeper (one text-keyed exchange) → top-50
     (TakeOrdered + bounded rank window)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
 
     from flink_join_scaling_spark.operators import classifier as clf
@@ -582,8 +602,6 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_join_scaling_spark.partitioning import widen_if_narrow
 
-    lab = _labeled_frame(spark, sf_dir)
-    w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
     d = load_table(spark, sf_dir, "documents")
     # ONE widened + pinned corpus projection shared by all four
     # text-reading stages (gate features, NB token stream, keeper
@@ -593,6 +611,29 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     dw = widen_if_narrow(
         d.select("doc_id", "lang", "text")
     ).localCheckpoint(eager=False)
+    words = _nb_words(dw)
+    wb = _dsir_bucket_stream(dw)
+
+    # Overlap the LR trainer with the compose's pin materializations
+    # (guide §2.6: independent jobs back-fill each other's tails). The
+    # trainer is a chain of DRIVER-BOUND actions (labeled-frame
+    # checkpoint, two bounded histogram collects, the fused GD pass)
+    # over its OWN feature frame; the NB token stream and DSIR bucket
+    # stream derive from dw, not from anything the trainer produces.
+    # r17 measured that EAGER pins serialize these materializations
+    # (5.31 → 7.77 s) — the pins stay lazy; the thread materializes
+    # them in ONE sequential chain (dw first, so the two token streams
+    # never race to compute dw's blocks) while the trainer runs.
+    def _materialize() -> None:
+        dw.count()
+        words.count()
+        wb.count()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_materialize)
+        lab = _labeled_frame(spark, sf_dir)
+        w = clf.train_lr(lab.select("y", *clf.FEATURES), _LR_ITERS, _LR_RATE)
+        fut.result()
     feats = clf.feature_columns(F.col("text"))
     gate = (
         dw.select("doc_id", *[c.alias(n) for n, c in feats.items()])
@@ -601,7 +642,7 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     route = gate.join(
-        _nb_pred_frame(spark, sf_dir, docs=dw).where(
+        _nb_pred_frame(spark, sf_dir, docs=dw, words=words).where(
             F.col("pred_lang") == "en"
         ),
         "doc_id",
@@ -617,7 +658,7 @@ def q_pipeline_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     sel = (
-        keeper.join(_dsir_weights(spark, sf_dir, docs=dw), "doc_id")
+        keeper.join(_dsir_weights(spark, sf_dir, docs=dw, wb=wb), "doc_id")
         .orderBy(F.desc("weight_e6"), F.asc("doc_id"))
         .limit(_PIPE_TOP)
     )
