@@ -1369,11 +1369,13 @@ def embedding_dedup_pairs_exact(
 # ------------------------------------------- duplicate-group formation
 
 
-def _cc_driver(edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a small (already materialized) edge
-    set: one collect, zero iterative jobs. Produces exactly the
-    distributed path's answer — (node, component_id = min member id)."""
-    rows = edges.collect()
+def _cc_driver(edges_iter, template: DataFrame) -> DataFrame:
+    """Driver-side union-find over a small (already collected) edge
+    iterable: zero further jobs. Produces exactly the distributed
+    path's answer — (node, component_id = min member id); the result
+    is independent of edge iteration order (union by label order keeps
+    every root the minimum member id). ``template`` supplies the id
+    type and session."""
     parent: dict = {}
 
     def find(x):
@@ -1384,20 +1386,20 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for r in rows:
-        ra, rb = find(r["src"]), find(r["dst"])
+    for a, b in edges_iter:
+        ra, rb = find(a), find(b)
         if ra != rb:
             # union by label order keeps the root the min id
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
-    id_type = edges.schema["src"].dataType
+    id_type = template.schema[0].dataType
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
         [StructField("node", id_type), StructField("component_id", id_type)]
     )
-    return edges.sparkSession.createDataFrame(out, schema)
+    return template.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -1441,35 +1443,61 @@ def connected_components(
     split components, so it raises instead — with jumping, max_iter=50
     covers diameters up to ~2^50.
 
-    Size-adaptive: the deduped edge set is materialized first (it is
-    needed either way), and when it holds at most ``driver_threshold``
-    edges the components come from a driver-side union-find — one small
+    Size-adaptive: the PAIR set is pinned first (its generation
+    lineage — the MinHash/cosine pipeline — runs once for every
+    consumer), and when twice the pair count fits ``driver_threshold``
+    the components come from a driver-side union-find — one small
     collect instead of several iterative jobs, the same runtime
-    size-based call AQE makes for broadcast joins. The threshold counts
-    SYMMETRIZED edges (2 per input pair, so 1M ≈ 500k pairs); at the
-    limit the collect is ~1M Row objects — a few hundred MB of Python
-    heap and seconds of work (measured 6.6 s end-to-end on a 740k-edge
-    graph), still cheaper and far more predictable than the ~30
-    iterative rounds the same graph needed distributed. Size the
-    threshold down on a memory-constrained driver. Near-dup pair sets
-    are pair-sized, not corpus-sized, so this is the common case; the
-    distributed propagation handles the truly large one (force it with
-    ``driver_threshold=0``).
+    size-based call AQE makes for broadcast joins. The threshold still
+    counts SYMMETRIZED edges (2 per input pair, so 1M ≈ 500k pairs);
+    the driver path collects the raw pairs (half the rows of the old
+    symmetrized-edges collect) and symmetrizes + dedups in a Python
+    set, so the union+distinct exchange is never paid on the common
+    path — at the limit that is ~500k Row objects, a few hundred MB of
+    Python heap and seconds of work, still cheaper and far more
+    predictable than the ~30 iterative rounds the same graph needed
+    distributed. Size the threshold down on a memory-constrained
+    driver. Near-dup pair sets are pair-sized, not corpus-sized, so
+    this is the common case; the distributed propagation handles the
+    truly large one (force it with ``driver_threshold=0``) at the cost
+    of one extra pair-sized materialization before the edge build.
     """
+    # The pair set is pinned FIRST (pair-generation lineage runs once
+    # for every consumer below), then gated on the RAW pair count:
+    # 2·pairs is an upper bound on the symmetrized deduped edge count,
+    # so the driver path (r18 shape) collects the pair rows directly —
+    # half the rows of the old symmetrized-edges collect — and builds
+    # the symmetrized, DEDUPED edge set in Python, skipping the
+    # union+distinct exchange the old shape paid before the gate was
+    # even decided. The gate is marginally more conservative (duplicate
+    # input pairs could dedup below the threshold); such borderline
+    # graphs take the distributed path, which is always correct.
+    pairs_p = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_pairs = pairs_p.count()
+    if 2 * n_pairs <= driver_threshold:
+        eset: set = set()
+        for r in pairs_p.collect():
+            a, b = r[0], r[1]
+            eset.add((a, b))
+            eset.add((b, a))
+        comp = _cc_driver(eset, pairs_p)
+        # the deduped symmetrized edge count is a PROVEN node bound
+        # (every component member touches an edge; nodes ≤ symmetrized
+        # edges) — apply tails can broadcast loser sets derived from
+        # this frame without re-counting (anti_exclude's
+        # known_rows_bound). len(eset) equals the old distinct().count()
+        # exactly.
+        return (comp, len(eset)) if with_bound else comp
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs_p.union(
+            pairs_p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        comp = _cc_driver(edges)
-        # the edge count is a PROVEN node bound (every component member
-        # touches an edge; nodes ≤ symmetrized edges) — apply tails can
-        # broadcast loser sets derived from this frame without
-        # re-counting (anti_exclude's known_rows_bound)
-        return (comp, n_edges) if with_bound else comp
     # Long iterations pin their per-round state to SCRATCH PARQUET,
     # not localCheckpoint: the cached-block checkpoint degrades on
     # graphs needing many rounds (measured on a fused 740k-edge graph

@@ -1047,9 +1047,9 @@ def test_components_size_adaptive_handoff_at_exact_threshold(spark, monkeypatch)
     calls: list[str] = []
     orig = dd._cc_driver
 
-    def spy(edges):
+    def spy(edges_iter, template):
         calls.append("driver")
-        return orig(edges)
+        return orig(edges_iter, template)
 
     monkeypatch.setattr(dd, "_cc_driver", spy)
 
