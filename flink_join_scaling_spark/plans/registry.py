@@ -220,6 +220,13 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 #:   localCheckpoint pin (`operators/dedup.py`, r17 batch 7).
 #: - q_pipeline_e2e: the keeper-frame pin (`plans/corpus.py`, r17
 #:   batch 8).
+#: r18's own changes extend the set (same policy applied to this
+#: round): the connected_components driver-path restructure
+#: (`b20d6a2`) changes the collect/symmetrize shape under every CC
+#: consumer, the PageRank replay was vectorized, and the trained
+#: pipeline / SemDeDup gained concurrent materialization — all locally
+#: DuckDB-verified this round, and all promoted so the driver
+#: re-executes that argument.
 _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
     {
         "q_bpe_train",
@@ -230,6 +237,21 @@ _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
         "q_dedup_winnow",
         "q_dedup_winnow_apply",
         "q_pipeline_e2e",
+        # r18 CC-restructure consumers + overlap-touched composes
+        "q_dedup_components",
+        "q_dedup_semantic_apply",
+        "q_dedup_ensemble",
+        "q_dedup_ensemble_apply",
+        "q_dedup_phash_apply",
+        "q_dedup_videos",
+        "q_pipeline_media",
+        "q_dedup_audiohash_apply",
+        "q_pipeline_audio",
+        "q_dedup_weights",
+        "q_dedup_keep_best",
+        "q_dedup_apply",
+        "q_entity_resolution",
+        "q_pipeline_trained",
     }
 )
 
@@ -271,15 +293,21 @@ _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
         "q_array_explode",
         "q_array_funcs",
         "q_bm25",
+        "q_cohort_retention",
         "q_collocations",
         "q_date_funcs",
         "q_decontaminate_semantic",
         "q_dedup_containment",
         "q_dedup_embedding",
         "q_dedup_embedding_ivf",
+        "q_dedup_exact",
         "q_dedup_lines",
+        "q_dedup_minhash",
+        "q_dedup_minhash_ml",
         "q_dedup_phash_progressive",
         "q_embed_outliers",
+        "q_fingerprint",
+        "q_gopher_rules",
         "q_graph_triangles",
         "q_hard_negatives_ann",
         "q_heavy_hitters",
@@ -289,6 +317,7 @@ _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
         "q_join_inner",
         "q_join_left_outer",
         "q_join_left_outer_seq",
+        "q_lang_id",
         "q_lm_score",
         "q_math_funcs",
         "q_mixture_weights",
@@ -308,11 +337,16 @@ _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
         "q_source_drift",
         "q_source_overlap",
         "q_split_leakage_safe",
+        "q_stream_join",
         "q_string_funcs",
+        "q_text_chunks",
+        "q_text_stats",
         "q_tfidf",
+        "q_token_count",
         "q_tokenizer_fertility",
         "q_topk",
         "q_tpch_q1_pricing",
+        "q_transition_matrix",
         "q_triplet_mining",
         "q_window_analytic",
         "q_window_rank",
