@@ -999,10 +999,14 @@ def winnow_dedup_pairs(
     # sides of the pair equi-join consume it — unpinned, Catalyst
     # re-derives the whole tokenize/window/md5 subtree per consumer
     # (the r17 plan showed FOUR copies of the fingerprint pipeline;
-    # the pinned frame is (id, fp) rows, pair-census-sized)
-    fp = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(
-        eager=False
-    )
+    # the pinned frame is (id, fp) rows, pair-census-sized). Guarded
+    # like widen_if_narrow (r17 advisor): localCheckpoint raises on a
+    # streaming frame, and the pin trades lineage recovery on executor
+    # loss for the 4x recompute — the standard localCheckpoint trade
+    # taken everywhere in this repo.
+    fp = winnow_fingerprints(df, id_col, text_col, k, w)
+    if not fp.isStreaming:
+        fp = fp.localCheckpoint(eager=False)
     hot = (
         fp.groupBy("fp")
         .agg(F.countDistinct(id_col).alias("__df"))
@@ -1409,6 +1413,7 @@ def connected_components(
     max_iter: int = 50,
     driver_threshold: int = 1_000_000,
     with_bound: bool = False,
+    assume_pinned: bool = False,
 ) -> DataFrame | tuple[DataFrame, int]:
     """Connected components over a near-duplicate pair list:
     (node, component_id) with component_id = min node id in the
@@ -1472,9 +1477,14 @@ def connected_components(
     # even decided. The gate is marginally more conservative (duplicate
     # input pairs could dedup below the threshold); such borderline
     # graphs take the distributed path, which is always correct.
-    pairs_p = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    pairs_p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if not assume_pinned:
+        # callers that already hold the pair set in a checkpoint (the
+        # canonical-rank / SemDeDup / ensemble composes pin it for
+        # their other consumers) pass assume_pinned=True and skip this
+        # block-copy materialization — the actions below then run over
+        # a narrow projection of the caller's pinned blocks
+        pairs_p = pairs_p.localCheckpoint(eager=True)
     n_pairs = pairs_p.count()
     if 2 * n_pairs <= driver_threshold:
         eset: set = set()
@@ -1959,6 +1969,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     driver_threshold: int = 1_000_000,
+    assume_pinned: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over the undirected near-dup pair
     graph: (node, rank). Ranks start at 1.0 and follow
@@ -2000,7 +2011,11 @@ def pagerank(
     it with ``driver_threshold=0``)."""
     from pyspark.sql import functions as F
 
-    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
+    pairs = pairs.select(id_a, id_b)
+    if not assume_pinned:
+        # same contract as connected_components' assume_pinned: a
+        # caller that pre-pinned the pair set skips this copy
+        pairs = pairs.localCheckpoint(eager=True)
     if 2 * pairs.count() <= driver_threshold:
         return _pagerank_driver(pairs, id_a, id_b, iters, damping)
     edges = pairs.select(

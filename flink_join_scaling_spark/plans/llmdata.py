@@ -2843,8 +2843,8 @@ def q_dedup_canonical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         num_hashes=_MINHASH_K, band_size=_MINHASH_BAND, threshold=0.5,
     ).localCheckpoint(eager=True)
-    ranks = dd.pagerank(pairs)
-    comp = dd.connected_components(pairs)
+    ranks = dd.pagerank(pairs, assume_pinned=True)
+    comp = dd.connected_components(pairs, assume_pinned=True)
     memb = comp.join(ranks, "node").select(
         "component_id", "node", F.round("r", 6).alias("rr")
     )
@@ -3103,7 +3103,9 @@ def _semantic_members(spark: SparkSession, sf_dir: str):
         fut_cl = pool.submit(cl.count)
         pairs = fut_pairs.result()
         fut_cl.result()
-    comp, node_bound = dd.connected_components(pairs, with_bound=True)
+    comp, node_bound = dd.connected_components(
+        pairs, with_bound=True, assume_pinned=True
+    )
     memb = (
         comp.join(n, comp["node"] == n["vec_id"])
         .join(cl, F.col("label") == F.col("c_label"))
@@ -3229,7 +3231,9 @@ def q_dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw union: connected_components symmetrizes + distincts its input
     # anyway, so a pre-distinct would only add a redundant shuffle
     fused = lex.unionByName(sem)
-    comp = dd.connected_components(fused)
+    # both legs are pinned; the union is a narrow view over their
+    # blocks, so CC can skip its own copy
+    comp = dd.connected_components(fused, assume_pinned=True)
     members = comp.groupBy("component_id").agg(F.count("*").alias("n_members"))
     lexp = (
         lex.join(comp, lex["id_a"] == comp["node"])
