@@ -16,12 +16,11 @@ quartiles of the (qraw_e6 DESC, doc_id ASC) total order, where
 qraw_e6 is the e6-integer quantization of the raw score (bounded
 domain [0, 1e6] because the score is a convex combination in [0,1]).
 
-The Spark side derives quartile MEMBERSHIP without any window: a
-two-level value histogram (coarse e2 buckets → fine e6 values inside
-the two boundary buckets — both aggregations have domain-bounded
-output, ≤101 and ≤10⁴ rows, independent of corpus size) locates the
-exact cutoff values and tie splits, and labeling is then a map-side
-filter against four broadcast literals. The earlier global
+The Spark side derives quartile MEMBERSHIP without any window: one
+domain-bounded value histogram (the e6 score domain holds ≤ 1,000,001
+distinct values at ANY corpus size) locates the exact cutoff values
+and tie splits, and labeling is then a map-side filter against four
+broadcast literals. The earlier global
 ``ntile(4)`` window ranked the ENTIRE corpus on one partition (Spark
 warns ``WindowExec: No Partition Defined``) — the one corpus-sized
 single-task sort in the repo; this replaces it with three bounded
@@ -113,15 +112,9 @@ def _train_ctes(k: int, lr: float) -> str:
     return ",".join(parts)
 
 
-#: coarse histogram bucket width over the e6 score domain [0, 1e6]:
-#: ≤ 101 coarse buckets, ≤ _QCOARSE fine values per bucket — both
-#: bounded by the VALUE DOMAIN, never by corpus size.
-_QCOARSE = 10_000
-
-
 def _kth_cut(fine: dict[int, int], buckets: list[int], start: int, k: int):
-    """Walk ``buckets`` (an ordered coarse→fine traversal of e6 score
-    values) until cumulative count reaches rank ``k``; returns
+    """Walk ``buckets`` (an ordered traversal of e6 score values) until
+    cumulative count reaches rank ``k``; returns
     (cut_value, n_strictly_before, tie_count)."""
     cum = start
     for v in buckets:
@@ -135,25 +128,26 @@ def _quartile_conditions(base: DataFrame):
     """Exact ntile(4)-membership conditions for buckets 1 and 4 of the
     (``__qe6`` DESC, ``doc_id`` ASC) total order, as map-side filters.
 
-    Three bounded jobs replace the single-partition global sort:
-    (1) a coarse histogram on ``__qe6 // 10000`` (≤101 rows — the raw
-    quality score is a convex combination in [0,1]); (2) a fine
-    histogram restricted to the two coarse buckets holding the
-    quartile boundaries (≤2·10⁴ rows); (3) when a boundary value is
-    tied, a TakeOrdered over just that tie group to find the doc_id
-    split (bounded by the tie-group size; score ties at e6 granularity
-    are a vanishing fraction of a real corpus — a degenerate
-    all-one-score corpus would make this quartile-sized, at which
-    point quartile labels are meaningless anyway). Every output row
-    count is domain- or tie-bounded, so the shape is unchanged at
-    100 TB; no WindowExec anywhere."""
-    coarse_rows = (
-        base.groupBy(F.floor(F.col("__qe6") / _QCOARSE).alias("b"))
-        .count()
-        .collect()
-    )
-    coarse = {int(r["b"]): int(r["count"]) for r in coarse_rows}
-    n = sum(coarse.values())
+    One bounded histogram job replaces the single-partition global
+    sort: a full value histogram on ``__qe6`` — the raw quality score
+    is a convex combination in [0,1], so the e6 domain holds at most
+    1,000,001 distinct values and the collect is ≤ ~16 MB at ANY
+    corpus size (bounded by the VALUE DOMAIN, never by rows — the same
+    boundedness class as connected_components' gated 1M-edge collect).
+    r18 folded the former two-level coarse→fine walk (≤101 + ≤2·10⁴
+    rows over two jobs) into this single aggregation: one map-side-
+    combined pass and ONE driver round-trip instead of two, saving a
+    job + planning gap in each of the three trainer-bearing queries;
+    the walk arithmetic below is unchanged, so membership is
+    identical. A second job remains only when a boundary value is
+    tied: a TakeOrdered over just that tie group finds the doc_id
+    split (tie-group-bounded; score ties at e6 granularity are a
+    vanishing fraction of a real corpus — a degenerate all-one-score
+    corpus would make this quartile-sized, at which point quartile
+    labels are meaningless anyway). No WindowExec anywhere."""
+    fine_rows = base.groupBy("__qe6").count().collect()
+    fine = {int(r["__qe6"]): int(r["count"]) for r in fine_rows}
+    n = sum(fine.values())
     if n < 8:
         raise ValueError(
             f"quartile labeling needs >= 8 documents, got {n}: bucket 4 "
@@ -163,27 +157,10 @@ def _quartile_conditions(base: DataFrame):
     k1 = n // 4 + (1 if n % 4 >= 1 else 0)  # rows in bucket 1 (top)
     k4 = n // 4  # rows in bucket 4 (bottom)
 
-    def coarse_walk(order_desc: bool, k: int):
-        cum = 0
-        for b in sorted(coarse, reverse=order_desc):
-            if cum + coarse[b] >= k:
-                return b, cum
-            cum += coarse[b]
-        raise AssertionError("rank walked past the histogram")  # pragma: no cover
-
-    b_top, before_top = coarse_walk(True, k1)
-    b_bot, before_bot = coarse_walk(False, k4)
-    fine_rows = (
-        base.where(F.floor(F.col("__qe6") / _QCOARSE).isin(b_top, b_bot))
-        .groupBy("__qe6")
-        .count()
-        .collect()
-    )
-    fine = {int(r["__qe6"]): int(r["count"]) for r in fine_rows}
-    top_vals = sorted((v for v in fine if v // _QCOARSE == b_top), reverse=True)
-    bot_vals = sorted(v for v in fine if v // _QCOARSE == b_bot)
-    c1, gt1, tie1 = _kth_cut(fine, top_vals, before_top, k1)
-    c4, lt4, tie4 = _kth_cut(fine, bot_vals, before_bot, k4)
+    top_vals = sorted(fine, reverse=True)
+    bot_vals = sorted(fine)
+    c1, gt1, tie1 = _kth_cut(fine, top_vals, 0, k1)
+    c4, lt4, tie4 = _kth_cut(fine, bot_vals, 0, k4)
     r1, r4 = k1 - gt1, k4 - lt4  # rows taken from each boundary tie group
 
     qe6, did = F.col("__qe6"), F.col("doc_id")
