@@ -252,6 +252,9 @@ _TOUCHED_SINCE_GREEN: frozenset[str] = frozenset(
         "q_dedup_apply",
         "q_entity_resolution",
         "q_pipeline_trained",
+        # r18 quartile-histogram fold (one-job labeling walk)
+        "q_quality_classifier",
+        "q_quality_classifier_apply",
     }
 )
 
@@ -305,6 +308,7 @@ _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
         "q_dedup_minhash",
         "q_dedup_minhash_ml",
         "q_dedup_phash_progressive",
+        "q_ema",
         "q_embed_outliers",
         "q_fingerprint",
         "q_gopher_rules",
@@ -326,6 +330,7 @@ _DISPLACED_THIS_ROUND: frozenset[str] = frozenset(
         "q_quantize_embeddings",
         "q_retrieval_rrf",
         "q_scan_filter_project",
+        "q_scd2_intervals",
         "q_set_except",
         "q_set_intersect",
         "q_set_union",
